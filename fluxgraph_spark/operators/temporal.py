@@ -1,0 +1,133 @@
+"""Temporal operators as pure DataFrame transforms (SURVEY.md §2.5, P1-P9).
+
+Replaces the reference's per-element Datalog history queries
+(FluxUtil.java:170-217) with single windowed scans: the whole version
+chain of every element materializes from ONE pass with lag/lead windows,
+instead of O(chain-length) queries per element.
+
+Scale notes (100 TB): the window partitions by element id — an even,
+high-cardinality key, so the shuffle is balanced.  Snapshot filters are
+plain column predicates that push down to the parquet scan; with tables
+partitioned by a time bucket of ``tx_from``, as-of reads prune whole
+partitions.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .. import model as M
+
+
+def snapshot(df: DataFrame, tx: Optional[int]) -> DataFrame:
+    """As-of filter (P1 read half).  ``tx=None`` = current version rows.
+
+    Reference: db.asOf(tx) applied in getRawGraph (FluxGraph.java:217-222).
+    """
+    if tx is None:
+        return df.where(F.col(M.TX_TO).isNull())
+    return df.where(
+        (F.col(M.TX_FROM) <= F.lit(tx))
+        & (F.col(M.TX_TO).isNull() | (F.col(M.TX_TO) > F.lit(tx)))
+    )
+
+
+def resolve_checkpoint(tx_log: DataFrame, t: datetime.datetime) -> int:
+    """max(tx_id) with tx_time <= t — one aggregate instead of the
+    reference's scan-all-transactions Java loop (FluxGraph.java:228-241).
+    Robust to backdated (out-of-order) tx_time by construction."""
+    row = tx_log.where(F.col(M.TX_TIME) <= F.lit(t)).agg(
+        F.max(M.TX_ID).alias("tx")
+    ).first()
+    return row["tx"] if row["tx"] is not None else 0
+
+
+def element_chain_window() -> W:
+    return W.partitionBy(M.ID).orderBy(M.TX_FROM)
+
+
+def with_version_index(df: DataFrame) -> DataFrame:
+    """Version ordinal per element (P7 set-at-a-time): one windowed scan
+    yields every chain (reference iterates FluxTimeIterable per element)."""
+    return df.withColumn("version_idx", F.row_number().over(element_chain_window()))
+
+
+def with_prev_next(df: DataFrame) -> DataFrame:
+    """lag/lead tx_from per element (P5/P6 set-at-a-time)."""
+    w = element_chain_window()
+    return df.withColumn("prev_tx_from", F.lag(M.TX_FROM).over(w)).withColumn(
+        "next_tx_from", F.lead(M.TX_FROM).over(w)
+    )
+
+
+def validity_intervals(df: DataFrame, tx_log: DataFrame) -> DataFrame:
+    """[tx_time(tx_from), tx_time(tx_to)) per version row; open end maps to
+    MAX_TIME (P9; reference FluxElement.java:142-152).
+
+    tx_id -> tx_time is resolved by joining the (small) distinct tx slice of
+    the log — broadcast so the big version table never shuffles."""
+    times = tx_log.select(M.TX_ID, M.TX_TIME).dropDuplicates([M.TX_ID])
+    start = times.withColumnRenamed(M.TX_ID, "__from_tx").withColumnRenamed(
+        M.TX_TIME, "valid_from"
+    )
+    end = times.withColumnRenamed(M.TX_ID, "__to_tx").withColumnRenamed(
+        M.TX_TIME, "valid_to_raw"
+    )
+    out = (
+        df.join(F.broadcast(start), df[M.TX_FROM] == start["__from_tx"], "left")
+        .join(F.broadcast(end), df[M.TX_TO] == end["__to_tx"], "left")
+        .withColumn(
+            "valid_to",
+            F.coalesce(F.col("valid_to_raw"), F.lit(M.MAX_TIME)),
+        )
+        .drop("__from_tx", "__to_tx", "valid_to_raw")
+    )
+    return out
+
+
+def time_ids(tx_log: DataFrame, checkpoint_tx: Optional[int] = None) -> DataFrame:
+    """Element time id = max tx that touched it ≤ checkpoint (P3;
+    reference's recursive-rule history query, FluxUtil.java:196-217,
+    becomes a groupBy max with map-side partial aggregation)."""
+    log = tx_log
+    if checkpoint_tx is not None:
+        log = log.where(F.col(M.TX_ID) <= F.lit(checkpoint_tx))
+    return log.groupBy(M.ELEMENT_ID).agg(F.max(M.TX_ID).alias("time_id"))
+
+
+def scd2_from_change_events(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Build an SCD2 table from an append-only change-event stream: each
+    event for a key opens a new version valid until the key's next event.
+
+    This is the bulk/batch write path for 100 TB ingest — one windowed
+    scan, no driver-side loop (contrast with the reference's one Datomic
+    transaction per mutation)."""
+    w = W.partitionBy(*key_cols).orderBy(ts_col)
+    return (
+        events.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("version_idx", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def asof_latest(
+    versions: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    at: datetime.datetime,
+) -> DataFrame:
+    """Latest version per key with ts <= at — as-of over an event-versioned
+    table via max_by (single shuffle on the key, partial agg map-side)."""
+    filtered = versions.where(F.col(ts_col) <= F.lit(at))
+    value_cols = [c for c in versions.columns if c not in key_cols]
+    aggs = [F.max_by(c, F.col(ts_col)).alias(c) for c in value_cols]
+    return filtered.groupBy(*key_cols).agg(*aggs)

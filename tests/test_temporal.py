@@ -1,0 +1,164 @@
+"""Temporal operator tests (P1-P9) — the surface the reference leaves
+UNTESTED (SURVEY.md §5); scripted mutation timelines with golden
+version-chain assertions per FIXTURES.md §4."""
+
+import datetime
+
+import pytest
+
+from fluxgraph_spark import IN, OUT, TemporalGraph
+from fluxgraph_spark.model import MAX_TIME
+
+T0 = datetime.datetime(2020, 1, 1)
+
+
+def ts(n):
+    return T0 + datetime.timedelta(days=n)
+
+
+@pytest.fixture()
+def timeline(spark):
+    """day1: v1, v2 created; day2: v1.name=alice; day3: e1 v1->v2 (bumps both);
+    day4: v1.name=alicia; day5: remove e1 (bumps both)."""
+    g = TemporalGraph.create(spark)
+    g.set_transaction_time(ts(1))
+    v1, v2 = g.add_vertex(), g.add_vertex()
+    g.set_transaction_time(ts(2))
+    v1.set_property("name", "alice")
+    g.set_transaction_time(ts(3))
+    e1 = g.add_edge(None, v1, v2, "knows")
+    g.set_transaction_time(ts(4))
+    v1.set_property("name", "alicia")
+    g.set_transaction_time(ts(5))
+    g.remove_edge(e1)
+    g.set_transaction_time(None)
+    return g, v1, v2, e1
+
+
+def test_version_chain_includes_topology_bumps(timeline):
+    """v1 chain: create, set name, edge add (bump), set name, edge remove
+    (bump) = 5 versions (reference FluxGraph.java:156-157, 362-363)."""
+    g, v1, v2, e1 = timeline
+    prevs = list(v1.previous_versions())
+    assert len(prevs) == 4
+    # v2 only sees create + 2 topology bumps
+    assert len(list(v2.previous_versions())) + 1 == 3
+
+
+def test_previous_next_roundtrip(timeline):
+    g, v1, _, _ = timeline
+    p = v1.previous_version()
+    assert p.get_property("name") == "alicia"  # bump kept props
+    p2 = p.previous_version()
+    assert p2.get_property("name") == "alice"
+    n = p2.next_version()
+    assert n.get_property("name") == "alicia"
+    assert not n.is_current_version()
+    # walking forward from the first version ends at the current element
+    chain = list(p2.next_versions())
+    assert chain[-1].is_current_version()
+
+
+def test_version_filter(timeline):
+    g, v1, _, _ = timeline
+    named = list(v1.previous_versions(lambda el: el.get_property("name") == "alice"))
+    assert len(named) == 2  # name=alice version + its bump copy at edge-add
+
+
+def test_checkpoint_between_txs(timeline):
+    """P1: as-of reads pin every lookup (FluxGraph.java:225-243)."""
+    g, v1, v2, e1 = timeline
+    g.set_checkpoint_time(ts(2))
+    assert g.get_vertex(v1.get_id()).get_property("name") == "alice"
+    assert g.get_edge(e1.get_id()) is None  # edge not yet created
+    g.set_checkpoint_time(ts(3))
+    assert g.get_edge(e1.get_id()) is not None
+    g.set_checkpoint_time(ts(10))
+    assert g.get_edge(e1.get_id()) is None  # removed on day5
+    assert g.get_vertex(v1.get_id()).get_property("name") == "alicia"
+    g.set_checkpoint_time(None)
+    assert g.get_vertex(v1.get_id()).is_current_version()
+
+
+def test_checkpoint_before_everything(timeline):
+    g, v1, _, _ = timeline
+    g.set_checkpoint_time(ts(0))
+    assert g.get_vertex(v1.get_id()) is None
+    assert list(g.get_vertices()) == []
+    g.set_checkpoint_time(None)
+
+
+def test_as_of_readonly_snapshot(timeline):
+    g, v1, v2, e1 = timeline
+    snap = g.as_of(ts(3))
+    assert snap.get_vertex(v1.get_id()).get_property("name") == "alice"
+    assert snap.get_edge(e1.get_id()) is not None
+    with pytest.raises(RuntimeError):
+        snap.add_vertex()
+    with pytest.raises(RuntimeError):
+        snap.clear()
+    # origin graph unaffected
+    assert g.get_vertex(v1.get_id()).get_property("name") == "alicia"
+
+
+def test_backdated_write_out_of_order(spark):
+    """P2: arbitrary backdating; checkpoint resolution must map tx_time ->
+    max(tx_id) without assuming sorted times (FluxGraph.java:228-241)."""
+    g = TemporalGraph.create(spark)
+    g.set_transaction_time(ts(5))
+    v = g.add_vertex()
+    v.set_property("x", 1)
+    g.set_transaction_time(ts(2))  # backdate AFTER a later tx exists
+    v.set_property("x", 2)
+    g.set_transaction_time(None)
+    # at day 3, the latest tx with tx_time <= day3 is the backdated one (tx 3)
+    g.set_checkpoint_time(ts(3))
+    assert g.get_vertex(v.get_id()).get_property("x") == 2
+    g.set_checkpoint_time(None)
+    assert v.get_property("x") == 2  # tx order (not time order) wins for current
+
+
+def test_time_id_and_is_deleted(timeline):
+    g, v1, v2, e1 = timeline
+    # txs: 1=add v1, 2=add v2, 3=name, 4=edge add, 5=name, 6=edge remove
+    assert v1.time_id() == 6
+    assert not v1.is_deleted()
+    g.remove_vertex(v1)
+    assert v1.is_deleted()
+    assert v1.time_id() is None
+
+
+def test_time_interval(timeline):
+    """P9: [tx_time(from), tx_time(to)); open end = MAX_TIME
+    (FluxElement.java:142-152)."""
+    g, v1, _, _ = timeline
+    start, end = v1.time_interval()
+    assert start == ts(5) and end == MAX_TIME
+    first = list(v1.previous_versions())[-1]
+    s, e = first.time_interval()
+    assert s == ts(1) and e == ts(2)
+
+
+def test_dataframe_temporal_ops(timeline, spark):
+    """Set-at-a-time windows: one scan yields every chain (P5-P7)."""
+    from fluxgraph_spark.operators import temporal as TP
+
+    g, v1, v2, e1 = timeline
+    hist = g.vertices_df(snapshot=False)
+    chains = TP.with_version_index(TP.with_prev_next(hist))
+    rows = {
+        (r["id"], r["version_idx"]): r
+        for r in chains.collect()
+    }
+    assert rows[(v1.get_id(), 1)]["prev_tx_from"] is None
+    assert rows[(v1.get_id(), 5)]["next_tx_from"] is None
+    assert rows[(v1.get_id(), 2)]["prev_tx_from"] == rows[(v1.get_id(), 1)]["tx_from"]
+    # intervals
+    iv = TP.validity_intervals(hist, g.tx_log_df())
+    cur = [r for r in iv.collect() if r["id"] == v1.get_id() and r["tx_to"] is None][0]
+    assert cur["valid_from"] == ts(5) and cur["valid_to"] == MAX_TIME
+    # time ids from the log
+    tids = {r["element_id"]: r["time_id"] for r in TP.time_ids(g.tx_log_df()).collect()}
+    assert tids[v1.get_id()] == v1.time_id()
+    # checkpoint resolution via DataFrame agg matches driver-side resolution
+    assert TP.resolve_checkpoint(g.tx_log_df(), ts(3)) == g.resolve_checkpoint(ts(3))
