@@ -1,0 +1,17 @@
+from .graphml import load_graphml, write_graphml
+from .graphson import load_graphson, write_graphson
+from .gml import load_gml
+from .parquet_io import DataFrameGraph, load_graph_parquet, save_graph_parquet
+from .tpch import tpch_graph
+
+__all__ = [
+    "load_graphml",
+    "write_graphml",
+    "load_graphson",
+    "write_graphson",
+    "load_gml",
+    "DataFrameGraph",
+    "save_graph_parquet",
+    "load_graph_parquet",
+    "tpch_graph",
+]

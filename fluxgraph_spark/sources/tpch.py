@@ -1,0 +1,242 @@
+"""TPC-H-ish testdata -> property graph mapping (FIXTURES.md §3).
+
+Maps the driver-generated parquet tables (TESTDATA.md) onto the engine's
+vertex/edge model so graph queries can be checked against a relational
+DuckDB oracle running the *same* construction in SQL.
+
+Id spaces are disjoint per kind (FIXTURES.md: "ids offset per kind").
+All pure DataFrame ops — select/union/join only, no UDFs, no driver
+loops; at 100 TB this is a handful of narrow projections plus one
+distinct on (partkey, suppkey).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CUSTOMER_BASE = 0
+SUPPLIER_BASE = 1_000_000_000
+PART_BASE = 2_000_000_000
+ORDER_BASE = 3_000_000_000
+NATION_BASE = 4_000_000_000
+REGION_BASE = 5_000_000_000
+
+E_PLACED_BY_BASE = 10_000_000_000
+E_CONTAINS_BASE = 20_000_000_000
+E_SUPPLIED_BY_BASE = 30_000_000_000
+E_LOCATED_IN_CUST_BASE = 40_000_000_000
+E_LOCATED_IN_SUPP_BASE = 45_000_000_000
+E_PART_OF_BASE = 50_000_000_000
+
+
+def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if n == "events":
+            out[n] = read_events(spark, path)
+        else:
+            out[n] = spark.read.parquet(path)
+    return out
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """The driver's events table stores TIMESTAMP(NANOS) parquet, which
+    Spark rejects by default — read nanos as long and truncate to micros
+    (scan-side cast; no driver round-trip, scale-safe)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def tpch_vertices(t: dict[str, DataFrame]) -> DataFrame:
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    null_dt = F.lit(None).cast("date")
+
+    cust = t["customer"].select(
+        (F.col("c_custkey") + F.lit(CUSTOMER_BASE)).cast("long").alias("id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        null_dt.alias("orderdate"),
+        null_d.alias("totalprice"),
+    )
+    supp = t["supplier"].select(
+        (F.col("s_suppkey") + F.lit(SUPPLIER_BASE)).cast("long").alias("id"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        null_dt.alias("orderdate"),
+        null_d.alias("totalprice"),
+    )
+    part = t["part"].select(
+        (F.col("p_partkey") + F.lit(PART_BASE)).cast("long").alias("id"),
+        F.lit("part").alias("kind"),
+        F.col("p_name").alias("name"),
+        null_l.alias("nationkey"),
+        null_d.alias("acctbal"),
+        null_dt.alias("orderdate"),
+        null_d.alias("totalprice"),
+    )
+    orders = t["orders"].select(
+        (F.col("o_orderkey") + F.lit(ORDER_BASE)).cast("long").alias("id"),
+        F.lit("order").alias("kind"),
+        null_s.alias("name"),
+        null_l.alias("nationkey"),
+        null_d.alias("acctbal"),
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    nation = t["nation"].select(
+        (F.col("n_nationkey") + F.lit(NATION_BASE)).cast("long").alias("id"),
+        F.lit("nation").alias("kind"),
+        F.col("n_name").alias("name"),
+        null_l.alias("nationkey"),
+        null_d.alias("acctbal"),
+        null_dt.alias("orderdate"),
+        null_d.alias("totalprice"),
+    )
+    region = t["region"].select(
+        (F.col("r_regionkey") + F.lit(REGION_BASE)).cast("long").alias("id"),
+        F.lit("region").alias("kind"),
+        F.col("r_name").alias("name"),
+        null_l.alias("nationkey"),
+        null_d.alias("acctbal"),
+        null_dt.alias("orderdate"),
+        null_d.alias("totalprice"),
+    )
+    return cust.unionByName(supp).unionByName(part).unionByName(orders) \
+        .unionByName(nation).unionByName(region)
+
+
+def tpch_edges(t: dict[str, DataFrame]) -> DataFrame:
+    null_d = F.lit(None).cast("double")
+
+    placed_by = t["orders"].select(
+        (F.col("o_orderkey") + F.lit(E_PLACED_BY_BASE)).cast("long").alias("id"),
+        (F.col("o_orderkey") + F.lit(ORDER_BASE)).cast("long").alias("src"),
+        (F.col("o_custkey") + F.lit(CUSTOMER_BASE)).cast("long").alias("dst"),
+        F.lit("placed_by").alias("label"),
+        null_d.alias("quantity"),
+        null_d.alias("extendedprice"),
+    )
+    contains = t["lineitem"].select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber") + F.lit(E_CONTAINS_BASE))
+        .cast("long").alias("id"),
+        (F.col("l_orderkey") + F.lit(ORDER_BASE)).cast("long").alias("src"),
+        (F.col("l_partkey") + F.lit(PART_BASE)).cast("long").alias("dst"),
+        F.lit("contains").alias("label"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+    )
+    supplied_by = (
+        t["lineitem"].select("l_partkey", "l_suppkey").distinct().select(
+            (F.col("l_partkey") * 100000 + F.col("l_suppkey") + F.lit(E_SUPPLIED_BY_BASE))
+            .cast("long").alias("id"),
+            (F.col("l_partkey") + F.lit(PART_BASE)).cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPPLIER_BASE)).cast("long").alias("dst"),
+            F.lit("supplied_by").alias("label"),
+            null_d.alias("quantity"),
+            null_d.alias("extendedprice"),
+        )
+    )
+    located_in_cust = t["customer"].select(
+        (F.col("c_custkey") + F.lit(E_LOCATED_IN_CUST_BASE)).cast("long").alias("id"),
+        (F.col("c_custkey") + F.lit(CUSTOMER_BASE)).cast("long").alias("src"),
+        (F.col("c_nationkey") + F.lit(NATION_BASE)).cast("long").alias("dst"),
+        F.lit("located_in").alias("label"),
+        null_d.alias("quantity"),
+        null_d.alias("extendedprice"),
+    )
+    located_in_supp = t["supplier"].select(
+        (F.col("s_suppkey") + F.lit(E_LOCATED_IN_SUPP_BASE)).cast("long").alias("id"),
+        (F.col("s_suppkey") + F.lit(SUPPLIER_BASE)).cast("long").alias("src"),
+        (F.col("s_nationkey") + F.lit(NATION_BASE)).cast("long").alias("dst"),
+        F.lit("located_in").alias("label"),
+        null_d.alias("quantity"),
+        null_d.alias("extendedprice"),
+    )
+    part_of = t["nation"].select(
+        (F.col("n_nationkey") + F.lit(E_PART_OF_BASE)).cast("long").alias("id"),
+        (F.col("n_nationkey") + F.lit(NATION_BASE)).cast("long").alias("src"),
+        (F.col("n_regionkey") + F.lit(REGION_BASE)).cast("long").alias("dst"),
+        F.lit("part_of").alias("label"),
+        null_d.alias("quantity"),
+        null_d.alias("extendedprice"),
+    )
+    return placed_by.unionByName(contains).unionByName(supplied_by) \
+        .unionByName(located_in_cust).unionByName(located_in_supp).unionByName(part_of)
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str):
+    """(vertices_df, edges_df) for the testdata at ``sf_dir`` — feed into
+    DataFrameGraph / the set-at-a-time operators."""
+    t = read_tables(spark, sf_dir)
+    return tpch_vertices(t), tpch_edges(t)
+
+
+# The same construction in ANSI SQL (DuckDB oracle side).  Kept adjacent to
+# the DataFrame code so they evolve together.
+TPCH_GRAPH_VERTICES_SQL = """
+SELECT c_custkey + 0 AS id, 'customer' AS kind, c_name AS name,
+       CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal AS acctbal,
+       CAST(NULL AS DATE) AS orderdate, CAST(NULL AS DOUBLE) AS totalprice
+FROM customer
+UNION ALL
+SELECT s_suppkey + 1000000000, 'supplier', s_name,
+       CAST(s_nationkey AS BIGINT), s_acctbal, NULL, NULL
+FROM supplier
+UNION ALL
+SELECT p_partkey + 2000000000, 'part', p_name, NULL, NULL, NULL, NULL
+FROM part
+UNION ALL
+SELECT o_orderkey + 3000000000, 'order', NULL, NULL, NULL,
+       CAST(o_orderdate AS DATE), o_totalprice
+FROM orders
+UNION ALL
+SELECT n_nationkey + 4000000000, 'nation', n_name, NULL, NULL, NULL, NULL
+FROM nation
+UNION ALL
+SELECT r_regionkey + 5000000000, 'region', r_name, NULL, NULL, NULL, NULL
+FROM region
+"""
+
+TPCH_GRAPH_EDGES_SQL = """
+SELECT o_orderkey + 10000000000 AS id, o_orderkey + 3000000000 AS src,
+       o_custkey + 0 AS dst, 'placed_by' AS label,
+       CAST(NULL AS DOUBLE) AS quantity, CAST(NULL AS DOUBLE) AS extendedprice
+FROM orders
+UNION ALL
+SELECT l_orderkey * 8 + l_linenumber + 20000000000, l_orderkey + 3000000000,
+       l_partkey + 2000000000, 'contains', l_quantity, l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_partkey * 100000 + l_suppkey + 30000000000, l_partkey + 2000000000,
+       l_suppkey + 1000000000, 'supplied_by', NULL, NULL
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+UNION ALL
+SELECT c_custkey + 40000000000, c_custkey + 0, c_nationkey + 4000000000,
+       'located_in', NULL, NULL
+FROM customer
+UNION ALL
+SELECT s_suppkey + 45000000000, s_suppkey + 1000000000,
+       s_nationkey + 4000000000, 'located_in', NULL, NULL
+FROM supplier
+UNION ALL
+SELECT n_nationkey + 50000000000, n_nationkey + 4000000000,
+       n_regionkey + 5000000000, 'part_of', NULL, NULL
+FROM nation
+"""
