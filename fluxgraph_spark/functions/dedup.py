@@ -1,0 +1,277 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+* Exact dedup hashes the text ONCE map-side then groups on the 60-bit
+  hash — the shuffle carries (hash, id), never the document bodies.
+* MinHash: one explode over shingles, ``k`` hash expressions per row
+  (JVM codegen), partial min-agg map-side → signature table is
+  |docs| × k longs.  LSH banding buckets signatures; candidate pairs come
+  from an equi-join on (band_idx, band_hash) — never an all-pairs product.
+* SimHash: explode tokens, per-bit sign sums via groupBy — one shuffle.
+* n-gram Jaccard verifies candidate pairs only (post-LSH or blocked).
+* All hashes are md5-derived (:func:`~fluxgraph_spark.functions.text.stable_hash64`)
+  so a DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE, stable_hash64
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, min_doc_id),
+    only groups with n_docs > 1."""
+    h = stable_hash64(F.col(text_col)).alias("text_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedupe_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative per identical text (deterministic)."""
+    w = W.partitionBy(stable_hash64(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams of the lowercased text.
+    Documents shorter than n tokens contribute their full token string as
+    one shingle (so they still participate)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): min over shingles of seeded md5 hashes.
+    One explode already done upstream; k expressions stay in codegen and
+    the min-agg combines map-side."""
+    aggs = [
+        F.min(stable_hash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs (id_a < id_b) sharing at
+    least one band.  Equi-join on (band, band_hash) — the only shuffle."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def minhash_similarity(
+    signatures: DataFrame, pairs: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature components,
+    for candidate pairs only."""
+    sa = signatures.alias("sa")
+    sb = signatures.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, pairs["id_a"] == F.col("sa.id"))
+        .join(sb, pairs["id_b"] == F.col("sb.id"))
+        .select(
+            "id_a", "id_b",
+            (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / blocked pairs)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    block: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingles via a self-join on shingle.
+
+    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.  ``block`` (optional
+    (id_a, id_b) pairs) restricts the comparison set — at scale ALWAYS
+    pass LSH candidates here; the unblocked form is for small oracles."""
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if block is not None:
+        inter = inter.join(block, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): per-bit majority sign over token hashes.
+
+    tokens -> stable 60-bit hash -> for each bit b: +1/-1 -> sum -> bit set
+    iff sum > 0.  One explode + one groupBy (partial aggs map-side)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("tok"),
+    )
+    h = stable_hash64(F.col("tok"))
+    toks = toks.select("id", h.alias("th"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+    sim = sums.select(
+        "id",
+        sum(
+            F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+            for b in range(bits)
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by Hamming distance on simhash.
+
+    Blocking: equi-join on the high ``prefix_bits`` (near-dups with all
+    differing bits in the low half are found; standard multi-probe trades
+    recall for join fan-in).  Hamming via bit_count(xor)."""
+    blocked = sim.withColumn("blk", F.shiftright(F.col("simhash"), 32 - prefix_bits))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, "blk")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine >= threshold.  ``block_col`` is the blocking key
+    (at scale: an LSH/IVF bucket; in oracles: a label column).  Without a
+    block this is all-pairs — only for small verification runs."""
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("vec"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vec"), lambda v: v * v),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    on = [F.col("a.id") < F.col("b.id")]
+    if block_col:
+        on.append(F.col("a.blk") == F.col("b.blk"))
+    joined = a.join(b, on[0] if len(on) == 1 else (on[0] & on[1]))
+    return joined.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (exact; crossJoin + JVM-side
+``zip_with``/``aggregate`` arithmetic — no Python in the loop, queries
+broadcast).  Scale path: random-hyperplane LSH bucketing so each query
+only scans its probe buckets — the same top-k computed over a small
+candidate set, trading recall for a ~buckets-fold scan reduction.
+
+The LSH projection is md5-seeded (deterministic, engine-reproducible),
+not ``rand()`` — resumable runs and cross-engine tests depend on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda v: v * v),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against the
+    corpus, rank per query.  Output: (query_id, vec_id, cosine, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double_vec(F.col(vec_col)).alias("cvec")
+    ).withColumn("cnorm", _norm(F.col("cvec")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double_vec(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("cvec"), F.col("qvec"))
+            / (F.col("cnorm") * F.col("qnorm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, dim: int, planes: int = 8, seed: str = "lsh") -> Column:
+    """Random-hyperplane LSH bucket id (0..2^planes-1), deterministic:
+    plane p's component d is md5-derived in [-0.5, 0.5)."""
+    bits = []
+    for p in range(planes):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{seed}:{p}:"), d.cast("string"))), 1, 8),
+                    16, 10,
+                ).cast("double")
+                / F.lit(float(16 ** 8))
+                - 0.5
+            ),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x * c),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0)))
+    return sum(bits).cast("int")
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 6,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries with the same
+    hyperplanes, score only same-bucket candidates.
+
+    ``probes=1`` adds multi-probe: each query also checks the ``planes``
+    buckets at Hamming distance 1 (one hyperplane sign flipped) —
+    (planes+1)× the candidates for much higher recall, still a tiny
+    fraction of the corpus.  At 100 TB: persist the bucketed corpus
+    partitioned by bucket so each probe is a partition-pruned scan."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double_vec(F.col(vec_col)).alias("cvec")
+    )
+    c = c.withColumn("bucket", hyperplane_bucket(F.col("cvec"), dim, planes))
+    c = c.withColumn("cnorm", _norm(F.col("cvec")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double_vec(F.col(vec_col)).alias("qvec"),
+    )
+    q = q.withColumn("bucket", hyperplane_bucket(F.col("qvec"), dim, planes))
+    if probes >= 1:
+        flips = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(planes)],
+        )
+        q = q.withColumn("bucket", F.explode(flips))
+    q = q.withColumn("qnorm", _norm(F.col("qvec")))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

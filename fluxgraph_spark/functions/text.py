@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs.  Every operator has a matching
+ANSI-SQL formulation (see __spark_entry__.py oracles) so results are
+verifiable against DuckDB on the same parquet.
+
+Determinism contract: any hashing uses md5 (stable across engines), via
+:func:`stable_hash64`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+# BPE-ish word/piece splitter: words, numbers, or single non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def stable_hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    first 15 hex chars of md5, base-16 decoded.
+    DuckDB equivalent: ``('0x' || substring(md5(x),1,15))::UBIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count with the BPE-style regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0)))
+
+
+# Tiny per-language stopword panels (public common words; enough for a
+# coarse n-gram/stopword language heuristic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que"],
+    "es": ["el", "los", "las", "es", "una", "con", "por", "para"],
+}
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-panel language guess: argmax of per-language marker hits,
+    'und' (undetermined) when no panel matches."""
+    hits = [(lang, _marker_hits(text, words)) for lang, words in LANG_MARKERS.items()]
+    best = F.greatest(*[h for _, h in hits])
+    expr = F.lit("und")
+    # reverse order so earlier languages win ties (en > de > fr > es)
+    for lang, h in reversed(hits):
+        expr = F.when((h == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token count, alpha ratio,
+    punctuation ratio, stopword ratio, mean token length."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", ""))
+    n_stop = _marker_hits(t, LANG_MARKERS["en"])
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        (n_alpha / F.greatest(n_chars, F.lit(1))).alias("q_alpha_ratio"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("q_punct_ratio"),
+        (n_stop / F.greatest(n_tokens, F.lit(1))).alias("q_stopword_ratio"),
+        (n_alpha / F.greatest(n_tokens, F.lit(1))).alias("q_mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar [0,1] quality score from the metrics: rewards alpha-heavy,
+    stopword-bearing, mid-length documents; penalizes punctuation soup."""
+    m = quality_metrics(df, text_col)
+    length_term = F.least(F.col("q_tokens") / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.35) * F.col("q_alpha_ratio")
+        + F.lit(0.25) * F.least(F.col("q_stopword_ratio") * 4, F.lit(1.0))
+        + F.lit(0.25) * length_term
+        + F.lit(0.15) * (F.lit(1.0) - F.least(F.col("q_punct_ratio") * 5, F.lit(1.0)))
+    )
+    return m.withColumn("quality_score", F.round(score, 6))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint (key-collision style):
+    md5 of the sorted distinct lowercase tokens."""
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), F.lit(0))
+    )
+    return F.md5(F.array_join(F.array_sort(toks), " "))
+
+
+def rolling_hashes(text: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: stable hash of each
+    ``window``-gram of tokens (array of hashes; pair with explode +
+    min-sampling for shingle sketches)."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, window), " ")
+    )
+    return F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))

@@ -1,0 +1,185 @@
+"""Pipeline-function tests: text analysis, dedup, similarity, multimodal
+plumbing — on the driver testdata plus cross-engine hash determinism."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fluxgraph_spark.functions import dedup, multimodal, similarity, text
+from fluxgraph_spark.sources.tpch import read_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return read_tables(spark, SF_DIR)
+
+
+def test_stable_hash64_matches_duckdb(spark):
+    df = spark.createDataFrame([("hello",), ("wörld",), ("",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", text.stable_hash64(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s, h in got.items():
+        dd = con.execute(
+            "SELECT ('0x' || substring(md5(?),1,15))::UBIGINT", [s]
+        ).fetchone()[0]
+        assert dd == h, s
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("don't stop-me now",)], "t string")
+    rows = df.select(
+        text.token_count(F.col("t")).alias("n"),
+        text.bpe_token_count(F.col("t")).alias("b"),
+    ).collect()
+    assert [r["n"] for r in rows] == [3, 0, 0, 3]
+    # don ' t stop - me now -> 7 BPE-ish pieces
+    assert rows[3]["b"] == 7
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house with food",),
+            ("der Hund und die Katze ist nicht ein Tier mit",),
+            ("le chat est dans la maison et les chiens",),
+            ("xyzzy qwerty 12345",),
+        ],
+        "text string",
+    )
+    langs = [r["l"] for r in df.select(text.language_id(F.col("text")).alias("l")).collect()]
+    assert langs == ["en", "de", "fr", "und"]
+
+
+def test_quality_and_fingerprint(tables):
+    docs = tables["documents"]
+    q = text.quality_score(docs, "text")
+    rows = q.select("doc_id", "quality_score").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    fp = docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+    # identical texts share a fingerprint; token order does not matter
+    spark = docs.sparkSession
+    pair = spark.createDataFrame([(1, "b a c"), (2, "c a b"), (3, "a b d")], "doc_id long, text string")
+    fps = [r["fp"] for r in pair.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_exact_dedup(tables):
+    docs = tables["documents"]
+    spark = docs.sparkSession
+    dup = docs.limit(5).union(docs.limit(3))  # inject exact dups
+    groups = dedup.exact_duplicate_groups(dup, "doc_id", "text")
+    assert groups.count() == 3
+    kept = dedup.dedupe_exact(dup, "doc_id", "text")
+    assert kept.count() == 5
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words about database systems and query engines at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "id long, text string"
+    )
+    sh = dedup.shingle_table(df, "id", "text", n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # identical docs always collide
+    assert (1, 2) in got  # near-dup should collide in >=1 of 8 bands
+    sims = dedup.minhash_similarity(sig, pairs, 16).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in sims}
+    assert by_pair[(1, 4)] == 1.0
+    assert by_pair[(1, 2)] > 0.3
+
+
+def test_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        "id long, text string",
+    )
+    sh = dedup.shingle_table(df, "id", "text", n=2)
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard_pairs(sh).collect()}
+    # doc1: {a b, b c, c d, d e}; doc2: {a b, b c, c d, d f}: inter 3, union 5
+    assert abs(out[(1, 2)] - 0.6) < 1e-9
+    assert (1, 3) not in out
+
+
+def test_simhash_near(spark):
+    base = "spark dataframes execute queries with catalyst optimizer and tungsten engine"
+    near = base.replace("tungsten", "codegen")
+    far = "grateful dead concerts feature long improvised jams and setlist variations"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+    sim = dedup.simhash(df, "id", "text", bits=32)
+    vals = {r["id"]: r["simhash"] for r in sim.collect()}
+    assert all(0 <= v < 2 ** 32 for v in vals.values())
+    pairs = dedup.simhash_near_pairs(sim, max_hamming=8, prefix_bits=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    if (1, 2) in got and (1, 3) in got:
+        assert got[(1, 2)] < got[(1, 3)]
+
+
+def test_embedding_near_dup_and_topk(tables, spark):
+    emb = tables["embeddings"]
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, block_col="label", threshold=0.99
+    )
+    assert pairs.count() >= 0  # runs; threshold high so usually small
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    rows = topk.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        best = [r for r in rs if r["rank"] == 1][0]
+        assert best["vec_id"] == qid  # self is its own nearest neighbor
+        assert abs(best["cosine"] - 1.0) < 1e-4
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_topk_recall(tables):
+    emb = tables["embeddings"]
+    dim = len(emb.first()["embedding"])
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    approx = similarity.cosine_topk_lsh(emb, queries, dim=dim, k=10, planes=4, probes=1)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4  # 4 planes + distance-1 multi-probe
+    # every query at least finds itself
+    assert all((q, q) in a for q, _ in {(r, r) for r in [x[0] for x in e]})
+
+
+def test_multimodal_plumbing(tables):
+    docs = tables["documents"].limit(20)
+    media = multimodal.media_table_from_documents(docs)
+    feats = multimodal.extract_features(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # determinism
+    again = multimodal.extract_features(media, decoder="fake").collect()
+    assert {r["media_id"]: tuple(r["feature"]) for r in rows} == {
+        r["media_id"]: tuple(r["feature"]) for r in again
+    }
+    resized = multimodal.resize_images(media, 64, 64).collect()
+    assert all(r["meta"]["width"] == 64 for r in resized)
+    with pytest.raises(Exception, match="NotImplemented|real media decode"):
+        multimodal.extract_features(media, decoder="real").collect()
+
+
+def test_rolling_hashes(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")], "id long, t string"
+    )
+    out = df.select(text.rolling_hashes(F.col("t"), window=4).alias("rh")).first()["rh"]
+    assert len(out) == 7  # 10 tokens, window 4 -> 7 grams
+    assert len(set(out)) == 7
