@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink — full computation, no
+driver-side collect skewing the timing.
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+HEADLINE = [
+    "g_revenue_by_region",      # flagship 3-hop graph rollup
+    "g_orders_per_customer",    # 1-hop + agg
+    "g_out_degree_top20",       # degree + topk
+    "g_touch_count_3hop",       # reference benchmark counter
+    "pricing_summary",          # TPC-H Q1 shape
+    "top_orders_building",      # TPC-H Q3 shape
+    "region_revenue",           # TPC-H Q5 shape
+    "revenue_filter",           # TPC-H Q6 shape
+    "t_scd2_versions",          # SCD2 window build
+    "t_asof_join",              # as-of join (union+window)
+    "t_sessionize",             # sessionization
+    "d_minhash_lsh_pairs",      # dedup: minhash->LSH->verify
+    "d_simhash",                # simhash fingerprints
+    "x_quality",                # text quality scoring
+    "s_cosine_topk",            # similarity search
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fluxgraph_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM codegen + parquet footers land outside the timings
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    qs = entrymod.queries()
+    timings = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

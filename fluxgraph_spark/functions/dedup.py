@@ -62,6 +62,10 @@ def shingle_table(
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    # a small parquet lands in ONE input split — spread the regex/explode
+    # work across cores before the expensive expressions run (at scale the
+    # many-file input makes this a near-no-op hash exchange)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
@@ -183,6 +187,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
     tokens -> stable 60-bit hash -> for each bit b: +1/-1 -> sum -> bit set
     iff sum > 0.  One explode + one groupBy (partial aggs map-side)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(

@@ -119,6 +119,47 @@ def scd2_from_change_events(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` on the same key.
+
+    Spark lacks a native as-of join; the scalable pattern is a tagged
+    UNION + one window pass (NOT a theta-join, which explodes): right
+    rows are interleaved into the left's timeline, then
+    ``last(value, ignorenulls=True)`` carries the most recent right
+    value forward.  One shuffle on (key, ts) total, regardless of how
+    many right rows precede each left row."""
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c) for c in value_cols],
+    )
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    unioned = lt.unionByName(rt)
+    # right rows sort before left rows at the same timestamp => '<=' semantics
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in value_cols:
+        unioned = unioned.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return unioned.where(F.col("__is_left") == 1).drop("__ts", "__is_left")
+
+
 def asof_latest(
     versions: DataFrame,
     key_cols: list[str],

@@ -1,0 +1,128 @@
+"""Local stand-in for the driver's t2 gate: run every queries() entry in
+Spark AND its oracle_sql() in DuckDB on the same sf dir; compare row
+count, sorted column names, and an order-insensitive value hash.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.6f}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_rows = sdf.collect()
+            s_cols = sdf.columns
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(ex).__name__}: {str(ex)[:160]}")
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {str(ex)[:160]}")
+            continue
+        ok_cols = sorted(s_cols) == sorted(d_cols)
+        ok_count = len(s_rows) == len(d_rows)
+        sh = value_hash(s_cols, [[r[c] for c in s_cols] for r in s_rows])
+        dh = value_hash(d_cols, d_rows)
+        ok_hash = sh == dh
+        status = "OK   " if (ok_cols and ok_count and ok_hash) else "FAIL "
+        if status.startswith("FAIL"):
+            failures.append(name)
+        print(
+            f"{status} {name}: rows {len(s_rows)}/{len(d_rows)} "
+            f"cols={'=' if ok_cols else 'DIFF'} hash={'=' if ok_hash else 'DIFF'} "
+            f"({time.time()-t0:.1f}s)"
+        )
+        if not ok_cols:
+            print(f"       spark cols: {sorted(s_cols)}\n       duck  cols: {sorted(d_cols)}")
+        if ok_cols and ok_count and not ok_hash and len(s_rows) <= 20000:
+            s_set = {tuple(norm_cell(r[c]) for c in sorted(s_cols)) for r in s_rows}
+            order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            d_set = {tuple(norm_cell(r[i]) for i in order) for r in d_rows}
+            only_s = list(s_set - d_set)[:3]
+            only_d = list(d_set - s_set)[:3]
+            print(f"       only-spark: {only_s}\n       only-duck : {only_d}")
+    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
