@@ -431,8 +431,10 @@ def q_d_minhash_lsh_pairs(spark, sf_dir):
     # persist it so the explode happens once (at 100 TB this would be a
     # materialized intermediate table instead of an in-memory cache)
     sh = dedup.shingle_table(docs, "doc_id", "text", n=3).persist()
-    sig = dedup.minhash_signatures(sh, num_hashes=16)
-    cand = dedup.lsh_candidate_pairs(sig, num_hashes=16, bands=4)
+    sig = dedup.minhash_signatures(sh, num_hashes=16, hash_fn=dedup.fast_hash)
+    # candidates are consumed twice by the verifier (id semi-join + pair
+    # join) — persist so the banding join runs once
+    cand = dedup.lsh_candidate_pairs(sig, num_hashes=16, bands=4).persist()
     return dedup.jaccard_pairs(sh, block=cand, threshold=0.5)
 
 

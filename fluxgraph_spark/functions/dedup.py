@@ -77,16 +77,28 @@ def shingle_table(
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 16
+    shingles: DataFrame, num_hashes: int = 16, hash_fn=None
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}): min over shingles of seeded md5 hashes.
+    """(id, mh_0..mh_{k-1}): min over shingles of seeded hashes.
     One explode already done upstream; k expressions stay in codegen and
-    the min-agg combines map-side."""
+    the min-agg combines map-side.
+
+    ``hash_fn(col, seed) -> Column`` defaults to the md5-derived
+    :func:`stable_hash64` (DuckDB-reproducible).  The scale path should
+    pass ``fast_hash`` (JVM xxhash64 — no string md5 per component)."""
+    if hash_fn is None:
+        hash_fn = lambda c, i: stable_hash64(F.concat(F.lit(f"s{i}:"), c))
     aggs = [
-        F.min(stable_hash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min(hash_fn(F.col("shingle"), i)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy("id").agg(*aggs)
+
+
+def fast_hash(col: Column, seed: int) -> Column:
+    """Seeded xxhash64 — whole-stage-codegen, no md5 strings; for the LSH
+    scale path where cross-engine reproducibility is not required."""
+    return F.xxhash64(col, F.lit(seed))
 
 
 def lsh_candidate_pairs(
@@ -151,18 +163,38 @@ def jaccard_pairs(
 
     |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.  ``block`` (optional
     (id_a, id_b) pairs) restricts the comparison set — at scale ALWAYS
-    pass LSH candidates here; the unblocked form is for small oracles."""
+    pass LSH candidates here; the unblocked form is for small oracles.
+
+    With a block the intersection is computed PER CANDIDATE PAIR (the
+    shingle table is first semi-joined down to candidate ids, then joined
+    through the pair list) — the all-pairs shingle self-join never
+    happens, so a 100 TB corpus verifies in O(candidates), not O(corpus²)."""
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
     if block is not None:
-        inter = inter.join(block, ["id_a", "id_b"], "left_semi")
+        ids = (
+            block.select(F.col("id_a").alias("id"))
+            .unionByName(block.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        # candidate set ≪ corpus: broadcast it into both cuts so the big
+        # shingle table is never shuffled for the verify
+        sh = shingles.join(F.broadcast(ids), "id", "left_semi")
+        inter = (
+            F.broadcast(block)
+            .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
