@@ -103,8 +103,10 @@ def q_g_out_degree_top20(spark, sf_dir):
     """T1 + A1: out-degree per vertex, deterministic top 20."""
     _, _, e = _graph(spark, sf_dir)
     deg = TR.degrees(e, "out")
+    # distributed top-k, then rank the 20 survivors
+    top = deg.orderBy(F.col("degree").desc(), F.col("id")).limit(20)
     w = W.orderBy(F.col("degree").desc(), F.col("id"))
-    return deg.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 20)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def q_g_orders_per_customer(spark, sf_dir):
@@ -140,8 +142,14 @@ def q_g_customer_parts_2hop(spark, sf_dir):
 
 def q_g_revenue_by_region(spark, sf_dir):
     """T7 3-hop + agg (flagship): contains-edge revenue rolled up
-    order -> customer -> nation -> region.  Small dims broadcast; the one
-    big shuffle is the contains-edge aggregation."""
+    order -> customer -> nation -> region.
+
+    Scale shape: progressive rollup — aggregate BEFORE each hop so every
+    shuffle carries (key, cents) at the reduced cardinality (lineitem ->
+    orders -> customers -> 25 nations), never the raw edge fan-out.  Only
+    the genuinely bounded dims (25 nations, 5 regions) get an explicit
+    broadcast; order/customer-scale joins are left to AQE, which
+    broadcast-converts them at small SF and shuffles at 100 TB."""
     _, v, e = _graph(spark, sf_dir)
     contains = e.where(F.col("label") == "contains").select(
         F.col("src").alias("order_id"), _cents(F.col("extendedprice")).alias("cents")
@@ -158,10 +166,19 @@ def q_g_revenue_by_region(spark, sf_dir):
     regions = v.where(F.col("kind") == "region").select(
         F.col("id").alias("region_id"), F.col("name").alias("region_name")
     )
+    rev_order = contains.groupBy("order_id").agg(F.sum("cents").alias("cents"))
+    rev_cust = (
+        rev_order.join(placed, "order_id")
+        .groupBy("customer_id")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    rev_nation = (
+        rev_cust.join(located, "customer_id")
+        .groupBy("nation_id")
+        .agg(F.sum("cents").alias("cents"))
+    )
     return (
-        contains.join(F.broadcast(placed), "order_id")
-        .join(F.broadcast(located), "customer_id")
-        .join(F.broadcast(part_of), "nation_id")
+        rev_nation.join(F.broadcast(part_of), "nation_id")
         .join(F.broadcast(regions), "region_id")
         .groupBy("region_name")
         .agg(F.sum("cents").alias("revenue_cents"))
@@ -307,9 +324,11 @@ def q_pricing_summary(spark, sf_dir):
 def q_top_orders_building(spark, sf_dir):
     """TPC-H Q3 shape: top 10 BUILDING-segment orders by revenue."""
     t = tpch.read_tables(spark, sf_dir)
+    # customer is SF-proportional: no broadcast hint — AQE converts the
+    # semi-join to broadcast at small SF, shuffles at 100 TB
     cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
     orders = t["orders"].join(
-        F.broadcast(cust.select("c_custkey")), t["orders"].o_custkey == F.col("c_custkey")
+        cust.select("c_custkey"), t["orders"].o_custkey == F.col("c_custkey"), "left_semi"
     )
     li = t["lineitem"]
     rev = (
@@ -321,8 +340,11 @@ def q_top_orders_building(spark, sf_dir):
             )
         )
     )
+    # distributed top-k, then rank the 10 survivors (the naive global
+    # row_number window would sort every order in ONE task)
+    top = rev.orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey")).limit(10)
     w = W.orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
-    return rev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def q_region_revenue(spark, sf_dir):
@@ -330,15 +352,19 @@ def q_region_revenue(spark, sf_dir):
     the ordering customer's region."""
     t = tpch.read_tables(spark, sf_dir)
     li = t["lineitem"]
+    # progressive rollup (same scale shape as the graph flagship): partial
+    # sums travel through the order- and customer-keyed shuffles, raw
+    # lineitems never do; only nation (25) and region (5) broadcast
+    rev_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("cents")
+    )
+    rev_cust = (
+        rev_order.join(t["orders"].select("o_orderkey", "o_custkey"), "o_orderkey")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("cents").alias("cents"))
+    )
     return (
-        li.join(
-            F.broadcast(t["orders"].select("o_orderkey", "o_custkey")),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .join(
-            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
+        rev_cust.join(t["customer"].select("c_custkey", "c_nationkey"), "c_custkey")
         .join(
             F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
             F.col("c_nationkey") == F.col("n_nationkey"),
@@ -348,7 +374,7 @@ def q_region_revenue(spark, sf_dir):
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy(F.col("r_name").alias("region_name"))
-        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"))
+        .agg(F.sum("cents").alias("revenue_cents"))
     )
 
 
@@ -374,14 +400,14 @@ def q_top_parts_by_quantity(spark, sf_dir):
     agg = t["lineitem"].groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty")
     )
-    named = agg.join(
-        F.broadcast(t["part"].select("p_partkey", "p_name")),
-        agg.l_partkey == F.col("p_partkey"),
-    )
+    # top-k FIRST (distributed TakeOrderedAndProject — no single-task
+    # global window, no part-scale broadcast), then the 15 survivors
+    # broadcast against part
+    top = agg.orderBy(F.col("total_qty").desc(), F.col("l_partkey")).limit(15)
     w = W.orderBy(F.col("total_qty").desc(), F.col("l_partkey"))
     return (
-        named.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 15)
+        F.broadcast(top.withColumn("rank", F.row_number().over(w)))
+        .join(t["part"].select("p_partkey", "p_name"), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "p_name", "total_qty", "rank")
     )
 

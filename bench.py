@@ -65,6 +65,9 @@ def main():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries may persist() intermediates; drop them so one query's
+        # cache does not skew the next one's timing
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

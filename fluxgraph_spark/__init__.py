@@ -9,10 +9,12 @@ and graph diffs are set operations — all Catalyst-optimized.
 
 from .elements import BOTH, IN, OUT, FluxSparkEdge, FluxSparkVertex
 from .graph import FEATURES, TemporalGraph, WorkingSet
+from .sources.parquet_io import DataFrameGraph
 from .store import LocalStore
 
 __all__ = [
     "TemporalGraph",
+    "DataFrameGraph",
     "WorkingSet",
     "FluxSparkVertex",
     "FluxSparkEdge",

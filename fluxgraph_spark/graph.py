@@ -99,6 +99,21 @@ class TemporalGraph:
     def create(cls, spark: SparkSession) -> "TemporalGraph":
         return cls(spark)
 
+    @staticmethod
+    def from_dataframes(
+        spark: SparkSession,
+        vertices: DataFrame,
+        edges: DataFrame,
+        tx_log: Optional[DataFrame] = None,
+    ):
+        """Bulk/scale constructor: a read-only graph view over arbitrary
+        vertex/edge DataFrames (SCD2 columns defaulted if absent) that
+        plugs into the set-at-a-time operators without ever collecting to
+        the driver.  This — not per-element CRUD — is the 100 TB path."""
+        from .sources.parquet_io import DataFrameGraph
+
+        return DataFrameGraph(spark, vertices, edges, tx_log)
+
     def shutdown(self) -> None:  # S3 — no-op (reference FluxGraph.java:119-121)
         pass
 

@@ -126,6 +126,16 @@ def test_tpch_graph_mapping(spark):
     assert dangling.count() == 0
 
 
+def test_from_dataframes_bulk_ctor(spark):
+    from fluxgraph_spark import TemporalGraph
+
+    v, e = tpch_graph(spark, SF_DIR)
+    g = TemporalGraph.from_dataframes(spark, v, e)
+    assert g.read_only
+    assert g.vertices_df().count() == v.count()
+    assert "tx_from" in g.vertices_df(snapshot=False).columns
+
+
 def test_dataframe_graph_traversal(spark):
     from fluxgraph_spark.operators import traversal as TR
     from pyspark.sql import functions as F
