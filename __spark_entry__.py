@@ -453,15 +453,9 @@ def q_d_minhash_lsh_pairs(spark, sf_dir):
     path (LSH prunes the pair space; no oracle: banding is probabilistic
     recall, rows-only check)."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
-    # the shingle table feeds BOTH the signature path and the verify path:
-    # persist it so the explode happens once (at 100 TB this would be a
-    # materialized intermediate table instead of an in-memory cache)
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3).persist()
-    sig = dedup.minhash_signatures(sh, num_hashes=16, hash_fn=dedup.fast_hash)
-    # candidates are consumed twice by the verifier (id semi-join + pair
-    # join) — persist so the banding join runs once
-    cand = dedup.lsh_candidate_pairs(sig, num_hashes=16, bands=4).persist()
-    return dedup.jaccard_pairs(sh, block=cand, threshold=0.5)
+    return dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
 
 
 def q_d_simhash(spark, sf_dir):

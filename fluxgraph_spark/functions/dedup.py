@@ -26,6 +26,17 @@ from .text import TOKEN_RE, stable_hash64
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to defaultParallelism ONLY if the input is
+    under-partitioned (e.g. one small parquet file feeding 32 cores).
+    At 100 TB the scan already has thousands of splits and this is a
+    no-op — the expensive narrow maps stay shuffle-free."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical documents: (text_hash, n_docs, min_doc_id),
     only groups with n_docs > 1."""
@@ -65,7 +76,7 @@ def shingle_table(
     # a small parquet lands in ONE input split — spread the regex/explode
     # work across cores before the expensive expressions run (at scale the
     # many-file input makes this a near-no-op hash exchange)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    df = spread(df)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
@@ -210,6 +221,81 @@ def jaccard_pairs(
     return out
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles ARRAY<string>) — distinct word n-grams per document
+    as an array column.  A narrow map (no explode, no shuffle): the
+    array-native twin of :func:`shingle_table` for pipelines that keep
+    per-document shingle sets (LSH verify via array_intersect)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        F.array_remove(F.array_distinct(grams), "").alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+
+def _min_seeded_hash(i: int) -> Column:
+    """array_min of seed-``i`` hashes over the ``shingles`` array column."""
+    return F.array_min(
+        F.transform(F.col("shingles"), lambda s: fast_hash(s, i))
+    ).alias(f"mh_{i}")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle -> minhash -> LSH band join ->
+    exact-Jaccard verify.  The 100 TB shape:
+
+    * shingles and signatures are narrow per-document array maps — the
+      corpus is NEVER exploded to (id, shingle) rows;
+    * the only corpus-wide shuffle is the band-bucket equi-join, carrying
+      (id, band, bucket) triples;
+    * verify joins the candidate pairs (≪ corpus) back to the shingle
+      arrays and computes exact Jaccard with array_intersect — per-pair
+      work proportional to the two documents, not the corpus."""
+    sh = shingle_arrays(df, id_col, text_col, n=n)
+    sig = sh.select(
+        "id",
+        "shingles",
+        # NB: single-parameter lambda — a 2-arg lambda would make
+        # F.transform pass the element INDEX as the second argument,
+        # silently replacing the hash seed
+        *[
+            _min_seeded_hash(i)
+            for i in range(num_hashes)
+        ],
+    ).persist()
+    cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+    a = sig.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                n_inter
+                / (F.size("sh_a") + F.size("sh_b") - n_inter),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -223,7 +309,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     fold replaces the 10M-row token explode + 32-column groupBy; ~4×
     faster locally, and at 100 TB the operator is embarrassingly
     parallel over input splits)."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    df = spread(df)
     fold = f"""
     aggregate(
       transform(regexp_extract_all(lower({text_col}), '\\\\S+', 0),
