@@ -1,0 +1,75 @@
+"""On-disk layout: time-bucketed SCD2 partitioning + id bucketing.
+
+As-of reads carry the predicate ``tx_from <= T AND (tx_to IS NULL OR
+tx_to > T)`` (operators/temporal.py).  A version row with
+``tx_from <= T`` can only live in a tx_from-bucket ``<= bucket(T)``, so
+partitioning by ``tx_bucket = floor(tx_from / bucket_txs)`` lets the
+scan skip every later bucket — partition pruning visible as
+``PartitionFilters`` in the physical plan.  This is the "explicit
+partition columns" variant SURVEY.md §4.2.6 recommends over a custom
+Catalyst rule.
+
+Id bucketing (``bucketBy`` on the join key) pre-shuffles element tables
+once at write time so repeated traversal joins are exchange-free.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import model as M
+
+TX_BUCKET = "tx_bucket"
+
+
+def write_time_bucketed(
+    df: DataFrame, path: str, bucket_txs: int = 10_000
+) -> None:
+    """Write an SCD2 element table partitioned by tx_from bucket."""
+    (
+        df.withColumn(
+            TX_BUCKET, F.floor(F.col(M.TX_FROM) / F.lit(bucket_txs)).cast("long")
+        )
+        .write.mode("overwrite")
+        .partitionBy(TX_BUCKET)
+        .parquet(path)
+    )
+
+
+def read_as_of_pruned(
+    spark: SparkSession, path: str, as_of_tx: int, bucket_txs: int = 10_000
+) -> DataFrame:
+    """As-of snapshot over a time-bucketed table.  The ``tx_bucket``
+    predicate is a pure partition filter (no file rows read for later
+    buckets); the row-level snapshot predicate handles the rest."""
+    df = spark.read.parquet(path)
+    return df.where(
+        (F.col(TX_BUCKET) <= as_of_tx // bucket_txs)
+        & (F.col(M.TX_FROM) <= as_of_tx)
+        & (F.col(M.TX_TO).isNull() | (F.col(M.TX_TO) > as_of_tx))
+    ).drop(TX_BUCKET)
+
+
+def write_id_bucketed(
+    df: DataFrame, table_name: str, n_buckets: int = 64, key: str = M.ID
+) -> None:
+    """Persist bucketed by the join key: co-located, exchange-free joins
+    for every downstream traversal over the same key."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table_name)
+    )
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (for layout assertions in tests)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()

@@ -1,0 +1,28 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming (SURVEY.md §2.8) — its closest analog is
+the append-only Datomic transaction log.  This package exposes that
+analog Spark-natively: the engine's ``tx_log`` table as a change-data
+feed (``readStream``), plus the event-stream operators a training-data
+pipeline needs (watermarked windowed aggregation, session windows,
+streaming dedup) — all expressed with built-in Structured Streaming
+operators so state management, late data, and exactly-once sinks come
+from Spark, not custom code.
+"""
+
+from .changefeed import tx_log_stream, element_change_counts
+from .events import (
+    read_event_stream,
+    windowed_event_counts,
+    sessionize_stream,
+    streaming_dedupe,
+)
+
+__all__ = [
+    "tx_log_stream",
+    "element_change_counts",
+    "read_event_stream",
+    "windowed_event_counts",
+    "sessionize_stream",
+    "streaming_dedupe",
+]

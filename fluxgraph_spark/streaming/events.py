@@ -1,0 +1,106 @@
+"""Event-stream operators (training-data pipeline surface).
+
+Everything here is built-in Structured Streaming — watermarks, window /
+session_window aggregation, and dropDuplicatesWithinWatermark — so the
+operators inherit Spark's state store, late-data semantics, and
+exactly-once sinks.  No reference citation: the reference has no
+streaming (SURVEY.md §2.8); this is the extended surface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the driver's events table stores TIMESTAMP(NANOS) parquet, which Spark
+# reads only as long (see sources/tpch.read_events) — declare long and
+# truncate to micros scan-side
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """``readStream`` over an events parquet directory (the testdata
+    `events` table layout)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) per-type counts + value sums with a
+    watermark bounding state.  Shuffles on (window, event_type) only."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    ).alias("win")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win, "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user sessions via the built-in ``session_window`` (gap-based,
+    state bounded by the watermark) — the streaming twin of the batch
+    sessionization in operators/temporal.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedupe(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Drop duplicate events within the watermark horizon (state is
+    bounded — the unbounded-state ``dropDuplicates`` would OOM a
+    long-running stream at scale)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -1,0 +1,120 @@
+"""Structured Streaming surface: change feed + event-stream operators.
+
+Streams are driven from static parquet directories with
+``processAllAvailable`` into memory sinks, then compared against the
+equivalent batch computation on the same files — the streaming result
+must equal batch for append-only sources once every file is processed.
+"""
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(sdf, name, complete=True):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # copy the single-parquet events table into a directory source
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"), os.path.join(d, "part-0.parquet")
+    )
+    return str(d)
+
+
+def test_windowed_event_counts_matches_batch(spark, events_dir):
+    from fluxgraph_spark.streaming import read_event_stream, windowed_event_counts
+
+    name = f"wec_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, events_dir)
+    assert stream.isStreaming
+    _run_to_memory(windowed_event_counts(stream, "1 hour"), name)
+    got = spark.table(name)
+
+    from fluxgraph_spark.sources.tpch import read_events
+
+    batch = (
+        read_events(spark, events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+
+
+def test_sessionize_stream_total_events(spark, events_dir):
+    from fluxgraph_spark.streaming import read_event_stream, sessionize_stream
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(sessionize_stream(read_event_stream(spark, events_dir)), name)
+    got = spark.table(name)
+    total = spark.read.parquet(events_dir).count()
+    # every event lands in exactly one session
+    assert got.agg(F.sum("n_events")).first()[0] == total
+    # session invariant: start <= end, gap-merged
+    assert got.where(F.col("session_start") > F.col("session_end")).count() == 0
+
+
+def test_streaming_dedupe(spark, events_dir, tmp_path):
+    from fluxgraph_spark.streaming import read_event_stream, streaming_dedupe
+
+    # duplicate every event into a second file: dedupe must halve it
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    shutil.copy(os.path.join(events_dir, "part-0.parquet"),
+                os.path.join(dup_dir, "a.parquet"))
+    shutil.copy(os.path.join(events_dir, "part-0.parquet"),
+                os.path.join(dup_dir, "b.parquet"))
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        streaming_dedupe(read_event_stream(spark, dup_dir)), name, complete=False
+    )
+    n_unique = spark.read.parquet(events_dir).count()
+    assert spark.table(name).count() == n_unique
+
+
+def test_tx_log_changefeed(spark, tmp_path):
+    from fluxgraph_spark import TemporalGraph
+    from fluxgraph_spark.sources.parquet_io import save_graph_parquet
+    from fluxgraph_spark.streaming import element_change_counts, tx_log_stream
+
+    g = TemporalGraph.create(spark)
+    a = g.add_vertex()
+    b = g.add_vertex()
+    a.set_property("name", "x")
+    g.add_edge(None, a, b, "knows")
+    path = str(tmp_path / "graph")
+    save_graph_parquet(g, path)
+
+    name = f"cf_{uuid.uuid4().hex[:8]}"
+    log = tx_log_stream(spark, os.path.join(path, "tx_log"))
+    assert log.isStreaming
+    _run_to_memory(element_change_counts(log, "1 hour"), name)
+    got = spark.table(name)
+    batch_total = spark.read.parquet(os.path.join(path, "tx_log")).count()
+    assert got.agg(F.sum("n_changes")).first()[0] == batch_total
+    assert set(r["kind"] for r in got.collect()) <= {"vertex", "edge"}
