@@ -433,6 +433,23 @@ def q_d_text_hashes(spark, sf_dir):
     )
 
 
+def q_d_exact_dups(spark, sf_dir):
+    """Exact dedup: groups of byte-identical documents (hash groupBy —
+    the shuffle carries (hash, id), never text bodies)."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return dedup.exact_duplicate_groups(docs, "doc_id", "text")
+
+
+def q_x_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish sub-word pieces."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
 def q_d_minhash_sigs(spark, sf_dir):
     """MinHash signatures (first 4 components) — cross-engine hash parity."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -565,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": q_events_type_stats,
         # training-data pipeline surface
         "d_text_hashes": q_d_text_hashes,
+        "d_exact_dups": q_d_exact_dups,
+        "x_tokens": q_x_tokens,
         "d_minhash_sigs": q_d_minhash_sigs,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
@@ -824,6 +843,18 @@ def oracle_sql() -> dict[str, str]:
         # training-data pipeline surface
         "d_text_hashes": f"""
         SELECT doc_id, {STABLE_HASH_SQL.format(x='text')}::BIGINT AS text_hash
+        FROM documents
+        """,
+        "d_exact_dups": f"""
+        SELECT {STABLE_HASH_SQL.format(x='text')}::BIGINT AS text_hash,
+               count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM documents
+        GROUP BY 1 HAVING count(*) > 1
+        """,
+        "x_tokens": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         FROM documents
         """,
         "d_minhash_sigs": _minhash_sql(4),
