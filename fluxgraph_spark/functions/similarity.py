@@ -64,11 +64,26 @@ def cosine_topk_bruteforce(
             6,
         ).alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-stage top-k: per-(query, input-partition) local top-k first,
+    then global top-k over the k×partitions survivors.  A single
+    ``row_number() OVER (PARTITION BY query_id)`` would funnel the whole
+    scored corpus through ONE reducer per query — at 100 TB that is the
+    job; the salted stage keeps every task at k rows out."""
+    w_local = W.partitionBy("query_id", "salt").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
     )
+    local = (
+        scored.withColumn("salt", F.spark_partition_id())
+        .withColumn("r", F.row_number().over(w_local))
+        .where(F.col("r") <= k)
+        .drop("salt", "r")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def hyperplane_bucket(vec: Column, dim: int, planes: int = 8, seed: str = "lsh") -> Column:
@@ -139,5 +154,6 @@ def cosine_topk_lsh(
             _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6
         ).alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # multi-probe can score the same (query, vec) via several buckets
+    scored = scored.dropDuplicates(["query_id", "vec_id"])
+    return _topk_per_query(scored, k)

@@ -17,8 +17,10 @@ from .events import (
     sessionize_stream,
     streaming_dedupe,
 )
+from .stateful import running_user_stats
 
 __all__ = [
+    "running_user_stats",
     "tx_log_stream",
     "element_change_counts",
     "read_event_stream",

@@ -16,11 +16,11 @@ from pyspark.sql import functions as F
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _run_to_memory(sdf, name, complete=True):
+def _run_to_memory(sdf, name, complete=True, mode=None):
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if complete else "append")
+        .outputMode(mode or ("complete" if complete else "append"))
         .start()
     )
     try:
@@ -95,6 +95,33 @@ def test_streaming_dedupe(spark, events_dir, tmp_path):
     )
     n_unique = spark.read.parquet(events_dir).count()
     assert spark.table(name).count() == n_unique
+
+
+def test_stateful_running_user_stats(spark, events_dir):
+    from fluxgraph_spark.sources.tpch import read_events
+    from fluxgraph_spark.streaming import read_event_stream, running_user_stats
+
+    name = f"rs_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        running_user_stats(read_event_stream(spark, events_dir)),
+        name,
+        mode="update",
+    )
+    got = spark.table(name)
+    # single micro-batch => one row per user, totals == batch counts
+    batch = (
+        read_events(spark, events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events_total"),
+            F.sum("value").alias("value_total"),
+            F.max("value").alias("max_value_seen"),
+        )
+    )
+    assert got.count() == batch.count()
+    j = got.join(batch.withColumnRenamed("n_events_total", "n_b"), "user_id")
+    assert j.where(F.col("n_events_total") != F.col("n_b")).count() == 0
+    assert j.where(F.col("batch_events") != F.col("n_b")).count() == 0
 
 
 def test_tx_log_changefeed(spark, tmp_path):
