@@ -276,12 +276,24 @@ def minhash_lsh_dedup(
             for i in range(num_hashes)
         ],
     ).persist()
-    cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
-    a = sig.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sig.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # candidates are tiny and consumed three times (id cut + two pair
+    # joins) — persist so the banding join runs once
+    cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands).persist()
+    # cut the (wide: shingle arrays) signature table down to candidate
+    # ids BEFORE the verify joins — the arrays of non-candidates never
+    # enter a shuffle
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_cand = sig.select("id", "shingles").join(F.broadcast(ids), "id", "left_semi")
+    a = sh_cand.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh_cand.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        cand.join(a, "id_a")
+        F.broadcast(cand)
+        .join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
