@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from fluxgraph_spark.functions import dedup, multimodal, similarity, text
+from fluxgraph_spark.operators import analytics as AN
 from fluxgraph_spark.operators import temporal as TP
 from fluxgraph_spark.operators import traversal as TR
 from fluxgraph_spark.sources import tpch
@@ -183,6 +184,30 @@ def q_g_revenue_by_region(spark, sf_dir):
         .groupBy("region_name")
         .agg(F.sum("cents").alias("revenue_cents"))
     )
+
+
+def q_g_pagerank_top10(spark, sf_dir):
+    """Iterative analytics: 3-iteration PageRank over the full graph,
+    top 10 (the GraphX-style algorithm, DataFrame-native — GraphX has no
+    Python API).  Fixed iteration count so a chained-CTE SQL oracle
+    replays the exact recurrence."""
+    _, _, e = _graph(spark, sf_dir)
+    pr = AN.pagerank(e.select("src", "dst"), num_iters=3)
+    top = pr.orderBy(F.col("pagerank").desc(), F.col("id")).limit(10)
+    w = W.orderBy(F.col("pagerank").desc(), F.col("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "id", F.round("pagerank", 6).alias("pagerank"), "rank"
+    )
+
+
+def q_g_components(spark, sf_dir):
+    """Min-label propagation over the symmetrized graph, fixed 4
+    supersteps (deterministic-replay mode), component sizes."""
+    _, _, e = _graph(spark, sf_dir)
+    comp = AN.connected_components(
+        e.select("src", "dst"), max_iters=4, early_stop=False
+    )
+    return comp.groupBy("component").agg(F.count("*").alias("n_vertices"))
 
 
 def q_g_touch_count_3hop(spark, sf_dir):
@@ -565,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_orders_per_customer": q_g_orders_per_customer,
         "g_customer_parts_2hop": q_g_customer_parts_2hop,
         "g_revenue_by_region": q_g_revenue_by_region,
+        "g_pagerank_top10": q_g_pagerank_top10,
+        "g_components": q_g_components,
         "g_touch_count_3hop": q_g_touch_count_3hop,
         # temporal surface
         "t_scd2_versions": q_t_scd2_versions,
@@ -676,6 +703,58 @@ FROM documents
 """
 
 
+def _pagerank_sql(iters: int = 3) -> str:
+    """Chained-CTE replay of the fixed-iteration PageRank recurrence
+    (same formula as operators/analytics.pagerank)."""
+    ctes = """
+e AS (SELECT src, dst FROM ge),
+verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+outdeg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+r0 AS (SELECT v.id, CAST(1.0 AS DOUBLE)/nn.n AS rank FROM verts v CROSS JOIN nn)"""
+    for k in range(iters):
+        ctes += f""",
+m{k} AS (SELECT e.dst AS id, sum(r.rank / o.outdeg) AS contrib
+         FROM e JOIN r{k} r ON r.id = e.src JOIN outdeg o ON o.id = e.src
+         GROUP BY e.dst),
+r{k + 1} AS (SELECT v.id,
+             CAST(0.15 AS DOUBLE)/nn.n + CAST(0.85 AS DOUBLE)*COALESCE(m.contrib, 0) AS rank
+             FROM verts v CROSS JOIN nn LEFT JOIN m{k} m ON m.id = v.id)"""
+    return (
+        GRAPH_CTES.rstrip()
+        + ","
+        + ctes
+        + f"""
+SELECT id, round(rank, 6) AS pagerank, rank_no AS rank FROM (
+  SELECT id, rank, row_number() OVER (ORDER BY rank DESC, id) AS rank_no FROM r{iters}
+) WHERE rank_no <= 10
+"""
+    )
+
+
+def _components_sql(iters: int = 4) -> str:
+    """Chained-CTE replay of fixed-superstep min-label propagation."""
+    ctes = """
+e AS (SELECT src, dst FROM ge),
+verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+c0 AS (SELECT id, id AS component FROM verts)"""
+    for k in range(iters):
+        ctes += f""",
+m{k} AS (SELECT s.dst AS id, min(c.component) AS mn
+         FROM sym s JOIN c{k} c ON c.id = s.src GROUP BY s.dst),
+c{k + 1} AS (SELECT c.id, least(c.component, COALESCE(m.mn, c.component)) AS component
+             FROM c{k} c LEFT JOIN m{k} m ON m.id = c.id)"""
+    return (
+        GRAPH_CTES.rstrip()
+        + ","
+        + ctes
+        + f"""
+SELECT component, count(*) AS n_vertices FROM c{iters} GROUP BY component
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # graph surface
@@ -685,6 +764,8 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT label, count(*) AS n_edges FROM ge GROUP BY label",
         "g_customers_in_nation": GRAPH_CTES
         + "SELECT id, name FROM gv WHERE kind = 'customer' AND nationkey = 7",
+        "g_pagerank_top10": _pagerank_sql(3),
+        "g_components": _components_sql(4),
         "g_out_degree_top20": GRAPH_CTES
         + """
         SELECT id, degree, rank FROM (

@@ -1,0 +1,128 @@
+"""Iterative graph analytics, DataFrame-native.
+
+The driver's north star suggests GraphX for temporal graph analytics, but
+GraphX has NO Python API (it is Scala/Java-only) — the PySpark-native
+equivalent of its core algorithms is iterative DataFrame joins, which is
+what this module provides.  Same Pregel-style structure (per-iteration
+message aggregation), with Catalyst/AQE planning each superstep and
+``localCheckpoint`` truncating lineage so long iteration chains don't
+re-execute from the source.
+
+Scale notes:
+* each superstep is one shuffle keyed by vertex id — partitioning is
+  stable across iterations, so co-location persists;
+* ranks/components tables carry (id, value) only — never properties;
+* convergence checks are O(1) aggregates on the change count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import model as M
+
+
+def _vertices_of(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col(M.SRC).alias(M.ID))
+        .unionByName(edges.select(F.col(M.DST).alias(M.ID)))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank (no dangling-mass redistribution, so the
+    recurrence is pure relational algebra and a SQL oracle can replay it
+    exactly):  r_{t+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_t(u)/outdeg(u).
+
+    Returns (id, pagerank).  One shuffle per iteration (the contribution
+    aggregation); the vertex set and out-degrees are computed once."""
+    verts = _vertices_of(edges).persist()
+    n = verts.count()
+    outdeg = edges.groupBy(F.col(M.SRC).alias(M.ID)).agg(
+        F.count("*").alias("outdeg")
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(num_iters):
+        contribs = (
+            edges.select(M.SRC, M.DST)
+            .join(ranks.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            .join(outdeg.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            .groupBy(F.col(M.DST).alias(M.ID))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = (
+            verts.join(contribs, M.ID, "left")
+            .select(
+                M.ID,
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(M.ID, F.col("rank").alias("pagerank"))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 20,
+    early_stop: bool = True,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Weakly-connected components by min-label propagation: every vertex
+    starts labeled with its own id; each superstep takes the min of its
+    label and its neighbors' labels, until fixpoint (or ``max_iters``).
+
+    Returns (id, component) where component = min vertex id reachable.
+    ``early_stop=False`` runs exactly ``max_iters`` supersteps — the
+    deterministic-replay mode a fixed-iteration SQL oracle can match."""
+    sym = (
+        edges.select(M.SRC, M.DST)
+        .unionByName(
+            edges.select(F.col(M.DST).alias(M.SRC), F.col(M.SRC).alias(M.DST))
+        )
+        .distinct()
+        .persist()
+    )
+    comp = _vertices_of(edges).withColumn("component", F.col(M.ID))
+    for i in range(max_iters):
+        nbr_min = (
+            sym.join(comp.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            .groupBy(F.col(M.DST).alias(M.ID))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_comp = (
+            comp.join(nbr_min, M.ID, "left")
+            .select(
+                M.ID,
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_comp = new_comp.localCheckpoint()
+        if early_stop:
+            changed = (
+                new_comp.join(
+                    comp.withColumnRenamed("component", "old_component"), M.ID
+                )
+                .where(F.col("component") != F.col("old_component"))
+                .limit(1)
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+        else:
+            comp = new_comp
+    return comp
