@@ -580,6 +580,21 @@ def q_m_media_features(spark, sf_dir):
     )
 
 
+def q_m_media_meta(spark, sf_dir):
+    """Multimodal metadata scan (no decode): typed metadata + blob sizes
+    — the column-pruned path a 100 TB media lake query takes when it
+    never touches the bytes."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    media = multimodal.media_table_from_documents(docs)
+    return media.select(
+        "media_id",
+        "media_type",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("content").alias("n_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph surface
@@ -622,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_near_dups": q_s_embedding_near_dups,
         "s_lsh_topk": q_s_lsh_topk,
         "m_media_features": q_m_media_features,
+        "m_media_meta": q_m_media_meta,
     }
 
 
@@ -936,6 +952,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                len(regexp_extract_all(text, '\S+')) AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        FROM documents
+        """,
+        "m_media_meta": """
+        SELECT doc_id AS media_id, 'image' AS media_type,
+               CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+               CAST(length(text) % 480 + 1 AS INTEGER) AS height,
+               octet_length(encode(text)) AS n_bytes
         FROM documents
         """,
         "d_minhash_sigs": _minhash_sql(4),

@@ -452,6 +452,17 @@ class TemporalGraph:
     def tx_log_df(self) -> DataFrame:
         return self._store.tx_log_dataframe(self.spark)
 
+    def sql(self, query: str, snapshot: bool = True) -> DataFrame:
+        """Run Spark SQL over the graph: registers temp views ``vertices``
+        / ``edges`` (session-checkpoint snapshot applied when
+        ``snapshot=True``) and ``tx_log``, then executes the query.  The
+        reference has no SQL dialect — this is the Spark-native bonus
+        surface its Datalog internals map to."""
+        self.vertices_df(snapshot).createOrReplaceTempView("vertices")
+        self.edges_df(snapshot).createOrReplaceTempView("edges")
+        self.tx_log_df().createOrReplaceTempView("tx_log")
+        return self.spark.sql(query)
+
     def _apply_snapshot(self, df: DataFrame) -> DataFrame:
         from .operators.temporal import snapshot as snap
 

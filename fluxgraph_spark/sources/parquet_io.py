@@ -137,3 +137,12 @@ class DataFrameGraph:
 
     def tx_log_df(self) -> Optional[DataFrame]:
         return self._tx_log
+
+    def sql(self, query: str, snapshot: bool = True) -> DataFrame:
+        """Spark SQL over the bulk graph (same contract as
+        TemporalGraph.sql)."""
+        self.vertices_df(snapshot).createOrReplaceTempView("vertices")
+        self.edges_df(snapshot).createOrReplaceTempView("edges")
+        if self._tx_log is not None:
+            self._tx_log.createOrReplaceTempView("tx_log")
+        return self.spark.sql(query)

@@ -136,6 +136,26 @@ def test_from_dataframes_bulk_ctor(spark):
     assert "tx_from" in g.vertices_df(snapshot=False).columns
 
 
+def test_sql_surface(spark):
+    from fluxgraph_spark import TemporalGraph
+    from pyspark.sql import functions as F
+
+    v, e = tpch_graph(spark, SF_DIR)
+    g = TemporalGraph.from_dataframes(spark, v, e)
+    got = g.sql(
+        """
+        SELECT e.label, count(*) AS n
+        FROM edges e JOIN vertices v ON e.src = v.id
+        GROUP BY e.label ORDER BY e.label
+        """
+    )
+    want = (
+        e.join(v.select(F.col("id").alias("src")), "src")
+        .groupBy("label").count().orderBy("label")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
 def test_dataframe_graph_traversal(spark):
     from fluxgraph_spark.operators import traversal as TR
     from pyspark.sql import functions as F
