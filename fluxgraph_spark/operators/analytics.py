@@ -42,7 +42,14 @@ def pagerank(
     exactly):  r_{t+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_t(u)/outdeg(u).
 
     Returns (id, pagerank).  One shuffle per iteration (the contribution
-    aggregation); the vertex set and out-degrees are computed once."""
+    aggregation); the vertex set and out-degrees are computed once.
+
+    The (src, dst) edge list is hash-partitioned by src and persisted up
+    front: every superstep joins and aggregates on src, so the cached
+    partitioning is reused (only the small rank table moves per
+    iteration), and a non-trivial upstream plan (e.g. a union with a
+    distinct) executes once, not once per reference."""
+    edges = edges.select(M.SRC, M.DST).repartition(M.SRC).persist()
     verts = _vertices_of(edges).persist()
     n = verts.count()
     outdeg = edges.groupBy(F.col(M.SRC).alias(M.ID)).agg(
@@ -85,29 +92,31 @@ def connected_components(
     Returns (id, component) where component = min vertex id reachable.
     ``early_stop=False`` runs exactly ``max_iters`` supersteps — the
     deterministic-replay mode a fixed-iteration SQL oracle can match."""
+    edges = edges.select(M.SRC, M.DST).persist()
+    # distinct + hash-partition by src once: each superstep's join reuses
+    # the cached partitioning, shuffling only the (id, component) table
     sym = (
-        edges.select(M.SRC, M.DST)
-        .unionByName(
+        edges.unionByName(
             edges.select(F.col(M.DST).alias(M.SRC), F.col(M.SRC).alias(M.DST))
         )
         .distinct()
+        .repartition(M.SRC)
         .persist()
     )
     comp = _vertices_of(edges).withColumn("component", F.col(M.ID))
     for i in range(max_iters):
-        nbr_min = (
+        # one superstep = messages (join on the cached sym partitioning)
+        # + a single min-aggregation over neighbor labels UNION self
+        # labels — no separate left join, so the steady state is one
+        # shuffle per superstep
+        msgs = (
             sym.join(comp.withColumnRenamed(M.ID, M.SRC), M.SRC)
-            .groupBy(F.col(M.DST).alias(M.ID))
-            .agg(F.min("component").alias("nbr_component"))
+            .select(F.col(M.DST).alias(M.ID), "component")
         )
         new_comp = (
-            comp.join(nbr_min, M.ID, "left")
-            .select(
-                M.ID,
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
+            msgs.unionByName(comp)
+            .groupBy(M.ID)
+            .agg(F.min("component").alias("component"))
         )
         if (i + 1) % checkpoint_every == 0:
             new_comp = new_comp.localCheckpoint()
