@@ -310,6 +310,35 @@ def q_t_asof_join(spark, sf_dir):
     )
 
 
+def q_t_state_diff(spark, sf_dir):
+    """P10 fact-diff semantics set-at-a-time: each user's state facts
+    as-of Jan 10 minus the facts still true as-of Jan 20 (facts1 minus
+    common — the reference's asymmetric difference, FluxUtil.java:243-261)
+    via fact explosion + anti-join."""
+    import datetime
+
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+
+    def facts(at):
+        latest = TP.asof_latest(
+            ev.select("user_id", "ts", "event_type", "value"),
+            ["user_id"],
+            "ts",
+            at,
+        )
+        return latest.select(
+            "user_id",
+            F.expr(
+                "stack(2, 'event_type', event_type,"
+                " 'value_cents', cast(cast(round(value * 100) as bigint) as string))"
+            ).alias("attr", "value_str"),
+        )
+
+    f1 = facts(datetime.datetime(2024, 1, 10))
+    f2 = facts(datetime.datetime(2024, 1, 20))
+    return f1.join(f2, ["user_id", "attr", "value_str"], "left_anti")
+
+
 def q_t_sessionize(spark, sf_dir):
     """Sessionization: 30-minute inactivity gap starts a new session
     (lag + running sum — the batch analog of session_window)."""
@@ -615,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_validity_intervals": q_t_validity_intervals,
         "t_asof_join": q_t_asof_join,
         "t_sessionize": q_t_sessionize,
+        "t_state_diff": q_t_state_diff,
         # relational surface
         "pricing_summary": q_pricing_summary,
         "top_orders_building": q_top_orders_building,
@@ -879,6 +909,29 @@ def oracle_sql() -> dict[str, str]:
         FROM gaps GROUP BY user_id
         """,
         # relational surface
+        "t_state_diff": """
+        WITH l1 AS (
+          SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+            FROM events WHERE ts <= TIMESTAMP '2024-01-10') WHERE rn = 1),
+        l2 AS (
+          SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+            FROM events WHERE ts <= TIMESTAMP '2024-01-20') WHERE rn = 1),
+        f1 AS (
+          SELECT user_id, 'event_type' AS attr, event_type AS value_str FROM l1
+          UNION ALL
+          SELECT user_id, 'value_cents', CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) FROM l1),
+        f2 AS (
+          SELECT user_id, 'event_type' AS attr, event_type AS value_str FROM l2
+          UNION ALL
+          SELECT user_id, 'value_cents', CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) FROM l2)
+        SELECT user_id, attr, value_str FROM f1
+        EXCEPT
+        SELECT user_id, attr, value_str FROM f2
+        """,
         "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
