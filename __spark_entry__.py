@@ -609,6 +609,16 @@ def q_m_media_features(spark, sf_dir):
     )
 
 
+def q_s_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k (rows-only: bucketing is approximate by design;
+    centroid sampling is md5-deterministic)."""
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
 def q_m_media_meta(spark, sf_dir):
     """Multimodal metadata scan (no decode): typed metadata + blob sizes
     — the column-pruned path a 100 TB media lake query takes when it
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_cosine_topk": q_s_cosine_topk,
         "s_embedding_near_dups": q_s_embedding_near_dups,
         "s_lsh_topk": q_s_lsh_topk,
+        "s_ivf_topk": q_s_ivf_topk,
         "m_media_features": q_m_media_features,
         "m_media_meta": q_m_media_meta,
     }

@@ -157,3 +157,113 @@ def cosine_topk_lsh(
     # multi-probe can score the same (query, vec) via several buckets
     scored = scored.dropDuplicates(["query_id", "vec_id"])
     return _topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, centroid_id) for each vector's ``n_probe`` nearest centroids
+    by cosine.  Centroids are broadcast (they are few); assignment is a
+    narrow map over the corpus — the standard IVF build shape."""
+    c = centroids.select(
+        F.col("centroid_id"), F.col("cvec"), _norm(F.col("cvec")).alias("cn")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vvec"),
+        _norm(F.col(vec_col)).alias("vn"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id",
+        "centroid_id",
+        (_dot(F.col("vvec"), F.col("cvec")) / (F.col("vn") * F.col("cn"))).alias(
+            "sim"
+        ),
+    )
+    w = W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n_probe)
+        .select("id", "centroid_id")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid sample: the ``n_centroids`` corpus vectors
+    with the smallest md5(id) (uniform pseudo-random, reproducible, no
+    rand()).  A k-means refinement would iterate ivf_assign + mean —
+    deliberately omitted: the sample is enough for bucketing, and
+    determinism matters more for verification."""
+    h = F.md5(F.col(id_col).cast("string"))
+    picked = (
+        corpus.select(F.col(id_col), _as_double_vec(F.col(vec_col)).alias("cvec"), h.alias("h"))
+        .orderBy("h", id_col)
+        .limit(n_centroids)
+    )
+    w = W.orderBy("h", id_col)
+    return picked.withColumn("centroid_id", F.row_number().over(w)).select(
+        "centroid_id", "cvec"
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an inverted file: corpus vectors bucket to
+    their nearest centroid; each query scans only its ``n_probe`` nearest
+    buckets.  At 100 TB: persist the assigned corpus partitioned by
+    centroid_id — each probe is then a partition-pruned scan, and the
+    centroid table (tiny) broadcasts everywhere."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double_vec(F.col(vec_col)).alias("cvec")
+    )
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    corpus_buckets = ivf_assign(c, cents, 1, "vec_id", "cvec").withColumnRenamed(
+        "id", "vec_id"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double_vec(F.col(vec_col)).alias("qvec"),
+    )
+    q_buckets = ivf_assign(q, cents, n_probe, "query_id", "qvec").withColumnRenamed(
+        "id", "query_id"
+    )
+    cand = (
+        q_buckets.join(corpus_buckets, "centroid_id")
+        .select("query_id", "vec_id")
+        .dropDuplicates()
+    )
+    cv = c.withColumn("cn", _norm(F.col("cvec")))
+    qv = q.withColumn("qn", _norm(F.col("qvec")))
+    scored = (
+        cand.join(cv, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -157,6 +157,20 @@ def test_lsh_topk_recall(tables):
     assert all((q, q) in a for q, _ in {(r, r) for r in [x[0] for x in e]})
 
 
+def test_ivf_topk_recall(tables):
+    emb = tables["embeddings"]
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    approx = similarity.cosine_topk_ivf(
+        emb, queries, k=10, n_centroids=8, n_probe=4
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # probing half the buckets: decent recall, and each query finds itself
+    assert len(e & a) / len(e) >= 0.4
+    assert all((q, q) in a for q in {x[0] for x in e})
+
+
 def test_multimodal_plumbing(tables):
     docs = tables["documents"].limit(20)
     media = multimodal.media_table_from_documents(docs)
