@@ -32,7 +32,16 @@ E_LOCATED_IN_SUPP_BASE = 45_000_000_000
 E_PART_OF_BASE = 50_000_000_000
 
 
+_TABLE_CACHE: dict = {}
+
+
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The ten testdata tables as (lazy) DataFrames, memoized per
+    (session, dir): repeated queries in one session skip the parquet
+    footer/schema re-read that `spark.read.parquet` does at plan time."""
+    key = (id(spark), sf_dir)
+    if key in _TABLE_CACHE:
+        return dict(_TABLE_CACHE[key])
     names = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
@@ -44,6 +53,7 @@ def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             out[n] = read_events(spark, path)
         else:
             out[n] = spark.read.parquet(path)
+    _TABLE_CACHE[key] = dict(out)
     return out
 
 
