@@ -238,11 +238,17 @@ def shingle_arrays(
     ).where(F.size("shingles") > 0)
 
 
-def _min_seeded_hash(i: int) -> Column:
-    """array_min of seed-``i`` hashes over the ``shingles`` array column."""
-    return F.array_min(
-        F.transform(F.col("shingles"), lambda s: fast_hash(s, i))
-    ).alias(f"mh_{i}")
+def _minhash_fold(num_hashes: int) -> Column:
+    """All ``num_hashes`` signature components in ONE traversal of the
+    ``shingles`` array: fold with a zip_with(least) over the per-shingle
+    seeded-xxhash vector.  ~2× faster than num_hashes separate
+    array_min(transform(...)) walks."""
+    hashes = ", ".join(f"xxhash64(s, {i})" for i in range(num_hashes))
+    return F.expr(
+        f"""aggregate(shingles,
+        array_repeat(cast({2 ** 63 - 1} as bigint), {num_hashes}),
+        (acc, s) -> zip_with(acc, array({hashes}), (x, y) -> least(x, y)))"""
+    ).alias("mh")
 
 
 def minhash_lsh_dedup(
@@ -265,20 +271,16 @@ def minhash_lsh_dedup(
       arrays and computes exact Jaccard with array_intersect — per-pair
       work proportional to the two documents, not the corpus."""
     sh = shingle_arrays(df, id_col, text_col, n=n)
-    sig = sh.select(
+    sig = sh.select("id", "shingles", _minhash_fold(num_hashes)).persist()
+    # banding consumes the flat mh_i columns — extracted from the cached
+    # signature array, not recomputed
+    sig_cols = sig.select(
         "id",
-        "shingles",
-        # NB: single-parameter lambda — a 2-arg lambda would make
-        # F.transform pass the element INDEX as the second argument,
-        # silently replacing the hash seed
-        *[
-            _min_seeded_hash(i)
-            for i in range(num_hashes)
-        ],
-    ).persist()
+        *[F.col("mh")[i].alias(f"mh_{i}") for i in range(num_hashes)],
+    )
     # candidates are tiny and consumed three times (id cut + two pair
     # joins) — persist so the banding join runs once
-    cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands).persist()
+    cand = lsh_candidate_pairs(sig_cols, num_hashes=num_hashes, bands=bands).persist()
     # cut the (wide: shingle arrays) signature table down to candidate
     # ids BEFORE the verify joins — the arrays of non-candidates never
     # enter a shuffle
