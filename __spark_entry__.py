@@ -609,6 +609,26 @@ def q_m_media_features(spark, sf_dir):
     )
 
 
+def q_pipeline_corpus(spark, sf_dir):
+    """End-to-end training-data pipeline composition: quality filter ->
+    English-only -> fingerprint dedup (min doc_id per fingerprint keeps
+    a deterministic representative).  Every stage is a narrow map or a
+    single keyed shuffle — the whole pipeline is 2 shuffles regardless
+    of corpus size."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    scored = text.quality_score(docs).where(F.col("quality_score") >= 0.5)
+    en = scored.withColumn("lang", text.language_id(F.col("text"))).where(
+        F.col("lang") == "en"
+    )
+    fp = en.withColumn("fp", text.fingerprint(F.col("text")))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "quality_score", "q_tokens")
+    )
+
+
 def q_s_ivf_topk(spark, sf_dir):
     """IVF ANN top-k (rows-only: bucketing is approximate by design;
     centroid sampling is md5-deterministic)."""
@@ -677,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_near_dups": q_s_embedding_near_dups,
         "s_lsh_topk": q_s_lsh_topk,
         "s_ivf_topk": q_s_ivf_topk,
+        "pipeline_corpus": q_pipeline_corpus,
         "m_media_features": q_m_media_features,
         "m_media_meta": q_m_media_meta,
     }
@@ -1017,6 +1038,33 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '\S+')) AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         FROM documents
+        """,
+        "pipeline_corpus": f"""
+        WITH m AS ({_QUALITY_CORE.strip()}),
+        q AS (
+          SELECT doc_id, q_tokens,
+               round(
+                 0.35 * (CAST(n_alpha AS DOUBLE) / greatest(q_chars, 1))
+               + 0.25 * least((CAST(n_stop AS DOUBLE) / greatest(q_tokens, 1)) * 4, 1.0)
+               + 0.25 * least(q_tokens / 100.0, 1.0)
+               + 0.15 * (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(q_chars, 1)) * 5, 1.0))
+               , 6) AS quality_score
+          FROM m),
+        lang AS ({_langid_sql().strip()}),
+        filt AS (
+          SELECT d.doc_id, q.quality_score, q.q_tokens, d.text
+          FROM documents d
+          JOIN q ON q.doc_id = d.doc_id
+          JOIN lang l ON l.doc_id = d.doc_id
+          WHERE q.quality_score >= 0.5 AND l.lang_guess = 'en'),
+        fp AS (
+          SELECT doc_id, quality_score, q_tokens,
+                 md5(array_to_string(list_sort(list_distinct(
+                     regexp_extract_all(lower(text), '\\S+'))), ' ')) AS fp
+          FROM filt)
+        SELECT doc_id, quality_score, q_tokens FROM (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp
+        ) WHERE rn = 1
         """,
         "m_media_meta": """
         SELECT doc_id AS media_id, 'image' AS media_type,
