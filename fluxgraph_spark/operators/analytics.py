@@ -35,7 +35,7 @@ def pagerank(
     edges: DataFrame,
     num_iters: int = 3,
     damping: float = 0.85,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank (no dangling-mass redistribution, so the
     recurrence is pure relational algebra and a SQL oracle can replay it
@@ -50,6 +50,8 @@ def pagerank(
     iteration), and a non-trivial upstream plan (e.g. a union with a
     distinct) executes once, not once per reference."""
     edges = edges.select(M.SRC, M.DST).repartition(M.SRC).persist()
+    edges.count()  # eager: AQE + lazy persist would re-run the upstream
+    # plan (graph construction) once per superstep otherwise
     verts = _vertices_of(edges).persist()
     n = verts.count()
     outdeg = edges.groupBy(F.col(M.SRC).alias(M.ID)).agg(
@@ -83,7 +85,7 @@ def connected_components(
     edges: DataFrame,
     max_iters: int = 20,
     early_stop: bool = True,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Weakly-connected components by min-label propagation: every vertex
     starts labeled with its own id; each superstep takes the min of its
@@ -92,9 +94,11 @@ def connected_components(
     Returns (id, component) where component = min vertex id reachable.
     ``early_stop=False`` runs exactly ``max_iters`` supersteps — the
     deterministic-replay mode a fixed-iteration SQL oracle can match."""
-    edges = edges.select(M.SRC, M.DST).persist()
+    edges = edges.select(M.SRC, M.DST)
     # distinct + hash-partition by src once: each superstep's join reuses
-    # the cached partitioning, shuffling only the (id, component) table
+    # the cached partitioning, shuffling only the (id, component) table.
+    # Materialized eagerly — under AQE a lazy persist re-runs the whole
+    # upstream graph-construction plan once per superstep.
     sym = (
         edges.unionByName(
             edges.select(F.col(M.DST).alias(M.SRC), F.col(M.SRC).alias(M.DST))
@@ -103,7 +107,15 @@ def connected_components(
         .repartition(M.SRC)
         .persist()
     )
-    comp = _vertices_of(edges).withColumn("component", F.col(M.ID))
+    sym.count()
+    # every vertex appears as a src in the symmetrized table, so the
+    # vertex set comes from the cache — no second scan of the upstream
+    comp = (
+        sym.select(F.col(M.SRC).alias(M.ID))
+        .distinct()
+        .withColumn("component", F.col(M.ID))
+    )
+    prev_sum = None
     for i in range(max_iters):
         # one superstep = messages (join on the cached sym partitioning)
         # + a single min-aggregation over neighbor labels UNION self
@@ -121,17 +133,14 @@ def connected_components(
         if (i + 1) % checkpoint_every == 0:
             new_comp = new_comp.localCheckpoint()
         if early_stop:
-            changed = (
-                new_comp.join(
-                    comp.withColumnRenamed("component", "old_component"), M.ID
-                )
-                .where(F.col("component") != F.col("old_component"))
-                .limit(1)
-                .count()
-            )
+            # labels are monotonically non-increasing, so the sum of all
+            # labels strictly decreases until fixpoint — one scalar agg
+            # replaces the old join-and-count convergence probe
+            cur_sum = new_comp.agg(F.sum("component")).collect()[0][0]
             comp = new_comp
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         else:
             comp = new_comp
     return comp
