@@ -210,6 +210,16 @@ def q_g_components(spark, sf_dir):
     return comp.groupBy("component").agg(F.count("*").alias("n_vertices"))
 
 
+def q_g_components_star(spark, sf_dir):
+    """Large-star/small-star components (O(log n) rounds — the 100 TB
+    scale path; label propagation needs O(diameter) supersteps).  Runs
+    to convergence, so the oracle is a converged min-label replay: the
+    sf0.01 graph converges in 6 supersteps, the oracle replays 8."""
+    _, _, e = _graph(spark, sf_dir)
+    comp = AN.connected_components_star(e.select("src", "dst"))
+    return comp.groupBy("component").agg(F.count("*").alias("n_vertices"))
+
+
 def q_g_touch_count_3hop(spark, sf_dir):
     """The reference benchmark's elements-touched counter
     (FluxBenchmarkTestSuite.java:30-56) on the located_in/part_of
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_revenue_by_region": q_g_revenue_by_region,
         "g_pagerank_top10": q_g_pagerank_top10,
         "g_components": q_g_components,
+        "g_components_star": q_g_components_star,
         "g_touch_count_3hop": q_g_touch_count_3hop,
         # temporal surface
         "t_scd2_versions": q_t_scd2_versions,
@@ -785,17 +796,17 @@ def _pagerank_sql(iters: int = 3) -> str:
     """Chained-CTE replay of the fixed-iteration PageRank recurrence
     (same formula as operators/analytics.pagerank)."""
     ctes = """
-e AS (SELECT src, dst FROM ge),
-verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-outdeg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+e AS MATERIALIZED (SELECT src, dst FROM ge),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
 r0 AS (SELECT v.id, CAST(1.0 AS DOUBLE)/nn.n AS rank FROM verts v CROSS JOIN nn)"""
     for k in range(iters):
         ctes += f""",
-m{k} AS (SELECT e.dst AS id, sum(r.rank / o.outdeg) AS contrib
+m{k} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / o.outdeg) AS contrib
          FROM e JOIN r{k} r ON r.id = e.src JOIN outdeg o ON o.id = e.src
          GROUP BY e.dst),
-r{k + 1} AS (SELECT v.id,
+r{k + 1} AS MATERIALIZED (SELECT v.id,
              CAST(0.15 AS DOUBLE)/nn.n + CAST(0.85 AS DOUBLE)*COALESCE(m.contrib, 0) AS rank
              FROM verts v CROSS JOIN nn LEFT JOIN m{k} m ON m.id = v.id)"""
     return (
@@ -813,15 +824,15 @@ SELECT id, round(rank, 6) AS pagerank, rank_no AS rank FROM (
 def _components_sql(iters: int = 4) -> str:
     """Chained-CTE replay of fixed-superstep min-label propagation."""
     ctes = """
-e AS (SELECT src, dst FROM ge),
-verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+e AS MATERIALIZED (SELECT src, dst FROM ge),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
 c0 AS (SELECT id, id AS component FROM verts)"""
     for k in range(iters):
         ctes += f""",
-m{k} AS (SELECT s.dst AS id, min(c.component) AS mn
+m{k} AS MATERIALIZED (SELECT s.dst AS id, min(c.component) AS mn
          FROM sym s JOIN c{k} c ON c.id = s.src GROUP BY s.dst),
-c{k + 1} AS (SELECT c.id, least(c.component, COALESCE(m.mn, c.component)) AS component
+c{k + 1} AS MATERIALIZED (SELECT c.id, least(c.component, COALESCE(m.mn, c.component)) AS component
              FROM c{k} c LEFT JOIN m{k} m ON m.id = c.id)"""
     return (
         GRAPH_CTES.rstrip()
@@ -844,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id, name FROM gv WHERE kind = 'customer' AND nationkey = 7",
         "g_pagerank_top10": _pagerank_sql(3),
         "g_components": _components_sql(4),
+        "g_components_star": _components_sql(8),
         "g_out_degree_top20": GRAPH_CTES
         + """
         SELECT id, degree, rank FROM (

@@ -35,6 +35,7 @@ HEADLINE = [
     "d_simhash",                # simhash fingerprints
     "x_quality",                # text quality scoring
     "s_cosine_topk",            # similarity search
+    "pipeline_corpus",          # end-to-end quality->langid->dedup pipeline
 ]
 
 

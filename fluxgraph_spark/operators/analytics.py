@@ -144,3 +144,92 @@ def connected_components(
         else:
             comp = new_comp
     return comp
+
+
+def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Weakly-connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — a published MapReduce algorithm, re-expressed as DataFrame
+    aggregations).  Converges in O(log n) rounds versus min-label
+    propagation's O(diameter): the scale path for graphs with long
+    chains (a 100 TB web graph has diameter in the tens; a pathological
+    lineage chain can be millions deep — label propagation never
+    finishes there, this does).
+
+    Each round is two phases; each phase is one groupBy-min plus one
+    join on the same key, so partitioning is reused within the phase:
+
+    * large-star: attach every neighbor v > u to m = min(Γ(u) ∪ {u});
+    * small-star: attach every neighbor v <= u (and u itself) to the
+      min of u's smaller neighborhood.
+
+    Fixpoint = the edge multiset is a set of stars rooted at component
+    minima; detected with a cheap (count, double-sum) signature instead
+    of a full except-join.  Returns (id, component), identical to
+    :func:`connected_components` output.
+    """
+    e = (
+        edges.select(
+            F.col(M.SRC).cast("long").alias("u"),
+            F.col(M.DST).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # vertex universe from the ORIGINAL edges (roots drop out of the
+    # star edge list's key side, and self-loop-only vertices drop out
+    # of e entirely — both must still be labeled)
+    verts = (
+        edges.select(F.col(M.SRC).cast("long").alias(M.ID))
+        .unionByName(edges.select(F.col(M.DST).cast("long").alias(M.ID)))
+        .distinct()
+        .persist()
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        # --- large-star: operate on both orientations -----------------
+        b = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            b.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+        e = (
+            b.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: canonicalize to (larger, smaller) ------------
+        c = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        m2 = c.groupBy("u").agg(F.min("v").alias("m"))
+        attached = c.join(m2, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        roots = m2.select(F.col("u"), F.col("m").alias("v"))
+        e = (
+            attached.unionByName(roots)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # --- fixpoint probe: one scalar row --------------------------
+        sig = tuple(
+            e.agg(
+                F.count("*"),
+                F.sum(F.col("u").cast("double")),
+                F.sum(F.col("v").cast("double")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at fixpoint e is (member, root) stars; roots self-label
+    labels = e.groupBy(F.col("u").alias(M.ID)).agg(F.min("v").alias("component"))
+    out = verts.join(labels, M.ID, "left").select(
+        M.ID, F.coalesce("component", F.col(M.ID)).alias("component")
+    )
+    return out

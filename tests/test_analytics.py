@@ -60,3 +60,60 @@ def test_pagerank_hub_attracts_rank(spark):
     # rank mass conservation is broken only by dangling vertices; here
     # every vertex has out-degree >= 1, so total ~= 1
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_star_components_matches_label_propagation(spark, two_triangles):
+    from fluxgraph_spark.operators.analytics import (
+        connected_components,
+        connected_components_star,
+    )
+
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(two_triangles).collect()
+    }
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(two_triangles).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_star_components_long_chain_logarithmic(spark):
+    from fluxgraph_spark.operators.analytics import connected_components_star
+
+    # 60-vertex path: label propagation needs ~60 supersteps; the
+    # star alternation collapses it within its default round budget
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], ["src", "dst"]
+    )
+    comp = connected_components_star(edges, max_iters=10)
+    assert comp.count() == 60
+    assert comp.where(F.col("component") != 1).count() == 0
+
+
+def test_star_components_random_graph(spark):
+    import random
+
+    from fluxgraph_spark.operators.analytics import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    # 3 blobs of 30 vertices with random internal edges + self loops
+    rows = []
+    for base in (0, 100, 200):
+        ids = list(range(base, base + 30))
+        for _ in range(60):
+            rows.append((rng.choice(ids), rng.choice(ids)))
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, max_iters=40).collect()
+    }
+    assert got == want
