@@ -197,3 +197,51 @@ def test_rolling_hashes(spark):
     out = df.select(text.rolling_hashes(F.col("t"), window=4).alias("rh")).first()["rh"]
     assert len(out) == 7  # 10 tokens, window 4 -> 7 grams
     assert len(set(out)) == 7
+
+
+def test_hashed_shingle_jaccard_matches_string_shingles(spark):
+    """The scale path (hashed shingle arrays + array_intersect) must
+    produce the same Jaccard numbers as the string-shingle reference
+    path (shingle_table + jaccard_pairs) — collisions in 64-bit hash
+    space are negligible at any realistic corpus size."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(rng.randint(5, 25))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # add a near-dup with one token changed
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, "id long, text string")
+
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            dedup.shingle_table(df, "id", "text", n=3)
+        ).collect()
+    }
+
+    sh = dedup.shingle_arrays(df, "id", "text", n=3)
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") > 0)
+        .collect()
+    }
+    for pair, j in want.items():
+        if j > 0:
+            assert pair in got and abs(got[pair] - j) < 1e-6, (pair, j, got.get(pair))
