@@ -539,6 +539,14 @@ def q_d_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_d_corpus_dedupe(spark, sf_dir):
+    """Full near-dup corpus dedup: LSH pairs -> transitive star-clusters
+    -> min-id representative kept (rows-only: LSH recall is
+    probabilistic by design)."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return dedup.dedupe_near(docs, "doc_id", "text").select("doc_id")
+
+
 def q_d_simhash(spark, sf_dir):
     """32-bit SimHash per document."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -700,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_sigs": q_d_minhash_sigs,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
+        "d_corpus_dedupe": q_d_corpus_dedupe,
         "d_simhash": q_d_simhash,
         "x_quality": q_x_quality,
         "x_langid": q_x_langid,

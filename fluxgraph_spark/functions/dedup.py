@@ -327,6 +327,46 @@ def minhash_lsh_dedup(
     )
 
 
+def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """(id, cluster) for every document appearing in a near-dup pair:
+    connected components over the pair graph, so transitive near-dups
+    (A~B, B~C) land in one cluster even when A~C was never emitted.
+    Uses the large-star/small-star algorithm — O(log n) rounds, safe for
+    the long similarity chains template-heavy corpora produce."""
+    from ..operators.analytics import connected_components_star
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components_star(edges).withColumnRenamed("component", "cluster")
+
+
+def dedupe_near(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full corpus-dedup pipeline: MinHash -> LSH -> verified pairs
+    -> transitive clusters -> keep the min-id representative of each
+    cluster.  Everything except the LSH band join and the O(log n)
+    clustering rounds is a narrow map; non-duplicate documents (the
+    overwhelming majority) never enter a shuffle wider than their
+    (id, band, bucket) triples."""
+    pairs = minhash_lsh_dedup(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    clusters = near_dup_clusters(pairs)
+    # cluster label IS the min id in the cluster — drop every clustered
+    # doc that isn't its cluster's minimum, keep everything unclustered
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -245,3 +245,26 @@ def test_hashed_shingle_jaccard_matches_string_shingles(spark):
     for pair, j in want.items():
         if j > 0:
             assert pair in got and abs(got[pair] - j) < 1e-6, (pair, j, got.get(pair))
+
+
+def test_dedupe_near_transitive_clusters(spark):
+    """A~B and B~C near-dups but A,C farther apart: all three must land
+    in one cluster and only the min id survives."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = a.replace("zeta", "zzz")
+    c = b.replace("kappa", "qqq")
+    far = "totally unrelated content about spark shuffles and parquet readers"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, far)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_dedup(df, "doc_id", "text", bands=8, threshold=0.3)
+    clusters = dedup.near_dup_clusters(pairs)
+    got = {r["id"]: r["cluster"] for r in clusters.collect()}
+    assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedupe_near(
+            df, "doc_id", "text", bands=8, threshold=0.3
+        ).collect()
+    )
+    assert kept == [1, 9]
