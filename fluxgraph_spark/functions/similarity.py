@@ -171,29 +171,39 @@ def ivf_assign(
     vec_col: str = "vec",
 ) -> DataFrame:
     """(id, centroid_id) for each vector's ``n_probe`` nearest centroids
-    by cosine.  Centroids are broadcast (they are few); assignment is a
-    narrow map over the corpus — the standard IVF build shape."""
-    c = centroids.select(
-        F.col("centroid_id"), F.col("cvec"), _norm(F.col("cvec")).alias("cn")
-    )
+    by cosine.  Centroids are few BY CONSTRUCTION (an IVF list count is
+    ~sqrt(corpus), and this module's builder caps it), so they collect
+    to the driver and unroll into one array expression: per-centroid
+    cosine, comparator-sorted, sliced to ``n_probe``, exploded.  The
+    whole assignment is a NARROW map over the corpus — zero shuffle,
+    zero window — where the previous crossJoin + row_number form
+    shuffled corpus×centroids rows."""
+    cents = [
+        (r["centroid_id"], [float(x) for x in r["cvec"]])
+        for r in centroids.select("centroid_id", "cvec").collect()
+    ]
+    import math
+
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vvec"),
         _norm(F.col(vec_col)).alias("vn"),
     )
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "id",
-        "centroid_id",
-        (_dot(F.col("vvec"), F.col("cvec")) / (F.col("vn") * F.col("cn"))).alias(
-            "sim"
-        ),
+    scored = []
+    for cid, cvec in cents:
+        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        lit_vec = F.array(*[F.lit(x) for x in cvec])
+        sim = _dot(F.col("vvec"), lit_vec) / (F.col("vn") * F.lit(cn))
+        scored.append(F.struct(sim.alias("sim"), F.lit(cid).alias("centroid_id")))
+    ranked = F.array_sort(
+        F.array(*scored),
+        lambda a, b: F.when(a["sim"] > b["sim"], F.lit(-1))
+        .when(a["sim"] < b["sim"], F.lit(1))
+        .otherwise((a["centroid_id"] - b["centroid_id"]).cast("int")),
     )
-    w = W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= n_probe)
-        .select("id", "centroid_id")
-    )
+    return v.select(
+        "id", F.explode(F.slice(ranked, 1, n_probe)).alias("pick")
+    ).select("id", F.col("pick.centroid_id").alias("centroid_id"))
 
 
 def ivf_centroids(
