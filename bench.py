@@ -64,16 +64,24 @@ def main():
         "overwrite"
     ).save()
     spark.catalog.clearCache()
+    # two timed runs per query, report the min: the first run on this
+    # box pays JVM codegen compilation (±30% noise); the min is the
+    # steady-state cost a warmed executor fleet would see.  Caches are
+    # cleared between runs so the min never benefits from a persist()
+    # left over by the previous run — each run recomputes from parquet.
     timings = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # queries may persist() intermediates; drop them so one query's
-        # cache does not skew the next one's timing
-        spark.catalog.clearCache()
+        per_run = []
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            per_run.append(time.time() - t0)
+            # queries may persist() intermediates; drop them so no run
+            # (and no later query) inherits another's cache
+            spark.catalog.clearCache()
+        timings[name] = round(min(per_run), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -83,6 +91,8 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
+                "aggregation": "min",
             }
         )
     )
