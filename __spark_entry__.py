@@ -485,6 +485,193 @@ def q_events_type_stats(spark, sf_dir):
     )
 
 
+def q_r_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders with >=1 late lineitem (shipped more than
+    60 days after the order date), counted by priority.  EXISTS as a
+    left-semi join — the probe side never duplicates orders, and the
+    shuffle carries only (orderkey, shipdate)."""
+    t = tpch.read_tables(spark, sf_dir)
+    o = t["orders"]
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q_r_inactive_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with no 1997 orders per market segment
+    (NOT EXISTS as a left-anti join; the date filter pushes down to the
+    orders scan before the anti-join shuffles)."""
+    t = tpch.read_tables(spark, sf_dir)
+    o97 = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_custkey")
+    inactive = t["customer"].join(
+        o97, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+    )
+
+
+def q_r_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo-type revenue share over 1996 shipments —
+    conditional aggregation after the partkey join (part is
+    SF-proportional: AQE broadcast-converts at small SF, shuffles at
+    100 TB)."""
+    t = tpch.read_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    j = li.join(
+        t["part"].select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey")
+    )
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("long"))
+        ).alias("promo_cents"),
+        F.sum(disc).alias("total_cents"),
+    )
+    return agg.withColumn(
+        "promo_share", F.round(F.col("promo_cents") / F.col("total_cents"), 6)
+    )
+
+
+def q_r_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 200 (HAVING
+    over a groupBy), joined back to orders + customer; deterministic top
+    20.  The HAVING filter runs on the aggregated (small) side, so the
+    join-back probes with few keys."""
+    t = tpch.read_tables(spark, sf_dir)
+    qty = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    j = qty.join(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        qty.l_orderkey == F.col("o_orderkey"),
+    ).join(
+        t["customer"].select("c_custkey", "c_name"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    top = j.orderBy(F.col("sum_qty").desc(), F.col("o_orderkey")).limit(20)
+    w = W.orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "o_orderkey",
+        "c_name",
+        _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+        "sum_qty",
+        "rank",
+    )
+
+
+def q_r_disjunctive_rev(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs brand/size/quantity predicates.
+    Catalyst extracts the common l_quantity bounds and pushes the
+    disjunction through the partkey join."""
+    t = tpch.read_tables(spark, sf_dir)
+    li = t["lineitem"]
+    j = li.join(
+        t["part"].select("p_partkey", "p_brand", "p_size"),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_r_rollup_revenue(spark, sf_dir):
+    """ROLLUP (region, nation) revenue with grouping level — all three
+    aggregation levels in ONE pass (grouping-sets expansion is map-side;
+    the shuffle still carries only (keys, cents)).  Progressive rollup
+    below keeps the lineitem fan-out out of every join."""
+    t = tpch.read_tables(spark, sf_dir)
+    rev_cust = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("cents"))
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    geo = (
+        t["customer"]
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "c_custkey",
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+    j = rev_cust.join(geo, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.rollup("region_name", "nation_name")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+        .select(
+            F.coalesce("region_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("nation_name", F.lit("ALL")).alias("nation_name"),
+            "revenue_cents",
+            "lvl",
+        )
+    )
+
+
+def q_x_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p90/p99) of event value cents
+    per event type — Spark `percentile` == ANSI percentile_cont ==
+    DuckDB `quantile_cont`.  Integer-cents input keeps the interpolation
+    arithmetic bit-identical across engines."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    c = "cast(round(value * 100) as bigint)"
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("p50"),
+        F.round(F.expr(f"percentile({c}, 0.9)"), 6).alias("p90"),
+        F.round(F.expr(f"percentile({c}, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / similarity queries (training-data pipeline surface)
 # ---------------------------------------------------------------------------
@@ -701,6 +888,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_filter": q_revenue_filter,
         "top_parts_by_quantity": q_top_parts_by_quantity,
         "events_type_stats": q_events_type_stats,
+        "r_order_priority": q_r_order_priority,
+        "r_inactive_customers": q_r_inactive_customers,
+        "r_promo_share": q_r_promo_share,
+        "r_big_orders": q_r_big_orders,
+        "r_disjunctive_rev": q_r_disjunctive_rev,
+        "r_rollup_revenue": q_r_rollup_revenue,
+        "x_percentiles": q_x_percentiles,
         # training-data pipeline surface
         "d_text_hashes": q_d_text_hashes,
         "d_exact_dups": q_d_exact_dups,
@@ -1041,6 +1235,89 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*) AS n,
                sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
                count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+        """,
+        "r_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """,
+        "r_inactive_customers": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                            AND o.o_orderdate < TIMESTAMP '1998-01-01')
+        GROUP BY c_mktsegment
+        """,
+        "r_promo_share": """
+        SELECT promo_cents, total_cents,
+               round(promo_cents / total_cents, 6) AS promo_share
+        FROM (
+          SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS promo_cents,
+                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS total_cents
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        )
+        """,
+        "r_big_orders": """
+        SELECT o_orderkey, c_name, totalprice_cents, sum_qty, rank FROM (
+          SELECT q.l_orderkey AS o_orderkey, c.c_name,
+                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+                 q.sum_qty,
+                 row_number() OVER (ORDER BY q.sum_qty DESC, q.l_orderkey) AS rank
+          FROM (SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 200) q
+          JOIN orders o ON o.o_orderkey = q.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+        ) WHERE rank <= 20
+        """,
+        "r_disjunctive_rev": """
+        SELECT sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_rows
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "r_rollup_revenue": """
+        WITH rev_cust AS (
+          SELECT o.o_custkey, sum(r.cents) AS cents
+          FROM (SELECT l_orderkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+                FROM lineitem GROUP BY l_orderkey) r
+          JOIN orders o ON o.o_orderkey = r.l_orderkey
+          GROUP BY o.o_custkey
+        ),
+        geo AS (
+          SELECT c.c_custkey, r.r_name AS region_name, n.n_name AS nation_name
+          FROM customer c
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+        )
+        SELECT COALESCE(region_name, 'ALL') AS region_name,
+               COALESCE(nation_name, 'ALL') AS nation_name,
+               sum(cents) AS revenue_cents,
+               CAST(GROUPING(region_name) * 2 + GROUPING(nation_name) AS INT) AS lvl
+        FROM rev_cust j JOIN geo g ON g.c_custkey = j.o_custkey
+        GROUP BY ROLLUP (region_name, nation_name)
+        """,
+        "x_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 6) AS p50,
+               round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9), 6) AS p90,
+               round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99), 6) AS p99,
+               count(*) AS n
         FROM events GROUP BY event_type
         """,
         # training-data pipeline surface
