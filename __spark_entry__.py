@@ -364,6 +364,93 @@ def q_t_sessionize(spark, sf_dir):
     )
 
 
+def q_t_range_join(spark, sf_dir):
+    """Interval/band join via time-bucketing: each purchase opens a
+    [ts, ts+24h) window; count the user's clicks inside each window.
+    Buckets turn the range predicate into an equi-join (see
+    operators/temporal.interval_join) — no nested-loop join at scale."""
+    import datetime
+
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("win_end"),
+    )
+    matched = TP.interval_join(
+        clicks,
+        windows,
+        ["user_id"],
+        "click_ts",
+        "win_start",
+        "win_end",
+        bucket=datetime.timedelta(hours=6),
+    )
+    return matched.groupBy("purchase_id", "user_id").agg(
+        F.count("*").alias("n_clicks")
+    )
+
+
+def q_g_bfs_levels(spark, sf_dir):
+    """Multi-source BFS (4 fixed supersteps, oracle-replayable): hop
+    distance from the region vertices over the reversed graph —
+    region 0 -> nation 1 -> customer 2 -> order 3; vertex count per
+    level."""
+    _, v, e = _graph(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sources = v.where(F.col("kind") == "region").select("id")
+    levels = AN.bfs_levels(rev, sources, max_iters=4)
+    return levels.groupBy("level").agg(F.count("*").alias("n_vertices"))
+
+
+def q_g_copurchase_top(spark, sf_dir):
+    """Co-occurrence self-join: part pairs appearing in the same order,
+    deterministic top 15.  The per-order self-join is bounded by order
+    size (~7 lineitems), so the expansion is O(orders * k^2), never
+    quadratic in parts — the same shape as co-citation / co-click
+    mining at 100 TB."""
+    _, _, e = _graph(spark, sf_dir)
+    contains = (
+        e.where(F.col("label") == "contains")
+        .select(F.col("src").alias("order_id"), F.col("dst").alias("part_id"))
+        .distinct()
+    )
+    pairs = (
+        contains.alias("a")
+        .join(contains.alias("b"), "order_id")
+        .where(F.col("a.part_id") < F.col("b.part_id"))
+        .groupBy(
+            F.col("a.part_id").alias("part_a"), F.col("b.part_id").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    top = pairs.orderBy(
+        F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(15)
+    w = W.orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_k_sketches(spark, sf_dir):
+    """Sketch surface (rows-only: estimates are implementation-defined,
+    cross-engine hash-match is not meaningful): HyperLogLog distinct
+    users + quantile-sketch median per event type.  The 100 TB point:
+    both sketches merge associatively, so the shuffle carries fixed-size
+    sketch state, never user ids or value lists."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx(
+            F.round(F.col("value") * 100).cast("long"), F.lit(0.5)
+        ).alias("approx_p50_cents"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational queries (extended surface; A1-A9 built-ins)
 # ---------------------------------------------------------------------------
@@ -873,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_components": q_g_components,
         "g_components_star": q_g_components_star,
         "g_touch_count_3hop": q_g_touch_count_3hop,
+        "g_bfs_levels": q_g_bfs_levels,
+        "g_copurchase_top": q_g_copurchase_top,
         # temporal surface
         "t_scd2_versions": q_t_scd2_versions,
         "t_asof_user_state": q_t_asof_user_state,
@@ -881,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_asof_join": q_t_asof_join,
         "t_sessionize": q_t_sessionize,
         "t_state_diff": q_t_state_diff,
+        "t_range_join": q_t_range_join,
         # relational surface
         "pricing_summary": q_pricing_summary,
         "top_orders_building": q_top_orders_building,
@@ -895,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_disjunctive_rev": q_r_disjunctive_rev,
         "r_rollup_revenue": q_r_rollup_revenue,
         "x_percentiles": q_x_percentiles,
+        "k_sketches": q_k_sketches,
         # training-data pipeline surface
         "d_text_hashes": q_d_text_hashes,
         "d_exact_dups": q_d_exact_dups,
@@ -1047,6 +1138,29 @@ SELECT component, count(*) AS n_vertices FROM c{iters} GROUP BY component
     )
 
 
+def _bfs_sql(iters: int = 4) -> str:
+    """Chained-CTE replay of fixed-superstep multi-source BFS from the
+    region vertices over the reversed graph."""
+    ctes = """
+rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM ge),
+d0 AS (SELECT id, CAST(0 AS BIGINT) AS level FROM gv WHERE kind = 'region')"""
+    for k in range(iters):
+        ctes += f""",
+m{k} AS MATERIALIZED (SELECT r.dst AS id, min(d.level) + 1 AS level
+         FROM rev r JOIN d{k} d ON d.id = r.src GROUP BY r.dst),
+d{k + 1} AS MATERIALIZED (SELECT id, min(level) AS level FROM (
+             SELECT id, level FROM d{k} UNION ALL SELECT id, level FROM m{k}
+           ) GROUP BY id)"""
+    return (
+        GRAPH_CTES.rstrip()
+        + ","
+        + ctes
+        + f"""
+SELECT level, count(*) AS n_vertices FROM d{iters} GROUP BY level
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # graph surface
@@ -1057,6 +1171,21 @@ def oracle_sql() -> dict[str, str]:
         "g_customers_in_nation": GRAPH_CTES
         + "SELECT id, name FROM gv WHERE kind = 'customer' AND nationkey = 7",
         "g_pagerank_top10": _pagerank_sql(3),
+        "g_bfs_levels": _bfs_sql(4),
+        "g_copurchase_top": GRAPH_CTES
+        + """
+        , con AS (SELECT DISTINCT src AS order_id, dst AS part_id
+                  FROM ge WHERE label = 'contains')
+        SELECT part_a, part_b, n_orders, rank FROM (
+          SELECT a.part_id AS part_a, b.part_id AS part_b,
+                 count(*) AS n_orders,
+                 row_number() OVER (
+                   ORDER BY count(*) DESC, a.part_id, b.part_id) AS rank
+          FROM con a JOIN con b
+            ON a.order_id = b.order_id AND a.part_id < b.part_id
+          GROUP BY a.part_id, b.part_id
+        ) WHERE rank <= 15
+        """,
         "g_components": _components_sql(4),
         "g_components_star": _components_sql(8),
         "g_out_degree_top20": GRAPH_CTES
@@ -1178,6 +1307,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, attr, value_str FROM f1
         EXCEPT
         SELECT user_id, attr, value_str FROM f2
+        """,
+        "t_range_join": """
+        SELECT p.event_id AS purchase_id, p.user_id, count(*) AS n_clicks
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 24 HOUR
+        GROUP BY p.event_id, p.user_id
         """,
         "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -146,6 +146,47 @@ def connected_components(
     return comp
 
 
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iters: int = 4,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source vertex,
+    by min-distance propagation (dist[dst] = min(dist[dst],
+    min_{(src,dst)∈E} dist[src] + 1) per superstep).
+
+    Fixed ``max_iters`` supersteps so a chained-CTE SQL oracle replays
+    the recurrence exactly; unreached vertices are absent from the
+    output (their distance is still +inf).  Same scale shape as
+    :func:`connected_components`: the edge list is hash-partitioned by
+    src once and reused every superstep; only the small (id, level)
+    table moves per iteration.
+
+    ``sources`` is a one-column (id) DataFrame; distances start at 0
+    there.  Traversal follows edge direction — pass a reversed edge
+    list for inbound reachability.
+    """
+    e = edges.select(M.SRC, M.DST).distinct().repartition(M.SRC).persist()
+    e.count()  # eager — see connected_components
+    dist = sources.select(F.col(sources.columns[0]).alias(M.ID)).distinct().withColumn(
+        "level", F.lit(0).cast("long")
+    )
+    for i in range(max_iters):
+        msgs = (
+            e.join(dist.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            .select(F.col(M.DST).alias(M.ID), (F.col("level") + 1).alias("level"))
+        )
+        dist = (
+            msgs.unionByName(dist)
+            .groupBy(M.ID)
+            .agg(F.min("level").alias("level"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint()
+    return dist
+
+
 def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     """Weakly-connected components by large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",

@@ -160,6 +160,50 @@ def asof_join(
     return unioned.where(F.col("__is_left") == 1).drop("__ts", "__is_left")
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: datetime.timedelta = datetime.timedelta(hours=6),
+) -> DataFrame:
+    """Band join: each point row matched to every interval row with the
+    same key and ``start_ts <= point_ts < end_ts``.
+
+    Spark plans a raw equi+range join as a shuffle join whose range half
+    runs as a post-join filter — fine — but a PURE range join (or a hot
+    band join) degenerates to BroadcastNestedLoopJoin.  The scale shape
+    used here is time-bucketing: intervals explode into the fixed-width
+    buckets they span (``sequence``), points map into exactly one
+    bucket, and the join becomes a plain equi-join on (key, bucket) plus
+    a residual range filter.  Work scales with interval-span/bucket, not
+    points x intervals.  Each (point, interval) pair meets in exactly
+    one bucket (the point's), so no post-join dedup is needed.
+
+    Returns points columns + intervals' non-key columns.
+    """
+    b_us = int(bucket.total_seconds() * 1_000_000)
+    p = points.withColumn(
+        "__bucket", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(b_us))
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_ts)) / F.lit(b_us)),
+                # end is exclusive: the last bucket is the one holding end-1us
+                F.floor((F.unix_micros(F.col(end_ts)) - 1) / F.lit(b_us)),
+            )
+        ),
+    )
+    joined = p.join(iv, [*key_cols, "__bucket"]).where(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    return joined.drop("__bucket")
+
+
 def asof_latest(
     versions: DataFrame,
     key_cols: list[str],

@@ -117,3 +117,32 @@ def test_star_components_random_graph(spark):
         for r in connected_components(edges, max_iters=40).collect()
     }
     assert got == want
+
+
+def test_bfs_levels_chain_and_fork(spark):
+    from fluxgraph_spark.operators import analytics as AN
+
+    # 1 -> 2 -> 3 -> 4, 1 -> 3 (shortcut), isolated 9 -> 10 unreachable
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (9, 10)], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(1,)], ["id"])
+    got = {
+        r["id"]: r["level"]
+        for r in AN.bfs_levels(e, src, max_iters=4).collect()
+    }
+    # min-distance: 3 is reached in 1 hop via the shortcut, 4 in 2
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_levels_multi_source_min(spark):
+    from fluxgraph_spark.operators import analytics as AN
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (5, 3)], ["src", "dst"])
+    src = spark.createDataFrame([(1,), (5,)], ["id"])
+    got = {
+        r["id"]: r["level"]
+        for r in AN.bfs_levels(e, src, max_iters=3).collect()
+    }
+    # 3 is 2 hops from 1 but 1 hop from 5 — min wins
+    assert got == {1: 0, 5: 0, 2: 1, 3: 1}

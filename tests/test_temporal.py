@@ -162,3 +162,50 @@ def test_dataframe_temporal_ops(timeline, spark):
     assert tids[v1.get_id()] == v1.time_id()
     # checkpoint resolution via DataFrame agg matches driver-side resolution
     assert TP.resolve_checkpoint(g.tx_log_df(), ts(3)) == g.resolve_checkpoint(ts(3))
+
+
+def test_interval_join_matches_naive_theta(spark):
+    """Bucketed interval_join == the naive equi+range join, including
+    intervals spanning many buckets and points on boundaries."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.operators import temporal as TP
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(h, m=0):
+        return base + datetime.timedelta(hours=h, minutes=m)
+
+    points = spark.createDataFrame(
+        [(1, "k1", t(0)), (2, "k1", t(5)), (3, "k1", t(23, 59)),
+         (4, "k2", t(5)), (5, "k1", t(24))],
+        ["pid", "key", "pts"],
+    )
+    intervals = spark.createDataFrame(
+        [(100, "k1", t(0), t(24)),     # spans 4 six-hour buckets
+         (101, "k1", t(5), t(6)),      # inside one bucket
+         (102, "k2", t(0), t(1)),      # wrong key for most points
+         (103, "k1", t(23), t(30))],   # crosses midnight
+        ["iid", "key", "start", "end"],
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in TP.interval_join(
+            points, intervals, ["key"], "pts", "start", "end",
+            bucket=datetime.timedelta(hours=6),
+        ).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals, "key"
+        ).where(
+            (F.col("pts") >= F.col("start")) & (F.col("pts") < F.col("end"))
+        ).collect()
+    )
+    assert got == naive
+    # boundary semantics: start inclusive (pid 1 in 100), end exclusive
+    # (pid 5 NOT in 100 but in 103)
+    assert (1, 100) in got and (5, 100) not in got and (5, 103) in got
