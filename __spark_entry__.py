@@ -744,6 +744,82 @@ def q_r_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_r_small_quantity_rev(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    half the part's average quantity.  The correlated scalar subquery
+    decorrelates into one per-part aggregate joined back — the aggregate
+    side is part-cardinality, so the join-back probes small.  (Integer-
+    valued quantities sum exactly in double, so the avg threshold is
+    order-independent and bit-identical across engines.)"""
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(avg_q, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_r_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum 1996-H1 revenue —
+    a scalar subquery (global max) against an aggregated view.  The max
+    is a broadcastable single row; no second shuffle of the aggregate."""
+    t = tpch.read_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        )
+    )
+    mx = rev.agg(F.max("revenue_cents").alias("max_cents"))
+    return (
+        rev.join(F.broadcast(mx), rev.revenue_cents == mx.max_cents)
+        .join(
+            t["supplier"].select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "revenue_cents")
+    )
+
+
+def q_t_time_buckets(spark, sf_dir):
+    """Hypertable-style continuous rollup: per (event_type, hour bucket)
+    count + value cents.  At 100 TB this is the materialized-view shape:
+    the bucket is derived map-side, one shuffle at bucket granularity."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    return ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+    )
+
+
+def q_x_rolling(spark, sf_dir):
+    """Rolling window aggregate: 5-event moving average of value cents
+    per user (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) — one windowed
+    scan partitioned by the high-cardinality user key."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg(_cents(F.col("value"))).over(w), 6).alias("avg5_cents"),
+    )
+
+
 def q_x_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (p50/p90/p99) of event value cents
     per event type — Spark `percentile` == ANSI percentile_cont ==
@@ -984,6 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_big_orders": q_r_big_orders,
         "r_disjunctive_rev": q_r_disjunctive_rev,
         "r_rollup_revenue": q_r_rollup_revenue,
+        "r_small_quantity_rev": q_r_small_quantity_rev,
+        "r_top_supplier": q_r_top_supplier,
+        "t_time_buckets": q_t_time_buckets,
+        "x_rolling": q_x_rolling,
         "x_percentiles": q_x_percentiles,
         "k_sketches": q_k_sketches,
         # training-data pipeline surface
@@ -1449,6 +1529,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(GROUPING(region_name) * 2 + GROUPING(nation_name) AS INT) AS lvl
         FROM rev_cust j JOIN geo g ON g.c_custkey = j.o_custkey
         GROUP BY ROLLUP (region_name, nation_name)
+        """,
+        "r_small_quantity_rev": """
+        SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_rows
+        FROM lineitem l
+        JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty
+              FROM lineitem GROUP BY l_partkey) a
+          ON a.l_partkey = l.l_partkey
+        WHERE l.l_quantity < 0.5 * a.avg_qty
+        """,
+        "r_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-07-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.revenue_cents
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        """,
+        "t_time_buckets": """
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) AS bucket_us,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1, 2
+        """,
+        "x_rolling": """
+        SELECT event_id, user_id,
+               round(avg(CAST(round(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5_cents
+        FROM events
         """,
         "x_percentiles": """
         SELECT event_type,
