@@ -934,6 +934,41 @@ def q_x_fingerprint(spark, sf_dir):
     )
 
 
+def q_x_scrub(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): per-doc email/phone/IP hit
+    counts + hash of the scrubbed text — a pure narrow map (regexp chain
+    inside whole-stage codegen), verifiable cross-engine."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    n_email, n_phone, n_ip = text.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
+        text.stable_hash64(text.scrub_pii(F.col("text"))).alias("scrubbed_hash"),
+    )
+
+
+def q_x_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signal: duplicate 3-gram fraction
+    per document (boilerplate/spam detector) — all array ops on the row,
+    no shuffle."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return text.repetition_metrics(docs, "doc_id", "text", n=3)
+
+
+def q_x_split(spark, sf_dir):
+    """Deterministic train/val/test split by stable id hash (no RNG
+    state — reproducible on any cluster at any parallelism); per-split
+    doc count + char volume."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return (
+        docs.withColumn("split", text.split_assign(F.col("doc_id")))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
 def q_s_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for the first 5 vectors as queries."""
     emb = tpch.read_tables(spark, sf_dir)["embeddings"]
@@ -1077,6 +1112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": q_d_simhash,
         "x_quality": q_x_quality,
         "x_langid": q_x_langid,
+        "x_scrub": q_x_scrub,
+        "x_repetition": q_x_repetition,
+        "x_split": q_x_split,
         "x_fingerprint": q_x_fingerprint,
         "s_cosine_topk": q_s_cosine_topk,
         "s_embedding_near_dups": q_s_embedding_near_dups,
@@ -1656,6 +1694,36 @@ def oracle_sql() -> dict[str, str]:
         FROM m
         """,
         "x_langid": _langid_sql(),
+        "x_scrub": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{text.PHONE_RE}')) AS n_phones,
+               len(regexp_extract_all(text, '{text.IPV4_RE}')) AS n_ips,
+               {STABLE_HASH_SQL.format(x="regexp_replace(regexp_replace(regexp_replace(text, '" + text.EMAIL_RE + "', '<EMAIL>', 'g'), '" + text.PHONE_RE + "', '<PHONE>', 'g'), '" + text.IPV4_RE + "', '<IP>', 'g')")}::BIGINT AS scrubbed_hash
+        FROM documents
+        """,
+        "x_repetition": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS gs(i)
+        )
+        SELECT doc_id, count(*) AS n_grams,
+               count(DISTINCT g) AS n_distinct_grams,
+               round((count(*) - count(DISTINCT g)) / greatest(count(*), 1), 6) AS dup_gram_ratio
+        FROM grams GROUP BY doc_id
+        """,
+        "x_split": f"""
+        SELECT CASE
+                 WHEN {STABLE_HASH_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 5 THEN 'val'
+                 WHEN {STABLE_HASH_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 10 THEN 'test'
+                 ELSE 'train'
+               END AS split,
+               count(*) AS n_docs, sum(n_chars) AS n_chars
+        FROM documents GROUP BY 1
+        """,
         "x_fingerprint": r"""
         SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct(

@@ -106,6 +106,65 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(toks), " "))
 
 
+# PII patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB): no
+# backrefs, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """PII scrubbing (training-data hygiene): emails, phone numbers, and
+    IPv4 addresses replaced with typed placeholder tokens.  Pure JVM
+    regexp_replace chain — stays inside whole-stage codegen; order
+    matters (emails first, so user@host never half-matches as a phone)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return out
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """Per-document PII hit counts (email, phone, ip) for audit metrics."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0))),
+    )
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Gopher-style repetition quality signal: fraction of duplicate
+    word n-grams per document.  All array ops on the row — a narrow map,
+    no shuffle; heavily repetitive (boilerplate / spam) docs score high."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        id_col,
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        F.round(
+            (n_grams - n_distinct) / F.greatest(n_grams, F.lit(1)).cast("double"), 6
+        ).alias("dup_gram_ratio"),
+    )
+
+
+def split_assign(id_col: Column, val_pct: int = 5, test_pct: int = 5) -> Column:
+    """Deterministic train/val/test split by stable hash of the id —
+    reproducible across engines and runs, no RNG state.  Buckets 0-99:
+    [0, val) = val, [val, val+test) = test, rest train."""
+    bucket = stable_hash64(id_col.cast("string")) % 100
+    return (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
 def rolling_hashes(text: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprints: stable hash of each
     ``window``-gram of tokens (array of hashes; pair with explode +

@@ -268,3 +268,51 @@ def test_dedupe_near_transitive_clusters(spark):
         ).collect()
     )
     assert kept == [1, 9]
+
+
+def test_scrub_pii_placeholders(spark):
+    from fluxgraph_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@example.co.uk or call +1 (555) 123-4567 from 10.0.0.1"),
+         (2, "no pii here")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        TX.scrub_pii(F.col("text")).alias("clean"),
+        *[c.alias(n) for c, n in zip(TX.pii_counts(F.col("text")), ["ne", "np", "ni"])],
+    ).collect()}
+    assert rows[1]["ne"] == 1 and rows[1]["np"] == 1 and rows[1]["ni"] == 1
+    assert "<EMAIL>" in rows[1]["clean"] and "<PHONE>" in rows[1]["clean"] and "<IP>" in rows[1]["clean"]
+    assert "example" not in rows[1]["clean"] and "555" not in rows[1]["clean"]
+    assert rows[2]["clean"] == "no pii here" and rows[2]["ne"] == 0
+
+
+def test_repetition_metrics(spark):
+    from fluxgraph_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct
+         (2, "all words unique here now")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in TX.repetition_metrics(df).collect()}
+    assert rows[1]["n_grams"] == 7 and rows[1]["n_distinct_grams"] == 3
+    assert rows[1]["dup_gram_ratio"] == round(4 / 7, 6)
+    assert rows[2]["dup_gram_ratio"] == 0.0
+
+
+def test_split_assign_deterministic_partition(spark):
+    from fluxgraph_spark.functions import text as TX
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out1 = {r["doc_id"]: r["split"] for r in df.select(
+        "doc_id", TX.split_assign(F.col("doc_id")).alias("split")).collect()}
+    # same assignment at different parallelism (no RNG state)
+    out2 = {r["doc_id"]: r["split"] for r in df.repartition(7).select(
+        "doc_id", TX.split_assign(F.col("doc_id")).alias("split")).collect()}
+    assert out1 == out2
+    counts = {s: sum(1 for v in out1.values() if v == s) for s in {"train", "val", "test"}}
+    # ~90/5/5 with hash noise
+    assert counts["train"] > 800 and 10 < counts["val"] < 100 and 10 < counts["test"] < 100
