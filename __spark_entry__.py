@@ -414,18 +414,26 @@ def q_g_copurchase_top(spark, sf_dir):
     quadratic in parts — the same shape as co-citation / co-click
     mining at 100 TB."""
     _, _, e = _graph(spark, sf_dir)
-    contains = (
-        e.where(F.col("label") == "contains")
-        .select(F.col("src").alias("order_id"), F.col("dst").alias("part_id"))
-        .distinct()
+    contains = e.where(F.col("label") == "contains").select(
+        F.col("src").alias("order_id"), F.col("dst").alias("part_id")
+    )
+    # array-native pair expansion: ONE shuffle collects each order's
+    # distinct sorted parts, then pairs expand as a narrow map (bounded
+    # by order size ~7) — replaces distinct + self-join (3 shuffles)
+    per_order = contains.groupBy("order_id").agg(
+        F.array_sort(F.collect_set("part_id")).alias("ps")
     )
     pairs = (
-        contains.alias("a")
-        .join(contains.alias("b"), "order_id")
-        .where(F.col("a.part_id") < F.col("b.part_id"))
-        .groupBy(
-            F.col("a.part_id").alias("part_a"), F.col("b.part_id").alias("part_b")
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("n_orders"))
     )
     top = pairs.orderBy(

@@ -36,6 +36,11 @@ HEADLINE = [
     "x_quality",                # text quality scoring
     "s_cosine_topk",            # similarity search
     "pipeline_corpus",          # end-to-end quality->langid->dedup pipeline
+    "r_order_priority",         # semi-join (EXISTS)
+    "r_rollup_revenue",         # ROLLUP multi-level agg
+    "t_range_join",             # bucketed interval/band join
+    "g_copurchase_top",         # co-occurrence self-join
+    "x_repetition",             # dup-n-gram repetition signal
 ]
 
 

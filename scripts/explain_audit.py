@@ -44,6 +44,24 @@ AUDITED = [
     "x_quality",
     "s_cosine_topk",
     "pipeline_corpus",
+    # relational / window / band-join extensions
+    "r_order_priority",
+    "r_inactive_customers",
+    "r_promo_share",
+    "r_big_orders",
+    "r_disjunctive_rev",
+    "r_rollup_revenue",
+    "r_small_quantity_rev",
+    "r_top_supplier",
+    "t_time_buckets",
+    "t_range_join",
+    "x_percentiles",
+    "x_rolling",
+    "x_scrub",
+    "x_repetition",
+    "x_split",
+    "k_sketches",
+    "g_copurchase_top",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -62,6 +80,16 @@ NO_PUSHDOWN_EXPECTED = {
     "t_sessionize",
     "t_asof_join",
     "pipeline_corpus",      # quality filter is a derived expression
+    "r_order_priority",     # the only filter is the join-time shipdate arithmetic
+    "r_big_orders",         # HAVING on an aggregate — nothing scan-level
+    "r_rollup_revenue",     # full-table rollup
+    "r_small_quantity_rev", # threshold is a derived per-part aggregate
+    "t_time_buckets",       # full-events rollup
+    "x_percentiles",        # full-events agg
+    "x_rolling",            # full-events window
+    "x_scrub", "x_repetition", "x_split",  # full-corpus narrow maps
+    "k_sketches",           # full-events sketch agg
+    "g_copurchase_top",     # label predicate folds into union-branch pruning
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -75,6 +103,17 @@ NO_BROADCAST_EXPECTED = {
     "t_asof_join",
     "s_cosine_topk",
     "pipeline_corpus",      # pure per-document maps + one window — no joins
+    "r_order_priority",     # orders/lineitem semi-join: AQE decides at runtime
+    "r_inactive_customers", # customer/orders anti-join: AQE decides
+    "r_promo_share",        # lineitem/part join: AQE decides
+    "r_big_orders",
+    "r_disjunctive_rev",
+    "r_small_quantity_rev",
+    "t_time_buckets",       # no joins
+    "t_range_join",         # point/interval equi-join: AQE decides
+    "x_percentiles", "x_rolling", "x_scrub", "x_repetition", "x_split",
+    "k_sketches",
+    "g_copurchase_top",     # order-keyed self-join: AQE decides
 }
 
 
