@@ -349,6 +349,33 @@ def q_t_state_diff(spark, sf_dir):
     return f1.join(f2, ["user_id", "attr", "value_str"], "left_anti")
 
 
+def q_t_versions_at(spark, sf_dir):
+    """Temporal overlap analytics: how many user-state versions were
+    valid at each daily checkpoint (Jan 2..Jan 31)?  The scale shape is
+    the narrow interval->checkpoint expansion (each version explodes
+    into only the checkpoints it covers), NOT a theta join of versions x
+    checkpoints — work scales with overlaps, and the only shuffle is
+    the final count at checkpoint granularity."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    scd = TP.scd2_from_change_events(ev.select("user_id", "ts"), ["user_id"], "ts")
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+    end_us = base_us + 31 * 86_400_000_000  # clip open versions at Feb 1
+    day_us = 86_400_000_000
+    vf = F.unix_micros(F.col("valid_from")) - F.lit(base_us)
+    vt = (
+        F.coalesce(F.unix_micros(F.col("valid_to")), F.lit(end_us)) - F.lit(base_us)
+    )
+    # checkpoint k (at base + k days) is covered iff vf <= k*day < vt
+    kmin = F.greatest(F.floor((vf + day_us - 1) / day_us), F.lit(1)).cast("long")
+    kmax = F.least(F.floor((vt - 1) / day_us), F.lit(30)).cast("long")
+    covered = (
+        scd.select(kmin.alias("kmin"), kmax.alias("kmax"))
+        .where(F.col("kmin") <= F.col("kmax"))
+        .select(F.explode(F.sequence("kmin", "kmax")).alias("day_idx"))
+    )
+    return covered.groupBy("day_idx").agg(F.count("*").alias("n_versions"))
+
+
 def q_t_sessionize(spark, sf_dir):
     """Sessionization: 30-minute inactivity gap starts a new session
     (lag + running sum — the batch analog of session_window)."""
@@ -1090,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_sessionize": q_t_sessionize,
         "t_state_diff": q_t_state_diff,
         "t_range_join": q_t_range_join,
+        "t_versions_at": q_t_versions_at,
         # relational surface
         "pricing_summary": q_pricing_summary,
         "top_orders_building": q_top_orders_building,
@@ -1433,6 +1461,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, attr, value_str FROM f1
         EXCEPT
         SELECT user_id, attr, value_str FROM f2
+        """,
+        "t_versions_at": """
+        WITH scd AS (
+          SELECT user_id, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+          FROM events
+        ),
+        days AS (SELECT UNNEST(generate_series(1, 30)) AS day_idx)
+        SELECT d.day_idx, count(*) AS n_versions
+        FROM scd s JOIN days d
+          ON TIMESTAMP '2024-01-01' + to_days(CAST(d.day_idx AS INT)) >= s.valid_from
+         AND TIMESTAMP '2024-01-01' + to_days(CAST(d.day_idx AS INT))
+             < COALESCE(s.valid_to, TIMESTAMP '2024-02-01')
+        GROUP BY d.day_idx
         """,
         "t_range_join": """
         SELECT p.event_id AS purchase_id, p.user_id, count(*) AS n_clicks

@@ -119,6 +119,43 @@ def scd2_from_change_events(
     )
 
 
+def scd2_upsert(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "valid_from",
+) -> DataFrame:
+    """Batch-merge a change set into an SCD2 table: for each key with
+    changes, the open version closes at the first change's timestamp and
+    the changes append as new versions (each valid until the key's next
+    change).  Keys without changes pass through untouched.
+
+    This is the incremental bulk write path (the set-at-a-time twin of
+    the reference's one-transaction-per-mutation C5/C7): one window pass
+    over (existing ∪ changes) per affected key, one anti-join for the
+    untouched remainder — no driver-side loop, so a 100 TB ingest batch
+    is two shuffles regardless of row count.  Version indexes are
+    recomputed per key, preserving the scd2_from_change_events
+    invariant: the merged table is identical to rebuilding from the
+    full concatenated change history (test-pinned).
+    """
+    value_cols = [
+        c
+        for c in current.columns
+        if c not in {*key_cols, ts_col, "valid_to", "version_idx", "is_current"}
+    ]
+    touched_keys = changes.select(*key_cols).distinct()
+    untouched = current.join(touched_keys, key_cols, "left_anti")
+    affected_history = current.join(touched_keys, key_cols, "left_semi").select(
+        *key_cols, F.col(ts_col), *value_cols
+    )
+    merged = affected_history.unionByName(
+        changes.select(*key_cols, F.col(ts_col), *value_cols)
+    )
+    rebuilt = scd2_from_change_events(merged, key_cols, ts_col)
+    return untouched.unionByName(rebuilt.select(*untouched.columns))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -209,3 +209,45 @@ def test_interval_join_matches_naive_theta(spark):
     # boundary semantics: start inclusive (pid 1 in 100), end exclusive
     # (pid 5 NOT in 100 but in 103)
     assert (1, 100) in got and (5, 100) not in got and (5, 103) in got
+
+
+def test_scd2_upsert_equals_full_rebuild(spark):
+    """Incremental SCD2 upsert == rebuilding from the concatenated
+    change history (keys with and without changes, late new keys)."""
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.operators import temporal as TP
+
+    def ev(uid, day, val):
+        return (uid, datetime.datetime(2024, 1, day), val)
+
+    first = spark.createDataFrame(
+        [ev(1, 1, "a"), ev(1, 3, "b"), ev(2, 2, "x"), ev(3, 1, "q")],
+        ["user_id", "ts", "state"],
+    )
+    second = spark.createDataFrame(
+        # user 1 gets more changes, user 4 is brand new, users 2/3 untouched
+        [ev(1, 5, "c"), ev(4, 4, "n")],
+        ["user_id", "ts", "state"],
+    )
+    current = TP.scd2_from_change_events(first, ["user_id"], "ts").select(
+        "user_id", F.col("ts").alias("valid_from"), "state",
+        "valid_to", "version_idx", "is_current",
+    )
+    upserted = TP.scd2_upsert(
+        current, second.select("user_id", F.col("ts").alias("valid_from"), "state"),
+        ["user_id"],
+    )
+    rebuilt = TP.scd2_from_change_events(
+        first.unionByName(second), ["user_id"], "ts"
+    ).select(
+        "user_id", F.col("ts").alias("valid_from"), "state",
+        "valid_to", "version_idx", "is_current",
+    )
+    key = lambda r: (r["user_id"], r["valid_from"])
+    assert sorted(map(tuple, upserted.collect()), key=lambda t: (t[0], t[1])) == \
+           sorted(map(tuple, rebuilt.collect()), key=lambda t: (t[0], t[1]))
+    # user 1's old open version must now be closed
+    u1 = {r["version_idx"]: r for r in upserted.where(F.col("user_id") == 1).collect()}
+    assert u1[2]["is_current"] is False and u1[2]["valid_to"] is not None
+    assert u1[3]["state"] == "c" and u1[3]["is_current"] is True
