@@ -855,6 +855,44 @@ def q_x_rolling(spark, sf_dir):
     )
 
 
+def q_x_json_extract(spark, sf_dir):
+    """JSON path extraction from the event props column (semi-structured
+    surface): per event type, stats over props.k.  get_json_object is
+    JVM-side — no Python in the hot path; at 100 TB prefer from_json
+    with an explicit schema once the shape is known (single parse,
+    typed columns)."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_r_topk_per_group(spark, sf_dir):
+    """Per-group top-k: top 3 parts per brand by shipped quantity.
+    Pre-aggregate to (brand, part) BEFORE the rank window, so the window
+    sorts part-cardinality rows per brand — never raw lineitems."""
+    t = tpch.read_tables(spark, sf_dir)
+    agg = (
+        t["lineitem"]
+        .join(
+            t["part"].select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.col("total_qty").desc(), F.col("p_partkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "total_qty", "rank")
+    )
+
+
 def q_x_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (p50/p90/p99) of event value cents
     per event type — Spark `percentile` == ANSI percentile_cont ==
@@ -1135,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_top_supplier": q_r_top_supplier,
         "t_time_buckets": q_t_time_buckets,
         "x_rolling": q_x_rolling,
+        "x_json_extract": q_x_json_extract,
+        "r_topk_per_group": q_r_topk_per_group,
         "x_percentiles": q_x_percentiles,
         "k_sketches": q_k_sketches,
         # training-data pipeline surface
@@ -1646,6 +1686,26 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n,
                sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
         FROM events GROUP BY 1, 2
+        """,
+        "x_json_extract": """
+        SELECT event_type,
+               count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+        """,
+        "r_topk_per_group": """
+        SELECT p_brand, p_partkey, total_qty, rank FROM (
+          SELECT p.p_brand, p.p_partkey,
+                 sum(CAST(round(l.l_quantity) AS BIGINT)) AS total_qty,
+                 row_number() OVER (
+                   PARTITION BY p.p_brand
+                   ORDER BY sum(CAST(round(l.l_quantity) AS BIGINT)) DESC, p.p_partkey
+                 ) AS rank
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          GROUP BY p.p_brand, p.p_partkey
+        ) WHERE rank <= 3
         """,
         "x_rolling": """
         SELECT event_id, user_id,
