@@ -220,6 +220,15 @@ def q_g_components_star(spark, sf_dir):
     return comp.groupBy("component").agg(F.count("*").alias("n_vertices"))
 
 
+def q_g_lpa_communities(spark, sf_dir):
+    """Synchronous label-propagation community detection, 4 fixed
+    supersteps (deterministic argmax tie-break -> SQL-replayable);
+    community size distribution."""
+    _, _, e = _graph(spark, sf_dir)
+    lab = AN.label_propagation(e.select("src", "dst"), num_iters=4)
+    return lab.groupBy("community").agg(F.count("*").alias("n_vertices"))
+
+
 def q_g_touch_count_3hop(spark, sf_dir):
     """The reference benchmark's elements-touched counter
     (FluxBenchmarkTestSuite.java:30-56) on the located_in/part_of
@@ -1145,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_components_star": q_g_components_star,
         "g_touch_count_3hop": q_g_touch_count_3hop,
         "g_bfs_levels": q_g_bfs_levels,
+        "g_lpa_communities": q_g_lpa_communities,
         "g_copurchase_top": q_g_copurchase_top,
         # temporal surface
         "t_scd2_versions": q_t_scd2_versions,
@@ -1332,6 +1342,34 @@ SELECT component, count(*) AS n_vertices FROM c{iters} GROUP BY component
     )
 
 
+def _lpa_sql(iters: int = 4) -> str:
+    """Chained-CTE replay of fixed-superstep synchronous LPA with the
+    deterministic (max count, then min label) tie-break."""
+    ctes = """
+e AS MATERIALIZED (SELECT src, dst FROM ge),
+sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+l0 AS (SELECT id, id AS label FROM verts)"""
+    for k in range(iters):
+        ctes += f""",
+m{k} AS MATERIALIZED (SELECT s.dst AS id, c.label, count(*) AS n
+         FROM sym s JOIN l{k} c ON c.id = s.src GROUP BY s.dst, c.label),
+l{k + 1} AS MATERIALIZED (SELECT v.id, COALESCE(w.label, v.id) AS label
+             FROM verts v LEFT JOIN (
+               SELECT id, label FROM (
+                 SELECT id, label,
+                        row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn
+                 FROM m{k}) WHERE rn = 1) w ON w.id = v.id)"""
+    return (
+        GRAPH_CTES.rstrip()
+        + ","
+        + ctes
+        + f"""
+SELECT label AS community, count(*) AS n_vertices FROM l{iters} GROUP BY label
+"""
+    )
+
+
 def _bfs_sql(iters: int = 4) -> str:
     """Chained-CTE replay of fixed-superstep multi-source BFS from the
     region vertices over the reversed graph."""
@@ -1366,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id, name FROM gv WHERE kind = 'customer' AND nationkey = 7",
         "g_pagerank_top10": _pagerank_sql(3),
         "g_bfs_levels": _bfs_sql(4),
+        "g_lpa_communities": _lpa_sql(4),
         "g_copurchase_top": GRAPH_CTES
         + """
         , con AS (SELECT DISTINCT src AS order_id, dst AS part_id

@@ -187,6 +187,53 @@ def bfs_levels(
     return dist
 
 
+def label_propagation(
+    edges: DataFrame,
+    num_iters: int = 4,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA): every
+    vertex starts in its own community; each superstep it adopts the
+    most frequent label among its neighbors (deterministic tie-break:
+    smallest label wins), vertices with no neighbors keep their label.
+
+    Fully deterministic — the argmax is computed as
+    ``max(struct(count, -label))`` so a fixed-iteration SQL oracle can
+    replay the exact recurrence.  One neighbor-count shuffle plus one
+    argmax shuffle per superstep, both keyed by vertex id; the
+    symmetrized edge list is hash-partitioned once and reused.
+    """
+    e = edges.select(M.SRC, M.DST)
+    sym = (
+        e.unionByName(e.select(F.col(M.DST).alias(M.SRC), F.col(M.SRC).alias(M.DST)))
+        .distinct()
+        .repartition(M.SRC)
+        .persist()
+    )
+    sym.count()  # eager — see connected_components
+    labels = (
+        sym.select(F.col(M.SRC).alias(M.ID)).distinct().withColumn(
+            "label", F.col(M.ID)
+        )
+    )
+    for i in range(num_iters):
+        msgs = sym.join(labels.withColumnRenamed(M.ID, M.SRC), M.SRC).select(
+            F.col(M.DST).alias(M.ID), "label"
+        )
+        counts = msgs.groupBy(M.ID, "label").agg(F.count("*").alias("n"))
+        winners = (
+            counts.groupBy(M.ID)
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("w"))
+            .select(M.ID, (-F.col("w.neg")).alias("label"))
+        )
+        labels = labels.select(M.ID).join(winners, M.ID, "left").select(
+            M.ID, F.coalesce("label", F.col(M.ID)).alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
+    return labels.select(M.ID, F.col("label").alias("community"))
+
+
 def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     """Weakly-connected components by large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",

@@ -146,3 +146,35 @@ def test_bfs_levels_multi_source_min(spark):
     }
     # 3 is 2 hops from 1 but 1 hop from 5 — min wins
     assert got == {1: 0, 5: 0, 2: 1, 3: 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    from fluxgraph_spark.operators import analytics as AN
+
+    # two 4-cliques joined by one bridge edge: LPA floods each clique
+    # with its min id; the bridge is outvoted
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    e = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        ["src", "dst"],
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in AN.label_propagation(e, num_iters=6).collect()
+    }
+    assert set(got[i] for i in [1, 2, 3, 4]) == {1}
+    assert set(got[i] for i in [10, 11, 12, 13]) == {10}
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from fluxgraph_spark.operators import analytics as AN
+
+    # vertex 3 sees one '1' and one '2' neighbor label -> min label wins
+    e = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
+    got = {
+        r["id"]: r["community"]
+        for r in AN.label_propagation(e, num_iters=1).collect()
+    }
+    assert got[3] == 1
