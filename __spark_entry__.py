@@ -864,6 +864,46 @@ def q_x_rolling(spark, sf_dir):
     )
 
 
+def q_r_pivot_status(spark, sf_dir):
+    """Pivot: order counts + totalprice cents by priority, one column
+    per order status.  Spark's pivot with explicit values compiles to a
+    single conditional aggregation — one shuffle, no per-status scans."""
+    o = tpch.read_tables(spark, sf_dir)["orders"]
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+def q_r_cube_stats(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four aggregation levels in
+    one pass with grouping_id (the grouping-sets twin of
+    r_rollup_revenue)."""
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("price_cents"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "price_cents",
+            "lvl",
+        )
+    )
+
+
 def q_x_json_extract(spark, sf_dir):
     """JSON path extraction from the event props column (semi-structured
     surface): per event type, stats over props.k.  get_json_object is
@@ -1185,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rolling": q_x_rolling,
         "x_json_extract": q_x_json_extract,
         "r_topk_per_group": q_r_topk_per_group,
+        "r_pivot_status": q_r_pivot_status,
+        "r_cube_stats": q_r_cube_stats,
         "x_percentiles": q_x_percentiles,
         "k_sketches": q_k_sketches,
         # training-data pipeline surface
@@ -1725,6 +1767,22 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n,
                sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
         FROM events GROUP BY 1, 2
+        """,
+        "r_pivot_status": """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        FROM orders GROUP BY o_orderpriority
+        """,
+        "r_cube_stats": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_rows,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS lvl
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "x_json_extract": """
         SELECT event_type,
