@@ -220,6 +220,34 @@ def q_g_components_star(spark, sf_dir):
     return comp.groupBy("component").agg(F.count("*").alias("n_vertices"))
 
 
+def q_g_sssp_weighted(spark, sf_dir):
+    """Weighted multi-source shortest paths (Bellman-Ford supersteps,
+    4 fixed iterations -> SQL-replayable): from January-1995 orders,
+    structural edges cost 1, contains edges cost their quantity;
+    per-kind reach stats.  Integer-valued weights keep the double
+    arithmetic exact, so min-over-paths is engine-independent."""
+    _, v, e = _graph(spark, sf_dir)
+    we = e.where(
+        F.col("label").isin("placed_by", "located_in", "part_of", "contains")
+    ).select("src", "dst", F.coalesce("quantity", F.lit(1.0)).alias("weight"))
+    sources = v.where(
+        (F.col("kind") == "order")
+        & (F.col("orderdate") >= F.lit("1995-01-01"))
+        & (F.col("orderdate") < F.lit("1995-02-01"))
+    ).select("id")
+    dist = AN.sssp(we, sources, "weight", max_iters=4)
+    return (
+        dist.join(v.select("id", "kind"), "id")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.min("dist").cast("long").alias("min_dist"),
+            F.max("dist").cast("long").alias("max_dist"),
+        )
+    )
+
+
 def q_g_lpa_communities(spark, sf_dir):
     """Synchronous label-propagation community detection, 4 fixed
     supersteps (deterministic argmax tie-break -> SQL-replayable);
@@ -1195,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_touch_count_3hop": q_g_touch_count_3hop,
         "g_bfs_levels": q_g_bfs_levels,
         "g_lpa_communities": q_g_lpa_communities,
+        "g_sssp_weighted": q_g_sssp_weighted,
         "g_copurchase_top": q_g_copurchase_top,
         # temporal surface
         "t_scd2_versions": q_t_scd2_versions,
@@ -1384,6 +1413,37 @@ SELECT component, count(*) AS n_vertices FROM c{iters} GROUP BY component
     )
 
 
+def _sssp_sql(iters: int = 4) -> str:
+    """Chained-CTE replay of fixed-superstep weighted Bellman-Ford from
+    the January-1995 order vertices."""
+    ctes = """
+we AS MATERIALIZED (
+  SELECT src, dst, COALESCE(quantity, 1.0) AS w FROM ge
+  WHERE label IN ('placed_by', 'located_in', 'part_of', 'contains')),
+d0 AS (SELECT id, CAST(0 AS DOUBLE) AS dist FROM gv
+       WHERE kind = 'order'
+         AND orderdate >= DATE '1995-01-01' AND orderdate < DATE '1995-02-01')"""
+    for k in range(iters):
+        ctes += f""",
+m{k} AS MATERIALIZED (SELECT e.dst AS id, min(d.dist + e.w) AS dist
+         FROM we e JOIN d{k} d ON d.id = e.src GROUP BY e.dst),
+d{k + 1} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM d{k} UNION ALL SELECT id, dist FROM m{k}
+           ) GROUP BY id)"""
+    return (
+        GRAPH_CTES.rstrip()
+        + ","
+        + ctes
+        + f"""
+SELECT v.kind, count(*) AS n_reached,
+       CAST(sum(d.dist) AS BIGINT) AS sum_dist,
+       CAST(min(d.dist) AS BIGINT) AS min_dist,
+       CAST(max(d.dist) AS BIGINT) AS max_dist
+FROM d{iters} d JOIN gv v ON v.id = d.id GROUP BY v.kind
+"""
+    )
+
+
 def _lpa_sql(iters: int = 4) -> str:
     """Chained-CTE replay of fixed-superstep synchronous LPA with the
     deterministic (max count, then min label) tie-break."""
@@ -1447,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank_top10": _pagerank_sql(3),
         "g_bfs_levels": _bfs_sql(4),
         "g_lpa_communities": _lpa_sql(4),
+        "g_sssp_weighted": _sssp_sql(4),
         "g_copurchase_top": GRAPH_CTES
         + """
         , con AS (SELECT DISTINCT src AS order_id, dst AS part_id

@@ -187,6 +187,48 @@ def bfs_levels(
     return dist
 
 
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_iters: int = 4,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Single/multi-source shortest paths over weighted edges
+    (Bellman-Ford as DataFrame supersteps): dist[dst] = min(dist[dst],
+    min over in-edges (dist[src] + w)).  Fixed ``max_iters`` supersteps
+    (= max path length relaxed) so a chained-CTE SQL oracle replays the
+    recurrence; unreached vertices are absent.
+
+    Same scale shape as :func:`bfs_levels`: the weighted edge list is
+    hash-partitioned by src once; each superstep moves only (id, dist).
+    With integer-valued weights the double arithmetic is exact, so the
+    min over alternative paths is engine-independent.
+    """
+    e = (
+        edges.select(M.SRC, M.DST, F.col(weight_col).cast("double").alias("w"))
+        .repartition(M.SRC)
+        .persist()
+    )
+    e.count()  # eager — see connected_components
+    dist = sources.select(F.col(sources.columns[0]).alias(M.ID)).distinct().withColumn(
+        "dist", F.lit(0.0)
+    )
+    for i in range(max_iters):
+        msgs = (
+            e.join(dist.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            .select(F.col(M.DST).alias(M.ID), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            msgs.unionByName(dist)
+            .groupBy(M.ID)
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint()
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     num_iters: int = 4,

@@ -178,3 +178,29 @@ def test_label_propagation_deterministic_tiebreak(spark):
         for r in AN.label_propagation(e, num_iters=1).collect()
     }
     assert got[3] == 1
+
+
+def test_sssp_weighted_relaxation(spark):
+    from fluxgraph_spark.operators import analytics as AN
+
+    # 1 -> 2 (w=10) -> 3 (w=1); direct 1 -> 3 (w=100): two-hop path wins
+    e = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 3, 1.0), (1, 3, 100.0)], ["src", "dst", "weight"]
+    )
+    src = spark.createDataFrame([(1,)], ["id"])
+    got = {r["id"]: r["dist"] for r in AN.sssp(e, src, max_iters=4).collect()}
+    assert got == {1: 0.0, 2: 10.0, 3: 11.0}
+
+
+def test_sssp_needs_enough_supersteps(spark):
+    from fluxgraph_spark.operators import analytics as AN
+
+    # chain 1->2->3->4, one relaxation per superstep
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)], ["src", "dst", "weight"]
+    )
+    src = spark.createDataFrame([(1,)], ["id"])
+    got1 = {r["id"]: r["dist"] for r in AN.sssp(e, src, max_iters=1).collect()}
+    assert 4 not in got1 and got1[2] == 1.0
+    got3 = {r["id"]: r["dist"] for r in AN.sssp(e, src, max_iters=3).collect()}
+    assert got3[4] == 3.0

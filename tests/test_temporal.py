@@ -251,3 +251,39 @@ def test_scd2_upsert_equals_full_rebuild(spark):
     u1 = {r["version_idx"]: r for r in upserted.where(F.col("user_id") == 1).collect()}
     assert u1[2]["is_current"] is False and u1[2]["valid_to"] is not None
     assert u1[3]["state"] == "c" and u1[3]["is_current"] is True
+
+
+def test_interval_join_randomized_matches_naive(spark):
+    """Property-style: bucketed interval_join == naive theta join on
+    randomized (seeded) points/intervals across bucket widths."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.operators import temporal as TP
+
+    rng = random.Random(20260813)
+    base = datetime.datetime(2024, 1, 1)
+    us = lambda m: base + datetime.timedelta(minutes=m)
+    points = [(i, f"k{rng.randrange(3)}", us(rng.randrange(0, 3000))) for i in range(120)]
+    ivs = []
+    for i in range(60):
+        start = rng.randrange(0, 3000)
+        ivs.append((100 + i, f"k{rng.randrange(3)}", us(start), us(start + rng.randrange(1, 600))))
+    pdf = spark.createDataFrame(points, ["pid", "key", "pts"])
+    idf = spark.createDataFrame(ivs, ["iid", "key", "start", "end"])
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pdf.join(idf, "key")
+        .where((F.col("pts") >= F.col("start")) & (F.col("pts") < F.col("end")))
+        .collect()
+    )
+    for hours in (1, 6, 48):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in TP.interval_join(
+                pdf, idf, ["key"], "pts", "start", "end",
+                bucket=datetime.timedelta(hours=hours),
+            ).collect()
+        )
+        assert got == naive, f"bucket={hours}h"
