@@ -220,6 +220,22 @@ def q_g_components_star(spark, sf_dir):
     return comp.groupBy("component").agg(F.count("*").alias("n_vertices"))
 
 
+def q_g_ppr_top10(spark, sf_dir):
+    """Personalized PageRank from the customers of nation 7 (3 fixed
+    iterations, restart mass to the source set), top 10 — proximity
+    ranking around a seed set, SQL-replayable like g_pagerank_top10."""
+    _, v, e = _graph(spark, sf_dir)
+    sources = v.where(
+        (F.col("kind") == "customer") & (F.col("nationkey") == 7)
+    ).select("id")
+    pr = AN.pagerank_personalized(e.select("src", "dst"), sources, num_iters=3)
+    top = pr.orderBy(F.col("pagerank").desc(), F.col("id")).limit(10)
+    w = W.orderBy(F.col("pagerank").desc(), F.col("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "id", F.round("pagerank", 6).alias("pagerank"), "rank"
+    )
+
+
 def q_g_sssp_weighted(spark, sf_dir):
     """Weighted multi-source shortest paths (Bellman-Ford supersteps,
     4 fixed iterations -> SQL-replayable): from January-1995 orders,
@@ -1224,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bfs_levels": q_g_bfs_levels,
         "g_lpa_communities": q_g_lpa_communities,
         "g_sssp_weighted": q_g_sssp_weighted,
+        "g_ppr_top10": q_g_ppr_top10,
         "g_copurchase_top": q_g_copurchase_top,
         # temporal surface
         "t_scd2_versions": q_t_scd2_versions,
@@ -1413,6 +1430,40 @@ SELECT component, count(*) AS n_vertices FROM c{iters} GROUP BY component
     )
 
 
+def _ppr_sql(iters: int = 3) -> str:
+    """Chained-CTE replay of fixed-iteration personalized PageRank
+    seeded at the customers of nation 7 (same recurrence as
+    analytics.pagerank_personalized)."""
+    ctes = """
+e AS MATERIALIZED (SELECT src, dst FROM ge),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+srcs AS MATERIALIZED (SELECT id FROM gv WHERE kind = 'customer' AND nationkey = 7),
+iss AS MATERIALIZED (SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS s
+        FROM verts v LEFT JOIN srcs s ON s.id = v.id),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
+r0 AS (SELECT i.id, i.s / ns.n AS rank FROM iss i CROSS JOIN ns)"""
+    for k in range(iters):
+        ctes += f""",
+m{k} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / o.outdeg) AS contrib
+         FROM e JOIN r{k} r ON r.id = e.src JOIN outdeg o ON o.id = e.src
+         GROUP BY e.dst),
+r{k + 1} AS MATERIALIZED (SELECT i.id,
+             CAST(0.15 AS DOUBLE) * i.s / ns.n
+             + CAST(0.85 AS DOUBLE) * COALESCE(m.contrib, 0) AS rank
+             FROM iss i CROSS JOIN ns LEFT JOIN m{k} m ON m.id = i.id)"""
+    return (
+        GRAPH_CTES.rstrip()
+        + ","
+        + ctes
+        + f"""
+SELECT id, round(rank, 6) AS pagerank, rank_no AS rank FROM (
+  SELECT id, rank, row_number() OVER (ORDER BY rank DESC, id) AS rank_no FROM r{iters}
+) WHERE rank_no <= 10
+"""
+    )
+
+
 def _sssp_sql(iters: int = 4) -> str:
     """Chained-CTE replay of fixed-superstep weighted Bellman-Ford from
     the January-1995 order vertices."""
@@ -1508,6 +1559,7 @@ def oracle_sql() -> dict[str, str]:
         "g_bfs_levels": _bfs_sql(4),
         "g_lpa_communities": _lpa_sql(4),
         "g_sssp_weighted": _sssp_sql(4),
+        "g_ppr_top10": _ppr_sql(3),
         "g_copurchase_top": GRAPH_CTES
         + """
         , con AS (SELECT DISTINCT src AS order_id, dst AS part_id

@@ -81,6 +81,53 @@ def pagerank(
     return ranks.select(M.ID, F.col("rank").alias("pagerank"))
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    sources: DataFrame,
+    num_iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Personalized PageRank: the restart mass returns to the source set
+    instead of spreading uniformly —
+    r_{t+1}(v) = (1-d)*[v∈S]/|S| + d * Σ_{(u,v)∈E} r_t(u)/outdeg(u),
+    r_0 = uniform over S.  Ranks measure proximity to the sources.
+
+    Same fixed-iteration pure-relational recurrence as :func:`pagerank`
+    (no dangling-mass redistribution), so a chained-CTE SQL oracle can
+    replay it; same scale shape (cached src-partitioned edges, only the
+    rank table moves per superstep)."""
+    edges = edges.select(M.SRC, M.DST).repartition(M.SRC).persist()
+    edges.count()  # eager — see pagerank
+    verts = _vertices_of(edges).persist()
+    src_set = sources.select(F.col(sources.columns[0]).alias(M.ID)).distinct()
+    n_src = src_set.count()
+    outdeg = edges.groupBy(F.col(M.SRC).alias(M.ID)).agg(
+        F.count("*").alias("outdeg")
+    )
+    is_src = verts.join(src_set.withColumn("__s", F.lit(1)), M.ID, "left").select(
+        M.ID, F.coalesce("__s", F.lit(0)).alias("__s")
+    ).persist()
+    ranks = is_src.select(M.ID, (F.col("__s") / n_src).alias("rank"))
+    for i in range(num_iters):
+        contribs = (
+            edges.join(ranks.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            .join(outdeg.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            .groupBy(F.col(M.DST).alias(M.ID))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = is_src.join(contribs, M.ID, "left").select(
+            M.ID,
+            (
+                F.lit(1.0 - damping) * F.col("__s") / n_src
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(M.ID, F.col("rank").alias("pagerank"))
+
+
 def connected_components(
     edges: DataFrame,
     max_iters: int = 20,

@@ -204,3 +204,17 @@ def test_sssp_needs_enough_supersteps(spark):
     assert 4 not in got1 and got1[2] == 1.0
     got3 = {r["id"]: r["dist"] for r in AN.sssp(e, src, max_iters=3).collect()}
     assert got3[4] == 3.0
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    from fluxgraph_spark.operators import analytics as AN
+
+    # star: 1 -> 2,3; far component 10 -> 11.  Seeding at 1 gives the
+    # far pair zero rank; 2/3 split 1's damped mass equally.
+    e = spark.createDataFrame([(1, 2), (1, 3), (10, 11)], ["src", "dst"])
+    src = spark.createDataFrame([(1,)], ["id"])
+    got = {r["id"]: r["pagerank"] for r in
+           AN.pagerank_personalized(e, src, num_iters=3).collect()}
+    assert got[10] == 0.0 and got[11] == 0.0
+    assert abs(got[2] - got[3]) < 1e-12 and got[2] > 0
+    assert got[1] > got[2]  # restart mass keeps the seed on top here
