@@ -373,6 +373,29 @@ def q_t_asof_join(spark, sf_dir):
     )
 
 
+def q_t_asof_join_fwd(spark, sf_dir):
+    """Forward as-of join (the mirror of t_asof_join): each purchase
+    gets the user's NEXT click value at-or-after the purchase — same
+    tagged-union + one-window-pass shape, reversed frame."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("next_click_value")
+    )
+    joined = TP.asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["next_click_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("next_click_value"), 6).alias("next_click_value"),
+    )
+
+
 def q_t_state_diff(spark, sf_dir):
     """P10 fact-diff semantics set-at-a-time: each user's state facts
     as-of Jan 10 minus the facts still true as-of Jan 20 (facts1 minus
@@ -1248,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_version_counts": q_t_version_counts,
         "t_validity_intervals": q_t_validity_intervals,
         "t_asof_join": q_t_asof_join,
+        "t_asof_join_fwd": q_t_asof_join_fwd,
         "t_sessionize": q_t_sessionize,
         "t_state_diff": q_t_state_diff,
         "t_range_join": q_t_range_join,
@@ -1658,6 +1682,14 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
           ON c.user_id = p.user_id AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+        """,
+        "t_asof_join_fwd": """
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+               round(min_by(c.value, c.ts), 6) AS next_click_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts >= p.ts
         GROUP BY p.event_id, p.user_id, p.ts
         """,
         "t_sessionize": """

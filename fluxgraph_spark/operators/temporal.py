@@ -163,16 +163,22 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` on the same key.
+    ``right_ts <= left_ts`` on the same key (``direction="backward"``,
+    the default), or the earliest right row with ``right_ts >= left_ts``
+    (``direction="forward"``).
 
     Spark lacks a native as-of join; the scalable pattern is a tagged
     UNION + one window pass (NOT a theta-join, which explodes): right
     rows are interleaved into the left's timeline, then
     ``last(value, ignorenulls=True)`` carries the most recent right
-    value forward.  One shuffle on (key, ts) total, regardless of how
-    many right rows precede each left row."""
+    value forward (or, mirrored, the next one backward).  One shuffle on
+    (key, ts) total, regardless of how many right rows surround each
+    left row."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
     for c in value_cols:
         lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
@@ -186,14 +192,26 @@ def asof_join(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
     unioned = lt.unionByName(rt)
-    # right rows sort before left rows at the same timestamp => '<=' semantics
-    w = (
-        W.partitionBy(*key_cols)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at the same timestamp => '<='
+        w = (
+            W.partitionBy(*key_cols)
+            .orderBy(F.col("__ts"), F.col("__is_left"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        pick = lambda c: F.last(F.col(c), ignorenulls=True).over(w)
+    else:
+        # mirrored: right rows sort after left rows at the same
+        # timestamp would break '>='; ordering right-first descending on
+        # __is_left keeps ties inclusive
+        w = (
+            W.partitionBy(*key_cols)
+            .orderBy(F.col("__ts"), (-F.col("__is_left")))
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        pick = lambda c: F.first(F.col(c), ignorenulls=True).over(w)
     for c in value_cols:
-        unioned = unioned.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        unioned = unioned.withColumn(c, pick(c))
     return unioned.where(F.col("__is_left") == 1).drop("__ts", "__is_left")
 
 

@@ -287,3 +287,29 @@ def test_interval_join_randomized_matches_naive(spark):
             ).collect()
         )
         assert got == naive, f"bucket={hours}h"
+
+
+def test_asof_join_forward_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.operators import temporal as TP
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, "k", t(10)), (2, "k", t(20)), (3, "k", t(40))],
+        ["lid", "key", "lts"],
+    )
+    right = spark.createDataFrame(
+        [("k", t(5), 50.0), ("k", t(20), 200.0), ("k", t(30), 300.0)],
+        ["key", "rts", "val"],
+    )
+    fwd = {r["lid"]: r["val"] for r in TP.asof_join(
+        left, right, ["key"], "lts", "rts", ["val"], direction="forward"
+    ).collect()}
+    # next value at-or-after: 10 -> 200 (t20), 20 -> 200 (tie inclusive),
+    # 40 -> none
+    assert fwd == {1: 200.0, 2: 200.0, 3: None}
+    bwd = {r["lid"]: r["val"] for r in TP.asof_join(
+        left, right, ["key"], "lts", "rts", ["val"]
+    ).collect()}
+    assert bwd == {1: 50.0, 2: 200.0, 3: 300.0}
