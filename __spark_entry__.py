@@ -1086,6 +1086,14 @@ def q_d_corpus_dedupe(spark, sf_dir):
     return dedup.dedupe_near(docs, "doc_id", "text").select("doc_id")
 
 
+def q_d_winnow_pairs(spark, sf_dir):
+    """Winnowing/MOSS fingerprint dedup: candidate pairs sharing one of
+    their 4 smallest 8-token rolling-window hashes (md5-derived, so the
+    SQL oracle reproduces the sketch bit-for-bit)."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return dedup.winnow_candidate_pairs(docs, "doc_id", "text", window=8, k=4)
+
+
 def q_d_simhash(spark, sf_dir):
     """32-bit SimHash per document."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -1308,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
         "d_corpus_dedupe": q_d_corpus_dedupe,
         "d_simhash": q_d_simhash,
+        "d_winnow_pairs": q_d_winnow_pairs,
         "x_quality": q_x_quality,
         "x_langid": q_x_langid,
         "x_scrub": q_x_scrub,
@@ -2032,6 +2041,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
         """,
         "d_simhash": _simhash_sql(32),
+        "d_winnow_pairs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+        ),
+        wins AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))::UBIGINT::BIGINT AS fp
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS g(i)
+        ),
+        sk AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rn
+            FROM wins) WHERE rn <= 4
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        """,
         "x_quality": f"""
         WITH m AS ({_QUALITY_CORE.strip()})
         SELECT doc_id, q_chars, q_tokens,

@@ -327,6 +327,47 @@ def minhash_lsh_dedup(
     )
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    k: int = 4,
+) -> DataFrame:
+    """Winnowing / MOSS-style fingerprint dedup: each document keeps its
+    ``k`` smallest distinct rolling ``window``-token hashes as a sketch;
+    candidate near-dup pairs are documents sharing at least one sketch
+    fingerprint.
+
+    Scale shape: sketch selection (sort + slice of a per-row array) is a
+    narrow map; the pair join is an equi-join on the 8-byte fingerprint
+    — |docs| x k rows, never an all-pairs product.  Hashes are
+    md5-derived so a SQL oracle reproduces them bit-for-bit.
+    """
+    from .text import rolling_hashes
+
+    sketch = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(rolling_hashes(F.col(text_col), window))
+                ),
+                1,
+                k,
+            )
+        ).alias("fp"),
+    )
+    a = sketch.alias("a")
+    b = sketch.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
 def near_dup_clusters(pairs: DataFrame) -> DataFrame:
     """(id, cluster) for every document appearing in a near-dup pair:
     connected components over the pair graph, so transitive near-dups

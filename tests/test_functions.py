@@ -316,3 +316,19 @@ def test_split_assign_deterministic_partition(spark):
     counts = {s: sum(1 for v in out1.values() if v == s) for s in {"train", "val", "test"}}
     # ~90/5/5 with hash noise
     assert counts["train"] > 800 and 10 < counts["val"] < 100 and 10 < counts["test"] < 100
+
+
+def test_winnow_candidate_pairs(spark):
+    from fluxgraph_spark.functions import dedup as DD
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, shared + " tail a"), (2, shared + " other ending here"),
+         (3, "completely different words with no overlap at all today")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             DD.winnow_candidate_pairs(df, "doc_id", "text", window=8, k=4).collect()}
+    # 1 and 2 share the 8-token run -> same window hash; 3 pairs with nobody
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
