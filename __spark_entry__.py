@@ -971,6 +971,25 @@ def q_r_cube_stats(spark, sf_dir):
     )
 
 
+def q_x_range_frame(spark, sf_dir):
+    """RANGE window frame over event time: per event, the user's rolling
+    value-cents sum and event count within the preceding hour (the
+    time-window twin of x_rolling's ROWS frame).  Ordering on integer
+    epoch-micros makes the range arithmetic engine-independent."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_cents(F.col("value"))).over(w).alias("hour_cents"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
+
+
 def q_x_json_extract(spark, sf_dir):
     """JSON path extraction from the event props column (semi-structured
     surface): per event type, stats over props.k.  get_json_object is
@@ -1302,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_time_buckets": q_t_time_buckets,
         "x_rolling": q_x_rolling,
         "x_json_extract": q_x_json_extract,
+        "x_range_frame": q_x_range_frame,
         "r_topk_per_group": q_r_topk_per_group,
         "r_pivot_status": q_r_pivot_status,
         "r_cube_stats": q_r_cube_stats,
@@ -1937,6 +1957,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS lvl
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "x_range_frame": """
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS hour_cents,
+               count(*) OVER w AS hour_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "x_json_extract": """
         SELECT event_type,
