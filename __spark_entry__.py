@@ -1028,6 +1028,36 @@ def q_r_topk_per_group(spark, sf_dir):
     )
 
 
+def q_r_setops(spark, sf_dir):
+    """Set operations as cohort analytics (SURVEY A4-A6 surfaced as a
+    query): customers ordering in 1996 vs 1997 — retained (both years),
+    churned (1996-only), new (1997-only), via ONE full-outer join of the
+    distinct-key cohorts (not three separate intersect/except plans)."""
+    o = tpch.read_tables(spark, sf_dir)["orders"]
+
+    def cohort(y):
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    c96 = cohort(1996).withColumn("in96", F.lit(1))
+    c97 = cohort(1997).withColumn("in97", F.lit(1))
+    j = c96.join(c97, "o_custkey", "full").select(
+        F.coalesce("in96", F.lit(0)).alias("in96"),
+        F.coalesce("in97", F.lit(0)).alias("in97"),
+    )
+    return j.agg(
+        F.sum(F.col("in96") * F.col("in97")).alias("n_retained"),
+        F.sum(F.col("in96") * (1 - F.col("in97"))).alias("n_churned"),
+        F.sum((1 - F.col("in96")) * F.col("in97")).alias("n_new"),
+    )
+
+
 def q_x_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (p50/p90/p99) of event value cents
     per event type — Spark `percentile` == ANSI percentile_cont ==
@@ -1317,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_disjunctive_rev": q_r_disjunctive_rev,
         "r_rollup_revenue": q_r_rollup_revenue,
         "r_small_quantity_rev": q_r_small_quantity_rev,
+        "r_setops": q_r_setops,
         "r_top_supplier": q_r_top_supplier,
         "t_time_buckets": q_t_time_buckets,
         "x_rolling": q_x_rolling,
@@ -1912,6 +1943,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(GROUPING(region_name) * 2 + GROUPING(nation_name) AS INT) AS lvl
         FROM rev_cust j JOIN geo g ON g.c_custkey = j.o_custkey
         GROUP BY ROLLUP (region_name, nation_name)
+        """,
+        "r_setops": """
+        WITH c96 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1997-01-01'),
+             c97 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                       AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT (SELECT count(*) FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)) AS n_retained,
+               (SELECT count(*) FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97)) AS n_churned,
+               (SELECT count(*) FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c96)) AS n_new
         """,
         "r_small_quantity_rev": """
         SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
