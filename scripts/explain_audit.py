@@ -62,6 +62,15 @@ AUDITED = [
     "x_split",
     "k_sketches",
     "g_copurchase_top",
+    "t_versions_at",
+    "t_asof_join_fwd",
+    "x_range_frame",
+    "x_json_extract",
+    "r_topk_per_group",
+    "r_pivot_status",
+    "r_cube_stats",
+    "r_setops",
+    "d_winnow_pairs",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -90,6 +99,14 @@ NO_PUSHDOWN_EXPECTED = {
     "x_scrub", "x_repetition", "x_split",  # full-corpus narrow maps
     "k_sketches",           # full-events sketch agg
     "g_copurchase_top",     # label predicate folds into union-branch pruning
+    "t_versions_at",        # full-events interval expansion
+    "t_asof_join_fwd",      # event_type equality DOES push, but keep symmetric with t_asof_join
+    "x_range_frame",        # full-events window
+    "x_json_extract",       # full-events JSON map
+    "r_topk_per_group",     # full lineitem/part agg
+    "r_pivot_status",       # full orders pivot
+    "r_cube_stats",         # full lineitem cube
+    "d_winnow_pairs",       # full-corpus sketching
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -114,6 +131,13 @@ NO_BROADCAST_EXPECTED = {
     "x_percentiles", "x_rolling", "x_scrub", "x_repetition", "x_split",
     "k_sketches",
     "g_copurchase_top",     # order-keyed self-join: AQE decides
+    "t_versions_at",        # no joins
+    "t_asof_join_fwd",      # union + window, no joins
+    "x_range_frame", "x_json_extract",
+    "r_topk_per_group",     # lineitem/part join: AQE decides
+    "r_pivot_status", "r_cube_stats",
+    "r_setops",             # cohort full-outer join: AQE decides
+    "d_winnow_pairs",       # fingerprint self-join: AQE decides
 }
 
 
