@@ -313,3 +313,49 @@ def test_asof_join_forward_and_ties(spark):
         left, right, ["key"], "lts", "rts", ["val"]
     ).collect()}
     assert bwd == {1: 50.0, 2: 200.0, 3: 300.0}
+
+
+def test_scd2_upsert_randomized_splits(spark):
+    """Seeded random event sets split at random points: incremental
+    upsert must equal full rebuild regardless of how history is split
+    (new keys late, keys untouched in the delta, interleaved times)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.operators import temporal as TP
+
+    rng = random.Random(0xF10C5)
+    events = [
+        (rng.randrange(8), datetime.datetime(2024, 1, 1) +
+         datetime.timedelta(minutes=i * 7 + rng.randrange(5)), f"s{i}")
+        for i in range(60)
+    ]
+    # unique (key, ts) — scd2 ordering is by ts within key
+    seen = set()
+    events = [e for e in events if not (
+        (e[0], e[1]) in seen or seen.add((e[0], e[1])))]
+    cols = ["user_id", "ts", "state"]
+    sel = lambda df: df.select(
+        "user_id", F.col("ts").alias("valid_from"), "state",
+        "valid_to", "version_idx", "is_current")
+    for _ in range(4):
+        cut = rng.randrange(1, len(events))
+        shuffled = events[:]
+        rng.shuffle(shuffled)
+        first, second = shuffled[:cut], shuffled[cut:]
+        current = sel(TP.scd2_from_change_events(
+            spark.createDataFrame(first, cols), ["user_id"], "ts"))
+        if not second:
+            continue
+        upserted = TP.scd2_upsert(
+            current,
+            spark.createDataFrame(second, cols).select(
+                "user_id", F.col("ts").alias("valid_from"), "state"),
+            ["user_id"],
+        )
+        rebuilt = sel(TP.scd2_from_change_events(
+            spark.createDataFrame(events, cols), ["user_id"], "ts"))
+        k = lambda t: (t[0], t[1])
+        assert sorted(map(tuple, upserted.collect()), key=k) == \
+               sorted(map(tuple, rebuilt.collect()), key=k)
