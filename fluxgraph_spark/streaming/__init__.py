@@ -17,10 +17,12 @@ from .events import (
     sessionize_stream,
     streaming_dedupe,
 )
+from .scd2_ingest import scd2_streaming_sink
 from .stateful import running_user_stats
 
 __all__ = [
     "running_user_stats",
+    "scd2_streaming_sink",
     "tx_log_stream",
     "element_change_counts",
     "read_event_stream",

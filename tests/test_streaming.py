@@ -145,3 +145,51 @@ def test_tx_log_changefeed(spark, tmp_path):
     batch_total = spark.read.parquet(os.path.join(path, "tx_log")).count()
     assert got.agg(F.sum("n_changes")).first()[0] == batch_total
     assert set(r["kind"] for r in got.collect()) <= {"vertex", "edge"}
+
+
+def test_scd2_streaming_ingest_equals_batch_rebuild(spark, tmp_path):
+    """Microbatched SCD2 ingest (foreachBatch + scd2_upsert) converges
+    to the same table as a batch rebuild over all events — the
+    streaming and batch write paths share one merge implementation."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.operators import temporal as TP
+    from fluxgraph_spark.sources.tpch import read_events
+    from fluxgraph_spark.streaming import read_event_stream, scd2_streaming_sink
+
+    # split the events table into 3 chunk files so availableNow+
+    # maxFilesPerTrigger=1 yields multiple microbatches
+    src = str(tmp_path / "stream_src")
+    ev = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+    # stream schema expects the driver's nanos-as-long ts layout
+    ev.withColumn("ts", (F.unix_micros("ts") * 1000)).withColumn(
+        "__c", F.col("event_id") % 3
+    ).repartition(3, "__c").drop("__c").write.parquet(src)
+    assert len(glob.glob(src + "/part-*.parquet")) >= 2
+
+    target = str(tmp_path / "scd2_table")
+    q = scd2_streaming_sink(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        target,
+        ["user_id"],
+        "ts",
+        ["event_type", "value"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(target).select(
+        "user_id", "valid_from", "event_type", "value",
+        "valid_to", "version_idx", "is_current",
+    )
+    want = TP.scd2_from_change_events(
+        ev.select("user_id", "ts", "event_type", "value"), ["user_id"], "ts"
+    ).select(
+        "user_id", F.col("ts").alias("valid_from"), "event_type", "value",
+        "valid_to", "version_idx", "is_current",
+    )
+    key = lambda t: (t[0], t[1])
+    assert sorted(map(tuple, got.collect()), key=key) == \
+           sorted(map(tuple, want.collect()), key=key)
