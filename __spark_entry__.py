@@ -1288,6 +1288,50 @@ def q_s_ivf_topk(spark, sf_dir):
     return similarity.cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+def q_m_frame_samples(spark, sf_dir):
+    """Multimodal frame sampling: one row per sampled video frame
+    (count from meta.duration_ms), Arrow-batched mapInPandas (rows-only:
+    Pandas-UDF surface; features are deterministic md5 fakes per
+    brief)."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    media = multimodal.media_table_from_documents(docs)
+    # deterministic video subset: every 5th media row, duration from size
+    videos = media.where(F.col("media_id") % 5 == 0).select(
+        "media_id",
+        F.lit("video").alias("media_type"),
+        "content",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.length("content") * 17 % 5000 + 1000).cast("long").alias("duration_ms"),
+            F.lit("video/fake").alias("mime"),
+        ).alias("meta"),
+    )
+    frames = multimodal.sample_frames(videos, every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.round(F.element_at(F.col("frame_feature"), 1), 6).alias("f0"),
+    )
+
+
+def q_m_resized_meta(spark, sf_dir):
+    """Multimodal resize plumbing: image rows through the resize
+    mapInPandas stage, typed metadata out (rows-only: Pandas-UDF
+    surface)."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    media = multimodal.media_table_from_documents(docs)
+    resized = multimodal.resize_images(
+        media.where(F.col("media_type") == "image"), width=64, height=64
+    )
+    return resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("content").alias("n_bytes"),
+    )
+
+
 def q_m_media_meta(spark, sf_dir):
     """Multimodal metadata scan (no decode): typed metadata + blob sizes
     — the column-pruned path a 100 TB media lake query takes when it
@@ -1381,6 +1425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus": q_pipeline_corpus,
         "m_media_features": q_m_media_features,
         "m_media_meta": q_m_media_meta,
+        "m_frame_samples": q_m_frame_samples,
+        "m_resized_meta": q_m_resized_meta,
     }
 
 
