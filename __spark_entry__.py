@@ -1028,6 +1028,48 @@ def q_r_topk_per_group(spark, sf_dir):
     )
 
 
+def q_r_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier order (EXISTS + NOT EXISTS over siblings).  The
+    compound correlated subqueries decorrelate into per-(order,supplier)
+    then per-order aggregates: the candidate condition becomes
+    n_suppliers >= 2 AND n_late_suppliers == 1 — two keyed shuffles, no
+    per-row subquery execution."""
+    t = tpch.read_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    cands = pairs.where(F.col("late") == 1).join(
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+        "l_orderkey",
+    )
+    agg = cands.groupBy("l_suppkey").agg(F.count("*").alias("n_orders"))
+    top = agg.orderBy(F.col("n_orders").desc(), F.col("l_suppkey")).limit(10)
+    w = W.orderBy(F.col("n_orders").desc(), F.col("l_suppkey"))
+    return (
+        F.broadcast(top.withColumn("rank", F.row_number().over(w)))
+        .join(
+            t["supplier"].select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_suppkey", "s_name", "n_orders", "rank")
+    )
+
+
 def q_r_setops(spark, sf_dir):
     """Set operations as cohort analytics (SURVEY A4-A6 surfaced as a
     query): customers ordering in 1996 vs 1997 — retained (both years),
@@ -1392,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_rollup_revenue": q_r_rollup_revenue,
         "r_small_quantity_rev": q_r_small_quantity_rev,
         "r_setops": q_r_setops,
+        "r_sole_late_supplier": q_r_sole_late_supplier,
         "r_top_supplier": q_r_top_supplier,
         "t_time_buckets": q_t_time_buckets,
         "x_rolling": q_x_rolling,
@@ -1989,6 +2032,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(GROUPING(region_name) * 2 + GROUPING(nation_name) AS INT) AS lvl
         FROM rev_cust j JOIN geo g ON g.c_custkey = j.o_custkey
         GROUP BY ROLLUP (region_name, nation_name)
+        """,
+        "r_sole_late_supplier": """
+        WITH pairs AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) AS late
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          GROUP BY l.l_orderkey, l.l_suppkey
+        )
+        SELECT l_suppkey, s_name, n_orders, rank FROM (
+          SELECT p.l_suppkey, count(*) AS n_orders,
+                 row_number() OVER (ORDER BY count(*) DESC, p.l_suppkey) AS rank
+          FROM pairs p
+          WHERE p.late = 1
+            AND EXISTS (SELECT 1 FROM pairs q
+                        WHERE q.l_orderkey = p.l_orderkey
+                          AND q.l_suppkey <> p.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM pairs q
+                            WHERE q.l_orderkey = p.l_orderkey
+                              AND q.l_suppkey <> p.l_suppkey
+                              AND q.late = 1)
+          GROUP BY p.l_suppkey
+        ) ranked JOIN supplier ON s_suppkey = l_suppkey
+        WHERE rank <= 10
         """,
         "r_setops": """
         WITH c96 AS (SELECT DISTINCT o_custkey FROM orders
