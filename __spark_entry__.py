@@ -1115,6 +1115,352 @@ def q_x_percentiles(spark, sf_dir):
     )
 
 
+def q_r_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum-cost supplier within a region
+    (correlated MIN subquery).  No partsupp table in this dataset, so
+    cost = min observed unit price over the (part, supplier) lineitems —
+    the plan shape is identical: decorrelate into a per-(part,supplier)
+    agg, a per-part MIN, and a join-back on (part, cost == min).  Region
+    membership broadcasts (nation x region is tiny); the only large
+    shuffles are the two keyed aggs over the filtered lineitems."""
+    t = tpch.read_tables(spark, sf_dir)
+    europe = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(
+                    F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", _cents(F.col("s_acctbal")).alias("acctbal_cents"))
+    )
+    parts = t["part"].where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    li = t["lineitem"].select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    pairs = (
+        li.join(parts, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+            ).alias("cost_cents")
+        )
+        .join(europe, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = pairs.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost_cents").alias("min_cost")
+    )
+    best = pairs.join(
+        min_cost,
+        (pairs.l_partkey == F.col("mk")) & (pairs.cost_cents == F.col("min_cost")),
+    )
+    top = best.orderBy(
+        F.col("acctbal_cents").desc(), F.col("l_suppkey"), F.col("l_partkey")
+    ).limit(100)
+    w = W.orderBy(F.col("acctbal_cents").desc(), F.col("l_suppkey"), F.col("l_partkey"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_suppkey").alias("s_suppkey"),
+        "s_name",
+        "acctbal_cents",
+        "cost_cents",
+        "rank",
+    )
+
+
+def q_r_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year, both
+    directions.  Both nation filters push below the joins (supplier and
+    customer shrink to ~2/25 before their shuffles); nation broadcasts
+    attach names; the asymmetric-pair predicate runs after both keys are
+    bound."""
+    t = tpch.read_tables(spark, sf_dir)
+    keys = [1, 2]
+    supp = t["supplier"].where(F.col("s_nationkey").isin(keys)).select(
+        "s_suppkey", F.col("s_nationkey").alias("supp_nk")
+    )
+    cust = t["customer"].where(F.col("c_nationkey").isin(keys)).select(
+        "c_custkey", F.col("c_nationkey").alias("cust_nk")
+    )
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    nat = F.broadcast(t["nation"].select("n_nationkey", "n_name"))
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(t["orders"].select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .where(F.col("supp_nk") != F.col("cust_nk"))
+    )
+    return (
+        j.join(nat.withColumnRenamed("n_name", "supp_nation"), F.col("supp_nk") == nat.n_nationkey)
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+                )
+            ),
+            F.col("cust_nk") == F.col("cnk"),
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+    )
+
+
+def q_r_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a nation's market share within a region's customer
+    base per order year — conditional aggregation over a 6-way join.
+    part filters first (smallest selectivity), region membership
+    broadcasts, and the share is one conditional sum over the joined
+    volume, not two separate plans."""
+    t = tpch.read_tables(spark, sf_dir)
+    parts = t["part"].where(F.col("p_type") == "PROMO").select("p_partkey")
+    america = F.broadcast(
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("am_nk"))
+    )
+    cust = t["customer"].join(
+        america, F.col("c_nationkey") == F.col("am_nk")
+    ).select("c_custkey")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(parts, li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("s_nationkey") == 5, vol).otherwise(F.lit(0).cast("long"))).alias(
+            "nation_cents"
+        ),
+        F.sum(vol).alias("total_cents"),
+    )
+    return agg.withColumn(
+        "mkt_share", F.round(F.col("nation_cents") / F.col("total_cents"), 6)
+    )
+
+
+def q_r_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name pattern.  No partsupp/supplycost here: cost proxy is
+    0.6 * p_retailprice * quantity, kept as exact integer cents so the
+    subtraction is order-independent.  The name LIKE filter prunes part
+    before its join; nation broadcasts."""
+    t = tpch.read_tables(spark, sf_dir)
+    parts = t["part"].where(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = t["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    profit = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - _cents(
+        0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(parts, li.l_partkey == F.col("p_partkey"))
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_cents"))
+    )
+
+
+def q_r_returned_top_customers(spark, sf_dir):
+    """TPC-H Q10 shape: top 20 customers by returned-item revenue in a
+    quarter.  Revenue aggregates per customer BEFORE the detail join;
+    the 20 survivors broadcast against customer + nation."""
+    t = tpch.read_tables(spark, sf_dir)
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    top = rev.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey")).limit(20)
+    w = W.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+    return (
+        F.broadcast(top.withColumn("rank", F.row_number().over(w)))
+        .join(t["customer"].select("c_custkey", "c_name", "c_nationkey"), "c_custkey")
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue_cents", "rank")
+    )
+
+
+def q_r_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose shipped value (through one nation's
+    suppliers) exceeds a fraction of the global total — a HAVING against
+    a scalar subquery.  The scalar is re-aggregated from the per-part
+    agg (no second lineitem scan) and broadcast into the filter."""
+    t = tpch.read_tables(spark, sf_dir)
+    supp = t["supplier"].where(F.col("s_nationkey") == 7).select("s_suppkey")
+    per_part = (
+        t["lineitem"]
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_cents") > 0.001 * F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+def q_r_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: high- vs low-priority order counts among late
+    shipments per line status (no l_shipmode column in this dataset;
+    l_linestatus carries the same conditional-count-after-join plan).
+    The lateness predicate runs in the join condition so non-late rows
+    never reach the aggregation."""
+    t = tpch.read_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(high.cast("long")).alias("high_count"),
+        F.sum((~high).cast("long")).alias("low_count"),
+    )
+
+
+def q_r_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count —
+    LEFT OUTER join (zero-order customers must appear) + two stacked
+    aggregations.  count(o_orderkey) counts non-null matches only; the
+    second groupBy is over at most a few hundred distinct counts."""
+    t = tpch.read_tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        t["customer"].select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_r_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    for parts outside an excluded brand/type, minus blacklisted
+    suppliers (NOT IN as a broadcast anti-join).  The part filter prunes
+    before the lineitem join; count_distinct shuffles (group, suppkey)
+    pairs, never lineitem rows."""
+    t = tpch.read_tables(spark, sf_dir)
+    parts = t["part"].where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 14, 23, 28, 35, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = t["lineitem"].select("l_partkey", "l_suppkey")
+    return (
+        li.join(parts, li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_r_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers of one nation holding an outsized share
+    of a part's shipped volume (nested per-group threshold + semi-join).
+    Decorrelated: per-(part, supplier) 1997 quantity, per-part total,
+    share filter, then a semi-join back to supplier.  The name-pattern
+    filter prunes part first; supplier is filtered to one nation before
+    the final join."""
+    t = tpch.read_tables(spark, sf_dir)
+    parts = t["part"].where(F.col("p_name").like("red%")).select("p_partkey")
+    li = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    pair_qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("supp_qty")
+    )
+    part_qty = pair_qty.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    excess = (
+        pair_qty.join(part_qty, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("supp_qty") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .where(F.col("s_nationkey") == 3)
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / similarity queries (training-data pipeline surface)
 # ---------------------------------------------------------------------------
@@ -1436,6 +1782,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_setops": q_r_setops,
         "r_sole_late_supplier": q_r_sole_late_supplier,
         "r_top_supplier": q_r_top_supplier,
+        "r_min_cost_supplier": q_r_min_cost_supplier,
+        "r_nation_volume": q_r_nation_volume,
+        "r_market_share": q_r_market_share,
+        "r_product_profit": q_r_product_profit,
+        "r_returned_top_customers": q_r_returned_top_customers,
+        "r_important_parts": q_r_important_parts,
+        "r_priority_lines": q_r_priority_lines,
+        "r_custdist": q_r_custdist,
+        "r_supplier_cnt": q_r_supplier_cnt,
+        "r_excess_suppliers": q_r_excess_suppliers,
         "t_time_buckets": q_t_time_buckets,
         "x_rolling": q_x_rolling,
         "x_json_extract": q_x_json_extract,
@@ -2011,6 +2367,174 @@ def oracle_sql() -> dict[str, str]:
                AND l.l_quantity BETWEEN 10 AND 20)
            OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
                AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "r_min_cost_supplier": """
+        WITH europe_supp AS (
+          SELECT s_suppkey, s_name,
+                 CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+          FROM supplier s
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
+        ),
+        pairs AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 min(CAST(round(l.l_extendedprice / l.l_quantity * 100) AS BIGINT)) AS cost_cents
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+          GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        ep AS (
+          SELECT pr.l_partkey, pr.l_suppkey, pr.cost_cents, s.s_name, s.acctbal_cents
+          FROM pairs pr JOIN europe_supp s ON pr.l_suppkey = s.s_suppkey
+        ),
+        m AS (SELECT l_partkey, min(cost_cents) AS min_cost FROM ep GROUP BY l_partkey)
+        SELECT p_partkey, s_suppkey, s_name, acctbal_cents, cost_cents, rank FROM (
+          SELECT ep.l_partkey AS p_partkey, ep.l_suppkey AS s_suppkey, ep.s_name,
+                 ep.acctbal_cents, ep.cost_cents,
+                 row_number() OVER (ORDER BY ep.acctbal_cents DESC, ep.l_suppkey, ep.l_partkey) AS rank
+          FROM ep JOIN m ON ep.l_partkey = m.l_partkey AND ep.cost_cents = m.min_cost
+        ) WHERE rank <= 100
+        """,
+        "r_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l.l_shipdate) AS l_year,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE s.s_nationkey IN (1, 2) AND c.c_nationkey IN (1, 2)
+          AND s.s_nationkey <> c.c_nationkey
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "r_market_share": """
+        SELECT o_year, nation_cents, total_cents,
+               round(nation_cents / total_cents, 6) AS mkt_share
+        FROM (
+          SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                 sum(CASE WHEN s.s_nationkey = 5
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS nation_cents,
+                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS total_cents
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE p.p_type = 'PROMO'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            AND EXISTS (
+              SELECT 1 FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE c.c_custkey = o.o_custkey AND r.r_name = 'AMERICA')
+          GROUP BY o_year
+        )
+        """,
+        "r_product_profit": """
+        SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                   - CAST(round(0.6 * p.p_retailprice * l.l_quantity * 100) AS BIGINT)) AS profit_cents
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY nation, o_year
+        """,
+        "r_returned_top_customers": """
+        SELECT c.c_custkey, c.c_name, n.n_name, q.revenue_cents, q.rank
+        FROM (
+          SELECT o.o_custkey AS c_custkey,
+                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                 row_number() OVER (
+                   ORDER BY sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) DESC,
+                            o.o_custkey) AS rank
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R'
+            AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+            AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY o.o_custkey
+        ) q
+        JOIN customer c ON q.c_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE q.rank <= 20
+        """,
+        "r_important_parts": """
+        SELECT l_partkey, value_cents FROM (
+          SELECT l_partkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7)
+          GROUP BY l_partkey
+        )
+        WHERE value_cents > 0.001 * (
+          SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7)
+        )
+        """,
+        "r_priority_lines": """
+        SELECT l.l_linestatus,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_count,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS low_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY l.l_linestatus
+        """,
+        "r_custdist": """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            AND o.o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """,
+        "r_supplier_cnt": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 7, 14, 23, 28, 35, 49)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        "r_excess_suppliers": """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_nationkey = 3
+          AND s.s_suppkey IN (
+            SELECT pq.l_suppkey FROM (
+              SELECT l.l_partkey, l.l_suppkey,
+                     sum(CAST(round(l.l_quantity) AS BIGINT)) AS supp_qty
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'red%'
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l.l_partkey, l.l_suppkey
+            ) pq
+            JOIN (
+              SELECT l.l_partkey, sum(CAST(round(l.l_quantity) AS BIGINT)) AS total_qty
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'red%'
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l.l_partkey
+            ) tq ON pq.l_partkey = tq.l_partkey
+            WHERE pq.supp_qty > 0.3 * tq.total_qty
+          )
         """,
         "r_rollup_revenue": """
         WITH rev_cust AS (

@@ -71,6 +71,17 @@ AUDITED = [
     "r_cube_stats",
     "r_setops",
     "d_winnow_pairs",
+    # completed TPC-H query-shape suite (Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q16/Q20)
+    "r_min_cost_supplier",
+    "r_nation_volume",
+    "r_market_share",
+    "r_product_profit",
+    "r_returned_top_customers",
+    "r_important_parts",
+    "r_priority_lines",
+    "r_custdist",
+    "r_supplier_cnt",
+    "r_excess_suppliers",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -107,6 +118,8 @@ NO_PUSHDOWN_EXPECTED = {
     "r_pivot_status",       # full orders pivot
     "r_cube_stats",         # full lineitem cube
     "d_winnow_pairs",       # full-corpus sketching
+    "r_priority_lines",     # lateness predicate is join-time date arithmetic
+    "r_custdist",           # priority filter lives in the LEFT JOIN condition
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -138,6 +151,12 @@ NO_BROADCAST_EXPECTED = {
     "r_pivot_status", "r_cube_stats",
     "r_setops",             # cohort full-outer join: AQE decides
     "d_winnow_pairs",       # fingerprint self-join: AQE decides
+    "r_priority_lines",     # orders/lineitem join: AQE decides
+    "r_custdist",           # customer/orders outer join: AQE decides
+    "r_important_parts",    # scalar joins via BroadcastNestedLoop (1 row); semi-join AQE
+    "r_excess_suppliers",   # SF-proportional aggs both sides: AQE decides
+    "r_supplier_cnt",       # bad-supplier list broadcasts, but the anti-join may
+                            # plan as BroadcastNestedLoop under AQE-off audit; allow
 }
 
 
