@@ -1462,6 +1462,103 @@ def q_r_excess_suppliers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# streaming queries (SURVEY §2.8 — the reference has no streaming; this is
+# the extended surface, exercised through the REAL Structured Streaming
+# engine: readStream -> watermark/state -> memory sink, availableNow)
+# ---------------------------------------------------------------------------
+
+_STREAM_DIRS: dict = {}
+
+
+def _stream_events(spark, sf_dir):
+    """File stream sources need a DIRECTORY: stage the events parquet
+    into a tmp dir once per (process, sf_dir) and stream from there."""
+    import shutil
+    import tempfile
+
+    from fluxgraph_spark.streaming import read_event_stream
+
+    d = _STREAM_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(d, "part-0.parquet"),
+        )
+        _STREAM_DIRS[sf_dir] = d
+    return read_event_stream(spark, d)
+
+
+def _drain_stream(sdf, mode):
+    """Run a streaming DataFrame to completion (availableNow) into a
+    uniquely-named memory sink; return the settled result table."""
+    import uuid
+
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def q_st_windowed_counts(spark, sf_dir):
+    """Streaming watermarked tumbling-window aggregation, drained with
+    availableNow into a memory sink.  Once every file is processed the
+    result equals the batch hourly rollup exactly (append-only source),
+    so this carries a FULL SQL oracle — the correctness bar, not just
+    rows-only.  value pre-cast to integer cents so the stateful sums are
+    order-independent."""
+    from fluxgraph_spark.streaming import windowed_event_counts
+
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100).cast("long").cast("double")
+    )
+    res = _drain_stream(windowed_event_counts(ev, "1 hour"), "complete")
+    return res.select(
+        F.unix_micros(F.col("win_start")).alias("win_us"),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("long").alias("value_cents"),
+    )
+
+
+def q_st_sessionize(spark, sf_dir):
+    """Streaming gap-based session windows (built-in session_window,
+    watermark-bounded state), drained with availableNow; rolled up to
+    per-user session counts so the DuckDB lag-gap replay can reproduce
+    it exactly (Spark splits a session when the inter-event gap is >=
+    the 30-minute gap duration)."""
+    from fluxgraph_spark.streaming import sessionize_stream
+
+    res = _drain_stream(sessionize_stream(_stream_events(spark, sf_dir)), "complete")
+    return res.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def q_st_running_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals across micro-batches.  Rows-only by design —
+    per-batch emission granularity is engine-defined; the final totals
+    row per user is what the test suite pins to batch."""
+    from fluxgraph_spark.streaming import running_user_stats
+
+    res = _drain_stream(running_user_stats(_stream_events(spark, sf_dir)), "update")
+    return res.select(
+        "user_id",
+        "n_events_total",
+        F.round(F.col("value_total"), 4).alias("value_total"),
+        "batch_events",
+    )
+
+
+# ---------------------------------------------------------------------------
 # text / dedup / similarity queries (training-data pipeline surface)
 # ---------------------------------------------------------------------------
 
@@ -1792,6 +1889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_custdist": q_r_custdist,
         "r_supplier_cnt": q_r_supplier_cnt,
         "r_excess_suppliers": q_r_excess_suppliers,
+        # streaming surface (real Structured Streaming runs, availableNow)
+        "st_windowed_counts": q_st_windowed_counts,
+        "st_sessionize": q_st_sessionize,
+        "st_running_stats": q_st_running_stats,
         "t_time_buckets": q_t_time_buckets,
         "x_rolling": q_x_rolling,
         "x_json_extract": q_x_json_extract,
@@ -2510,6 +2611,24 @@ def oracle_sql() -> dict[str, str]:
           AND p.p_size IN (1, 4, 7, 14, 23, 28, 35, 49)
           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        "st_windowed_counts": """
+        SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1, 2
+        """,
+        "st_sessionize": """
+        WITH gaps AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                           >= 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        )
+        SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        FROM gaps GROUP BY user_id
         """,
         "r_excess_suppliers": """
         SELECT s.s_suppkey, s.s_name
