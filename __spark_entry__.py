@@ -1461,6 +1461,117 @@ def q_r_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_g_triangles(spark, sf_dir):
+    """Triangle counting over the co-purchase projection (parts linked
+    when >= 3 shared orders).  The classic two-join triangle
+    enumeration with a < b < c canonical ordering counts each triangle
+    exactly once; the >= 3 support threshold keeps the projected edge
+    set sparse, so the self-joins stay far below |parts|^2 at any SF."""
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    con = li.select(F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("part_id")).distinct()
+    per_order = con.groupBy("order_id").agg(
+        F.array_sort(F.collect_set("part_id")).alias("ps")
+    )
+    edges = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 3)
+        .select("a", "b")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        edges.agg(F.count("*").alias("n_edges"))
+    )
+
+
+def q_x_window_suite(spark, sf_dir):
+    """Ranking-window survey over per-user totals: ntile quartiles,
+    percent_rank, cume_dist, dense_rank in ONE window pass, plus each
+    user's first/last event type via min_by/max_by on (ts, event_id) —
+    no second scan, no self-join.  The window orders by (total_cents
+    DESC, user_id): a total order, so every function is deterministic."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(_cents(F.col("value"))).alias("total_cents"),
+        F.expr("min_by(event_type, struct(ts, event_id))").alias("first_type"),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias("last_type"),
+    )
+    w = W.orderBy(F.col("total_cents").desc(), F.col("user_id"))
+    return per_user.select(
+        "user_id",
+        "total_cents",
+        "first_type",
+        "last_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+def q_x_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF-style top-3 terms per document with INTEGER-ONLY ranking
+    (tf DESC, df ASC, term) — the float idf = ln(N/df) would hash-differ
+    across libm implementations, the integer ordering it induces cannot.
+    One explode for TF; DF falls out of the TF table (already distinct
+    per (doc, term)); the per-doc top-k window partitions by doc_id so
+    no global sort."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df"), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+def q_x_vocab(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by frequency.  Partial aggs
+    combine map-side, the distributed top-k replaces a global sort."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    counts = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(100)
+    w = W.orderBy(F.col("n").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 # ---------------------------------------------------------------------------
 # streaming queries (SURVEY §2.8 — the reference has no streaming; this is
 # the extended surface, exercised through the REAL Structured Streaming
@@ -1889,6 +2000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_custdist": q_r_custdist,
         "r_supplier_cnt": q_r_supplier_cnt,
         "r_excess_suppliers": q_r_excess_suppliers,
+        "g_triangles": q_g_triangles,
+        "x_window_suite": q_x_window_suite,
+        "x_tfidf_top_terms": q_x_tfidf_top_terms,
+        "x_vocab": q_x_vocab,
         # streaming surface (real Structured Streaming runs, availableNow)
         "st_windowed_counts": q_st_windowed_counts,
         "st_sessionize": q_st_sessionize,
@@ -2611,6 +2726,60 @@ def oracle_sql() -> dict[str, str]:
           AND p.p_size IN (1, 4, 7, 14, 23, 28, 35, 49)
           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        "g_triangles": """
+        WITH con AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS part_id
+                     FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT a.part_id AS a, b.part_id AS b
+          FROM con a JOIN con b
+            ON a.order_id = b.order_id AND a.part_id < b.part_id
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT (SELECT count(*) FROM edges e1
+                JOIN edges e2 ON e1.b = e2.a
+                JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles,
+               (SELECT count(*) FROM edges) AS n_edges
+        """,
+        "x_window_suite": """
+        WITH pu AS (
+          SELECT user_id,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+                 first(event_type ORDER BY ts, event_id) AS first_type,
+                 last(event_type ORDER BY ts, event_id) AS last_type
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, total_cents, first_type, last_type,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               dense_rank() OVER w AS drank
+        FROM pu WINDOW w AS (ORDER BY total_cents DESC, user_id)
+        """,
+        "x_tfidf_top_terms": r"""
+        WITH tf AS MATERIALIZED (
+          SELECT doc_id, t AS term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+                FROM documents)
+          GROUP BY doc_id, t
+        ),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT doc_id, term, tf, df, rank FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfx.df, tf.term) AS rank
+          FROM tf JOIN dfx USING (term)
+        ) WHERE rank <= 3
+        """,
+        "x_vocab": r"""
+        SELECT token, n, rank FROM (
+          SELECT t AS token, count(*) AS n,
+                 row_number() OVER (ORDER BY count(*) DESC, t) AS rank
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS t
+                FROM documents)
+          GROUP BY t
+        ) WHERE rank <= 100
         """,
         "st_windowed_counts": """
         SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,

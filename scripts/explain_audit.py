@@ -82,6 +82,10 @@ AUDITED = [
     "r_custdist",
     "r_supplier_cnt",
     "r_excess_suppliers",
+    "g_triangles",
+    "x_window_suite",
+    "x_tfidf_top_terms",
+    "x_vocab",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -120,6 +124,10 @@ NO_PUSHDOWN_EXPECTED = {
     "d_winnow_pairs",       # full-corpus sketching
     "r_priority_lines",     # lateness predicate is join-time date arithmetic
     "r_custdist",           # priority filter lives in the LEFT JOIN condition
+    "g_triangles",          # full-lineitem projection; threshold is a HAVING
+    "x_window_suite",       # full-events agg
+    "x_tfidf_top_terms",    # full-corpus explode
+    "x_vocab",              # full-corpus explode
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -157,6 +165,10 @@ NO_BROADCAST_EXPECTED = {
     "r_excess_suppliers",   # SF-proportional aggs both sides: AQE decides
     "r_supplier_cnt",       # bad-supplier list broadcasts, but the anti-join may
                             # plan as BroadcastNestedLoop under AQE-off audit; allow
+    "g_triangles",          # edge-set self-joins: AQE decides
+    "x_window_suite",       # no joins
+    "x_tfidf_top_terms",    # tf/df join: AQE decides
+    "x_vocab",              # no joins
 }
 
 
