@@ -1554,6 +1554,18 @@ def q_x_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: probe docs sharing any 4-token n-gram
+    fingerprint with the benchmark subset (doc_id % 50 == 0 stands in
+    for an eval suite; production would use 13-grams — 4 here matches
+    the synthetic corpus' overlap density).  The benchmark fingerprint
+    set broadcasts; the corpus side never shuffles."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    probe = docs.where(F.col("doc_id") % 50 != 0)
+    return dedup.contamination_hits(probe, bench, window=4)
+
+
 def q_x_vocab(spark, sf_dir):
     """Corpus vocabulary: top-100 tokens by frequency.  Partial aggs
     combine map-side, the distributed top-k replaces a global sort."""
@@ -2004,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_suite": q_x_window_suite,
         "x_tfidf_top_terms": q_x_tfidf_top_terms,
         "x_vocab": q_x_vocab,
+        "x_decontaminate": q_x_decontaminate,
         # streaming surface (real Structured Streaming runs, availableNow)
         "st_windowed_counts": q_st_windowed_counts,
         "st_sessionize": q_st_sessionize,
@@ -2771,6 +2784,21 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY tf.tf DESC, dfx.df, tf.term) AS rank
           FROM tf JOIN dfx USING (term)
         ) WHERE rank <= 3
+        """,
+        "x_decontaminate": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+        ),
+        wins AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(list_slice(t, i, i + 3), ' ')) AS fp
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 3, 1))) AS g(i)
+        ),
+        bench AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 50 = 0),
+        probe AS (SELECT doc_id, fp FROM wins WHERE doc_id % 50 <> 0)
+        SELECT p.doc_id, count(*) AS n_hits
+        FROM probe p JOIN bench b ON p.fp = b.fp
+        GROUP BY p.doc_id
         """,
         "x_vocab": r"""
         SELECT token, n, rank FROM (

@@ -505,3 +505,36 @@ def embedding_near_dup_pairs(
         F.col("b.id").alias("id_b"),
         F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+
+
+def contamination_hits(
+    probe: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: for each probe document, the number of
+    distinct ``window``-token n-gram fingerprints it shares with ANY
+    benchmark document (> 0 means the doc leaks evaluation data and
+    should be dropped from a training corpus).
+
+    Scale shape: the benchmark side (eval suites — thousands of docs,
+    not billions) collapses to a DISTINCT fingerprint set and
+    broadcasts; the corpus side explodes to distinct (doc, fp) pairs
+    and never shuffles — the broadcast hash join + partial count happen
+    map-side, so a 100 TB corpus streams through in one pass.  Hashes
+    are md5-derived so a SQL oracle reproduces them bit-for-bit.
+    """
+    from .text import rolling_hashes
+
+    grams = lambda df: F.explode(
+        F.array_distinct(rolling_hashes(F.col(text_col), window))
+    ).alias("fp")
+    bench_fps = benchmark.select(grams(benchmark)).distinct()
+    return (
+        probe.select(F.col(id_col), grams(probe))
+        .join(F.broadcast(bench_fps), "fp")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

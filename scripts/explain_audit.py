@@ -86,6 +86,7 @@ AUDITED = [
     "x_window_suite",
     "x_tfidf_top_terms",
     "x_vocab",
+    "x_decontaminate",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -128,6 +129,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_window_suite",       # full-events agg
     "x_tfidf_top_terms",    # full-corpus explode
     "x_vocab",              # full-corpus explode
+    "x_decontaminate",      # doc_id % 50 is a derived predicate, not scan-level
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {

@@ -332,3 +332,24 @@ def test_winnow_candidate_pairs(spark):
     # 1 and 2 share the 8-token run -> same window hash; 3 pairs with nobody
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_contamination_hits(spark):
+    from fluxgraph_spark.functions import dedup as DD
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    probe = spark.createDataFrame(
+        [
+            # shares the 4-gram "beta gamma delta epsilon" with the benchmark
+            (1, "x beta gamma delta epsilon y"),
+            # no shared 4-token window
+            (2, "totally unrelated words that overlap with nothing else"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in
+            DD.contamination_hits(probe, bench, window=4).collect()}
+    assert hits.get(1, 0) >= 1
+    assert 2 not in hits
