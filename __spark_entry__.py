@@ -373,6 +373,33 @@ def q_t_asof_join(spark, sf_dir):
     )
 
 
+def q_t_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness bound (pandas merge_asof tolerance
+    semantics): each purchase gets the user's latest prior click value
+    only if it is at most 10 minutes old — staler matches come back
+    NULL.  Same one-shuffle tagged-union + window shape as t_asof_join;
+    the bound is a post-pick filter, not a second join."""
+    import datetime as _dt
+
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = TP.asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_value"],
+        tolerance=_dt.timedelta(minutes=10),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("click_value"), 6).alias("click_value"),
+    )
+
+
 def q_t_asof_join_fwd(spark, sf_dir):
     """Forward as-of join (the mirror of t_asof_join): each purchase
     gets the user's NEXT click value at-or-after the purchase — same
@@ -1980,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_version_counts": q_t_version_counts,
         "t_validity_intervals": q_t_validity_intervals,
         "t_asof_join": q_t_asof_join,
+        "t_asof_tolerance": q_t_asof_tolerance,
         "t_asof_join_fwd": q_t_asof_join_fwd,
         "t_sessionize": q_t_sessionize,
         "t_state_diff": q_t_state_diff,
@@ -2416,6 +2444,15 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
           ON c.user_id = p.user_id AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+        """,
+        "t_asof_tolerance": """
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+               round(max_by(c.value, c.ts), 6) AS click_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 10 MINUTE
         GROUP BY p.event_id, p.user_id, p.ts
         """,
         "t_asof_join_fwd": """

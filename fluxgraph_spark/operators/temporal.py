@@ -164,11 +164,15 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     direction: str = "backward",
+    tolerance: "datetime.timedelta | None" = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` on the same key (``direction="backward"``,
     the default), or the earliest right row with ``right_ts >= left_ts``
-    (``direction="forward"``).
+    (``direction="forward"``).  With ``tolerance`` set, a match staler
+    (backward) / farther ahead (forward) than the bound is discarded —
+    the value columns come back NULL, exactly as if no right row
+    existed (pandas ``merge_asof(tolerance=...)`` semantics).
 
     Spark lacks a native as-of join; the scalable pattern is a tagged
     UNION + one window pass (NOT a theta-join, which explodes): right
@@ -182,10 +186,12 @@ def asof_join(
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
     for c in value_cols:
         lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    lt = lt.withColumn("__rts", F.lit(None).cast("timestamp"))
     rt = right.select(
         *key_cols,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
+        F.col(right_ts).cast("timestamp").alias("__rts"),
         *[F.col(c) for c in value_cols],
     )
     for c in lt.columns:
@@ -212,7 +218,24 @@ def asof_join(
         pick = lambda c: F.first(F.col(c), ignorenulls=True).over(w)
     for c in value_cols:
         unioned = unioned.withColumn(c, pick(c))
-    return unioned.where(F.col("__is_left") == 1).drop("__ts", "__is_left")
+    unioned = unioned.withColumn("__mts", pick("__rts"))
+    if tolerance is not None:
+        gap_us = (
+            F.unix_micros(F.col("__ts").cast("timestamp"))
+            - F.unix_micros(F.col("__mts"))
+        )
+        if direction == "forward":
+            gap_us = -gap_us
+        within = F.col("__mts").isNotNull() & (
+            gap_us <= int(tolerance.total_seconds() * 1_000_000)
+        )
+        for c in value_cols:
+            unioned = unioned.withColumn(
+                c, F.when(within, F.col(c)).otherwise(F.lit(None))
+            )
+    return unioned.where(F.col("__is_left") == 1).drop(
+        "__ts", "__is_left", "__rts", "__mts"
+    )
 
 
 def interval_join(

@@ -359,3 +359,53 @@ def test_scd2_upsert_randomized_splits(spark):
         k = lambda t: (t[0], t[1])
         assert sorted(map(tuple, upserted.collect()), key=k) == \
                sorted(map(tuple, rebuilt.collect()), key=k)
+
+
+def test_asof_join_tolerance(spark):
+    import datetime as dt
+
+    from fluxgraph_spark.operators import temporal as TP
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 7, t0), (2, 7, t0 + dt.timedelta(hours=2))],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(7, t0 - dt.timedelta(minutes=5), 11.0)],
+        ["k", "ts", "v"],
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in TP.asof_join(
+            left, right, ["k"], "ts", "ts", ["v"],
+            tolerance=dt.timedelta(minutes=10),
+        ).collect()
+    }
+    # row 1: match is 5 min stale -> within tolerance
+    assert out[1] == 11.0
+    # row 2: same match is >2h stale -> nulled out
+    assert out[2] is None
+
+    # without tolerance the stale match is kept (back-compat)
+    out2 = {
+        r["id"]: r["v"]
+        for r in TP.asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert out2[2] == 11.0
+
+    # forward direction: match 5 min ahead within tolerance, 2h ahead not
+    fleft = spark.createDataFrame(
+        [(1, 7, t0 - dt.timedelta(minutes=5)), (2, 7, t0 - dt.timedelta(hours=2))],
+        ["id", "k", "ts"],
+    )
+    fright = spark.createDataFrame([(7, t0, 5.0)], ["k", "ts", "v"])
+    fout = {
+        r["id"]: r["v"]
+        for r in TP.asof_join(
+            fleft, fright, ["k"], "ts", "ts", ["v"],
+            direction="forward", tolerance=dt.timedelta(minutes=10),
+        ).collect()
+    }
+    assert fout[1] == 5.0
+    assert fout[2] is None
