@@ -1778,6 +1778,28 @@ def q_d_winnow_pairs(spark, sf_dir):
     return dedup.winnow_candidate_pairs(docs, "doc_id", "text", window=8, k=4)
 
 
+def q_d_span_dup(spark, sf_dir):
+    """Cross-document duplicated-span ratio per document (window-granular
+    exact-substring dedup signal): the fraction of each document's
+    distinct 8-token spans that appear verbatim in another document.
+    One fingerprint shuffle (count window) + one per-doc agg; md5
+    rolling hashes so the oracle replays the spans bit-for-bit."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return dedup.cross_doc_span_stats(docs, "doc_id", "text", window=8)
+
+
+def q_x_strat_sample(spark, sf_dir):
+    """Deterministic stratified sample (training-mix rebalancing): keep
+    all English, half the German/French, a quarter of Spanish, drop
+    Chinese — selection by md5 bucket of doc_id, a pure narrow filter
+    the oracle reproduces exactly."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25}
+    return text.stratified_sample(docs, "lang", rates, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_d_simhash(spark, sf_dir):
     """32-bit SimHash per document."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -2068,6 +2090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_corpus_dedupe": q_d_corpus_dedupe,
         "d_simhash": q_d_simhash,
         "d_winnow_pairs": q_d_winnow_pairs,
+        "d_span_dup": q_d_span_dup,
+        "x_strat_sample": q_x_strat_sample,
         "x_quality": q_x_quality,
         "x_langid": q_x_langid,
         "x_scrub": q_x_scrub,
@@ -3119,6 +3143,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+        """,
+        "d_span_dup": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+        ),
+        wins AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))::UBIGINT::BIGINT AS fp
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS g(i)
+        ),
+        cnt AS (
+          SELECT doc_id, count(*) OVER (PARTITION BY fp) AS nd FROM wins
+        )
+        SELECT doc_id, count(*) AS n_windows,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS span_dup_ratio
+        FROM cnt GROUP BY doc_id
+        """,
+        "x_strat_sample": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {STABLE_HASH_SQL.format(x="doc_id::VARCHAR || ':strat'")}::BIGINT % 100000 <
+              CASE lang WHEN 'en' THEN 100000 WHEN 'de' THEN 50000
+                        WHEN 'fr' THEN 50000 WHEN 'es' THEN 25000 ELSE 0 END
         """,
         "x_quality": f"""
         WITH m AS ({_QUALITY_CORE.strip()})

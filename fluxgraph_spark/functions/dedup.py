@@ -368,6 +368,56 @@ def winnow_candidate_pairs(
     )
 
 
+def cross_doc_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document cross-document duplicated-span signal (the
+    window-granular form of exact-substring training-data dedup, Lee et
+    al. 2022): for each document, the fraction of its distinct
+    ``window``-token spans that also occur verbatim in at least one
+    OTHER document.  High ratios flag boilerplate, mirrored pages, and
+    license headers that survive document-level dedup.
+
+    Scale shape: span fingerprints are md5 rolling hashes built in one
+    narrow map (no string n-gram materialization beyond the row);
+    occurrence counting is ONE shuffle on the 8-byte fingerprint (a
+    count window, not a groupBy+join-back, so the fingerprint table is
+    shuffled once not twice), then ONE per-document aggregation.  A
+    pathologically common span (empty-page boilerplate) skews its
+    fingerprint partition; AQE skew-split handles it — the per-doc agg
+    that follows is unskewed.
+    """
+    from .text import rolling_hashes
+
+    wins = spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(rolling_hashes(F.col(text_col), window))
+        ).alias("fp"),
+    )
+    # (id, fp) is distinct per doc, so count-over-fp == docs containing fp
+    n_docs = F.count("*").over(W.partitionBy("fp"))
+    per_doc = (
+        wins.withColumn("__nd", n_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_windows",
+        "n_shared",
+        F.round(
+            F.col("n_shared") / F.col("n_windows").cast("double"), 6
+        ).alias("span_dup_ratio"),
+    )
+
+
 def near_dup_clusters(pairs: DataFrame) -> DataFrame:
     """(id, cluster) for every document appearing in a near-dup pair:
     connected components over the pair graph, so transitive near-dups

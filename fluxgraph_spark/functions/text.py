@@ -178,6 +178,34 @@ def split_assign(id_col: Column, val_pct: int = 5, test_pct: int = 5) -> Column:
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the language/source
+    rebalancing step of a training-data mix): keep a row iff
+    ``stable_hash(id || salt) % 100000 < rate(stratum) * 100000``.
+    Strata absent from ``rates`` are dropped (rate 0).
+
+    Unlike ``df.sampleBy`` this is reproducible across runs, engines,
+    and partitionings (no RNG seed plumbing), and it is a pure narrow
+    filter — pushed to the scan, no shuffle, trivially correct at any
+    scale.  Change ``salt`` to draw an independent sample."""
+    bucket = (
+        stable_hash64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+        % 100000
+    )
+    thresh = F.lit(0)
+    for stratum, rate in rates.items():
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(round(rate * 100000)))
+        ).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
 def rolling_hashes(text: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprints: stable hash of each
     ``window``-gram of tokens (array of hashes; pair with explode +

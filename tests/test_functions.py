@@ -353,3 +353,59 @@ def test_contamination_hits(spark):
             DD.contamination_hits(probe, bench, window=4).collect()}
     assert hits.get(1, 0) >= 1
     assert 2 not in hits
+
+
+def test_cross_doc_span_stats(spark):
+    from fluxgraph_spark.functions import dedup as DD
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            # 1 and 2 share the 8-token run; their other windows differ
+            (1, shared + " unique tail for doc one"),
+            (2, shared + " another distinct ending entirely"),
+            (3, "completely different words with no overlap at all today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DD.cross_doc_span_stats(df, "doc_id", "text", window=8).collect()
+    }
+    # every doc reports all of its distinct windows (13 and 12 tokens)
+    assert out[1]["n_windows"] == 6 and out[2]["n_windows"] == 5
+    # exactly the one leading window is shared between 1 and 2
+    assert out[1]["n_shared"] == 1 and out[2]["n_shared"] == 1
+    assert out[3]["n_shared"] == 0
+    assert abs(out[1]["span_dup_ratio"] - round(1 / 6, 6)) < 1e-9
+    # a byte-identical pair shares every window
+    dup = spark.createDataFrame(
+        [(10, shared), (11, shared), (12, "nothing in common here at all")],
+        ["doc_id", "text"],
+    )
+    dout = {r["doc_id"]: r for r in
+            DD.cross_doc_span_stats(dup, "doc_id", "text", window=8).collect()}
+    assert dout[10]["span_dup_ratio"] == 1.0 == dout[11]["span_dup_ratio"]
+
+
+def test_stratified_sample(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = text.stratified_sample(
+        df, "lang", {"en": 1.0, "zh": 0.25}, "doc_id"
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # rate-1.0 stratum is kept in full; absent stratum ("fr") never appears
+    assert len(by_lang["en"]) == 200
+    # rate-0.25 stratum lands near 50 of 200 (hash-uniform, not exact)
+    assert 25 <= len(by_lang["zh"]) <= 85
+    # deterministic: a second draw with the same salt is identical,
+    # a different salt draws a different subset
+    again = {r["doc_id"] for r in text.stratified_sample(
+        df, "lang", {"en": 1.0, "zh": 0.25}, "doc_id").collect()}
+    assert again == by_lang["en"] | by_lang["zh"]
+    other = {r["doc_id"] for r in text.stratified_sample(
+        df, "lang", {"zh": 0.25}, "doc_id", salt="other").collect()}
+    assert other != by_lang["zh"]
