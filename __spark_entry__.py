@@ -1526,6 +1526,39 @@ def q_g_triangles(spark, sf_dir):
     )
 
 
+def q_g_kcore(spark, sf_dir):
+    """3-core of the support-2 co-purchase projection: iterative peeling
+    of parts with fewer than 3 surviving co-purchase partners
+    (analytics.k_core).  Peeling early-exits at the fixpoint; the
+    oracle replays a fixed 12 rounds (extra rounds are no-ops), so the
+    two agree exactly."""
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    con = li.select(
+        F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("part_id")
+    ).distinct()
+    per_order = con.groupBy("order_id").agg(
+        F.array_sort(F.collect_set("part_id")).alias("ps")
+    )
+    edges = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return AN.k_core(edges, k=3, max_iters=12).select(
+        F.col("id").alias("part_id"), "core_degree"
+    )
+
+
 def q_x_window_suite(spark, sf_dir):
     """Ranking-window survey over per-user totals: ntile quartiles,
     percent_rank, cume_dist, dense_rank in ONE window pass, plus each
@@ -2063,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_supplier_cnt": q_r_supplier_cnt,
         "r_excess_suppliers": q_r_excess_suppliers,
         "g_triangles": q_g_triangles,
+        "g_kcore": q_g_kcore,
         "x_window_suite": q_x_window_suite,
         "x_tfidf_top_terms": q_x_tfidf_top_terms,
         "x_vocab": q_x_vocab,
@@ -2356,6 +2390,35 @@ SELECT level, count(*) AS n_vertices FROM d{iters} GROUP BY level
     )
 
 
+def _kcore_sql(k: int = 3, iters: int = 12) -> str:
+    """Chained-CTE replay of fixed-round k-core peeling over the
+    support-2 co-purchase projection.  Rounds past the fixpoint are
+    no-ops, so the fixed count matches Spark's early-exit loop.
+    AS MATERIALIZED everywhere — DuckDB would otherwise inline each
+    round into the next and re-evaluate exponentially."""
+    ctes = """
+con AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS part_id FROM lineitem),
+ed AS MATERIALIZED (
+  SELECT a.part_id AS a, b.part_id AS b
+  FROM con a JOIN con b ON a.order_id = b.order_id AND a.part_id < b.part_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+s0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed)"""
+    for i in range(iters):
+        ctes += f""",
+k{i} AS MATERIALIZED (SELECT src FROM s{i} GROUP BY src HAVING count(*) >= {k}),
+s{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM s{i} e
+  JOIN k{i} x ON e.src = x.src
+  JOIN k{i} y ON e.dst = y.src)"""
+    return (
+        "WITH "
+        + ctes.lstrip()
+        + f"""
+SELECT src AS part_id, count(*) AS core_degree FROM s{iters} GROUP BY src
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # graph surface
@@ -2370,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "g_lpa_communities": _lpa_sql(4),
         "g_sssp_weighted": _sssp_sql(4),
         "g_ppr_top10": _ppr_sql(3),
+        "g_kcore": _kcore_sql(3, 12),
         "g_copurchase_top": GRAPH_CTES
         + """
         , con AS (SELECT DISTINCT src AS order_id, dst AS part_id

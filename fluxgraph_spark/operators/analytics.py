@@ -410,3 +410,53 @@ def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFram
         M.ID, F.coalesce("component", F.col(M.ID)).alias("component")
     )
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    max_iters: int = 12,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel vertices whose
+    (undirected) degree is below ``k``; the survivors are the k-core.
+    Returns ``(id, core_degree)`` — each member with its within-core
+    degree.  Peeling is run for at most ``max_iters`` rounds with an
+    early exit at the fixpoint; extra replayed rounds are no-ops, so a
+    fixed-iteration SQL oracle reproduces the result exactly.
+
+    Scale shape: the symmetrized edge list is hash-partitioned by src
+    once; each round is one degree aggregation plus two semi-joins
+    against the (small, shrinking) survivor set — Catalyst broadcasts
+    the survivor side once it fits, so late rounds are shuffle-free.
+    Peel rounds are bounded by the degeneracy ordering depth, which is
+    tiny (tens) even on web-scale graphs.
+    """
+    e = edges.select(M.SRC, M.DST)
+    sym = (
+        e.unionByName(e.select(F.col(M.DST).alias(M.SRC), F.col(M.SRC).alias(M.DST)))
+        .distinct()
+        .repartition(M.SRC)
+        .persist()
+    )
+    prev_n = sym.count()  # eager — see connected_components
+    cur = sym
+    for i in range(max_iters):
+        keep = (
+            cur.groupBy(M.SRC)
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(M.SRC)
+        )
+        cur = cur.join(keep, M.SRC, "left_semi").join(
+            keep.withColumnRenamed(M.SRC, M.DST), M.DST, "left_semi"
+        )
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint()
+        n = cur.count()
+        if n == prev_n:  # monotone shrink -> equal count == fixpoint
+            break
+        prev_n = n
+    return cur.groupBy(M.SRC).agg(F.count("*").alias("core_degree")).select(
+        F.col(M.SRC).alias(M.ID), "core_degree"
+    )

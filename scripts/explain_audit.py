@@ -87,6 +87,9 @@ AUDITED = [
     "x_tfidf_top_terms",
     "x_vocab",
     "x_decontaminate",
+    "t_asof_tolerance",
+    "d_span_dup",
+    "x_strat_sample",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -130,6 +133,9 @@ NO_PUSHDOWN_EXPECTED = {
     "x_tfidf_top_terms",    # full-corpus explode
     "x_vocab",              # full-corpus explode
     "x_decontaminate",      # doc_id % 50 is a derived predicate, not scan-level
+    "t_asof_tolerance",     # keep symmetric with t_asof_join
+    "d_span_dup",           # full-corpus span fingerprinting
+    "x_strat_sample",       # md5-bucket predicate is derived, not scan-level
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -171,6 +177,9 @@ NO_BROADCAST_EXPECTED = {
     "x_window_suite",       # no joins
     "x_tfidf_top_terms",    # tf/df join: AQE decides
     "x_vocab",              # no joins
+    "t_asof_tolerance",     # union + window, no joins
+    "d_span_dup",           # count window + per-doc agg, no joins
+    "x_strat_sample",       # pure narrow filter, no joins
 }
 
 

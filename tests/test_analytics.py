@@ -218,3 +218,18 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
     assert got[10] == 0.0 and got[11] == 0.0
     assert abs(got[2] - got[3]) < 1e-12 and got[2] > 0
     assert got[1] > got[2]  # restart mass keeps the seed on top here
+
+
+def test_k_core_clique_with_tail(spark):
+    from fluxgraph_spark.operators.analytics import k_core
+
+    # 4-clique (1..4) with a pendant chain 4-5-6: the 3-core is the clique
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(clique + [(4, 5), (5, 6)], ["src", "dst"])
+    out = {r["id"]: r["core_degree"] for r in k_core(edges, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above the clique degree peels everything
+    assert k_core(edges, k=4).count() == 0
+    # k=1 keeps the whole graph with original degrees
+    k1 = {r["id"]: r["core_degree"] for r in k_core(edges, k=1).collect()}
+    assert k1[5] == 2 and k1[6] == 1 and k1[1] == 3 and k1[4] == 4
