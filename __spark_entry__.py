@@ -1710,6 +1710,35 @@ def q_st_windowed_counts(spark, sf_dir):
     )
 
 
+def q_st_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (click attribution):
+    each purchase pairs with the same user's clicks from the previous
+    30 minutes.  The time bound + watermarks bound both state stores;
+    drained with availableNow the inner join emits exactly the batch
+    join's rows, so this carries a FULL SQL oracle."""
+    from fluxgraph_spark.streaming import interval_stream_join
+
+    ev1 = _stream_events(spark, sf_dir)
+    ev2 = _stream_events(spark, sf_dir)
+    purchases = ev1.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev2.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("click_value")
+    )
+    res = _drain_stream(
+        interval_stream_join(purchases, clicks, ["user_id"], "p_ts", "c_ts"),
+        "append",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("p_ts")).alias("p_us"),
+        F.unix_micros(F.col("c_ts")).alias("c_us"),
+        F.round(F.col("click_value"), 6).alias("click_value"),
+    )
+
+
 def q_st_sessionize(spark, sf_dir):
     """Streaming gap-based session windows (built-in session_window,
     watermark-bounded state), drained with availableNow; rolled up to
@@ -2104,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming surface (real Structured Streaming runs, availableNow)
         "st_windowed_counts": q_st_windowed_counts,
         "st_sessionize": q_st_sessionize,
+        "st_stream_join": q_st_stream_join,
         "st_running_stats": q_st_running_stats,
         "t_time_buckets": q_t_time_buckets,
         "x_rolling": q_x_rolling,
@@ -2951,6 +2981,15 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
         FROM gaps GROUP BY user_id
+        """,
+        "st_stream_join": """
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us,
+               round(c.value, 6) AS click_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         """,
         "r_excess_suppliers": """
         SELECT s.s_suppkey, s.s_name

@@ -16,6 +16,7 @@ from .events import (
     windowed_event_counts,
     sessionize_stream,
     streaming_dedupe,
+    interval_stream_join,
 )
 from .scd2_ingest import scd2_streaming_sink
 from .stateful import running_user_stats
@@ -29,4 +30,5 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_stream",
     "streaming_dedupe",
+    "interval_stream_join",
 ]

@@ -104,3 +104,35 @@ def streaming_dedupe(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left row pairs with
+    the right rows on the same keys whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` (streaming click-attribution
+    shape).  The time bound plus both watermarks lets Spark evict
+    right-side state older than ``watermark + lookback`` — without the
+    bound a stream-stream join buffers forever and OOMs at scale.
+
+    ``left_ts`` / ``right_ts`` must be distinct names and the two
+    schemas otherwise disjoint apart from ``key_cols`` (select/alias
+    before calling); the right key columns are dropped from the output.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = [lw[k] == rw[k] for k in key_cols] + [
+        rw[right_ts] <= lw[left_ts],
+        rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"),
+    ]
+    joined = lw.join(rw, cond, "inner")
+    for k in key_cols:
+        joined = joined.drop(rw[k])
+    return joined

@@ -193,3 +193,35 @@ def test_scd2_streaming_ingest_equals_batch_rebuild(spark, tmp_path):
     key = lambda t: (t[0], t[1])
     assert sorted(map(tuple, got.collect()), key=key) == \
            sorted(map(tuple, want.collect()), key=key)
+
+
+def test_interval_stream_join_matches_batch(spark, events_dir):
+    from fluxgraph_spark.sources.tpch import read_events
+    from fluxgraph_spark.streaming import interval_stream_join, read_event_stream
+
+    def split(df):
+        p = df.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.col("ts").alias("p_ts")
+        )
+        c = df.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("click_value")
+        )
+        return p, c
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    sp, sc = split(read_event_stream(spark, events_dir))
+    _run_to_memory(
+        interval_stream_join(sp, sc, ["user_id"], "p_ts", "c_ts"),
+        name, complete=False,
+    )
+    got = spark.table(name)
+
+    bp, bc = split(read_events(spark, events_dir))
+    batch = bp.join(
+        bc,
+        (bp.user_id == bc.user_id)
+        & (bc.c_ts <= bp.p_ts)
+        & (bc.c_ts >= bp.p_ts - F.expr("INTERVAL 30 MINUTES")),
+    ).drop(bc.user_id)
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
