@@ -1943,6 +1943,15 @@ def q_s_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk_bruteforce(emb, queries, k=10)
 
 
+def q_s_label_centroids(spark, sf_dir):
+    """Exact per-label embedding centroids (mean pooling), one row per
+    (label, dimension).  Components are integer-scaled before the sum so
+    the aggregation is order/partitioning-independent and the SQL oracle
+    matches bit-for-bit — the one shuffle carries map-side partials."""
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    return similarity.label_centroids(emb, "label", "embedding")
+
+
 def q_s_embedding_near_dups(spark, sf_dir):
     """Embedding similar pairs (cosine >= 0.35) blocked by label.
     (The synthetic embeddings are near-orthogonal random vectors — 0.35 is
@@ -2163,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_split": q_x_split,
         "x_fingerprint": q_x_fingerprint,
         "s_cosine_topk": q_s_cosine_topk,
+        "s_label_centroids": q_s_label_centroids,
         "s_embedding_near_dups": q_s_embedding_near_dups,
         "s_lsh_topk": q_s_lsh_topk,
         "s_ivf_topk": q_s_ivf_topk,
@@ -3321,6 +3331,14 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '\S+')) AS n_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         FROM documents
+        """,
+        "s_label_centroids": """
+        SELECT label, i - 1 AS pos,
+               CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                          / count(*) + 0.5) AS BIGINT) AS centroid_micro,
+               count(*) AS n_vecs
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        GROUP BY 1, 2
         """,
         "s_cosine_topk": """
         SELECT query_id, vec_id, cosine, rank FROM (

@@ -277,3 +277,43 @@ def cosine_topk_ivf(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact per-label centroid, one ``(label, pos, centroid_micro,
+    n_vecs)`` row per dimension, with the mean in integer units of
+    ``1/scale``.  Components are scaled to integers before summing, so
+    the aggregation is order- and partitioning-independent (double
+    summation is not), and the mean stays integer (one correctly-rounded
+    IEEE division), so a SQL oracle matches bit-for-bit.
+
+    Scale shape: posexplode is a narrow map (|rows| x dim), the single
+    shuffle is the (label, pos) aggregation with map-side partial
+    aggregation — at 100 TB this is the canonical mean-pooling job and
+    never touches the driver."""
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    # floor(x + 0.5), not round(x): Spark rounds half-up but other engines
+    # (DuckDB) round half-to-even, and scaled floats DO land on exact .5
+    # ties.  floor is correctly-rounded IEEE in every engine.
+    agg = pos.groupBy("label", "pos").agg(
+        F.sum(
+            F.floor(F.col("v").cast("double") * scale + F.lit(0.5)).cast("long")
+        ).alias("s"),
+        F.count("*").alias("n_vecs"),
+    )
+    return agg.select(
+        "label",
+        "pos",
+        F.floor(F.col("s").cast("double") / F.col("n_vecs") + F.lit(0.5))
+        .cast("long")
+        .alias("centroid_micro"),
+        "n_vecs",
+    )

@@ -90,6 +90,7 @@ AUDITED = [
     "t_asof_tolerance",
     "d_span_dup",
     "x_strat_sample",
+    "s_label_centroids",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -136,6 +137,7 @@ NO_PUSHDOWN_EXPECTED = {
     "t_asof_tolerance",     # keep symmetric with t_asof_join
     "d_span_dup",           # full-corpus span fingerprinting
     "x_strat_sample",       # md5-bucket predicate is derived, not scan-level
+    "s_label_centroids",    # full-table mean pooling
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -180,6 +182,7 @@ NO_BROADCAST_EXPECTED = {
     "t_asof_tolerance",     # union + window, no joins
     "d_span_dup",           # count window + per-doc agg, no joins
     "x_strat_sample",       # pure narrow filter, no joins
+    "s_label_centroids",    # posexplode + one agg, no joins
 }
 
 

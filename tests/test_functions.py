@@ -409,3 +409,20 @@ def test_stratified_sample(spark):
     other = {r["doc_id"] for r in text.stratified_sample(
         df, "lang", {"zh": 0.25}, "doc_id", salt="other").collect()}
     assert other != by_lang["zh"]
+
+
+def test_label_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, -10.0])],
+        ["label", "embedding"],
+    )
+    out = {(r["label"], r["pos"]): (r["centroid_micro"], r["n_vecs"])
+           for r in similarity.label_centroids(df).collect()}
+    assert out[(0, 0)] == (2_000_000, 2)
+    assert out[(0, 1)] == (4_000_000, 2)
+    assert out[(1, 0)] == (10_000_000, 1)
+    assert out[(1, 1)] == (-10_000_000, 1)
+    # partitioning-independent: single-partition result identical
+    one = {(r["label"], r["pos"]): (r["centroid_micro"], r["n_vecs"])
+           for r in similarity.label_centroids(df.coalesce(1)).collect()}
+    assert one == out
