@@ -1526,12 +1526,10 @@ def q_g_triangles(spark, sf_dir):
     )
 
 
-def q_g_kcore(spark, sf_dir):
-    """3-core of the support-2 co-purchase projection: iterative peeling
-    of parts with fewer than 3 surviving co-purchase partners
-    (analytics.k_core).  Peeling early-exits at the fixpoint; the
-    oracle replays a fixed 12 rounds (extra rounds are no-ops), so the
-    two agree exactly."""
+def _copurchase_edges(spark, sf_dir, min_support=2):
+    """Co-purchase projection: part pairs sharing >= min_support orders.
+    Per-order pair enumeration on the sorted part array (narrow map)
+    then one count shuffle — never a |parts|^2 product."""
     li = tpch.read_tables(spark, sf_dir)["lineitem"]
     con = li.select(
         F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("part_id")
@@ -1539,7 +1537,7 @@ def q_g_kcore(spark, sf_dir):
     per_order = con.groupBy("order_id").agg(
         F.array_sort(F.collect_set("part_id")).alias("ps")
     )
-    edges = (
+    return (
         per_order.select(
             F.explode(
                 F.expr(
@@ -1551,12 +1549,47 @@ def q_g_kcore(spark, sf_dir):
         )
         .groupBy(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
         .agg(F.count("*").alias("n"))
-        .where(F.col("n") >= 2)
+        .where(F.col("n") >= min_support)
         .select("src", "dst")
     )
+
+
+def q_g_kcore(spark, sf_dir):
+    """3-core of the support-2 co-purchase projection: iterative peeling
+    of parts with fewer than 3 surviving co-purchase partners
+    (analytics.k_core).  Peeling early-exits at the fixpoint; the
+    oracle replays a fixed 12 rounds (extra rounds are no-ops), so the
+    two agree exactly."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
     return AN.k_core(edges, k=3, max_iters=12).select(
         F.col("id").alias("part_id"), "core_degree"
     )
+
+
+def q_g_link_predict(spark, sf_dir):
+    """Common-neighbor link prediction over the support-2 co-purchase
+    projection: top-20 non-adjacent part pairs by exact shared-neighbor
+    count (integer — engine-deterministic), ranked with a total order."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    scores = AN.common_neighbor_scores(edges, min_common=2)
+    w = W.orderBy(F.col("n_common").desc(), "a", "b")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("rank", F.col("a").alias("part_a"), F.col("b").alias("part_b"), "n_common")
+    )
+
+
+def q_d_prefix_dedupe(spark, sf_dir):
+    """Prefix dedup, keep-best: one representative per leading-8-token
+    fingerprint group, preferring the longest document (truncation /
+    expansion pairs collapse to the fuller page).  One window shuffle on
+    the md5 prefix key; the oracle replays the selection exactly."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    kept = dedup.dedupe_keep_best(
+        docs, "doc_id", dedup.leading_window_key(F.col("text"), 8), "n_chars"
+    )
+    return kept.select("doc_id", "lang", "n_chars")
 
 
 def q_x_window_suite(spark, sf_dir):
@@ -2135,6 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_excess_suppliers": q_r_excess_suppliers,
         "g_triangles": q_g_triangles,
         "g_kcore": q_g_kcore,
+        "g_link_predict": q_g_link_predict,
+        "d_prefix_dedupe": q_d_prefix_dedupe,
         "x_window_suite": q_x_window_suite,
         "x_tfidf_top_terms": q_x_tfidf_top_terms,
         "x_vocab": q_x_vocab,
@@ -2474,6 +2509,43 @@ def oracle_sql() -> dict[str, str]:
         "g_sssp_weighted": _sssp_sql(4),
         "g_ppr_top10": _ppr_sql(3),
         "g_kcore": _kcore_sql(3, 12),
+        "g_link_predict": """
+        WITH con AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS part_id
+                     FROM lineitem),
+        ed AS MATERIALIZED (
+          SELECT a.part_id AS a, b.part_id AS b
+          FROM con a JOIN con b ON a.order_id = b.order_id AND a.part_id < b.part_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+        sc AS (
+          SELECT w1.a, w2.b, count(*) AS n_common FROM
+            (SELECT dst AS z, src AS a FROM sym) w1
+            JOIN (SELECT src AS z, dst AS b FROM sym) w2 USING (z)
+          WHERE w1.a < w2.b
+          GROUP BY 1, 2
+        )
+        SELECT rank, part_a, part_b, n_common FROM (
+          SELECT row_number() OVER (ORDER BY n_common DESC, a, b) AS rank,
+                 a AS part_a, b AS part_b, n_common
+          FROM sc
+          WHERE n_common >= 2
+            AND NOT EXISTS (SELECT 1 FROM ed WHERE ed.a = sc.a AND ed.b = sc.b)
+        ) WHERE rank <= 20
+        """,
+        "d_prefix_dedupe": r"""
+        WITH t AS (
+          SELECT doc_id, lang, n_chars,
+                 ('0x' || substring(md5(array_to_string(
+                    list_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ')), 1, 15))::UBIGINT::BIGINT AS k
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY k ORDER BY n_chars DESC, doc_id) AS rn
+          FROM t
+        )
+        SELECT doc_id, lang, n_chars FROM r WHERE rn = 1
+        """,
         "g_copurchase_top": GRAPH_CTES
         + """
         , con AS (SELECT DISTINCT src AS order_id, dst AS part_id

@@ -588,3 +588,37 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def dedupe_keep_best(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    pref_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE representative per duplicate-key group — the row with
+    the highest ``pref_col`` (quality score, length, recency; ties and
+    the no-preference case fall back to smallest id, so selection is
+    always deterministic).  ``key`` is any Column: a text hash for
+    exact dedup, a leading-window fingerprint for prefix dedup, a
+    normalized URL...  Generalizes :func:`dedupe_exact` (== key =
+    text hash, no preference).
+
+    One window shuffle on the key; no join-back."""
+    order = (
+        [F.col(pref_col).desc(), F.col(id_col)] if pref_col else [F.col(id_col)]
+    )
+    w = W.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def leading_window_key(text_col: Column, window: int = 8) -> Column:
+    """Fingerprint of a document's first ``window`` tokens (md5-derived,
+    engine-portable) — the dedup key for truncation/expansion pairs
+    where one page is a prefix of another."""
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), F.lit(0))
+    return stable_hash64(F.array_join(F.slice(toks, 1, window), " "))

@@ -91,6 +91,8 @@ AUDITED = [
     "d_span_dup",
     "x_strat_sample",
     "s_label_centroids",
+    "g_link_predict",
+    "d_prefix_dedupe",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -138,6 +140,8 @@ NO_PUSHDOWN_EXPECTED = {
     "d_span_dup",           # full-corpus span fingerprinting
     "x_strat_sample",       # md5-bucket predicate is derived, not scan-level
     "s_label_centroids",    # full-table mean pooling
+    "g_link_predict",       # full-lineitem projection; support threshold is a HAVING
+    "d_prefix_dedupe",      # full-corpus prefix fingerprinting
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -183,6 +187,8 @@ NO_BROADCAST_EXPECTED = {
     "d_span_dup",           # count window + per-doc agg, no joins
     "x_strat_sample",       # pure narrow filter, no joins
     "s_label_centroids",    # posexplode + one agg, no joins
+    "g_link_predict",       # wedge self-join + anti-join: AQE decides
+    "d_prefix_dedupe",      # one window, no joins
 }
 
 

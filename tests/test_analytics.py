@@ -233,3 +233,20 @@ def test_k_core_clique_with_tail(spark):
     # k=1 keeps the whole graph with original degrees
     k1 = {r["id"]: r["core_degree"] for r in k_core(edges, k=1).collect()}
     assert k1[5] == 2 and k1[6] == 1 and k1[1] == 3 and k1[4] == 4
+
+
+def test_common_neighbor_scores(spark):
+    from fluxgraph_spark.operators.analytics import common_neighbor_scores
+
+    # path 1-2-3 plus 1-4, 3-4: pair (1,3) shares {2,4}; (2,4) shares {1,3}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], ["src", "dst"]
+    )
+    out = {(r["a"], r["b"]): r["n_common"]
+           for r in common_neighbor_scores(edges, min_common=1).collect()}
+    assert out == {(1, 3): 2, (2, 4): 2}
+    # adjacent pairs are excluded even when they share neighbors
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 4), (2, 4)], ["src", "dst"])
+    out2 = {(r["a"], r["b"]): r["n_common"]
+            for r in common_neighbor_scores(tri, min_common=1).collect()}
+    assert (1, 2) not in out2 and out2[(3, 4)] == 2

@@ -426,3 +426,23 @@ def test_label_centroids_exact(spark):
     one = {(r["label"], r["pos"]): (r["centroid_micro"], r["n_vecs"])
            for r in similarity.label_centroids(df.coalesce(1)).collect()}
     assert one == out
+
+
+def test_dedupe_keep_best(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta one two three four SHORT", 10),
+            (2, "alpha beta gamma delta one two three four plus a longer tail", 20),
+            (3, "entirely different leading words here for this doc ok", 5),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    key = dedup.leading_window_key(F.col("text"), window=8)
+    kept = {r["doc_id"] for r in
+            dedup.dedupe_keep_best(df, "doc_id", key, "n_chars").collect()}
+    # docs 1 and 2 share the leading 8-token window; 2 is longer and wins
+    assert kept == {2, 3}
+    # without a preference the smallest id wins
+    kept_min = {r["doc_id"] for r in
+                dedup.dedupe_keep_best(df, "doc_id", key).collect()}
+    assert kept_min == {1, 3}
