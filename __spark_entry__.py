@@ -1554,6 +1554,37 @@ def _copurchase_edges(spark, sf_dir, min_support=2):
     )
 
 
+def q_t_funnel(spark, sf_dir):
+    """Strict sequential view->click->purchase funnel per user: each
+    stage's earliest completion at-or-after the previous stage, null
+    once the chain breaks.  Three stage-filtered min-aggs joined on
+    user_id — no full-stream window."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    out = TP.funnel_stages(ev, "user_id", "ts", "event_type",
+                           ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("t0")).alias("t0_us"),
+        F.unix_micros(F.col("t1")).alias("t1_us"),
+        F.unix_micros(F.col("t2")).alias("t2_us"),
+        "stage_reached",
+    )
+
+
+def q_x_corpus_stats(spark, sf_dir):
+    """Per-(lang, source) corpus report: doc counts, token/char totals,
+    max and exact median chars — the mix-audit table a training-data
+    pipeline prints before sampling.  One shuffle, all built-ins."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+    )
+
+
 def q_g_kcore(spark, sf_dir):
     """3-core of the support-2 co-purchase projection: iterative peeling
     of parts with fewer than 3 surviving co-purchase partners
@@ -2167,6 +2198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_supplier_cnt": q_r_supplier_cnt,
         "r_excess_suppliers": q_r_excess_suppliers,
         "g_triangles": q_g_triangles,
+        "t_funnel": q_t_funnel,
+        "x_corpus_stats": q_x_corpus_stats,
         "g_kcore": q_g_kcore,
         "g_link_predict": q_g_link_predict,
         "d_prefix_dedupe": q_d_prefix_dedupe,
@@ -2508,6 +2541,30 @@ def oracle_sql() -> dict[str, str]:
         "g_lpa_communities": _lpa_sql(4),
         "g_sssp_weighted": _sssp_sql(4),
         "g_ppr_top10": _ppr_sql(3),
+        "t_funnel": """
+        WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, min(e.ts) AS t1
+               FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t0
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2
+               FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT s0.user_id, epoch_us(s0.t0) AS t0_us, epoch_us(s1.t1) AS t1_us,
+               epoch_us(s2.t2) AS t2_us,
+               (1 + CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)::INT AS stage_reached
+        FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+                LEFT JOIN s2 ON s1.user_id = s2.user_id
+        """,
+        "x_corpus_stats": r"""
+        SELECT lang, source, count(*) AS n_docs,
+               sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+               sum(n_chars) AS total_chars,
+               max(n_chars) AS max_chars,
+               quantile_cont(n_chars, 0.5) AS p50_chars
+        FROM documents GROUP BY lang, source
+        """,
         "g_kcore": _kcore_sql(3, 12),
         "g_link_predict": """
         WITH con AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS part_id

@@ -294,3 +294,42 @@ def asof_latest(
     value_cols = [c for c in versions.columns if c not in key_cols]
     aggs = [F.max_by(c, F.col(ts_col)).alias(c) for c in value_cols]
     return filtered.groupBy(*key_cols).agg(*aggs)
+
+
+def funnel_stages(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Strict sequential funnel: per user, the earliest time each stage
+    completed AT OR AFTER the previous stage's completion (a view
+    before signup does not count toward a view→click→purchase funnel).
+    Output: one row per user who completed stage 0, columns
+    ``t0..t{n-1}`` (null once the chain breaks) and ``stage_reached``.
+
+    Scale shape: one filtered min-agg per stage joined back on the user
+    key — len(stages) small joins, each keyed by user id with the
+    stage-filtered side pre-aggregated, never a window over the full
+    event stream.  Catalyst pushes the stage filters to the scan."""
+    out = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    for i, st in enumerate(stages[1:], 1):
+        nxt = (
+            events.where(F.col(type_col) == st)
+            .select(user_col, F.col(ts_col).alias("__ts"))
+            .join(out.select(user_col, f"t{i - 1}"), user_col)
+            .where(F.col("__ts") >= F.col(f"t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    reached = sum(
+        F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(stages))
+    )
+    return out.withColumn("stage_reached", reached.cast("int"))

@@ -93,6 +93,8 @@ AUDITED = [
     "s_label_centroids",
     "g_link_predict",
     "d_prefix_dedupe",
+    "t_funnel",
+    "x_corpus_stats",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -142,6 +144,7 @@ NO_PUSHDOWN_EXPECTED = {
     "s_label_centroids",    # full-table mean pooling
     "g_link_predict",       # full-lineitem projection; support threshold is a HAVING
     "d_prefix_dedupe",      # full-corpus prefix fingerprinting
+    "x_corpus_stats",       # full-corpus rollup
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -189,6 +192,8 @@ NO_BROADCAST_EXPECTED = {
     "s_label_centroids",    # posexplode + one agg, no joins
     "g_link_predict",       # wedge self-join + anti-join: AQE decides
     "d_prefix_dedupe",      # one window, no joins
+    "t_funnel",             # user-keyed stage joins: AQE decides
+    "x_corpus_stats",       # one agg, no joins
 }
 
 

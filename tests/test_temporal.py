@@ -409,3 +409,32 @@ def test_asof_join_tolerance(spark):
     }
     assert fout[1] == 5.0
     assert fout[2] is None
+
+
+def test_funnel_stages(spark):
+    import datetime as dt
+
+    from fluxgraph_spark.operators import temporal as TP
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    rows = [
+        # user 1 completes the whole funnel in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # user 2: purchase BEFORE click -> funnel stops at click
+        (2, t(0), "view"), (2, t(3), "purchase"), (2, t(6), "click"),
+        # user 3: no view -> not in the output at all
+        (3, t(1), "click"), (3, t(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in TP.funnel_stages(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["stage_reached"] == 3 and out[1]["t2"] == t(9)
+    assert out[2]["stage_reached"] == 2 and out[2]["t2"] is None
+    # a second purchase after the click completes user 2's funnel
+    ev2 = spark.createDataFrame(rows + [(2, t(8), "purchase")], ["user_id", "ts", "event_type"])
+    out2 = {r["user_id"]: r for r in TP.funnel_stages(
+        ev2, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out2[2]["stage_reached"] == 3 and out2[2]["t2"] == t(8)
