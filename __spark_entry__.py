@@ -1571,6 +1571,32 @@ def q_t_funnel(spark, sf_dir):
     )
 
 
+def q_t_retention(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-seen week, counted
+    in each subsequent activity week.  Two shuffles (per-user min, then
+    the cohort×week rollup over distinct user-weeks); both truncate to
+    ISO Monday weeks so the offset arithmetic is exact."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_week", "act_week")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("cohort_week")).alias("cohort_us"),
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
 def q_x_corpus_stats(spark, sf_dir):
     """Per-(lang, source) corpus report: doc counts, token/char totals,
     max and exact median chars — the mix-audit table a training-data
@@ -2199,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_excess_suppliers": q_r_excess_suppliers,
         "g_triangles": q_g_triangles,
         "t_funnel": q_t_funnel,
+        "t_retention": q_t_retention,
         "x_corpus_stats": q_x_corpus_stats,
         "g_kcore": q_g_kcore,
         "g_link_predict": q_g_link_predict,
@@ -2556,6 +2583,16 @@ def oracle_sql() -> dict[str, str]:
                   + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)::INT AS stage_reached
         FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
                 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        """,
+        "t_retention": """
+        WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                   FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+        SELECT epoch_us(cohort_week) AS cohort_us,
+               (date_diff('day', cohort_week, act_week) // 7)::INT AS week_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM a JOIN f ON a.user_id = f.user_id
+        GROUP BY cohort_week, act_week
         """,
         "x_corpus_stats": r"""
         SELECT lang, source, count(*) AS n_docs,

@@ -94,6 +94,7 @@ AUDITED = [
     "g_link_predict",
     "d_prefix_dedupe",
     "t_funnel",
+    "t_retention",
     "x_corpus_stats",
 ]
 
@@ -145,6 +146,7 @@ NO_PUSHDOWN_EXPECTED = {
     "g_link_predict",       # full-lineitem projection; support threshold is a HAVING
     "d_prefix_dedupe",      # full-corpus prefix fingerprinting
     "x_corpus_stats",       # full-corpus rollup
+    "t_retention",          # full-events cohort rollup
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
