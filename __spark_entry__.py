@@ -1597,6 +1597,16 @@ def q_t_retention(spark, sf_dir):
     )
 
 
+def q_x_weighted_sample(spark, sf_dir):
+    """Quality-weighted sampling: each document kept with probability ==
+    its quality score, deterministically via md5 bucket vs score
+    threshold.  quality_score is already proven engine-identical
+    (x_quality hash-matches), so the comparison replays exactly."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    kept = text.quality_weighted_sample(docs, "doc_id")
+    return kept.select("doc_id", "quality_score")
+
+
 def q_x_corpus_stats(spark, sf_dir):
     """Per-(lang, source) corpus report: doc counts, token/char totals,
     max and exact median chars — the mix-audit table a training-data
@@ -2226,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles": q_g_triangles,
         "t_funnel": q_t_funnel,
         "t_retention": q_t_retention,
+        "x_weighted_sample": q_x_weighted_sample,
         "x_corpus_stats": q_x_corpus_stats,
         "g_kcore": q_g_kcore,
         "g_link_predict": q_g_link_predict,
@@ -3458,6 +3469,22 @@ def oracle_sql() -> dict[str, str]:
                + 0.15 * (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(q_chars, 1)) * 5, 1.0))
                , 6) AS quality_score
         FROM m
+        """,
+        "x_weighted_sample": f"""
+        WITH m AS ({_QUALITY_CORE.strip()}),
+        sc AS (
+          SELECT doc_id,
+                 round(
+                   0.35 * (CAST(n_alpha AS DOUBLE) / greatest(q_chars, 1))
+                 + 0.25 * least((CAST(n_stop AS DOUBLE) / greatest(q_tokens, 1)) * 4, 1.0)
+                 + 0.25 * least(q_tokens / 100.0, 1.0)
+                 + 0.15 * (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(q_chars, 1)) * 5, 1.0))
+                 , 6) AS quality_score
+          FROM m
+        )
+        SELECT doc_id, quality_score FROM sc
+        WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':qw'), 1, 15))::UBIGINT::BIGINT % 100000
+              < quality_score * 100000
         """,
         "x_langid": _langid_sql(),
         "x_scrub": f"""

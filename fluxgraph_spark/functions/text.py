@@ -206,6 +206,27 @@ def stratified_sample(
     return df.where(bucket < thresh)
 
 
+def quality_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    salt: str = "qw",
+) -> DataFrame:
+    """Quality-weighted sampling (the CCNet-style soft filter): keep
+    each document with probability equal to its quality score, selected
+    deterministically — ``stable_hash(id || salt) % 100000 <
+    quality_score * 100000`` — so high-quality docs are (almost) always
+    kept, junk is (almost) always dropped, and the middle is sampled in
+    proportion.  Reproducible across runs/engines/partitionings; a pure
+    narrow map + filter, no shuffle."""
+    q = quality_score(df, text_col)
+    bucket = (
+        stable_hash64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+        % 100000
+    )
+    return q.where(bucket < F.col("quality_score") * 100000)
+
+
 def rolling_hashes(text: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprints: stable hash of each
     ``window``-gram of tokens (array of hashes; pair with explode +

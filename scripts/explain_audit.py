@@ -96,6 +96,7 @@ AUDITED = [
     "t_funnel",
     "t_retention",
     "x_corpus_stats",
+    "x_weighted_sample",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -147,6 +148,7 @@ NO_PUSHDOWN_EXPECTED = {
     "d_prefix_dedupe",      # full-corpus prefix fingerprinting
     "x_corpus_stats",       # full-corpus rollup
     "t_retention",          # full-events cohort rollup
+    "x_weighted_sample",    # score predicate is derived, not scan-level
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -196,6 +198,7 @@ NO_BROADCAST_EXPECTED = {
     "d_prefix_dedupe",      # one window, no joins
     "t_funnel",             # user-keyed stage joins: AQE decides
     "x_corpus_stats",       # one agg, no joins
+    "x_weighted_sample",    # narrow map + filter, no joins
 }
 
 

@@ -446,3 +446,23 @@ def test_dedupe_keep_best(spark):
     kept_min = {r["doc_id"] for r in
                 dedup.dedupe_keep_best(df, "doc_id", key).collect()}
     assert kept_min == {1, 3}
+
+
+def test_quality_weighted_sample(spark):
+    junk = "!!! ??? ;;; ::: ,,, ... (((" * 3
+    good = ("the quick brown fox jumps over the lazy dog and then keeps "
+            "running through the field with steady confident strides") * 3
+    df = spark.createDataFrame(
+        [(i, good if i % 2 == 0 else junk) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    kept = text.quality_weighted_sample(df, "doc_id").collect()
+    by_kind = {"good": 0, "junk": 0}
+    for r in kept:
+        by_kind["good" if r["doc_id"] % 2 == 0 else "junk"] += 1
+    # high-quality docs survive at a much higher rate than junk
+    assert by_kind["good"] > 60
+    assert by_kind["junk"] < by_kind["good"] / 2
+    # deterministic across invocations
+    again = {r["doc_id"] for r in text.quality_weighted_sample(df, "doc_id").collect()}
+    assert again == {r["doc_id"] for r in kept}
