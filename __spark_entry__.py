@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from fluxgraph_spark.functions import dedup, multimodal, similarity, text
+from fluxgraph_spark.functions import timeutil as TU
 from fluxgraph_spark.operators import analytics as AN
 from fluxgraph_spark.operators import temporal as TP
 from fluxgraph_spark.operators import traversal as TR
@@ -36,6 +37,13 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _us(col):
+    """Epoch micros from NTZ/LTZ timestamps, session-tz-independent
+    (driver parquet is naive timestamp[us] -> TIMESTAMP_NTZ in Spark 4;
+    matches DuckDB epoch_us bit-for-bit)."""
+    return TU.ts_us(col)
+
 
 def _cents(col):
     return F.round(col * 100).cast("long")
@@ -307,9 +315,9 @@ def q_t_scd2_versions(spark, sf_dir):
     scd = TP.scd2_from_change_events(ev, ["user_id"], "ts")
     return scd.select(
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        _us(F.col("ts")).alias("ts_us"),
         "version_idx",
-        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+        _us(F.col("valid_to")).alias("valid_to_us"),
         F.col("is_current").cast("int").alias("is_current"),
     )
 
@@ -325,7 +333,7 @@ def q_t_asof_user_state(spark, sf_dir):
     )
     return latest.select(
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        _us(F.col("ts")).alias("ts_us"),
         F.col("event_type").alias("last_type"),
         F.round(F.col("value"), 6).alias("last_value"),
     )
@@ -336,7 +344,7 @@ def q_t_version_counts(spark, sf_dir):
     ev = tpch.read_tables(spark, sf_dir)["events"]
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_versions"),
-        F.max(F.unix_micros(F.col("ts"))).alias("time_id_us"),
+        F.max(_us(F.col("ts"))).alias("time_id_us"),
     )
 
 
@@ -347,8 +355,8 @@ def q_t_validity_intervals(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("valid_from_us"),
-        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        _us(F.col("ts")).alias("valid_from_us"),
+        _us(F.lead("ts").over(w)).alias("valid_to_us"),
     )
 
 
@@ -368,7 +376,7 @@ def q_t_asof_join(spark, sf_dir):
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        _us(F.col("ts")).alias("ts_us"),
         F.round(F.col("click_value"), 6).alias("click_value"),
     )
 
@@ -395,7 +403,7 @@ def q_t_asof_tolerance(spark, sf_dir):
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        _us(F.col("ts")).alias("ts_us"),
         F.round(F.col("click_value"), 6).alias("click_value"),
     )
 
@@ -418,7 +426,7 @@ def q_t_asof_join_fwd(spark, sf_dir):
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        _us(F.col("ts")).alias("ts_us"),
         F.round(F.col("next_click_value"), 6).alias("next_click_value"),
     )
 
@@ -464,9 +472,9 @@ def q_t_versions_at(spark, sf_dir):
     base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
     end_us = base_us + 31 * 86_400_000_000  # clip open versions at Feb 1
     day_us = 86_400_000_000
-    vf = F.unix_micros(F.col("valid_from")) - F.lit(base_us)
+    vf = _us(F.col("valid_from")) - F.lit(base_us)
     vt = (
-        F.coalesce(F.unix_micros(F.col("valid_to")), F.lit(end_us)) - F.lit(base_us)
+        F.coalesce(_us(F.col("valid_to")), F.lit(end_us)) - F.lit(base_us)
     )
     # checkpoint k (at base + k days) is covered iff vf <= k*day < vt
     kmin = F.greatest(F.floor((vf + day_us - 1) / day_us), F.lit(1)).cast("long")
@@ -484,7 +492,7 @@ def q_t_sessionize(spark, sf_dir):
     (lag + running sum — the batch analog of session_window)."""
     ev = tpch.read_tables(spark, sf_dir)["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = _us(F.col("ts")) - _us(F.lag("ts").over(w))
     marked = ev.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
@@ -934,7 +942,7 @@ def q_t_time_buckets(spark, sf_dir):
     ev = tpch.read_tables(spark, sf_dir)["events"]
     return ev.groupBy(
         "event_type",
-        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+        _us(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
     ).agg(
         F.count("*").alias("n"),
         F.sum(_cents(F.col("value"))).alias("value_cents"),
@@ -1006,7 +1014,7 @@ def q_x_range_frame(spark, sf_dir):
     ev = tpch.read_tables(spark, sf_dir)["events"]
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(_us(F.col("ts")))
         .rangeBetween(-3_600_000_000, W.currentRow)
     )
     return ev.select(
@@ -1564,9 +1572,9 @@ def q_t_funnel(spark, sf_dir):
                            ["view", "click", "purchase"])
     return out.select(
         "user_id",
-        F.unix_micros(F.col("t0")).alias("t0_us"),
-        F.unix_micros(F.col("t1")).alias("t1_us"),
-        F.unix_micros(F.col("t2")).alias("t2_us"),
+        _us(F.col("t0")).alias("t0_us"),
+        _us(F.col("t1")).alias("t1_us"),
+        _us(F.col("t2")).alias("t2_us"),
         "stage_reached",
     )
 
@@ -1588,7 +1596,7 @@ def q_t_retention(spark, sf_dir):
         .groupBy("cohort_week", "act_week")
         .agg(F.count_distinct("user_id").alias("n_users"))
         .select(
-            F.unix_micros(F.col("cohort_week")).alias("cohort_us"),
+            _us(F.col("cohort_week")).alias("cohort_us"),
             (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
             .cast("int")
             .alias("week_offset"),
@@ -1802,6 +1810,8 @@ def q_st_windowed_counts(spark, sf_dir):
         "value", F.round(F.col("value") * 100).cast("long").cast("double")
     )
     res = _drain_stream(windowed_event_counts(ev, "1 hour"), "complete")
+    # stream timestamps are LTZ instants (watermark requirement);
+    # unix_micros is the tz-independent extractor for LTZ
     return res.select(
         F.unix_micros(F.col("win_start")).alias("win_us"),
         "event_type",
@@ -2565,8 +2575,52 @@ SELECT src AS part_id, count(*) AS core_degree FROM s{iters} GROUP BY src
     )
 
 
+# DuckDB SUM() over BIGINT/INTEGER yields HUGEINT (int128).  Fetched
+# through pandas/arrow (as the correctness driver does) HUGEINT lands as
+# float64/decimal128 and no longer hashes equal to Spark's int64 — even
+# when every value is identical.  These (query -> columns) get an outer
+# CAST back to BIGINT so both engines emit int64.  (Plain fetchall()
+# hides the problem: HUGEINT comes back as Python int — which is why
+# round 1's local checker was green while the driver mismatched.)
+_BIGINT_RESULT_COLS = {
+    "g_orders_per_customer": ["total_cents"],
+    "g_revenue_by_region": ["revenue_cents"],
+    "t_sessionize": ["n_sessions"],
+    "t_time_buckets": ["value_cents"],
+    "pricing_summary": ["sum_qty", "base_cents", "disc_cents"],
+    "top_orders_building": ["revenue_cents"],
+    "region_revenue": ["revenue_cents"],
+    "revenue_filter": ["revenue_cents"],
+    "top_parts_by_quantity": ["total_qty"],
+    "events_type_stats": ["value_cents"],
+    "r_inactive_customers": ["acctbal_cents"],
+    "r_promo_share": ["promo_cents", "total_cents"],
+    "r_big_orders": ["sum_qty"],
+    "r_disjunctive_rev": ["revenue_cents"],
+    "r_rollup_revenue": ["revenue_cents"],
+    "r_small_quantity_rev": ["revenue_cents"],
+    "r_top_supplier": ["revenue_cents"],
+    "r_nation_volume": ["revenue_cents"],
+    "r_market_share": ["nation_cents", "total_cents"],
+    "r_product_profit": ["profit_cents"],
+    "r_returned_top_customers": ["revenue_cents"],
+    "r_important_parts": ["value_cents"],
+    "r_priority_lines": ["high_count", "low_count"],
+    "r_pivot_status": ["n_f", "n_o", "n_p"],
+    "r_cube_stats": ["price_cents"],
+    "r_topk_per_group": ["total_qty"],
+    "x_window_suite": ["total_cents"],
+    "x_range_frame": ["hour_cents"],
+    "x_json_extract": ["sum_k"],
+    "x_split": ["n_chars"],
+    "x_corpus_stats": ["total_tokens", "total_chars"],
+    "st_windowed_counts": ["value_cents"],
+    "st_sessionize": ["n_sessions"],
+}
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         # graph surface
         "g_vertices_by_kind": GRAPH_CTES
         + "SELECT kind, count(*) AS n_vertices FROM gv GROUP BY kind",
@@ -3555,6 +3609,10 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (probabilistic recall / Pandas-UDF surface) -> the
         # driver records the weaker rows-only check.
     }
+    for name, cols in _BIGINT_RESULT_COLS.items():
+        reps = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+        sqls[name] = f"SELECT * REPLACE ({reps}) FROM (\n{sqls[name]}\n) __q"
+    return sqls
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .. import model as M
+from ..functions.timeutil import lit_ntz, ts_ntz, ts_us
 
 
 def snapshot(df: DataFrame, tx: Optional[int]) -> DataFrame:
@@ -186,12 +187,12 @@ def asof_join(
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
     for c in value_cols:
         lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    lt = lt.withColumn("__rts", F.lit(None).cast("timestamp"))
+    lt = lt.withColumn("__rts", F.lit(None).cast("timestamp_ntz"))
     rt = right.select(
         *key_cols,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.col(right_ts).cast("timestamp").alias("__rts"),
+        ts_ntz(right_ts).alias("__rts"),
         *[F.col(c) for c in value_cols],
     )
     for c in lt.columns:
@@ -220,10 +221,7 @@ def asof_join(
         unioned = unioned.withColumn(c, pick(c))
     unioned = unioned.withColumn("__mts", pick("__rts"))
     if tolerance is not None:
-        gap_us = (
-            F.unix_micros(F.col("__ts").cast("timestamp"))
-            - F.unix_micros(F.col("__mts"))
-        )
+        gap_us = ts_us("__ts") - ts_us("__mts")
         if direction == "forward":
             gap_us = -gap_us
         within = F.col("__mts").isNotNull() & (
@@ -264,15 +262,15 @@ def interval_join(
     """
     b_us = int(bucket.total_seconds() * 1_000_000)
     p = points.withColumn(
-        "__bucket", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(b_us))
+        "__bucket", F.floor(ts_us(point_ts) / F.lit(b_us))
     )
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_ts)) / F.lit(b_us)),
+                F.floor(ts_us(start_ts) / F.lit(b_us)),
                 # end is exclusive: the last bucket is the one holding end-1us
-                F.floor((F.unix_micros(F.col(end_ts)) - 1) / F.lit(b_us)),
+                F.floor((ts_us(end_ts) - 1) / F.lit(b_us)),
             )
         ),
     )
@@ -290,7 +288,7 @@ def asof_latest(
 ) -> DataFrame:
     """Latest version per key with ts <= at — as-of over an event-versioned
     table via max_by (single shuffle on the key, partial agg map-side)."""
-    filtered = versions.where(F.col(ts_col) <= F.lit(at))
+    filtered = versions.where(ts_ntz(ts_col) <= lit_ntz(at))
     value_cols = [c for c in versions.columns if c not in key_cols]
     aggs = [F.max_by(c, F.col(ts_col)).alias(c) for c in value_cols]
     return filtered.groupBy(*key_cols).agg(*aggs)

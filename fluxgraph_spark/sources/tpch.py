@@ -17,6 +17,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import timeutil
+
 CUSTOMER_BASE = 0
 SUPPLIER_BASE = 1_000_000_000
 PART_BASE = 2_000_000_000
@@ -58,13 +60,17 @@ def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:
-    """The driver's events table stores TIMESTAMP(NANOS) parquet, which
-    Spark rejects by default — read nanos as long and truncate to micros
-    (scan-side cast; no driver round-trip, scale-safe)."""
+    """Read the events table, normalizing ``ts`` to TIMESTAMP_NTZ wall
+    clock.  Handles both producer formats seen from the driver: naive
+    ``timestamp[us]`` (Spark 4 reads it as TIMESTAMP_NTZ natively) and
+    TIMESTAMP(NANOS) (readable only as long — truncate to micros
+    scan-side; no driver round-trip, scale-safe)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = df.withColumn("ts", timeutil.us_ts(F.expr("ts DIV 1000")))
+    elif "ts" in df.columns:
+        df = df.withColumn("ts", timeutil.ts_ntz("ts"))
     return df
 
 

@@ -13,35 +13,35 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# the driver's events table stores TIMESTAMP(NANOS) parquet, which Spark
-# reads only as long (see sources/tpch.read_events) — declare long and
-# truncate to micros scan-side
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
+from ..functions import timeutil
 
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
     """``readStream`` over an events parquet directory (the testdata
-    `events` table layout)."""
+    `events` table layout).
+
+    Structured Streaming needs an explicit schema; take it from a batch
+    footer read of the same path so the source tracks whatever timestamp
+    flavor the producer writes (naive micros -> TIMESTAMP_NTZ today;
+    TIMESTAMP(NANOS)-as-long historically).  ``ts`` is normalized to
+    TIMESTAMP_NTZ wall clock either way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     df = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Watermarks/event-time require TIMESTAMP (LTZ).  Convert wall clock
+    # -> the epoch-equivalent UTC instant via epoch-micros arithmetic
+    # (session-timezone-independent, unlike a bare NTZ->LTZ cast).
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        df = df.withColumn("ts", F.timestamp_micros(timeutil.ts_us("ts")))
+    return df
 
 
 def windowed_event_counts(

@@ -22,6 +22,13 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# DuckDB result types that survive a pandas/arrow round-trip with the
+# same python-value rendering Spark produces (int64/float64/str/bool/ts)
+SAFE_DUCK_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT",
+    "DOUBLE", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+}
+
 
 def norm_cell(v):
     import datetime
@@ -90,9 +97,22 @@ def main():
             print(f"rows-only  {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            # the driver fetches through pandas/arrow, where DuckDB's
+            # HUGEINT/DECIMAL/FLOAT become float64/decimal128 and stop
+            # hash-matching Spark's int64/double even on equal values —
+            # fail fast on any unsafe output type (round-1 lesson)
+            unsafe = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) not in SAFE_DUCK_TYPES
+            ]
+            if unsafe:
+                failures.append(name)
+                print(f"FAIL  {name}: unsafe duckdb result types {unsafe}")
+                continue
+            d_rows = rel.fetchall()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {str(ex)[:160]}")

@@ -163,8 +163,7 @@ def test_scd2_streaming_ingest_equals_batch_rebuild(spark, tmp_path):
     # maxFilesPerTrigger=1 yields multiple microbatches
     src = str(tmp_path / "stream_src")
     ev = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
-    # stream schema expects the driver's nanos-as-long ts layout
-    ev.withColumn("ts", (F.unix_micros("ts") * 1000)).withColumn(
+    ev.withColumn(
         "__c", F.col("event_id") % 3
     ).repartition(3, "__c").drop("__c").write.parquet(src)
     assert len(glob.glob(src + "/part-*.parquet")) >= 2
