@@ -75,32 +75,40 @@ def main():
     # cleared between runs so the min never benefits from a persist()
     # left over by the previous run — each run recomputes from parquet.
     timings = {}
+    errors = {}
     for name in HEADLINE:
         fn = qs[name]
         per_run = []
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            per_run.append(time.time() - t0)
-            # queries may persist() intermediates; drop them so no run
-            # (and no later query) inherits another's cache
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                per_run.append(time.time() - t0)
+                # queries may persist() intermediates; drop them so no run
+                # (and no later query) inherits another's cache
+                spark.catalog.clearCache()
+        except Exception as ex:  # noqa: BLE001 — one broken query must not
+            # zero out the whole bench (round-1 lesson: a data-layout
+            # change killed the run before any JSON was emitted)
+            errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
+            continue
         timings[name] = round(min(per_run), 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": 2,
-                "aggregation": "min",
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": 2,
+        "aggregation": "min",
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
