@@ -1934,6 +1934,21 @@ def q_d_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_d_semantic_dedupe(spark, sf_dir):
+    """Semantic (embedding-space) dedup, cluster level: cosine>=0.35
+    pairs blocked by label -> weakly-connected components (4 fixed
+    min-label supersteps, SQL-replayable) -> keep the min-id member per
+    cluster.  Near-duplication is transitive (A~B, B~C => one survivor),
+    so pairwise filtering alone over-keeps; this is the keep-one shape a
+    training pipeline actually ships.  At 100 TB the label block becomes
+    an LSH/IVF bucket and components switch to the large-star/small-star
+    O(log n) variant."""
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    return dedup.semantic_dedupe(
+        emb, block_col="label", threshold=0.35, max_iters=4
+    )
+
+
 def q_d_corpus_dedupe(spark, sf_dir):
     """Full near-dup corpus dedup: LSH pairs -> transitive star-clusters
     -> min-id representative kept (rows-only: LSH recall is
@@ -2301,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
         "d_corpus_dedupe": q_d_corpus_dedupe,
+        "d_semantic_dedupe": q_d_semantic_dedupe,
         "d_simhash": q_d_simhash,
         "d_winnow_pairs": q_d_winnow_pairs,
         "d_span_dup": q_d_span_dup,
@@ -2427,6 +2443,37 @@ r{k + 1} AS MATERIALIZED (SELECT v.id,
 SELECT id, round(rank, 6) AS pagerank, rank_no AS rank FROM (
   SELECT id, rank, row_number() OVER (ORDER BY rank DESC, id) AS rank_no FROM r{iters}
 ) WHERE rank_no <= 10
+"""
+    )
+
+
+def _semantic_dedupe_sql(iters: int = 4) -> str:
+    """Chained-CTE replay of semantic_dedupe: cosine pairs -> fixed
+    min-label supersteps -> min-id representative (singletons keep
+    themselves)."""
+    ctes = """
+pr AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35),
+sym AS MATERIALIZED (SELECT src, dst FROM pr UNION SELECT dst AS src, src AS dst FROM pr),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+c0 AS (SELECT id, id AS component FROM verts)"""
+    for k in range(iters):
+        ctes += f""",
+m{k} AS MATERIALIZED (SELECT s.dst AS id, min(c.component) AS mn
+         FROM sym s JOIN c{k} c ON c.id = s.src GROUP BY s.dst),
+c{k + 1} AS MATERIALIZED (SELECT c.id, least(c.component, COALESCE(m.mn, c.component)) AS component
+             FROM c{k} c LEFT JOIN m{k} m ON m.id = c.id)"""
+    return (
+        "WITH "
+        + ctes.lstrip()
+        + f"""
+SELECT e.vec_id AS id,
+       COALESCE(c.component, e.vec_id) AS rep_id,
+       CASE WHEN COALESCE(c.component, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS kept
+FROM embeddings e LEFT JOIN c{iters} c ON c.id = e.vec_id
 """
     )
 
@@ -3622,6 +3669,7 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
         ) WHERE rank <= 10
         """,
+        "d_semantic_dedupe": _semantic_dedupe_sql(4),
         "s_embedding_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -557,6 +557,47 @@ def embedding_near_dup_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
+def semantic_dedupe(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+    max_iters: int = 6,
+) -> DataFrame:
+    """Cluster-level semantic dedup: embedding near-dup pairs ->
+    weakly-connected components -> keep the minimum-id member of each
+    cluster as the canonical representative.  The cluster step matters
+    because near-duplication is transitive in practice (A~B, B~C: one
+    survivor, not two) — pairwise filtering alone keeps chain members.
+
+    Returns (id, rep_id, kept): every input row, its cluster
+    representative (itself for singletons), kept=1 iff it IS the
+    representative.
+
+    Scale: pairs come from the blocked similarity join (LSH/IVF bucket
+    at 100 TB, ``block_col`` here); components run min-label propagation
+    with ``max_iters`` fixed supersteps so a SQL oracle can replay the
+    recurrence exactly.  Near-dup clusters are shallow (diameter a few
+    hops), so a small fixed superstep count is also the converged
+    answer in practice — for adversarially long chains use
+    ``connected_components_star`` (O(log n) rounds) instead."""
+    from ..operators import analytics as AN
+
+    pairs = embedding_near_dup_pairs(emb, id_col, vec_col, block_col, threshold)
+    comp = AN.connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iters=max_iters,
+        early_stop=False,
+    )
+    out = (
+        emb.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("rep_id"))
+    )
+    return out.withColumn("kept", (F.col("id") == F.col("rep_id")).cast("int"))
+
+
 def contamination_hits(
     probe: DataFrame,
     benchmark: DataFrame,

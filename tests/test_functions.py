@@ -466,3 +466,31 @@ def test_quality_weighted_sample(spark):
     # deterministic across invocations
     again = {r["doc_id"] for r in text.quality_weighted_sample(df, "doc_id").collect()}
     assert again == {r["doc_id"] for r in kept}
+
+
+def test_semantic_dedupe_clusters_transitively(spark):
+    """A~B and B~C must collapse to ONE survivor even when A!~C
+    (pairwise filtering would keep two); far-away vectors are
+    singleton representatives of themselves."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.98, 0.199], 0),   # ~A (cos≈0.98), ~C
+        (3, [0.92, 0.392], 0),   # ~B (cos≈0.98), vs A cos≈0.92
+        (10, [0.0, 1.0], 0),     # far from the chain
+        (20, [1.0, 0.0], 1),     # other block: never joins block 0
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], b) for i, v, b in rows],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r["id"]: (r["rep_id"], r["kept"])
+        for r in dedup.semantic_dedupe(
+            df, block_col="label", threshold=0.95, max_iters=4
+        ).collect()
+    }
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 0)
+    assert out[3] == (1, 0)   # transitive: in A's cluster via B
+    assert out[10] == (10, 1)  # singleton keeps itself
+    assert out[20] == (20, 1)  # blocking key isolates label 1
