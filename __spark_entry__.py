@@ -1934,6 +1934,21 @@ def q_d_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_d_lsh_verified_pairs(spark, sf_dir):
+    """MinHash+LSH with the md5-derived hash family, end to end:
+    shingles -> 8 minhash components -> 4-band LSH bucket join ->
+    exact-Jaccard verify of the candidates.  Fully SQL-replayable (the
+    reproducible twin of d_minhash_lsh_pairs, whose xxhash64 fast path
+    carries only a rows-only check): proves the banding equi-join and
+    candidate-verify logic produce exactly the replayed pair set.  The
+    only corpus-wide shuffle is the band-bucket join carrying
+    (id, band, bucket); Jaccard is computed per candidate pair only."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return dedup.minhash_lsh_dedup_reproducible(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
+    )
+
+
 def q_d_semantic_dedupe(spark, sf_dir):
     """Semantic (embedding-space) dedup, cluster level: cosine>=0.35
     pairs blocked by label -> weakly-connected components (4 fixed
@@ -2317,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
         "d_corpus_dedupe": q_d_corpus_dedupe,
         "d_semantic_dedupe": q_d_semantic_dedupe,
+        "d_lsh_verified_pairs": q_d_lsh_verified_pairs,
         "d_simhash": q_d_simhash,
         "d_winnow_pairs": q_d_winnow_pairs,
         "d_span_dup": q_d_span_dup,
@@ -2445,6 +2461,46 @@ SELECT id, round(rank, 6) AS pagerank, rank_no AS rank FROM (
 ) WHERE rank_no <= 10
 """
     )
+
+
+def _lsh_verified_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """Replay of q_d_lsh_verified_pairs: md5 minhash components, banded
+    md5 buckets, distinct bucket-join candidates, exact Jaccard."""
+    comps = ",\n    ".join(
+        "min(" + STABLE_HASH_SQL.format(x=f"'s{i}:' || shingle") + f") AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {SHINGLES_SQL.strip()},
+sig AS MATERIALIZED (SELECT id, {comps} FROM shing GROUP BY id),
+banded AS MATERIALIZED ({band_selects}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sizes AS MATERIALIZED (SELECT id, count(*) AS n_sh FROM shing GROUP BY id),
+inter AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shing a ON a.id = c.id_a
+  JOIN shing b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+"""
 
 
 def _semantic_dedupe_sql(iters: int = 4) -> str:
@@ -3670,6 +3726,7 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 10
         """,
         "d_semantic_dedupe": _semantic_dedupe_sql(4),
+        "d_lsh_verified_pairs": _lsh_verified_sql(8, 4),
         "s_embedding_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

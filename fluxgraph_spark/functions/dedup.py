@@ -557,6 +557,29 @@ def embedding_near_dup_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
+def minhash_lsh_dedup_reproducible(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup pairs with the md5-derived hash
+    family: bit-for-bit replayable by an external SQL engine, unlike the
+    xxhash64 fast path of :func:`minhash_lsh_dedup`.  Use this flavor
+    when the pipeline result must be auditable across engines.
+
+    The shingle table feeds four consumers (signatures, both sides of
+    the intersection join, sizes) and the candidate pairs feed two —
+    both are persisted so the explode/md5 work runs once per action."""
+    sh = shingle_table(df, id_col, text_col, n=n).persist()
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands).persist()
+    return jaccard_pairs(sh, block=cand, threshold=threshold)
+
+
 def semantic_dedupe(
     emb: DataFrame,
     id_col: str = "vec_id",

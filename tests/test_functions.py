@@ -494,3 +494,22 @@ def test_semantic_dedupe_clusters_transitively(spark):
     assert out[3] == (1, 0)   # transitive: in A's cluster via B
     assert out[10] == (10, 1)  # singleton keeps itself
     assert out[20] == (20, 1)  # blocking key isolates label 1
+
+
+def test_minhash_lsh_reproducible_finds_planted_dups(spark):
+    """The md5-family LSH pipeline recovers a planted near-duplicate
+    pair and never emits a pair below the Jaccard threshold."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base + "alpha beta gamma"),
+        (2, base + "alpha beta delta"),          # near-dup of 1
+        (3, "completely different text about spark engines and parquet"),
+        (4, "another unrelated document mentioning ducks and databases"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_lsh_dedup_reproducible(
+        df, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (1, 2) in pairs
+    assert all(j >= 0.5 for j in pairs.values())
