@@ -1909,6 +1909,35 @@ def q_x_tokens(spark, sf_dir):
     )
 
 
+def q_x_pack(spark, sf_dir):
+    """Sequence packing: greedy sequential fill of fixed 2048-token
+    context windows, per source shard (docs in doc_id order; a doc
+    longer than the budget gets its own pack).  The training-data step
+    that turns a filtered corpus into fixed-length samples.  One window
+    over (source, doc_id) — a single shuffle partitioned by source; at
+    100 TB the source shard is the natural parallel unit and packs never
+    cross shards, so packing scales with the widest shard, not the
+    corpus."""
+    budget = 2048
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", "source", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    # pack boundary replay: a doc starts a new pack when the tokens
+    # before it already fill the current pack; greedy == floor of the
+    # preceding cumulative sum over the budget
+    packed = toks.withColumn(
+        "pack_id", F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("long")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def q_d_minhash_sigs(spark, sf_dir):
     """MinHash signatures (first 4 components) — cross-engine hash parity."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -2327,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_text_hashes": q_d_text_hashes,
         "d_exact_dups": q_d_exact_dups,
         "x_tokens": q_x_tokens,
+        "x_pack": q_x_pack,
         "d_minhash_sigs": q_d_minhash_sigs,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
@@ -3538,6 +3568,25 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs, min(doc_id) AS keep_id
         FROM documents
         GROUP BY 1 HAVING count(*) > 1
+        """,
+        "x_pack": r"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(text, '\S+')) AS n_tokens
+          FROM documents
+        ),
+        packed AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(floor(CAST(sum(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+          FROM toks
+        )
+        SELECT source, pack_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+               min(doc_id) AS first_doc
+        FROM packed GROUP BY source, pack_id
         """,
         "x_tokens": r"""
         SELECT doc_id,

@@ -513,3 +513,32 @@ def test_minhash_lsh_reproducible_finds_planted_dups(spark):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
     assert (1, 2) in pairs
     assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_sequence_packing_boundaries(spark):
+    """Greedy sequential packing: a doc starts a new pack when the
+    preceding docs already fill the budget; oversized docs own packs."""
+    import __spark_entry__ as em
+    rows = [
+        (1, "a " * 1000, "s"),   # 1000 tokens -> pack 0
+        (2, "b " * 1000, "s"),   # cum-before 1000 -> pack 0
+        (3, "c " * 1000, "s"),   # cum-before 2000 -> pack 0 (floor 2000/2048)
+        (4, "d " * 5000, "s"),   # cum-before 3000 -> pack 1 (spans onward)
+        (5, "e " * 10, "s"),     # cum-before 8000 -> pack 3
+        (6, "f " * 10, "t"),     # other shard restarts at pack 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import fluxgraph_spark.sources.tpch as tpch_mod
+    orig = tpch_mod.read_tables
+    tpch_mod.read_tables = lambda spark_, sf_: {"documents": df}
+    try:
+        out = {
+            (r["source"], r["pack_id"]): (r["n_docs"], r["first_doc"])
+            for r in em.q_x_pack(spark, None).collect()
+        }
+    finally:
+        tpch_mod.read_tables = orig
+    assert out[("s", 0)] == (3, 1)
+    assert out[("s", 1)] == (1, 4)
+    assert out[("s", 3)] == (1, 5)
+    assert out[("t", 0)] == (1, 6)
