@@ -71,6 +71,9 @@ AUDITED = [
     "r_cube_stats",
     "r_setops",
     "d_winnow_pairs",
+    "d_semantic_dedupe",
+    "d_lsh_verified_pairs",
+    "x_pack",
     # completed TPC-H query-shape suite (Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q16/Q20)
     "r_min_cost_supplier",
     "r_nation_volume",
@@ -149,6 +152,9 @@ NO_PUSHDOWN_EXPECTED = {
     "x_corpus_stats",       # full-corpus rollup
     "t_retention",          # full-events cohort rollup
     "x_weighted_sample",    # score predicate is derived, not scan-level
+    "d_semantic_dedupe",    # full-embeddings pair join + components
+    "d_lsh_verified_pairs", # full-corpus shingling
+    "x_pack",               # full-corpus token count + window
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -199,6 +205,8 @@ NO_BROADCAST_EXPECTED = {
     "t_funnel",             # user-keyed stage joins: AQE decides
     "x_corpus_stats",       # one agg, no joins
     "x_weighted_sample",    # narrow map + filter, no joins
+    "x_pack",               # no joins (window + agg)
+    "d_semantic_dedupe",    # corpus-scale embedding self-join: must NOT broadcast at scale
 }
 
 
