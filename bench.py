@@ -41,6 +41,9 @@ HEADLINE = [
     "t_range_join",             # bucketed interval/band join
     "g_copurchase_top",         # co-occurrence self-join
     "x_repetition",             # dup-n-gram repetition signal
+    "d_semantic_dedupe",        # embedding pairs -> components -> survivors
+    "d_lsh_verified_pairs",     # md5 minhash LSH + exact-Jaccard verify
+    "x_pack",                   # context-window sequence packing
 ]
 
 
