@@ -1866,17 +1866,29 @@ def q_st_sessionize(spark, sf_dir):
 
 def q_st_running_stats(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user running totals across micro-batches.  Rows-only by design —
-    per-batch emission granularity is engine-defined; the final totals
-    row per user is what the test suite pins to batch."""
+    per-user running totals accumulated across micro-batches.  The
+    update-mode memory sink appends one emission per (user, batch);
+    reducing to the final state (max_by on the monotone event count)
+    makes the settled result equal the batch aggregate exactly, so this
+    carries a FULL SQL oracle.  value is pre-cast to integer cents so
+    the cross-batch double accumulation is order-independent; per-batch
+    emission granularity itself is pinned in the test suite."""
     from fluxgraph_spark.streaming import running_user_stats
 
-    res = _drain_stream(running_user_stats(_stream_events(spark, sf_dir)), "update")
-    return res.select(
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100).cast("long").cast("double")
+    )
+    res = _drain_stream(running_user_stats(ev), "update")
+    final = res.groupBy("user_id").agg(
+        F.max("n_events_total").alias("n_events_total"),
+        F.max_by("value_total", F.col("n_events_total")).alias("vt"),
+        F.max_by("max_value_seen", F.col("n_events_total")).alias("mv"),
+    )
+    return final.select(
         "user_id",
         "n_events_total",
-        F.round(F.col("value_total"), 4).alias("value_total"),
-        "batch_events",
+        F.col("vt").cast("long").alias("value_cents"),
+        F.col("mv").cast("long").alias("max_value_cents"),
     )
 
 
@@ -1906,6 +1918,24 @@ def q_x_tokens(spark, sf_dir):
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
         text.bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_x_unpivot(spark, sf_dir):
+    """Wide -> long unpivot (melt) of the lineitem measures, rolled up
+    per measure.  Unpivot is a narrow map (zero shuffle — each row emits
+    k rows in place); only the per-measure rollup shuffles, and it
+    carries partial aggregates, not the exploded rows."""
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents(F.col("val"))).alias("total_cents"),
     )
 
 
@@ -2357,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact_dups": q_d_exact_dups,
         "x_tokens": q_x_tokens,
         "x_pack": q_x_pack,
+        "x_unpivot": q_x_unpivot,
         "d_minhash_sigs": q_d_minhash_sigs,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
@@ -2771,6 +2802,7 @@ _BIGINT_RESULT_COLS = {
     "x_json_extract": ["sum_k"],
     "x_split": ["n_chars"],
     "x_corpus_stats": ["total_tokens", "total_chars"],
+    "x_unpivot": ["total_cents"],
     "st_windowed_counts": ["value_cents"],
     "st_sessionize": ["n_sessions"],
 }
@@ -3362,6 +3394,12 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY t
         ) WHERE rank <= 100
         """,
+        "st_running_stats": """
+        SELECT user_id, count(*) AS n_events_total,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               max(CAST(round(value * 100) AS BIGINT)) AS max_value_cents
+        FROM events GROUP BY user_id
+        """,
         "st_windowed_counts": """
         SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
                count(*) AS n_events,
@@ -3568,6 +3606,16 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs, min(doc_id) AS keep_id
         FROM documents
         GROUP BY 1 HAVING count(*) > 1
+        """,
+        "x_unpivot": """
+        WITH long AS (
+          SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+          UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        SELECT measure, count(*) AS n,
+               sum(CAST(round(val * 100) AS BIGINT)) AS total_cents
+        FROM long GROUP BY measure
         """,
         "x_pack": r"""
         WITH toks AS (
