@@ -173,3 +173,73 @@ def test_query_builder_df_equivalent(toy_graph):
     assert {r["id"] for r in df.collect()} == {es["e1"].get_id(), es["e3"].get_id()}
     df2 = edge_query_df(g.edges_df(), labels=("created",), has=[("weight", EQUAL, None)])
     assert df2.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fluent traversal DSL
+# ---------------------------------------------------------------------------
+
+def test_fluent_traversal_classic_graph(toy_graph):
+    from fluxgraph_spark.operators.fluent import Traversal
+
+    g, vs, es = toy_graph
+    t = Traversal(g.vertices_df(), g.edges_df())
+
+    # marko's out-neighbors over 'knows' = vadas, josh
+    names = {
+        r["name__string"]
+        for r in t.V().has("name__string", "marko").out("knows")
+        .values("name__string").collect()
+    }
+    assert names == {"vadas", "josh"}
+
+    # who created software marko knows?  marko ->knows-> X ->created-> SW
+    sw = t.V().has("name__string", "marko").out("knows").out("created")
+    # josh created ripple and lop => bag of 2 (duplicates preserved)
+    assert sw.count() == 2
+    assert sw.dedup().count() == 2
+
+    # everything that created lop, via edge steps
+    creators = {
+        r["name__string"]
+        for r in t.V().has("name__string", "lop").in_e("created").out_v()
+        .values("name__string").collect()
+    }
+    assert creators == {"marko", "josh", "peter"}
+
+    # has_not + interval compose as scan predicates
+    aged = t.V().interval("age__long", 28, 33).values("name__string").collect()
+    assert {r["name__string"] for r in aged} == {"marko", "josh"}
+
+    # both() keeps bag semantics: josh touches marko(in), ripple+lop(out)
+    assert t.V().has("name__string", "josh").both().count() == 3
+
+
+def test_fluent_traversal_matches_multi_hop(spark):
+    """DSL chain == TR.multi_hop over a random graph (set-at-a-time
+    equivalence, bag semantics included)."""
+    from fluxgraph_spark.operators.fluent import Traversal
+
+    random.seed(7)
+    n = 60
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [
+            (i, random.randrange(n), random.randrange(n),
+             random.choice(["a", "b"]))
+            for i in range(300)
+        ],
+        "id long, src long, dst long, label string",
+    )
+    t = Traversal(verts, edges)
+    got = sorted(
+        r["id"]
+        for r in t.V().where(F.col("id") < 5).out("a").out().df().collect()
+    )
+    start = verts.where(F.col("id") < 5).select("id")
+    want = sorted(
+        r["id"]
+        for r in TR.multi_hop(start, edges, [(TR.OUT, ("a",)), (TR.OUT, ())])
+        .collect()
+    )
+    assert got == want and len(got) > 0
