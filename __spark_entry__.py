@@ -2174,7 +2174,9 @@ def q_s_lsh_topk(spark, sf_dir):
 
 def q_m_media_features(spark, sf_dir):
     """Multimodal plumbing: binary media -> deterministic features via
-    Arrow-batched mapInPandas (no oracle: Pandas-UDF surface)."""
+    Arrow-batched mapInPandas.  The fake decoder is md5-derived, so the
+    mapInPandas path carries a FULL SQL oracle (hex-substring byte
+    arithmetic replays the digest floats)."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
     media = multimodal.media_table_from_documents(docs)
     feats = multimodal.extract_features(media, decoder="fake")
@@ -2217,9 +2219,9 @@ def q_s_ivf_topk(spark, sf_dir):
 
 def q_m_frame_samples(spark, sf_dir):
     """Multimodal frame sampling: one row per sampled video frame
-    (count from meta.duration_ms), Arrow-batched mapInPandas (rows-only:
-    Pandas-UDF surface; features are deterministic md5 fakes per
-    brief)."""
+    (count from meta.duration_ms), Arrow-batched mapInPandas.  Frame
+    features are deterministic md5 fakes (per brief), so the whole
+    explode-by-duration path carries a FULL SQL oracle."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
     media = multimodal.media_table_from_documents(docs)
     # deterministic video subset: every 5th media row, duration from size
@@ -2244,8 +2246,8 @@ def q_m_frame_samples(spark, sf_dir):
 
 def q_m_resized_meta(spark, sf_dir):
     """Multimodal resize plumbing: image rows through the resize
-    mapInPandas stage, typed metadata out (rows-only: Pandas-UDF
-    surface)."""
+    mapInPandas stage, typed metadata out; deterministic, so
+    oracle-checked."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
     media = multimodal.media_table_from_documents(docs)
     resized = multimodal.resize_images(
@@ -3824,6 +3826,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d_semantic_dedupe": _semantic_dedupe_sql(4),
         "d_lsh_verified_pairs": _lsh_verified_sql(8, 4),
+        "m_media_features": """
+        SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+               round(('0x' || substring(md5(text), 1, 2))::UBIGINT::DOUBLE / 255, 6) AS f0
+        FROM documents
+        """,
+        "m_resized_meta": """
+        SELECT doc_id AS media_id, CAST(64 AS INTEGER) AS width,
+               CAST(64 AS INTEGER) AS height, CAST(strlen(text) AS INTEGER) AS n_bytes
+        FROM documents
+        """,
+        "m_frame_samples": """
+        WITH vids AS (
+          SELECT doc_id, text,
+                 strlen(text) * 17 % 5000 + 1000 AS duration_ms
+          FROM documents WHERE doc_id % 5 = 0)
+        SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+               round(('0x' || substring(md5(text || chr(CAST(i AS INTEGER))), 1, 2))::UBIGINT::DOUBLE / 255, 6) AS f0
+        FROM vids, UNNEST(generate_series(0, greatest(CAST(duration_ms // 1000 AS BIGINT), 1) - 1)) AS g(i)
+        """,
         "s_embedding_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
