@@ -935,6 +935,44 @@ def q_r_top_supplier(spark, sf_dir):
     )
 
 
+def q_t_resample(spark, sf_dir):
+    """Per-user hourly resample with forward fill: generate the full
+    hour grid from each user's first to last event (sequence + explode),
+    left-join the hourly aggregates, then carry the last observed value
+    forward across gaps (last(ignorenulls) over an expanding window).
+    The standard time-series densification a feature pipeline needs
+    before training on regular intervals.  Scale shape: the grid is
+    generated per key (no cross-key explosion), one shuffle on user_id
+    shared by the join and the fill window; restricted to 20 users here
+    to keep the grid bounded at sf0.01."""
+    ev = tpch.read_tables(spark, sf_dir)["events"].where(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(_cents(F.col("value"))).alias("hour_cents"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        _us(F.col("hr")).alias("hr_us"),
+        F.coalesce(F.col("hour_cents"), F.lit(0)).alias("hour_cents"),
+        F.last("hour_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.col("hour_cents").isNull().cast("int").alias("is_gap"),
+    )
+
+
 def q_t_time_buckets(spark, sf_dir):
     """Hypertable-style continuous rollup: per (event_type, hour bucket)
     count + value cents.  At 100 TB this is the materialized-view shape:
@@ -2376,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_stream_join": q_st_stream_join,
         "st_running_stats": q_st_running_stats,
         "t_time_buckets": q_t_time_buckets,
+        "t_resample": q_t_resample,
         "x_rolling": q_x_rolling,
         "x_json_extract": q_x_json_extract,
         "x_range_frame": q_x_range_frame,
@@ -3531,6 +3570,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, r.revenue_cents
         FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        """,
+        "t_resample": """
+        WITH hourly AS MATERIALIZED (
+          SELECT user_id, date_trunc('hour', ts) AS hr,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hour_cents
+          FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        span AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY user_id),
+        grid AS (
+          SELECT user_id, CAST(g.hr AS TIMESTAMP) AS hr
+          FROM span, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g(hr)),
+        joined AS (
+          SELECT g.user_id, g.hr, h.hour_cents
+          FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr)
+        SELECT user_id, epoch_us(hr) AS hr_us,
+               COALESCE(hour_cents, 0) AS hour_cents,
+               last_value(hour_cents IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+               CASE WHEN hour_cents IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM joined
         """,
         "t_time_buckets": """
         SELECT event_type,
