@@ -2200,8 +2200,10 @@ def q_s_embedding_near_dups(spark, sf_dir):
 
 
 def q_s_lsh_topk(spark, sf_dir):
-    """Approximate LSH top-k (rows-only: bucketing is approximate by
-    design; determinism is still exact via md5 hyperplanes)."""
+    """Hyperplane-LSH ANN top-k.  Approximate recall by design, but
+    every step is md5-deterministic — plane components, sign buckets,
+    multi-probe bit flips, round-6 ranked top-k — so the bucketed ANN
+    path replays in SQL and carries a FULL oracle."""
     emb = tpch.read_tables(spark, sf_dir)["embeddings"]
     dim = len(emb.select("embedding").first()["embedding"])
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -2246,8 +2248,10 @@ def q_pipeline_corpus(spark, sf_dir):
 
 
 def q_s_ivf_topk(spark, sf_dir):
-    """IVF ANN top-k (rows-only: bucketing is approximate by design;
-    centroid sampling is md5-deterministic)."""
+    """IVF ANN top-k.  Approximate (probes n nearest buckets only) but
+    fully deterministic: centroids are the md5-smallest corpus sample,
+    assignment argmax and the final round-6 ranked top-k replay in SQL —
+    so the whole two-stage ANN path carries a FULL oracle."""
     emb = tpch.read_tables(spark, sf_dir)["embeddings"]
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -3871,6 +3875,78 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_vecs
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
         GROUP BY 1, 2
+        """,
+        "s_lsh_topk": """
+        WITH base AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        planes AS MATERIALIZED (
+          SELECT p, list_transform(generate_series(0, 63), d ->
+            ('0x' || substring(md5('lsh:' || p || ':' || d), 1, 8))::UBIGINT::DOUBLE
+              / 4294967296.0 - 0.5) AS pvec
+          FROM generate_series(0, 5) t(p)),
+        bucketed AS MATERIALIZED (
+          SELECT v.vec_id,
+                 CAST(sum(CASE WHEN list_dot_product(v.vec, pl.pvec) > 0
+                          THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS bucket
+          FROM base v CROSS JOIN planes pl GROUP BY v.vec_id),
+        qprobe AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, xor(q.bucket, m.m) AS bucket
+          FROM (SELECT vec_id, bucket FROM bucketed WHERE vec_id < 5) q
+          CROSS JOIN (SELECT 0 AS m UNION ALL
+                      SELECT (1 << p) FROM generate_series(0, 5) t(p)) m),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT qp.query_id, cb.vec_id
+          FROM qprobe qp JOIN bucketed cb ON cb.bucket = qp.bucket)
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT cd.query_id, cd.vec_id,
+                 round(list_dot_product(b.vec, qb.vec)
+                   / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(qb.vec, qb.vec))), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY round(list_dot_product(b.vec, qb.vec)
+                     / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(qb.vec, qb.vec))), 6) DESC,
+                   cd.vec_id) AS rank
+          FROM cand cd JOIN base b ON b.vec_id = cd.vec_id
+                       JOIN base qb ON qb.vec_id = cd.query_id
+        ) WHERE rank <= 10
+        """,
+        "s_ivf_topk": """
+        WITH base AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        cents AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id,
+                 vec AS cvec
+          FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        scored AS MATERIALIZED (
+          SELECT b.vec_id, c.centroid_id,
+                 list_dot_product(b.vec, c.cvec)
+                   / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+          FROM base b CROSS JOIN cents c),
+        assign1 AS MATERIALIZED (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM scored) WHERE rn = 1),
+        qassign AS MATERIALIZED (
+          SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM scored WHERE vec_id < 5) WHERE rn <= 4),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT q.query_id, a.vec_id
+          FROM qassign q JOIN assign1 a ON a.centroid_id = q.centroid_id)
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT cd.query_id, cd.vec_id,
+                 round(list_dot_product(b.vec, qb.vec)
+                   / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(qb.vec, qb.vec))), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY round(list_dot_product(b.vec, qb.vec)
+                     / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(qb.vec, qb.vec))), 6) DESC,
+                   cd.vec_id) AS rank
+          FROM cand cd JOIN base b ON b.vec_id = cd.vec_id
+                       JOIN base qb ON qb.vec_id = cd.query_id
+        ) WHERE rank <= 10
         """,
         "s_cosine_topk": """
         SELECT query_id, vec_id, cosine, rank FROM (
