@@ -408,6 +408,30 @@ def q_t_asof_tolerance(spark, sf_dir):
     )
 
 
+def q_t_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join: each purchase takes the click
+    closest in absolute time (either side; distance ties choose the
+    earlier click).  Both candidates come from one tagged-union window
+    pass — still a single shuffle on (user_id, ts)."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = TP.asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_value"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _us(F.col("ts")).alias("ts_us"),
+        F.round(F.col("click_value"), 6).alias("click_value"),
+    )
+
+
 def q_t_asof_join_fwd(spark, sf_dir):
     """Forward as-of join (the mirror of t_asof_join): each purchase
     gets the user's NEXT click value at-or-after the purchase — same
@@ -2369,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_asof_join": q_t_asof_join,
         "t_asof_tolerance": q_t_asof_tolerance,
         "t_asof_join_fwd": q_t_asof_join_fwd,
+        "t_asof_nearest": q_t_asof_nearest,
         "t_sessionize": q_t_sessionize,
         "t_state_diff": q_t_state_diff,
         "t_range_join": q_t_range_join,
@@ -3047,6 +3072,26 @@ def oracle_sql() -> dict[str, str]:
           ON c.user_id = p.user_id AND c.ts <= p.ts
              AND c.ts >= p.ts - INTERVAL 10 MINUTE
         GROUP BY p.event_id, p.user_id, p.ts
+        """,
+        "t_asof_nearest": """
+        WITH p AS MATERIALIZED (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS MATERIALIZED (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        b AS (SELECT p.event_id, max(c.ts) AS mts FROM p
+              JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts GROUP BY p.event_id),
+        f AS (SELECT p.event_id, min(c.ts) AS mts FROM p
+              JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts GROUP BY p.event_id),
+        chosen AS (
+          SELECT p.event_id, p.user_id, p.ts,
+                 CASE WHEN b.mts IS NOT NULL AND (f.mts IS NULL OR
+                        epoch_us(p.ts) - epoch_us(b.mts) <= epoch_us(f.mts) - epoch_us(p.ts))
+                      THEN b.mts ELSE f.mts END AS mts
+          FROM p LEFT JOIN b ON b.event_id = p.event_id
+                 LEFT JOIN f ON f.event_id = p.event_id)
+        SELECT ch.event_id, ch.user_id, epoch_us(ch.ts) AS ts_us,
+               round(c.value, 6) AS click_value
+        FROM chosen ch LEFT JOIN c ON c.user_id = ch.user_id AND c.ts = ch.mts
         """,
         "t_asof_join_fwd": """
         SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,

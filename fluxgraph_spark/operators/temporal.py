@@ -169,9 +169,11 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` on the same key (``direction="backward"``,
-    the default), or the earliest right row with ``right_ts >= left_ts``
-    (``direction="forward"``).  With ``tolerance`` set, a match staler
-    (backward) / farther ahead (forward) than the bound is discarded —
+    the default), the earliest right row with ``right_ts >= left_ts``
+    (``direction="forward"``), or whichever of the two is closer in
+    absolute time (``direction="nearest"``; distance ties choose the
+    earlier match — pandas ``merge_asof`` semantics).  With
+    ``tolerance`` set, a match farther away than the bound is discarded —
     the value columns come back NULL, exactly as if no right row
     existed (pandas ``merge_asof(tolerance=...)`` semantics).
 
@@ -182,8 +184,10 @@ def asof_join(
     value forward (or, mirrored, the next one backward).  One shuffle on
     (key, ts) total, regardless of how many right rows surround each
     left row."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
     for c in value_cols:
         lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
@@ -199,31 +203,54 @@ def asof_join(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
     unioned = lt.unionByName(rt)
+    # right rows sort before left rows at the same timestamp => '<='
+    wb = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pick_b = lambda c: F.last(F.col(c), ignorenulls=True).over(wb)
+    # mirrored: right rows sort after left rows at the same timestamp
+    # would break '>='; ordering right-first descending on __is_left
+    # keeps ties inclusive
+    wf = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col("__ts"), (-F.col("__is_left")))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    pick_f = lambda c: F.first(F.col(c), ignorenulls=True).over(wf)
     if direction == "backward":
-        # right rows sort before left rows at the same timestamp => '<='
-        w = (
-            W.partitionBy(*key_cols)
-            .orderBy(F.col("__ts"), F.col("__is_left"))
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        pick = lambda c: F.last(F.col(c), ignorenulls=True).over(w)
-    else:
-        # mirrored: right rows sort after left rows at the same
-        # timestamp would break '>='; ordering right-first descending on
-        # __is_left keeps ties inclusive
-        w = (
-            W.partitionBy(*key_cols)
-            .orderBy(F.col("__ts"), (-F.col("__is_left")))
-            .rowsBetween(W.currentRow, W.unboundedFollowing)
-        )
-        pick = lambda c: F.first(F.col(c), ignorenulls=True).over(w)
-    for c in value_cols:
-        unioned = unioned.withColumn(c, pick(c))
-    unioned = unioned.withColumn("__mts", pick("__rts"))
-    if tolerance is not None:
+        for c in value_cols:
+            unioned = unioned.withColumn(c, pick_b(c))
+        unioned = unioned.withColumn("__mts", pick_b("__rts"))
         gap_us = ts_us("__ts") - ts_us("__mts")
-        if direction == "forward":
-            gap_us = -gap_us
+    elif direction == "forward":
+        for c in value_cols:
+            unioned = unioned.withColumn(c, pick_f(c))
+        unioned = unioned.withColumn("__mts", pick_f("__rts"))
+        gap_us = ts_us("__mts") - ts_us("__ts")
+    else:
+        # nearest: both candidates come out of the SAME unioned frame —
+        # the two window specs share the (key) partitioning, so this is
+        # still ONE shuffle (two sorts).  Distance ties choose the
+        # backward (earlier) match.
+        unioned = unioned.withColumn("__mts_b", pick_b("__rts")).withColumn(
+            "__mts_f", pick_f("__rts")
+        )
+        gap_b = ts_us("__ts") - ts_us("__mts_b")
+        gap_f = ts_us("__mts_f") - ts_us("__ts")
+        use_b = F.col("__mts_b").isNotNull() & (
+            F.col("__mts_f").isNull() | (gap_b <= gap_f)
+        )
+        for c in value_cols:
+            unioned = unioned.withColumn(
+                c, F.when(use_b, pick_b(c)).otherwise(pick_f(c))
+            )
+        unioned = unioned.withColumn(
+            "__mts", F.when(use_b, F.col("__mts_b")).otherwise(F.col("__mts_f"))
+        ).drop("__mts_b", "__mts_f")
+        gap_us = F.abs(ts_us("__ts") - ts_us("__mts"))
+    if tolerance is not None:
         within = F.col("__mts").isNotNull() & (
             gap_us <= int(tolerance.total_seconds() * 1_000_000)
         )

@@ -438,3 +438,45 @@ def test_funnel_stages(spark):
         ev2, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     ).collect()}
     assert out2[2]["stage_reached"] == 3 and out2[2]["t2"] == t(8)
+
+
+def test_asof_join_nearest_picks_closer_side(spark):
+    import datetime
+
+    from fluxgraph_spark.operators import temporal as TP
+
+    from pyspark.sql import functions as F
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, t(10)), (2, t(30)), (3, t(50)), (4, t(0))],
+        "lid long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [("a", t(8)), ("b", t(11)), ("c", t(29)), ("d", t(31)), ("e", t(55))],
+        "v string, rts timestamp_ntz",
+    )
+    left = left.withColumn("k", F.lit(1))
+    right = right.withColumn("k", F.lit(1))
+    out = {
+        r["lid"]: r["v"]
+        for r in TP.asof_join(
+            left, right, ["k"], "ts", "rts", ["v"], direction="nearest"
+        ).collect()
+    }
+    assert out[1] == "b"   # 11 is 1min away vs 8 at 2min
+    assert out[2] == "c"   # tie (29 vs 31) -> earlier match wins
+    assert out[3] == "e"   # only forward side within reach (55 vs 31: 5 vs 19)
+    assert out[4] == "a"   # before all rights -> forward-only fallback... 8 is nearest
+    # tolerance discards matches farther than the bound
+    out_tol = {
+        r["lid"]: r["v"]
+        for r in TP.asof_join(
+            left, right, ["k"], "ts", "rts", ["v"],
+            direction="nearest", tolerance=datetime.timedelta(minutes=2),
+        ).collect()
+    }
+    assert out_tol[1] == "b" and out_tol[2] == "c"
+    assert out_tol[4] is None  # nearest (8min away) exceeds 2min bound
