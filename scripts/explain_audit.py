@@ -74,6 +74,11 @@ AUDITED = [
     "d_semantic_dedupe",
     "d_lsh_verified_pairs",
     "x_pack",
+    "x_unpivot",
+    "t_resample",
+    "t_asof_nearest",
+    "s_ivf_topk",
+    "s_lsh_topk",
     # completed TPC-H query-shape suite (Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q16/Q20)
     "r_min_cost_supplier",
     "r_nation_volume",
@@ -155,6 +160,11 @@ NO_PUSHDOWN_EXPECTED = {
     "d_semantic_dedupe",    # full-embeddings pair join + components
     "d_lsh_verified_pairs", # full-corpus shingling
     "x_pack",               # full-corpus token count + window
+    "x_unpivot",            # full-lineitem melt
+    "t_resample",           # grid generation from per-key min/max
+    "t_asof_nearest",       # full-events union + window
+    "s_ivf_topk",           # full-embeddings scan + centroid sample
+    "s_lsh_topk",           # full-embeddings bucketing
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -206,6 +216,11 @@ NO_BROADCAST_EXPECTED = {
     "x_corpus_stats",       # one agg, no joins
     "x_weighted_sample",    # narrow map + filter, no joins
     "x_pack",               # no joins (window + agg)
+    "x_unpivot",            # no joins
+    "t_asof_nearest",       # union + window, no joins
+    "t_resample",           # grid/hourly join: AQE decides
+    "s_lsh_topk",           # bucket equi-join: broadcast chosen by hint/AQE
+    "s_ivf_topk",           # probe joins: AQE decides
     "d_semantic_dedupe",    # corpus-scale embedding self-join: must NOT broadcast at scale
 }
 
