@@ -1197,6 +1197,27 @@ def q_r_setops(spark, sf_dir):
     )
 
 
+def q_t_gap_stats(spark, sf_dir):
+    """Inter-event gap distribution per user stream, summarized per
+    event type: lag-window gaps in integer microseconds, exact
+    interpolated percentiles (integer input keeps the interpolation
+    bit-identical across engines).  The session-threshold-picking
+    analysis behind sessionization."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (_us(F.col("ts")) - _us(F.lag("ts").over(w))).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
 def q_x_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (p50/p90/p99) of event value cents
     per event type — Spark `percentile` == ANSI percentile_cont ==
@@ -2451,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_pivot_status": q_r_pivot_status,
         "r_cube_stats": q_r_cube_stats,
         "x_percentiles": q_x_percentiles,
+        "t_gap_stats": q_t_gap_stats,
         "k_sketches": q_k_sketches,
         # training-data pipeline surface
         "d_text_hashes": q_d_text_hashes,
@@ -3697,6 +3719,19 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5_cents
         FROM events
+        """,
+        "t_gap_stats": """
+        WITH gaps AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+          FROM events)
+        SELECT event_type, count(*) AS n_gaps,
+               min(gap_us) AS min_gap_us,
+               round(quantile_cont(gap_us, 0.5), 6) AS p50,
+               round(quantile_cont(gap_us, 0.9), 6) AS p90,
+               max(gap_us) AS max_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
         """,
         "x_percentiles": """
         SELECT event_type,
