@@ -120,6 +120,60 @@ def scd2_from_change_events(
     )
 
 
+def scd2_compact(
+    versions: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Temporal coalescing (SQL:2011 "pack"): merge runs of adjacent
+    versions whose tracked values are unchanged into one row spanning
+    [first valid_from, last valid_to).  An SCD2 table accumulates
+    no-op versions whenever untracked attributes churn (the reference
+    bumps a vertex's version on every incident-edge change —
+    FluxGraph.java:156-157 — so chains are full of value-identical
+    rows); compaction is what makes validity intervals meaningful and
+    storage proportional to actual change.
+
+    One windowed scan: a run starts where any value differs from the
+    previous version (null-safe <=>), run ids are the running sum of
+    starts, then one groupBy merges each run.  Shuffles once on the key,
+    reused by both windows and the aggregation."""
+    w = W.partitionBy(*key_cols).orderBy(from_col)
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    starts = F.when(
+        F.lag(from_col).over(w).isNull() | changed, 1
+    ).otherwise(0)
+    runs = versions.withColumn(
+        "__run", F.sum(starts).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    # a run's end is its last row's valid_to; intervals ascend, so that's
+    # max(valid_to) — unless the run contains the open (NULL) version, in
+    # which case the merged row stays open.  (Spelled out instead of
+    # max_by so NULL handling is engine-portable for the oracle replay.)
+    agg = [
+        F.min(from_col).alias(from_col),
+        F.max(to_col).alias("__max_to"),
+        F.max(F.col(to_col).isNull().cast("int")).alias("__open"),
+    ]
+    # values are identical within a run by construction, so first() is
+    # deterministic here despite unordered aggregation
+    agg += [F.first(c).alias(c) for c in value_cols]
+    out = (
+        runs.groupBy(*key_cols, "__run")
+        .agg(*agg)
+        .withColumn(
+            to_col,
+            F.when(F.col("__open") == 1, F.lit(None)).otherwise(F.col("__max_to")),
+        )
+        .drop("__run", "__max_to", "__open")
+    )
+    return out
+
+
 def scd2_upsert(
     current: DataFrame,
     changes: DataFrame,
