@@ -2023,14 +2023,19 @@ def q_x_unpivot(spark, sf_dir):
 
 
 def q_x_pack(spark, sf_dir):
-    """Sequence packing: greedy sequential fill of fixed 2048-token
-    context windows, per source shard (docs in doc_id order; a doc
-    longer than the budget gets its own pack).  The training-data step
-    that turns a filtered corpus into fixed-length samples.  One window
-    over (source, doc_id) — a single shuffle partitioned by source; at
-    100 TB the source shard is the natural parallel unit and packs never
-    cross shards, so packing scales with the widest shard, not the
-    corpus."""
+    """Sequence packing by cumulative token bucketing: docs are laid out
+    in doc_id order per source shard and pack_id = floor(preceding
+    cumulative tokens / 2048).  NOTE the exact semantics: a pack may
+    overflow the 2048 budget by up to one whole doc (the doc straddling
+    a boundary stays in the earlier pack), and pack ids may skip when a
+    single doc spans several budgets — this is NOT greedy
+    reset-at-boundary fill, it is the deterministic one-window variant
+    whose recurrence an SQL oracle can replay exactly.  The
+    training-data step that turns a filtered corpus into fixed-length
+    samples.  One window over (source, doc_id) — a single shuffle
+    partitioned by source; at 100 TB the source shard is the natural
+    parallel unit and packs never cross shards, so packing scales with
+    the widest shard, not the corpus."""
     budget = 2048
     docs = tpch.read_tables(spark, sf_dir)["documents"]
     toks = docs.select(
@@ -3080,7 +3085,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_asof_join": """
         SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-               round(max_by(c.value, c.ts), 6) AS click_value
+               round((max({'ts': c.ts, 'v': c.value})).v, 6) AS click_value
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
           ON c.user_id = p.user_id AND c.ts <= p.ts
@@ -3088,7 +3093,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_asof_tolerance": """
         SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-               round(max_by(c.value, c.ts), 6) AS click_value
+               round((max({'ts': c.ts, 'v': c.value})).v, 6) AS click_value
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
           ON c.user_id = p.user_id AND c.ts <= p.ts
@@ -3108,16 +3113,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT p.event_id, p.user_id, p.ts,
                  CASE WHEN b.mts IS NOT NULL AND (f.mts IS NULL OR
                         epoch_us(p.ts) - epoch_us(b.mts) <= epoch_us(f.mts) - epoch_us(p.ts))
-                      THEN b.mts ELSE f.mts END AS mts
+                      THEN b.mts ELSE f.mts END AS mts,
+                 (b.mts IS NOT NULL AND (f.mts IS NULL OR
+                        epoch_us(p.ts) - epoch_us(b.mts) <= epoch_us(f.mts) - epoch_us(p.ts)))
+                   AS use_b
           FROM p LEFT JOIN b ON b.event_id = p.event_id
                  LEFT JOIN f ON f.event_id = p.event_id)
+        -- aggregated rejoin: single row per purchase by construction even
+        -- if several clicks share (user_id, ts); tie rule matches the
+        -- Spark window (backward pick = max value, forward pick = min)
         SELECT ch.event_id, ch.user_id, epoch_us(ch.ts) AS ts_us,
-               round(c.value, 6) AS click_value
+               round(CASE WHEN ch.use_b THEN max(c.value)
+                          ELSE min(c.value) END, 6) AS click_value
         FROM chosen ch LEFT JOIN c ON c.user_id = ch.user_id AND c.ts = ch.mts
+        GROUP BY ch.event_id, ch.user_id, ch.ts, ch.use_b
         """,
         "t_asof_join_fwd": """
         SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-               round(min_by(c.value, c.ts), 6) AS next_click_value
+               round((min({'ts': c.ts, 'v': c.value})).v, 6) AS next_click_value
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
           ON c.user_id = p.user_id AND c.ts >= p.ts

@@ -59,6 +59,11 @@ class Traversal:
             )
         return self._cur
 
+    def _current(self) -> DataFrame:
+        if self._cur is None:
+            raise ValueError("no frontier yet; start with .V() or .E()")
+        return self._cur
+
     # -- starts ---------------------------------------------------------
     def V(self, *ids: Any) -> "Traversal":
         cur = self._vertices
@@ -74,22 +79,22 @@ class Traversal:
 
     # -- filters --------------------------------------------------------
     def has(self, key: str, value: Any) -> "Traversal":
-        return self._derived(self._cur.where(F.col(key) == F.lit(value)), self._kind)
+        return self._derived(self._current().where(F.col(key) == F.lit(value)), self._kind)
 
     def has_not(self, key: str, value: Any) -> "Traversal":
-        cur = self._cur.where(
+        cur = self._current().where(
             F.col(key).isNull() | (F.col(key) != F.lit(value))
         )
         return self._derived(cur, self._kind)
 
     def interval(self, key: str, start: Any, end: Any) -> "Traversal":
         """Half-open range [start, end) — T6 ``interval`` semantics."""
-        cur = self._cur.where((F.col(key) >= start) & (F.col(key) < end))
+        cur = self._current().where((F.col(key) >= start) & (F.col(key) < end))
         return self._derived(cur, self._kind)
 
     def where(self, condition) -> "Traversal":
         """Escape hatch: arbitrary Column predicate."""
-        return self._derived(self._cur.where(condition), self._kind)
+        return self._derived(self._current().where(condition), self._kind)
 
     # -- vertex hops (bag semantics, duplicates preserved) --------------
     def _hop(self, direction: str, labels: Sequence[str]) -> "Traversal":
@@ -137,20 +142,21 @@ class Traversal:
 
     # -- shaping / terminals -------------------------------------------
     def dedup(self) -> "Traversal":
-        key = [M.ID] if M.ID in self._cur.columns else self._cur.columns
-        return self._derived(self._cur.dropDuplicates(key), self._kind)
+        cur = self._current()
+        key = [M.ID] if M.ID in cur.columns else cur.columns
+        return self._derived(cur.dropDuplicates(key), self._kind)
 
     def limit(self, n: int) -> "Traversal":
-        return self._derived(self._cur.limit(n), self._kind)
+        return self._derived(self._current().limit(n), self._kind)
 
     def values(self, *cols: str) -> DataFrame:
-        return self._cur.select(*cols)
+        return self._current().select(*cols)
 
     def ids(self) -> DataFrame:
-        return self._cur.select(M.ID)
+        return self._current().select(M.ID)
 
     def df(self) -> DataFrame:
-        return self._cur
+        return self._current()
 
     def count(self) -> int:
-        return self._cur.count()
+        return self._current().count()

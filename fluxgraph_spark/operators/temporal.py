@@ -237,7 +237,14 @@ def asof_join(
     ``last(value, ignorenulls=True)`` carries the most recent right
     value forward (or, mirrored, the next one backward).  One shuffle on
     (key, ts) total, regardless of how many right rows surround each
-    left row."""
+    left row.
+
+    Determinism: all value columns come from ONE chosen right row (they
+    are carried as a single struct, so a NULL in one value column never
+    mixes rows), and right rows tied on the timestamp resolve
+    deterministically — backward matches take the greatest value tuple
+    among the tied rows, forward matches the least (lexicographic over
+    ``value_cols``)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
@@ -256,31 +263,34 @@ def asof_join(
     for c in lt.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
-    unioned = lt.unionByName(rt)
-    # right rows sort before left rows at the same timestamp => '<='
+    # one struct per right row: value columns always picked together
+    val_struct = F.when(
+        F.col("__is_left") == 0, F.struct(*[F.col(c) for c in value_cols])
+    )
+    unioned = lt.unionByName(rt).withColumn("__val", val_struct)
+    # right rows sort before left rows at the same timestamp => '<=';
+    # ties on (__ts) among right rows order by __val so last() = max tuple
     wb = (
         W.partitionBy(*key_cols)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__val"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     pick_b = lambda c: F.last(F.col(c), ignorenulls=True).over(wb)
     # mirrored: right rows sort after left rows at the same timestamp
     # would break '>='; ordering right-first descending on __is_left
-    # keeps ties inclusive
+    # keeps ties inclusive; first() = min tuple among ts-ties
     wf = (
         W.partitionBy(*key_cols)
-        .orderBy(F.col("__ts"), (-F.col("__is_left")))
+        .orderBy(F.col("__ts"), (-F.col("__is_left")), F.col("__val"))
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     pick_f = lambda c: F.first(F.col(c), ignorenulls=True).over(wf)
     if direction == "backward":
-        for c in value_cols:
-            unioned = unioned.withColumn(c, pick_b(c))
+        unioned = unioned.withColumn("__pick", pick_b("__val"))
         unioned = unioned.withColumn("__mts", pick_b("__rts"))
         gap_us = ts_us("__ts") - ts_us("__mts")
     elif direction == "forward":
-        for c in value_cols:
-            unioned = unioned.withColumn(c, pick_f(c))
+        unioned = unioned.withColumn("__pick", pick_f("__val"))
         unioned = unioned.withColumn("__mts", pick_f("__rts"))
         gap_us = ts_us("__mts") - ts_us("__ts")
     else:
@@ -296,24 +306,22 @@ def asof_join(
         use_b = F.col("__mts_b").isNotNull() & (
             F.col("__mts_f").isNull() | (gap_b <= gap_f)
         )
-        for c in value_cols:
-            unioned = unioned.withColumn(
-                c, F.when(use_b, pick_b(c)).otherwise(pick_f(c))
-            )
+        unioned = unioned.withColumn(
+            "__pick", F.when(use_b, pick_b("__val")).otherwise(pick_f("__val"))
+        )
         unioned = unioned.withColumn(
             "__mts", F.when(use_b, F.col("__mts_b")).otherwise(F.col("__mts_f"))
         ).drop("__mts_b", "__mts_f")
         gap_us = F.abs(ts_us("__ts") - ts_us("__mts"))
+    keep = F.col("__mts").isNotNull()
     if tolerance is not None:
-        within = F.col("__mts").isNotNull() & (
-            gap_us <= int(tolerance.total_seconds() * 1_000_000)
+        keep = keep & (gap_us <= int(tolerance.total_seconds() * 1_000_000))
+    for c in value_cols:
+        unioned = unioned.withColumn(
+            c, F.when(keep, F.col("__pick")[c]).otherwise(F.lit(None))
         )
-        for c in value_cols:
-            unioned = unioned.withColumn(
-                c, F.when(within, F.col(c)).otherwise(F.lit(None))
-            )
     return unioned.where(F.col("__is_left") == 1).drop(
-        "__ts", "__is_left", "__rts", "__mts"
+        "__ts", "__is_left", "__rts", "__mts", "__val", "__pick"
     )
 
 

@@ -7,7 +7,7 @@ inherently row-at-a-time, so the engine keeps the *write path* on the
 driver (cheap dict updates, exact reference semantics) and materializes
 Spark DataFrames lazily for the *read/analytics path* — the scale story
 for writes at 100 TB is the batch path (`TemporalGraph.from_dataframes` /
-`apply_events`), not one-vertex-at-a-time CRUD.
+`operators.temporal.scd2_upsert`), not one-vertex-at-a-time CRUD.
 
 DataFrames are rebuilt only when the store has mutated since the last
 build (generation counter), so repeated reads are free.

@@ -315,6 +315,51 @@ def test_asof_join_forward_and_ties(spark):
     assert bwd == {1: 50.0, 2: 200.0, 3: 300.0}
 
 
+def test_asof_join_duplicate_timestamp_determinism(spark):
+    """Several right rows sharing (key, ts): backward picks the MAX value
+    tuple among the tied rows, forward the MIN — deterministic, pinned so
+    the SQL oracles (max/min over {'ts','v'} structs) can replay it."""
+    from fluxgraph_spark.operators import temporal as TP
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame([(1, "k", t(10))], ["lid", "key", "lts"])
+    right = spark.createDataFrame(
+        [("k", t(5), 1.0), ("k", t(5), 9.0), ("k", t(5), 4.0),
+         ("k", t(20), 7.0), ("k", t(20), 2.0)],
+        ["key", "rts", "val"],
+    )
+    bwd = TP.asof_join(left, right, ["key"], "lts", "rts", ["val"]).collect()
+    assert len(bwd) == 1 and bwd[0]["val"] == 9.0
+    fwd = TP.asof_join(
+        left, right, ["key"], "lts", "rts", ["val"], direction="forward"
+    ).collect()
+    assert len(fwd) == 1 and fwd[0]["val"] == 2.0
+    near = TP.asof_join(
+        left, right, ["key"], "lts", "rts", ["val"], direction="nearest"
+    ).collect()
+    # 5 is 5min back, 20 is 10min fwd -> backward side, max of the tie
+    assert len(near) == 1 and near[0]["val"] == 9.0
+
+
+def test_asof_join_null_value_does_not_mix_rows(spark):
+    """A NULL in a right value column must NOT be skipped over to an
+    older row's value — all value columns come from the single chosen
+    right row (struct-carried)."""
+    from fluxgraph_spark.operators import temporal as TP
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame([(1, "k", t(10))], ["lid", "key", "lts"])
+    right = spark.createDataFrame(
+        [("k", t(1), 100.0, "old"), ("k", t(9), None, "new")],
+        "key string, rts timestamp_ntz, a double, b string",
+    )
+    row = TP.asof_join(
+        left, right, ["key"], "lts", "rts", ["a", "b"]
+    ).collect()[0]
+    # chosen row is t(9): a is genuinely NULL there, b is "new"
+    assert row["a"] is None and row["b"] == "new"
+
+
 def test_scd2_upsert_randomized_splits(spark):
     """Seeded random event sets split at random points: incremental
     upsert must equal full rebuild regardless of how history is split
