@@ -2392,8 +2392,44 @@ def _interleave_families(qs: dict) -> dict:
     return {k: qs[k] for k in order}
 
 
+# Queries that already earned a driver-green row in CORRECTNESS_r02.json.
+# Round-3 rotation: everything NOT in this set is presented FIRST (still
+# family-interleaved), so the driver's bounded prefix hashes the queries
+# it has never checked and the union of r2+r3 rows covers the whole
+# registry.  (VERDICT.md round 2, "Next round" item 8.)
+_R2_DRIVER_CHECKED = frozenset({
+    "g_vertices_by_kind", "t_scd2_versions", "pricing_summary",
+    "top_orders_building", "region_revenue", "revenue_filter",
+    "events_type_stats", "r_order_priority", "x_weighted_sample",
+    # k_sketches had a driver row in r02 but it was err=no_oracle, not
+    # green — deliberately left out so the r03 prefix re-checks it
+    "d_prefix_dedupe", "st_windowed_counts",
+    "s_cosine_topk", "pipeline_corpus", "m_media_features",
+    "g_edges_by_label", "t_asof_user_state", "top_parts_by_quantity",
+    "r_inactive_customers", "x_corpus_stats", "d_text_hashes",
+    "st_sessionize", "s_label_centroids", "m_media_meta",
+    "g_customers_in_nation", "t_version_counts", "r_promo_share",
+    "x_window_suite", "d_exact_dups", "st_stream_join",
+    "s_embedding_near_dups", "m_frame_samples", "g_out_degree_top20",
+    "t_validity_intervals", "r_big_orders", "x_tfidf_top_terms",
+    "d_minhash_sigs", "st_running_stats", "s_lsh_topk", "m_resized_meta",
+    "g_orders_per_customer", "t_asof_join", "r_disjunctive_rev",
+    "x_vocab", "d_jaccard_near_dups", "s_ivf_topk",
+    "g_customer_parts_2hop", "t_asof_tolerance", "r_rollup_revenue",
+    "x_decontaminate",
+})
+
+
+def _rotate_unchecked_first(qs: dict) -> dict:
+    unchecked = {k: v for k, v in qs.items() if k not in _R2_DRIVER_CHECKED}
+    checked = {k: v for k, v in qs.items() if k in _R2_DRIVER_CHECKED}
+    out = _interleave_families(unchecked)
+    out.update(_interleave_families(checked))
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _interleave_families({
+    return _rotate_unchecked_first({
         # graph surface
         "g_vertices_by_kind": q_g_vertices_by_kind,
         "g_edges_by_label": q_g_edges_by_label,
