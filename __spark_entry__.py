@@ -606,18 +606,53 @@ def q_g_copurchase_top(spark, sf_dir):
 
 
 def q_k_sketches(spark, sf_dir):
-    """Sketch surface (rows-only: estimates are implementation-defined,
-    cross-engine hash-match is not meaningful): HyperLogLog distinct
-    users + quantile-sketch median per event type.  The 100 TB point:
-    both sketches merge associatively, so the shuffle carries fixed-size
-    sketch state, never user ids or value lists."""
+    """Sketch surface with a BOUNDS AUDIT (raw estimates are
+    implementation-defined, so the hashable output is exact values plus
+    within-bound verdicts): per event type, HyperLogLog distinct users
+    (rsd=0.05) must land within 3*rsd of the exact distinct count, and
+    the quantile-sketch median must be a value whose exact rank is
+    within +-1% of 0.5.  The oracle computes the exact columns in DuckDB
+    and pins both verdicts TRUE — an out-of-bound sketch hash-mismatches
+    and turns the row red.  The 100 TB point: both sketches merge
+    associatively, so the shuffle carries fixed-size sketch state, never
+    user ids or value lists; the audit pass is one extra scan joined
+    against the 5-row sketch table (broadcast)."""
+    rsd = 0.05
+    eps = 0.01
     ev = tpch.read_tables(spark, sf_dir)["events"]
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx(
-            F.round(F.col("value") * 100).cast("long"), F.lit(0.5)
-        ).alias("approx_p50_cents"),
-        F.count("*").alias("n"),
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    sk = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.percentile_approx(cents, F.lit(0.5)).alias("approx_p50_cents"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        ev.select("event_type", cents.alias("cents"))
+        .join(F.broadcast(sk.select("event_type", "approx_p50_cents")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("approx_p50_cents"), 1).otherwise(0))
+            .alias("cnt_le"),
+            F.sum(F.when(F.col("cents") < F.col("approx_p50_cents"), 1).otherwise(0))
+            .alias("cnt_lt"),
+        )
+    )
+    audited = sk.join(ranked, "event_type")
+    hll_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= 3 * rsd * F.col("exact_users")
+    )
+    p50_ok = (
+        (F.col("cnt_lt") / F.col("n") <= 0.5 + eps)
+        & (F.col("cnt_le") / F.col("n") >= 0.5 - eps)
+    )
+    return audited.select(
+        "event_type",
+        "n",
+        "exact_users",
+        hll_ok.alias("hll_within_bound"),
+        p50_ok.alias("p50_rank_ok"),
     )
 
 
@@ -2938,6 +2973,7 @@ _BIGINT_RESULT_COLS = {
     "x_unpivot": ["total_cents"],
     "st_windowed_counts": ["value_cents"],
     "st_sessionize": ["n_sessions"],
+    "k_sketches": ["n", "exact_users"],
 }
 
 
@@ -3788,6 +3824,16 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9), 6) AS p90,
                round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99), 6) AS p99,
                count(*) AS n
+        FROM events GROUP BY event_type
+        """,
+        # sketch bounds audit: exact columns recomputed in DuckDB, the
+        # within-bound verdicts pinned TRUE — if a Spark sketch drifts
+        # outside its error bound, the hash mismatches and the row goes red
+        "k_sketches": """
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_within_bound,
+               TRUE AS p50_rank_ok
         FROM events GROUP BY event_type
         """,
         # training-data pipeline surface
