@@ -113,10 +113,25 @@ def fast_hash(col: Column, seed: int) -> Column:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: "int | None" = None,
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs (id_a < id_b) sharing at
-    least one band.  Equi-join on (band, band_hash) — the only shuffle."""
+    least one band.  Equi-join on (band, band_hash) — the only shuffle.
+
+    Hot-bucket skew guard (``max_bucket_size``): a bucket of m members
+    yields m*(m-1)/2 pairs in ONE reducer — at corpus scale a boilerplate
+    cluster of 100k near-identical pages turns a band join into a 5e9-row
+    single task that AQE's skew split cannot save (splitting the bucket's
+    rows still re-pairs them).  With a cap set, buckets larger than the
+    cap fall back to STAR pairs (every member against the bucket's min
+    id): O(m) rows, same transitive connectivity — so near-dup
+    clustering (connected components over the pairs) is unchanged, while
+    direct pair listings lose only intra-bucket pairs that the remaining
+    bands or the verify step would re-find.  Default None = exact
+    all-pairs behavior (oracle-replayable)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -130,6 +145,30 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        stats = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n"), F.min("id").alias("__rep")
+        )
+        banded = banded.join(stats, ["band", "bucket"])
+        small = banded.where(F.col("__n") <= max_bucket_size).select(
+            "id", "band", "bucket"
+        )
+        # oversized buckets: member <-> representative star, linear in m
+        star = (
+            banded.where(
+                (F.col("__n") > max_bucket_size) & (F.col("id") != F.col("__rep"))
+            )
+            .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        a = small.alias("a")
+        b = small.alias("b")
+        return (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .unionByName(star)
+            .dropDuplicates()
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -276,6 +315,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: "int | None" = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> LSH band join ->
     exact-Jaccard verify.  The 100 TB shape:
@@ -297,7 +337,10 @@ def minhash_lsh_dedup(
     )
     # candidates are tiny and consumed three times (id cut + two pair
     # joins) — persist so the banding join runs once
-    cand = lsh_candidate_pairs(sig_cols, num_hashes=num_hashes, bands=bands).persist()
+    cand = lsh_candidate_pairs(
+        sig_cols, num_hashes=num_hashes, bands=bands,
+        max_bucket_size=max_bucket_size,
+    ).persist()
     # cut the (wide: shingle arrays) signature table down to candidate
     # ids BEFORE the verify joins — the arrays of non-candidates never
     # enter a shuffle
@@ -438,6 +481,7 @@ def dedupe_near(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: "int | None" = None,
 ) -> DataFrame:
     """The full corpus-dedup pipeline: MinHash -> LSH -> verified pairs
     -> transitive clusters -> keep the min-id representative of each
@@ -447,7 +491,7 @@ def dedupe_near(
     (id, band, bucket) triples."""
     pairs = minhash_lsh_dedup(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
-        threshold=threshold,
+        threshold=threshold, max_bucket_size=max_bucket_size,
     )
     clusters = near_dup_clusters(pairs)
     # cluster label IS the min id in the cluster — drop every clustered
