@@ -1,0 +1,122 @@
+"""Real multimodal decode kernels (VERDICT r2 item 2): pure-stdlib
+PNG/WAV codecs + the decoder="real" path through the same mapInPandas
+operators the fake path uses."""
+
+import numpy as np
+import pytest
+
+from fluxgraph_spark.functions import codecs, multimodal
+
+
+# ---------------------------------------------------------------------------
+# codec round-trips (driver-side, no Spark)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(channels, filter_type):
+    rng = np.random.default_rng(42 + channels * 10 + filter_type)
+    arr = rng.integers(0, 256, size=(13, 7, channels), dtype=np.uint8)
+    data = codecs.encode_png(arr, filter_type=filter_type)
+    out = codecs.decode_png(data)
+    assert out.shape == (13, 7, channels)
+    assert np.array_equal(out, arr)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_png(b"not a png at all")
+
+
+def test_wav_roundtrip_stereo():
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-30000, 30000, size=(441, 2), dtype=np.int16)
+    data = codecs.encode_wav(samples, sample_rate=44100, n_channels=2)
+    rate, ch, out = codecs.decode_wav(data)
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(out, samples)
+
+
+def test_resize_nearest_shapes_and_solid_color():
+    arr = np.full((10, 20, 3), 200, dtype=np.uint8)
+    out = codecs.resize_nearest(arr, width=5, height=4)
+    assert out.shape == (4, 5, 3)
+    assert (out == 200).all()
+
+
+# ---------------------------------------------------------------------------
+# Spark operators with decoder="real"
+# ---------------------------------------------------------------------------
+
+def _real_media_df(spark):
+    """One solid-color 4x2 RGB PNG image + one 1kHz-ish square-wave WAV."""
+    png = codecs.encode_png(np.full((2, 4, 3), 128, dtype=np.uint8))
+    # 100 frames mono: +16384/-16384 alternating -> rms 0.5, mean 0, zcr ~1
+    wav_samples = np.tile(np.array([16384, -16384], dtype=np.int16), 50)
+    wav = codecs.encode_wav(wav_samples, sample_rate=8000)
+    rows = [
+        (1, "image", bytearray(png), {"width": 4, "height": 2, "duration_ms": None, "mime": "image/png"}),
+        (2, "audio", bytearray(wav), {"width": None, "height": None, "duration_ms": 12, "mime": "audio/wav"}),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_real(spark):
+    media = _real_media_df(spark)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media, decoder="real").collect()
+    }
+    img = feats[1]
+    assert img[0] == 4.0 and img[1] == 2.0 and img[2] == 3.0  # w, h, channels
+    assert img[3] == pytest.approx(128 / 255)  # solid color mean
+    assert img[6] == pytest.approx(0.0)        # std of a solid color
+    assert img[7] == pytest.approx(2.0)        # aspect
+    aud = feats[2]
+    assert aud[0] == pytest.approx(100 / 8000)       # duration
+    assert aud[1] == 1.0 and aud[2] == pytest.approx(8000 / 48000)
+    assert aud[3] == pytest.approx(0.5, abs=1e-6)    # rms
+    assert aud[4] == pytest.approx(0.0, abs=1e-6)    # mean
+    assert aud[5] == pytest.approx(0.5, abs=1e-6)    # peak
+    assert aud[6] == pytest.approx(1.0)              # zero-crossing rate
+
+
+def test_resize_images_real_reencodes_pixels(spark):
+    media = _real_media_df(spark).where("media_type = 'image'")
+    out = multimodal.resize_images(media, width=8, height=6, decoder="real").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["meta"]["width"] == 8 and row["meta"]["height"] == 6
+    assert row["meta"]["mime"] == "image/png"
+    arr = codecs.decode_png(bytes(row["content"]))
+    assert arr.shape == (6, 8, 3)
+    assert (arr == 128).all()  # solid color survives the resize
+
+
+def test_extract_features_real_rejects_unknown_bytes(spark):
+    rows = [(9, "image", bytearray(b"mystery-bytes"), None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="PNG and WAV"):
+        multimodal.extract_features(media, decoder="real").collect()
+
+
+def test_sample_frames_real_still_stubbed(spark):
+    rows = [(3, "video", bytearray(b"fakevideo"), {"width": None, "height": None, "duration_ms": 3000, "mime": "video/fake"})]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.sample_frames(media, decoder="real").collect()
+
+
+def test_fake_path_unchanged_for_oracles(spark):
+    """decoder='fake' output must stay byte-stable (the m_* oracles
+    replay it as md5 hex arithmetic)."""
+    media = _real_media_df(spark)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media).collect()
+    }
+    import hashlib
+
+    png = codecs.encode_png(np.full((2, 4, 3), 128, dtype=np.uint8))
+    want = [b / 255.0 for b in hashlib.md5(png).digest()[:8]]
+    assert feats[1] == pytest.approx(want)
