@@ -38,11 +38,27 @@ def save_graph_parquet(graph: TemporalGraph, path: str) -> None:
     graph.tx_log_df().write.mode("overwrite").parquet(os.path.join(path, "tx_log"))
 
 
-def load_graph_parquet(spark: SparkSession, path: str) -> TemporalGraph:
+def load_graph_parquet(
+    spark: SparkSession, path: str, max_rows: int = 1_000_000
+) -> TemporalGraph:
     """Rehydrate into a mutable TemporalGraph (driver-side store — suitable
-    for graphs the CRUD path handles; keep huge graphs in DataFrameGraph)."""
-    v = spark.read.parquet(os.path.join(path, "vertices")).collect()
-    e = spark.read.parquet(os.path.join(path, "edges")).collect()
+    for graphs the CRUD path handles; keep huge graphs in DataFrameGraph).
+
+    Guard against misuse at scale: this path collects every version row
+    to the driver, so tables above ``max_rows`` raise with a pointer to
+    ``DataFrameGraph`` instead of OOMing the driver."""
+    vdf = spark.read.parquet(os.path.join(path, "vertices"))
+    edf = spark.read.parquet(os.path.join(path, "edges"))
+    total = vdf.count() + edf.count()
+    if total > max_rows:
+        raise ValueError(
+            f"{total} version rows at {path} exceeds max_rows={max_rows}; "
+            "this rehydrate collects to the driver — use "
+            "TemporalGraph.from_dataframes / DataFrameGraph for big graphs "
+            "(or raise max_rows explicitly)"
+        )
+    v = vdf.collect()
+    e = edf.collect()
     log = spark.read.parquet(os.path.join(path, "tx_log")).collect()
 
     store = LocalStore()
