@@ -2091,6 +2091,28 @@ def q_x_pack(spark, sf_dir):
     )
 
 
+def q_x_pack_greedy(spark, sf_dir):
+    """TRUE greedy sequence packing (reset-at-boundary): no pack exceeds
+    the 2048-token budget unless a single doc alone does.  Inherently
+    sequential per shard -> applyInPandas over source groups (shards
+    pack in parallel, one shuffle); the oracle replays the recurrence
+    with a recursive CTE.  Complements q_x_pack's window-expressible
+    cumulative bucketing."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", "source", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = text.pack_sequences_greedy(
+        toks, group_col="source", order_col="doc_id",
+        tokens_col="n_tokens", budget=2048,
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def q_d_minhash_sigs(spark, sf_dir):
     """MinHash signatures (first 4 components) — cross-engine hash parity."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -2555,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact_dups": q_d_exact_dups,
         "x_tokens": q_x_tokens,
         "x_pack": q_x_pack,
+        "x_pack_greedy": q_x_pack_greedy,
         "x_unpivot": q_x_unpivot,
         "d_minhash_sigs": q_d_minhash_sigs,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
@@ -3875,6 +3898,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
                min(doc_id) AS first_doc
         FROM packed GROUP BY source, pack_id
+        """,
+        "x_pack_greedy": r"""
+        WITH RECURSIVE toks AS MATERIALIZED (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents
+        ),
+        rec AS (
+          SELECT source, doc_id, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+          FROM toks WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+                 CASE WHEN r.fill + t.n_tokens <= 2048
+                      THEN r.pack_id ELSE r.pack_id + 1 END,
+                 CASE WHEN r.fill + t.n_tokens <= 2048
+                      THEN r.fill + t.n_tokens ELSE t.n_tokens END
+          FROM toks t JOIN rec r ON t.source = r.source AND t.rn = r.rn + 1
+        )
+        SELECT source, pack_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+               min(doc_id) AS first_doc
+        FROM rec GROUP BY source, pack_id
         """,
         "x_tokens": r"""
         SELECT doc_id,

@@ -111,6 +111,17 @@ def main():
     }
     if errors:
         out["errors"] = errors
+    # scale-proof points (scripts/bench_scale.py at sf0.1 + 10x replica,
+    # committed as SCALE_BENCH.json) ride along so the per-round BENCH
+    # file carries both sf measurements
+    scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "SCALE_BENCH.json")
+    if os.path.exists(scale_path):
+        try:
+            with open(scale_path) as f:
+                out["scale_check"] = json.load(f)
+        except Exception:  # noqa: BLE001 — never break the bench line
+            pass
     print(json.dumps(out))
     spark.stop()
 

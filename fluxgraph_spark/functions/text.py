@@ -238,3 +238,55 @@ def rolling_hashes(text: Column, window: int = 8) -> Column:
         idx, lambda i: F.array_join(F.slice(toks, i + 1, window), " ")
     )
     return F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """True greedy sequence packing: within each ``group_col`` shard,
+    rows in ``order_col`` order fill fixed ``budget``-token packs; a row
+    that does not fit CLOSES the pack and opens the next (fill resets —
+    no pack exceeds the budget unless a single row alone does, in which
+    case that row gets its own pack).  Contrast with the cumulative
+    bucketing of ``q_x_pack`` (floor(cumsum/budget)), which can overflow
+    a pack by one row and skip ids but is window-expressible.
+
+    The greedy recurrence is inherently sequential WITHIN a shard
+    (each decision depends on the running fill), so it runs as
+    ``applyInPandas`` per group — shards pack in parallel, one shuffle
+    on ``group_col``.  At 100 TB the shard (source/file) is the natural
+    packing unit and packs never cross shards, so wall-clock scales
+    with the widest shard.  The same recurrence replays in SQL as a
+    recursive CTE (see the ``x_pack_greedy`` oracle).
+
+    Output: input columns + ``pack_id`` (0-based per shard).
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("pack_id", T.LongType(), False)]
+    )
+    b = int(budget)
+    oc, tc = order_col, tokens_col
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(oc, kind="mergesort").reset_index(drop=True)
+        fill = b + 1  # forces the first row to open pack 0
+        pack = -1
+        ids = []
+        for n in pdf[tc]:
+            n = int(n)
+            if fill + n <= b:
+                fill += n
+            else:
+                pack += 1
+                fill = n
+            ids.append(pack)
+        pdf["pack_id"] = ids
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(_pack, schema=out_schema)

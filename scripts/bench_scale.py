@@ -1,0 +1,119 @@
+"""Scale-proof bench: the heavy dedup/ANN/iterative/windowed queries at
+sf0.1 AND the generated 10x replica (scripts/gen_scale_data.py), with
+per-query wall-time ratios vs the data ratio.
+
+A query whose time ratio is well above the data ratio has a
+super-linear term (quadratic pair blow-up, bucket skew, driver probe
+proportional to data) that small-SF correctness runs cannot expose.
+Writes SCALE_BENCH.json at the repo root; bench.py embeds it in its
+JSON line so the round's BENCH file carries both sf points.
+
+Usage: python scripts/bench_scale.py [runs_per_query]
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+SMALL = "/root/testdata/sf0.1"
+BIG = os.path.join(ROOT, ".scale_data", "sf1.0")
+DATA_RATIO = 10.0
+
+# the families the sf0.1 bench cannot scale-prove: LSH/dedup shuffles,
+# ANN top-k, iterative components/pagerank, and the big window passes
+QUERIES = [
+    "d_minhash_lsh_pairs",
+    "d_lsh_verified_pairs",
+    "d_simhash",
+    "d_semantic_dedupe",
+    "d_corpus_dedupe",
+    "s_cosine_topk",
+    "s_lsh_topk",
+    "s_ivf_topk",
+    "g_components_star",
+    "g_pagerank_top10",
+    "t_asof_join",
+    "t_scd2_versions",
+    "x_pack",
+]
+
+
+def run_suite(spark, sf_dir, runs):
+    qs = entrymod.queries()
+    timings, errors = {}, {}
+    for name in QUERIES:
+        per_run = []
+        try:
+            for _ in range(runs):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                per_run.append(time.time() - t0)
+                spark.catalog.clearCache()
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            print(f"SCALE BENCH ERROR {name}@{sf_dir}: {errors[name]}", file=sys.stderr)
+            spark.catalog.clearCache()
+            continue
+        timings[name] = round(min(per_run), 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    return timings, errors
+
+
+def main():
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if not os.path.isdir(BIG):
+        sys.exit(f"scale data missing — run scripts/gen_scale_data.py first ({BIG})")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fluxgraph_spark_bench_scale")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm codegen/footers at each scale before its timed runs
+    spark.read.parquet(os.path.join(SMALL, "lineitem.parquet")).count()
+    print(f"== sf0.1 ({SMALL})", file=sys.stderr)
+    small_t, small_e = run_suite(spark, SMALL, runs)
+    spark.read.parquet(os.path.join(BIG, "lineitem.parquet")).count()
+    print(f"== sf1.0 ({BIG})", file=sys.stderr)
+    big_t, big_e = run_suite(spark, BIG, runs)
+
+    ratios = {
+        q: round(big_t[q] / small_t[q], 2)
+        for q in QUERIES
+        if q in small_t and q in big_t and small_t[q] > 0
+    }
+    out = {
+        "data_ratio": DATA_RATIO,
+        "runs_per_query": runs,
+        "aggregation": "min",
+        "sf0.1": small_t,
+        "sf1.0": big_t,
+        "time_ratio": ratios,
+        "super_linear": {
+            q: r for q, r in ratios.items() if r > 2 * DATA_RATIO
+        },
+    }
+    if small_e or big_e:
+        out["errors"] = {"sf0.1": small_e, "sf1.0": big_e}
+    with open(os.path.join(ROOT, "SCALE_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

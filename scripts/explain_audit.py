@@ -74,6 +74,7 @@ AUDITED = [
     "d_semantic_dedupe",
     "d_lsh_verified_pairs",
     "x_pack",
+    "x_pack_greedy",
     "x_unpivot",
     "t_resample",
     "t_asof_nearest",
@@ -160,6 +161,7 @@ NO_PUSHDOWN_EXPECTED = {
     "d_semantic_dedupe",    # full-embeddings pair join + components
     "d_lsh_verified_pairs", # full-corpus shingling
     "x_pack",               # full-corpus token count + window
+    "x_pack_greedy",        # full-corpus token count + grouped pandas pack
     "x_unpivot",            # full-lineitem melt
     "t_resample",           # grid generation from per-key min/max
     "t_asof_nearest",       # full-events union + window
@@ -216,6 +218,7 @@ NO_BROADCAST_EXPECTED = {
     "x_corpus_stats",       # one agg, no joins
     "x_weighted_sample",    # narrow map + filter, no joins
     "x_pack",               # no joins (window + agg)
+    "x_pack_greedy",        # no joins (group shuffle + applyInPandas + agg)
     "x_unpivot",            # no joins
     "t_asof_nearest",       # union + window, no joins
     "t_resample",           # grid/hourly join: AQE decides

@@ -1,0 +1,105 @@
+"""Generate a 10x replica of the sf0.1 testdata for scale-proofing.
+
+Writes parquet under the repo (default .scale_data/sf1.0 — gitignored);
+never touches /root/testdata.  Replication preserves WORKLOAD SHAPE so a
+bench ratio is meaningful:
+
+* fact keys shift per replica (custkey/orderkey/partkey/suppkey/doc_id/
+  vec_id/user_id/event_id), so key cardinality scales with the data and
+  per-key group sizes stay constant;
+* nation/region stay single-copy fixed dims (10x customers across the
+  same 25 nations — how a real 10x corpus behaves);
+* document tokens get a per-replica suffix, so WITHIN-replica near-dup
+  structure is identical to sf0.1 while replicas are mutually distinct
+  (otherwise every doc gains 9 exact twins and LSH bucket sizes grow
+  10x, turning pair counts quadratic — a workload change, not a scale
+  test);
+* embedding labels (the cosine blocking key) are per-replica for the
+  same reason: blocks scale in COUNT, not size.
+
+Usage: python scripts/gen_scale_data.py [factor] [src_dir] [out_dir]
+"""
+
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+OUT = (
+    sys.argv[3]
+    if len(sys.argv) > 3
+    else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".scale_data", "sf1.0")
+)
+
+SHIFT = 1_000_000_000  # key offset per replica, far above any base key
+
+# table -> columns to shift by replica * SHIFT
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+FIXED_DIMS = ["nation", "region"]
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("gen_scale_data")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+
+    for tbl in FIXED_DIMS:
+        df = spark.read.parquet(os.path.join(SRC, f"{tbl}.parquet"))
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(OUT, f"{tbl}.parquet"))
+        print(f"{tbl}: copied fixed dim")
+
+    for tbl, keys in SHIFT_COLS.items():
+        df = spark.read.parquet(os.path.join(SRC, f"{tbl}.parquet"))
+        rep = df.crossJoin(
+            spark.range(FACTOR).select(F.col("id").alias("__r"))
+        )
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("__r") * F.lit(SHIFT))
+        if tbl == "documents":
+            # per-replica token suffix: replicas mutually distinct,
+            # within-replica shingle structure unchanged
+            rep = rep.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda x: F.concat(x, F.lit("~"), F.col("__r").cast("string")),
+                    ),
+                    " ",
+                ),
+            ).withColumn("n_chars", F.length("text"))
+        if tbl == "embeddings":
+            rep = rep.withColumn(
+                "label", F.col("label") + (F.col("__r") * 1000).cast("int")
+            )
+        out = rep.drop("__r")
+        out.write.mode("overwrite").parquet(os.path.join(OUT, f"{tbl}.parquet"))
+        print(f"{tbl}: {df.count()} -> {out.count()} rows")
+
+    spark.stop()
+    print(f"DONE -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()

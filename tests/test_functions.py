@@ -542,3 +542,29 @@ def test_sequence_packing_boundaries(spark):
     assert out[("s", 1)] == (1, 4)
     assert out[("s", 3)] == (1, 5)
     assert out[("t", 0)] == (1, 6)
+
+
+def test_pack_sequences_greedy_resets_at_boundary(spark):
+    """The ADVICE divergence case: 3 docs x 1000 tokens, budget 2048.
+    Cumulative bucketing puts all three in pack 0 (overflow to 3000);
+    TRUE greedy closes pack 0 at two docs and opens pack 1.  Also: an
+    oversized doc gets its own pack and ids never skip."""
+    from fluxgraph_spark.functions.text import pack_sequences_greedy
+
+    rows = [
+        # shard A: 1000+1000 fit, third resets
+        ("a", 1, 1000), ("a", 2, 1000), ("a", 3, 1000),
+        # shard B: oversized doc alone, then two small ones share
+        ("b", 1, 5000), ("b", 2, 100), ("b", 3, 100),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    got = {
+        (r["source"], r["doc_id"]): r["pack_id"]
+        for r in pack_sequences_greedy(
+            df, "source", "doc_id", "n_tokens", budget=2048
+        ).collect()
+    }
+    assert got == {
+        ("a", 1): 0, ("a", 2): 0, ("a", 3): 1,
+        ("b", 1): 0, ("b", 2): 1, ("b", 3): 1,
+    }

@@ -194,6 +194,62 @@ def test_scd2_streaming_ingest_equals_batch_rebuild(spark, tmp_path):
            sorted(map(tuple, want.collect()), key=key)
 
 
+def test_scd2_streaming_table_sink_durable_commits(spark, tmp_path):
+    """Streaming ingest through the durable Scd2ParquetTable: each
+    microbatch is one audited bucket-level commit; the final table
+    equals the batch rebuild and the commit log has one row per
+    microbatch."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.operators import temporal as TP
+    from fluxgraph_spark.sources.scd2_table import Scd2ParquetTable
+    from fluxgraph_spark.sources.tpch import read_events
+    from fluxgraph_spark.streaming import read_event_stream
+    from fluxgraph_spark.streaming.scd2_ingest import scd2_streaming_table_sink
+
+    src = str(tmp_path / "stream_src")
+    ev = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+    ev.withColumn(
+        "__c", F.col("event_id") % 3
+    ).repartition(3, "__c").drop("__c").write.parquet(src)
+    n_files = len(glob.glob(src + "/part-*.parquet"))
+    assert n_files >= 2
+
+    tbl = Scd2ParquetTable(
+        spark, str(tmp_path / "tbl"), ["user_id"], n_buckets=8
+    )
+    q = scd2_streaming_table_sink(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        tbl,
+        "ts",
+        ["event_type", "value"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    cols = [
+        "user_id", "valid_from", "event_type", "value",
+        "valid_to", "version_idx", "is_current",
+    ]
+    got = tbl.read().select(*cols)
+    want = TP.scd2_from_change_events(
+        ev.select("user_id", "ts", "event_type", "value"), ["user_id"], "ts"
+    ).select(
+        "user_id", F.col("ts").alias("valid_from"), "event_type", "value",
+        "valid_to", "version_idx", "is_current",
+    )
+    key = lambda t: (t[0], t[1])
+    assert sorted(map(tuple, got.collect()), key=key) == \
+           sorted(map(tuple, want.collect()), key=key)
+    # one commit per microbatch; availableNow may coalesce file batches,
+    # so pin "incremental" (>= 2 commits) and conservation of changes
+    hist = tbl.history()
+    assert hist.count() >= 2
+    assert hist.agg(F.sum("n_changes")).collect()[0][0] == ev.count()
+
+
 def test_interval_stream_join_matches_batch(spark, events_dir):
     from fluxgraph_spark.sources.tpch import read_events
     from fluxgraph_spark.streaming import interval_stream_join, read_event_stream
