@@ -186,7 +186,9 @@ def test_multimodal_plumbing(tables):
     }
     resized = multimodal.resize_images(media, 64, 64).collect()
     assert all(r["meta"]["width"] == 64 for r in resized)
-    with pytest.raises(Exception, match="NotImplemented|real media decode"):
+    # decoder="real" decodes PNG/WAV since round 3 (test_multimodal_real);
+    # on these md5-fake bytes it must refuse loudly, not guess
+    with pytest.raises(Exception, match="PNG and WAV"):
         multimodal.extract_features(media, decoder="real").collect()
 
 
