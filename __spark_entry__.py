@@ -1890,10 +1890,16 @@ def _stream_events(spark, sf_dir):
     d = _STREAM_DIRS.get(sf_dir)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="events_stream_")
-        shutil.copy(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(d, "part-0.parquet"),
-        )
+        src = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(src):  # multi-part table (e.g. the 10x replica)
+            for i, name in enumerate(sorted(os.listdir(src))):
+                if name.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, name),
+                        os.path.join(d, f"part-{i}.parquet"),
+                    )
+        else:
+            shutil.copy(src, os.path.join(d, "part-0.parquet"))
         _STREAM_DIRS[sf_dir] = d
     return read_event_stream(spark, d)
 
@@ -1935,6 +1941,43 @@ def q_st_windowed_counts(spark, sf_dir):
         "event_type",
         "n_events",
         F.col("total_value").cast("long").alias("value_cents"),
+    )
+
+
+def q_st_scd2_ingest(spark, sf_dir):
+    """End-to-end DURABLE streaming ingest: the events stream flows
+    through foreachBatch into an Scd2ParquetTable (bucket-level
+    copy-on-write commits, write-audit-publish — sources/scd2_table.py),
+    and the query returns the COMMITTED table re-read from disk.  The
+    oracle is the batch SCD2 window build, so this pins
+    stream-ingest == batch-rebuild through the durable path, not just
+    in memory.  Scale: each microbatch rewrites only the key-hash
+    buckets it touches; the audit is two counts; publication is one
+    manifest swap."""
+    import tempfile
+
+    from fluxgraph_spark.sources.scd2_table import Scd2ParquetTable
+    from fluxgraph_spark.streaming.scd2_ingest import scd2_streaming_table_sink
+
+    ev = _stream_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="scd2_ingest_")
+    tbl = Scd2ParquetTable(
+        spark, os.path.join(root, "tbl"), ["user_id"], n_buckets=8
+    )
+    q = scd2_streaming_table_sink(
+        ev, tbl, "ts", ["event_type", "value"],
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    scd = tbl.read()
+    # stream timestamps are LTZ instants; unix_micros is the
+    # tz-independent extractor there (see timeutil notes)
+    return scd.select(
+        "user_id",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+        "version_idx",
+        F.col("is_current").cast("int").alias("is_current"),
     )
 
 
@@ -2561,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sessionize": q_st_sessionize,
         "st_stream_join": q_st_stream_join,
         "st_running_stats": q_st_running_stats,
+        "st_scd2_ingest": q_st_scd2_ingest,
         "t_time_buckets": q_t_time_buckets,
         "t_resample": q_t_resample,
         "x_rolling": q_x_rolling,
@@ -3155,6 +3199,15 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(ts) AS ts_us,
                CAST(row_number() OVER w AS INT) AS version_idx,
                epoch_us(lead(ts) OVER w) AS valid_to_us,
+               CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "st_scd2_ingest": """
+        SELECT user_id,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(lead(ts) OVER w) AS valid_to_us,
+               CAST(row_number() OVER w AS INT) AS version_idx,
                CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -208,6 +208,7 @@ def jaccard_pairs(
     shingles: DataFrame,
     block: DataFrame | None = None,
     threshold: float = 0.0,
+    broadcast_block: "bool | None" = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles via a self-join on shingle.
 
@@ -218,19 +219,29 @@ def jaccard_pairs(
     With a block the intersection is computed PER CANDIDATE PAIR (the
     shingle table is first semi-joined down to candidate ids, then joined
     through the pair list) — the all-pairs shingle self-join never
-    happens, so a 100 TB corpus verifies in O(candidates), not O(corpus²)."""
+    happens, so a 100 TB corpus verifies in O(candidates), not O(corpus²).
+
+    ``broadcast_block``: hint the block/id joins as broadcasts.  Default
+    None probes ``block.count()`` (cheap when the caller persists the
+    candidates, as the pipeline entry points do) and broadcasts only
+    under 1M pairs — candidate lists track near-dup density and can be
+    too big to broadcast at corpus scale; above the cutoff AQE picks the
+    strategy at runtime."""
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
     if block is not None:
+        if broadcast_block is None:
+            broadcast_block = block.count() <= 1_000_000
+        bcast = F.broadcast if broadcast_block else (lambda d: d)
         ids = (
             block.select(F.col("id_a").alias("id"))
             .unionByName(block.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        # candidate set ≪ corpus: broadcast it into both cuts so the big
-        # shingle table is never shuffled for the verify
-        sh = shingles.join(F.broadcast(ids), "id", "left_semi")
+        # candidate cut: the big shingle table is never shuffled for the
+        # verify when the candidate set broadcasts
+        sh = shingles.join(bcast(ids), "id", "left_semi")
         inter = (
-            F.broadcast(block)
+            bcast(block)
             .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
             .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
@@ -335,12 +346,19 @@ def minhash_lsh_dedup(
         "id",
         *[F.col("mh")[i].alias(f"mh_{i}") for i in range(num_hashes)],
     )
-    # candidates are tiny and consumed three times (id cut + two pair
-    # joins) — persist so the banding join runs once
+    # candidates are consumed three times (id cut + two pair joins) —
+    # persist so the banding join runs once
     cand = lsh_candidate_pairs(
         sig_cols, num_hashes=num_hashes, bands=bands,
         max_bucket_size=max_bucket_size,
     ).persist()
+    # the broadcast hints below are only safe while the candidate set is
+    # actually small — at corpus scale pair counts track near-dup
+    # density and can reach billions.  The persist materializes cand
+    # anyway, so this count is a cheap scalar probe; above the cutoff the
+    # joins fall back to AQE's runtime choice (shuffle or broadcast).
+    small = cand.count() <= 1_000_000
+    bcast = F.broadcast if small else (lambda d: d)
     # cut the (wide: shingle arrays) signature table down to candidate
     # ids BEFORE the verify joins — the arrays of non-candidates never
     # enter a shuffle
@@ -349,12 +367,12 @@ def minhash_lsh_dedup(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_cand = sig.select("id", "shingles").join(F.broadcast(ids), "id", "left_semi")
+    sh_cand = sig.select("id", "shingles").join(bcast(ids), "id", "left_semi")
     a = sh_cand.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh_cand.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        F.broadcast(cand)
+        bcast(cand)
         .join(a, "id_a")
         .join(b, "id_b")
         .select(

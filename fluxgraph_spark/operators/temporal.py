@@ -69,8 +69,10 @@ def validity_intervals(df: DataFrame, tx_log: DataFrame) -> DataFrame:
     """[tx_time(tx_from), tx_time(tx_to)) per version row; open end maps to
     MAX_TIME (P9; reference FluxElement.java:142-152).
 
-    tx_id -> tx_time is resolved by joining the (small) distinct tx slice of
-    the log — broadcast so the big version table never shuffles."""
+    tx_id -> tx_time is resolved by joining the distinct tx slice of the
+    log.  No broadcast hint: the reference's model is one transaction per
+    mutation, so the tx slice scales with write volume — AQE broadcasts
+    it at runtime while it is small and shuffles when it is not."""
     times = tx_log.select(M.TX_ID, M.TX_TIME).dropDuplicates([M.TX_ID])
     start = times.withColumnRenamed(M.TX_ID, "__from_tx").withColumnRenamed(
         M.TX_TIME, "valid_from"
@@ -79,8 +81,8 @@ def validity_intervals(df: DataFrame, tx_log: DataFrame) -> DataFrame:
         M.TX_TIME, "valid_to_raw"
     )
     out = (
-        df.join(F.broadcast(start), df[M.TX_FROM] == start["__from_tx"], "left")
-        .join(F.broadcast(end), df[M.TX_TO] == end["__to_tx"], "left")
+        df.join(start, df[M.TX_FROM] == start["__from_tx"], "left")
+        .join(end, df[M.TX_TO] == end["__to_tx"], "left")
         .withColumn(
             "valid_to",
             F.coalesce(F.col("valid_to_raw"), F.lit(M.MAX_TIME)),
