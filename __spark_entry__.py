@@ -322,6 +322,27 @@ def q_t_scd2_versions(spark, sf_dir):
     )
 
 
+def q_t_compact(spark, sf_dir):
+    """Temporal coalescing (SQL:2011 "pack", operators/temporal.py
+    scd2_compact): merge runs of adjacent versions with unchanged
+    tracked values into one validity interval.  Events pre-aggregated
+    per (user_id, ts) so run construction is tie-deterministic across
+    engines.  One key-partitioned shuffle shared by the window and the
+    run merge."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    changes = ev.groupBy("user_id", "ts").agg(
+        F.max("event_type").alias("event_type")
+    )
+    versions = TP.scd2_from_change_events(changes, ["user_id"], "ts")
+    compacted = TP.scd2_compact(versions, ["user_id"], ["event_type"])
+    return compacted.select(
+        "user_id",
+        _us(F.col("valid_from")).alias("valid_from_us"),
+        _us(F.col("valid_to")).alias("valid_to_us"),
+        "event_type",
+    )
+
+
 def q_t_asof_user_state(spark, sf_dir):
     """P1 as-of: each user's latest event state at 2024-01-15 00:00:00."""
     import datetime
@@ -2560,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_state_diff": q_t_state_diff,
         "t_range_join": q_t_range_join,
         "t_versions_at": q_t_versions_at,
+        "t_compact": q_t_compact,
         # relational surface
         "pricing_summary": q_pricing_summary,
         "top_orders_building": q_top_orders_building,
@@ -3202,6 +3224,32 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "t_compact": """
+        WITH changes AS (
+          SELECT user_id, ts, max(event_type) AS event_type
+          FROM events GROUP BY user_id, ts),
+        v AS (
+          SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+          FROM changes),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN lag(valid_from) OVER w IS NULL
+                        OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS strt
+          FROM v WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)),
+        runs AS (
+          SELECT *, sum(strt) OVER (
+            PARTITION BY user_id ORDER BY valid_from
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM flagged)
+        SELECT user_id,
+               epoch_us(min(valid_from)) AS valid_from_us,
+               epoch_us(CASE WHEN max(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) = 1
+                             THEN NULL ELSE max(valid_to) END) AS valid_to_us,
+               event_type
+        FROM runs GROUP BY user_id, run, event_type
         """,
         "st_scd2_ingest": """
         SELECT user_id,

@@ -525,3 +525,37 @@ def test_asof_join_nearest_picks_closer_side(spark):
     }
     assert out_tol[1] == "b" and out_tol[2] == "c"
     assert out_tol[4] is None  # nearest (8min away) exceeds 2min bound
+
+
+def test_scd2_compact_merges_unchanged_runs(spark):
+    """scd2_compact: adjacent value-identical versions merge into one
+    interval; the open version keeps the run open; changes split runs;
+    a value can recur in a later, separate run."""
+    import datetime as dt
+
+    from fluxgraph_spark.operators import temporal as TP
+
+    t0 = dt.datetime(2024, 1, 1)
+    t = lambda n: t0 + dt.timedelta(hours=n)
+    events = spark.createDataFrame(
+        [
+            # user 1: a a a b a(open) -> runs [a:0-3) [b:3-4) [a:4-)
+            (1, t(0), "a"), (1, t(1), "a"), (1, t(2), "a"),
+            (1, t(3), "b"), (1, t(4), "a"),
+            # user 2: single open version
+            (2, t(0), "x"),
+        ],
+        "user_id long, ts timestamp_ntz, state string",
+    )
+    versions = TP.scd2_from_change_events(events, ["user_id"], "ts")
+    out = TP.scd2_compact(versions, ["user_id"], ["state"])
+    rows = {
+        (r["user_id"], r["valid_from"]): (r["state"], r["valid_to"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, t(0)): ("a", t(3)),
+        (1, t(3)): ("b", t(4)),
+        (1, t(4)): ("a", None),
+        (2, t(0)): ("x", None),
+    }
