@@ -2430,6 +2430,22 @@ def q_s_ivf_topk(spark, sf_dir):
     return similarity.cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+def q_s_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: corpus compressed to m=4 one-byte codes
+    per vector (64x), queries score via asymmetric-distance lookup-table
+    sums over the CODES ONLY — the compressed-domain scan path for
+    corpora whose raw vectors don't fit the cluster's memory.  Codebooks
+    are the md5-smallest deterministic sample, LUT entries floor to
+    integer micro-units so the ADC sum is exact integer arithmetic, and
+    the whole encode+score+rank path replays in SQL — a FULL oracle for
+    a PQ index."""
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_adc_topk(emb, queries, k=10, m=4, ksub=16)
+
+
 def q_m_frame_samples(spark, sf_dir):
     """Multimodal frame sampling: one row per sampled video frame
     (count from meta.duration_ms), Arrow-batched mapInPandas.  Frame
@@ -2666,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_near_dups": q_s_embedding_near_dups,
         "s_lsh_topk": q_s_lsh_topk,
         "s_ivf_topk": q_s_ivf_topk,
+        "s_pq_topk": q_s_pq_topk,
         "pipeline_corpus": q_pipeline_corpus,
         "m_media_features": q_m_media_features,
         "m_media_meta": q_m_media_meta,
@@ -4270,6 +4287,42 @@ def oracle_sql() -> dict[str, str]:
           FROM cand cd JOIN base b ON b.vec_id = cd.vec_id
                        JOIN base qb ON qb.vec_id = cd.query_id
         ) WHERE rank <= 10
+        """,
+        # PQ ANN replay: same md5 sample -> codebooks (list slices),
+        # argmin encode, integer-micro LUT join, exact integer ADC sum
+        "s_pq_topk": """
+        WITH base AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        samp AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code,
+                 vec
+          FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        cb AS MATERIALIZED (
+          SELECT u.s, samp.code, (samp.vec)[u.s*16+1 : u.s*16+16] AS csub
+          FROM samp, UNNEST([0,1,2,3]) AS u(s)),
+        enc AS MATERIALIZED (
+          SELECT vec_id, s, code FROM (
+            SELECT b.vec_id, cb.s, cb.code,
+                   row_number() OVER (PARTITION BY b.vec_id, cb.s ORDER BY
+                     list_sum(list_transform(
+                       list_zip((b.vec)[cb.s*16+1 : cb.s*16+16], cb.csub),
+                       x -> (x[1]-x[2])*(x[1]-x[2]))) ASC, cb.code) AS rn
+            FROM base b CROSS JOIN cb) WHERE rn = 1),
+        lut AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, cb.s, cb.code,
+                 CAST(floor(list_sum(list_transform(
+                   list_zip((q.vec)[cb.s*16+1 : cb.s*16+16], cb.csub),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000 + 0.5) AS BIGINT) AS dmicro
+          FROM base q CROSS JOIN cb WHERE q.vec_id < 5),
+        scored AS (
+          SELECT l.query_id, e.vec_id, CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
+          FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+          GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, vec_id, adc_micro, rank FROM (
+          SELECT query_id, vec_id, adc_micro,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_micro, vec_id) AS INT) AS rank
+          FROM scored) WHERE rank <= 10
         """,
         "s_cosine_topk": """
         SELECT query_id, vec_id, cosine, rank FROM (

@@ -317,3 +317,146 @@ def label_centroids(
         .alias("centroid_micro"),
         "n_vecs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic PQ codebooks: the ``ksub`` corpus vectors with the
+    smallest md5(id) (the same reproducible sample rule as
+    ``ivf_centroids``) sliced into ``m`` subvectors each —
+    ``codebooks[s][j]`` is code j+1's subvector for subspace s.  A
+    k-means refinement is deliberately omitted for the same reason as in
+    IVF: determinism enables cross-engine verification, and the sample
+    is adequate for bucketing/compression.  The sample is tiny
+    (ksub rows) — collecting it is a bounded driver probe."""
+    h = F.md5(F.col(id_col).cast("string"))
+    rows = (
+        corpus.select(
+            F.col(id_col), _as_double_vec(F.col(vec_col)).alias("vec"), h.alias("h")
+        )
+        .orderBy("h", id_col)
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(rows[0]["vec"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [[float(x) for x in r["vec"][s * dsub : (s + 1) * dsub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — per subspace, the 1-based code of the
+    nearest codebook entry by squared L2.  The codebooks unroll into
+    literal array expressions, so encoding is a NARROW map over the
+    corpus (zero shuffle): at 100 TB this is the canonical compression
+    pass, embarrassingly parallel over input splits, emitting m small
+    ints per vector (a 64-dim float vector compresses 64x)."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double_vec(F.col(vec_col)).alias("vec")
+    )
+    code_cols = []
+    for s in range(m):
+        sub = F.slice(F.col("vec"), s * dsub + 1, dsub)
+        entries = []
+        for j, cvec in enumerate(codebooks[s]):
+            lit_vec = F.array(*[F.lit(x) for x in cvec])
+            d = F.aggregate(
+                F.zip_with(sub, lit_vec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.struct(d.alias("d"), F.lit(j + 1).alias("code")))
+        ranked = F.array_sort(
+            F.array(*entries),
+            lambda a, b: F.when(a["d"] < b["d"], F.lit(-1))
+            .when(a["d"] > b["d"], F.lit(1))
+            .otherwise((a["code"] - b["code"]).cast("int")),
+        )
+        code_cols.append(ranked[0]["code"])
+    return v.select("vec_id", F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation over PQ
+    codes: each query precomputes an m x ksub lookup table of squared-L2
+    distances to every codebook entry, and a corpus vector's distance is
+    the sum of m table lookups — the scan touches only the compressed
+    codes, never the raw vectors.  LUT entries are floored to integer
+    micro-units so the per-vector sum is exact integer arithmetic
+    (order-independent -> SQL-oracle replayable).
+
+    Scale shape: one narrow encode pass over the corpus + a broadcast of
+    (queries x m x ksub) ints + a two-stage top-k.  Zero corpus
+    shuffles before the top-k reduction.  Output: (query_id, vec_id,
+    adc_micro, rank) ascending by distance."""
+    spark = corpus.sparkSession
+    codebooks = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    dsub = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double_vec(F.col(vec_col)).alias("vec"),
+    ).collect()  # bounded: the query set
+    luts = []
+    for r in q_rows:
+        flat = []
+        for s in range(m):
+            qsub = [float(x) for x in r["vec"][s * dsub : (s + 1) * dsub]]
+            for cvec in codebooks[s]:
+                d = 0.0
+                for x, y in zip(qsub, cvec):  # sequential fold = engine parity
+                    d += (x - y) * (x - y)
+                flat.append(int(__import__("math").floor(d * 1_000_000 + 0.5)))
+        luts.append((r["query_id"], flat))
+    lut_df = spark.createDataFrame(luts, "query_id long, lut array<bigint>")
+    adc = F.expr(
+        f"aggregate(zip_with(codes, sequence(0, {m - 1}), "
+        f"(c, s) -> element_at(lut, s * {ksub} + c)), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    scored = codes.crossJoin(F.broadcast(lut_df)).select(
+        "query_id", "vec_id", adc.alias("adc_micro")
+    )
+    w_local = W.partitionBy("query_id", "salt").orderBy(
+        F.col("adc_micro").asc(), F.col("vec_id")
+    )
+    local = (
+        scored.withColumn("salt", F.spark_partition_id())
+        .withColumn("r", F.row_number().over(w_local))
+        .where(F.col("r") <= k)
+        .drop("salt", "r")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_micro").asc(), F.col("vec_id"))
+    return local.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).where(F.col("rank") <= k)

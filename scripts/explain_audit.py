@@ -80,6 +80,7 @@ AUDITED = [
     "t_asof_nearest",
     "s_ivf_topk",
     "s_lsh_topk",
+    "s_pq_topk",
     # completed TPC-H query-shape suite (Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q16/Q20)
     "r_min_cost_supplier",
     "r_nation_volume",

@@ -570,3 +570,36 @@ def test_pack_sequences_greedy_resets_at_boundary(spark):
         ("a", 1): 0, ("a", 2): 0, ("a", 3): 1,
         ("b", 1): 0, ("b", 2): 1, ("b", 3): 1,
     }
+
+
+def test_pq_adc_topk_separates_clusters(spark):
+    """PQ compressed-domain search: with three well-separated clusters,
+    a query's top-k contains only members of its own cluster, and the
+    codes table is m small ints per vector."""
+    import random
+
+    from fluxgraph_spark.functions import similarity
+
+    rng = random.Random(7)
+    rows = []
+    centers = {0: 0.0, 1: 10.0, 2: -10.0}
+    for i in range(90):
+        c = i % 3
+        vec = [centers[c] + rng.uniform(-0.5, 0.5) for _ in range(16)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id IN (0, 1, 2)").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = similarity.pq_adc_topk(emb, queries, k=10, m=4, ksub=8)
+    got = out.collect()
+    assert len(got) == 30
+    for r in got:
+        assert r["vec_id"] % 3 == r["query_id"] % 3  # same cluster only
+    # codes: m ints in [1, ksub]
+    codes = similarity.pq_encode(
+        emb, similarity.pq_codebooks(emb, m=4, ksub=8)
+    ).collect()
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(1 <= c <= 8 for c in r["codes"])
