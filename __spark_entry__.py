@@ -2177,6 +2177,24 @@ def q_x_pack_greedy(spark, sf_dir):
     )
 
 
+def q_d_incr_dedupe(spark, sf_dir):
+    """Incremental corpus-growth dedup: docs with doc_id % 5 == 0 are
+    the NEW crawl batch; everything else is the already-ingested corpus.
+    Survivors are new docs with no exact-hash or verified-near-dup match
+    in the corpus or on a smaller-id batch doc.  The corpus is never
+    re-paired with itself — per-batch cost is O(new x collisions),
+    independent of corpus size (the steady-state 100 TB dedup shape).
+    md5 hash family -> FULL SQL oracle."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    kept = dedup.dedupe_incremental(
+        new_batch, corpus, "doc_id", "text", n=3, num_hashes=8, bands=4,
+        threshold=0.5,
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
 def q_d_minhash_sigs(spark, sf_dir):
     """MinHash signatures (first 4 components) — cross-engine hash parity."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -2662,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack_greedy": q_x_pack_greedy,
         "x_unpivot": q_x_unpivot,
         "d_minhash_sigs": q_d_minhash_sigs,
+        "d_incr_dedupe": q_d_incr_dedupe,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
         "d_corpus_dedupe": q_d_corpus_dedupe,
@@ -2835,6 +2854,65 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+"""
+
+
+def _incr_dedupe_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    """Replay of q_d_incr_dedupe: exact-hash tier + banded md5 minhash
+    candidates REQUIRING a new-batch left side (corpus never self-pairs),
+    exact-Jaccard verify, keep-first semantics within the batch."""
+    comps = ",\n    ".join(
+        "min(" + STABLE_HASH_SQL.format(x=f"'s{i}:' || shingle") + f") AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    th = STABLE_HASH_SQL.format(x="text")
+    return f"""
+WITH {SHINGLES_SQL.strip()},
+tagged AS MATERIALIZED (
+  SELECT doc_id AS id, (doc_id % 5 = 0) AS is_new FROM documents),
+hashes AS MATERIALIZED (
+  SELECT doc_id AS id, (doc_id % 5 = 0) AS is_new, {th} AS h FROM documents),
+exact_drop AS MATERIALIZED (
+  SELECT DISTINCT hn.id
+  FROM hashes hn JOIN hashes ho
+    ON hn.is_new AND ho.h = hn.h
+   AND ((NOT ho.is_new) OR ho.id < hn.id)),
+sig AS MATERIALIZED (SELECT id, {comps} FROM shing GROUP BY id),
+banded AS MATERIALIZED ({band_selects}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT bn.id AS id_a, ba.id AS id_b
+  FROM banded bn
+  JOIN tagged tn ON tn.id = bn.id AND tn.is_new
+  JOIN banded ba ON ba.band = bn.band AND ba.bucket = bn.bucket
+  JOIN tagged toth ON toth.id = ba.id
+   AND ((NOT toth.is_new) OR ba.id < bn.id)),
+sizes AS MATERIALIZED (SELECT id, count(*) AS n_sh FROM shing GROUP BY id),
+inter AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shing a ON a.id = c.id_a
+  JOIN shing b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b),
+near_drop AS MATERIALIZED (
+  SELECT DISTINCT id_a AS id
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5)
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id % 5 = 0
+  AND doc_id NOT IN (SELECT id FROM exact_drop)
+  AND doc_id NOT IN (SELECT id FROM near_drop)
 """
 
 
@@ -4337,6 +4415,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d_semantic_dedupe": _semantic_dedupe_sql(4),
         "d_lsh_verified_pairs": _lsh_verified_sql(8, 4),
+        "d_incr_dedupe": _incr_dedupe_sql(8, 4),
         "m_media_features": """
         SELECT doc_id AS media_id, strlen(text) AS n_bytes,
                round(('0x' || substring(md5(text), 1, 2))::UBIGINT::DOUBLE / 255, 6) AS f0

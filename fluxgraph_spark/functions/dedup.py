@@ -112,6 +112,28 @@ def fast_hash(col: Column, seed: int) -> Column:
     return F.xxhash64(col, F.lit(seed))
 
 
+def band_table(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, bucket) LSH band fingerprints of a signature table —
+    the joinable dedup index.  Persist THIS per corpus snapshot and
+    incremental batches join against it without re-pairing the corpus
+    (see dedupe_incremental)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 16,
@@ -132,19 +154,7 @@ def lsh_candidate_pairs(
     direct pair listings lose only intra-bucket pairs that the remaining
     bands or the verify step would re-find.  Default None = exact
     all-pairs behavior (oracle-replayable)."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
-            )
-        )
-    banded = signatures.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    banded = band_table(signatures, num_hashes=num_hashes, bands=bands)
     if max_bucket_size is not None:
         stats = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__n"), F.min("id").alias("__rep")
@@ -748,3 +758,89 @@ def leading_window_key(text_col: Column, window: int = 8) -> Column:
     where one page is a prefix of another."""
     toks = F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), F.lit(0))
     return stable_hash64(F.array_join(F.slice(toks, 1, window), " "))
+
+
+def dedupe_incremental(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus without ever
+    re-pairing the corpus with itself — the steady-state shape of a
+    growing 100 TB training set (each crawl dedups against everything
+    ingested so far, not from scratch).
+
+    A new doc is dropped when any of:
+      * its exact text hash appears in the corpus, or on a smaller-id
+        doc of the same batch (keep-first);
+      * a verified near-dup (exact n-gram Jaccard >= ``threshold`` over
+        MinHash-LSH band candidates, md5 family — auditable) exists in
+        the corpus, or on a smaller-id doc of the same batch.
+
+    Candidates come from joining the NEW batch's band fingerprints
+    against the union index — corpus x corpus pairs are never formed, so
+    per-batch cost is O(new x collisions), independent of corpus size.
+    In production the corpus side persists as two index tables (text
+    hashes + band fingerprints, see :func:`band_table`); here they are
+    recomputed from the corpus text so the operator is self-contained.
+    """
+    from .text import stable_hash64
+
+    new_ids = new_batch.select(F.col(id_col).alias("id"))
+    tagged = new_batch.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"), F.lit(1).alias("is_new")
+    ).unionByName(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text"), F.lit(0).alias("is_new")
+        )
+    )
+
+    # exact tier: one hash per doc, one equi-join
+    hashes = tagged.select("id", "is_new", stable_hash64(F.col("text")).alias("h"))
+    hn = hashes.where(F.col("is_new") == 1).alias("hn")
+    ho = hashes.alias("ho")
+    exact_drop = (
+        hn.join(
+            ho,
+            (F.col("hn.h") == F.col("ho.h"))
+            & (
+                (F.col("ho.is_new") == 0)
+                | (F.col("ho.id") < F.col("hn.id"))
+            ),
+        )
+        .select(F.col("hn.id").alias("id"))
+        .distinct()
+    )
+
+    # near tier: band the union, but candidates REQUIRE a new-batch side
+    sh = shingle_table(tagged, "id", "text", n=n).persist()
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    banded = band_table(sig, num_hashes=num_hashes, bands=bands)
+    b_new = banded.join(new_ids, "id", "left_semi").alias("bn")
+    b_all = banded.join(
+        hashes.select("id", "is_new"), "id"
+    ).alias("ba")
+    cand = (
+        b_new.join(
+            b_all,
+            (F.col("bn.band") == F.col("ba.band"))
+            & (F.col("bn.bucket") == F.col("ba.bucket"))
+            & (
+                (F.col("ba.is_new") == 0)
+                | (F.col("ba.id") < F.col("bn.id"))
+            ),
+        )
+        .select(F.col("bn.id").alias("id_a"), F.col("ba.id").alias("id_b"))
+        .dropDuplicates()
+        .persist()
+    )
+    verified = jaccard_pairs(sh, block=cand, threshold=threshold)
+    near_drop = verified.select(F.col("id_a").alias("id")).distinct()
+
+    drops = exact_drop.unionByName(near_drop).distinct().withColumnRenamed("id", id_col)
+    return new_batch.join(drops, id_col, "left_anti")

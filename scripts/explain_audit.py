@@ -71,6 +71,7 @@ AUDITED = [
     "r_cube_stats",
     "r_setops",
     "d_winnow_pairs",
+    "d_incr_dedupe",
     "d_semantic_dedupe",
     "d_lsh_verified_pairs",
     "x_pack",
@@ -143,6 +144,7 @@ NO_PUSHDOWN_EXPECTED = {
     "r_pivot_status",       # full orders pivot
     "r_cube_stats",         # full lineitem cube
     "d_winnow_pairs",       # full-corpus sketching
+    "d_incr_dedupe",        # batch-vs-index fingerprint joins, derived predicate
     "r_priority_lines",     # lateness predicate is join-time date arithmetic
     "r_custdist",           # priority filter lives in the LEFT JOIN condition
     "g_triangles",          # full-lineitem projection; threshold is a HAVING
@@ -199,6 +201,7 @@ NO_BROADCAST_EXPECTED = {
     "r_pivot_status", "r_cube_stats",
     "r_setops",             # cohort full-outer join: AQE decides
     "d_winnow_pairs",       # fingerprint self-join: AQE decides
+    "d_incr_dedupe",        # batch-vs-index joins: AQE decides
     "r_priority_lines",     # orders/lineitem join: AQE decides
     "r_custdist",           # customer/orders outer join: AQE decides
     "r_important_parts",    # scalar joins via BroadcastNestedLoop (1 row); semi-join AQE

@@ -603,3 +603,31 @@ def test_pq_adc_topk_separates_clusters(spark):
     for r in codes:
         assert len(r["codes"]) == 4
         assert all(1 <= c <= 8 for c in r["codes"])
+
+
+def test_dedupe_incremental_vs_corpus_and_within_batch(spark):
+    """Incremental new-batch dedup: exact corpus match drops, verified
+    near-dup of a corpus doc drops, later near-dup within the batch
+    drops (keep-first), unique docs survive, corpus never re-pairs."""
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "existing corpus text about query engines and storage layers ok")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                              # exact corpus dup -> drop
+            (11, base.replace("lazy", "sleepy")),    # near-dup of corpus -> drop
+            (12, "a genuinely novel document with words unseen anywhere else today"),
+            (13, "a genuinely novel document with words unseen anywhere else now"),
+            # 13 is a near-dup of smaller-id 12 -> drop; 12 kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedupe_incremental(
+            new, corpus, "doc_id", "text", num_hashes=16, bands=8
+        ).collect()
+    )
+    assert kept == [12]
