@@ -169,6 +169,7 @@ NO_PUSHDOWN_EXPECTED = {
     "t_resample",           # grid generation from per-key min/max
     "t_asof_nearest",       # full-events union + window
     "s_ivf_topk",           # full-embeddings scan + centroid sample
+    "s_pq_topk",            # full-embeddings narrow encode + LUT broadcast
     "s_lsh_topk",           # full-embeddings bucketing
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
