@@ -642,12 +642,15 @@ def q_k_sketches(spark, sf_dir):
     eps = 0.01
     ev = tpch.read_tables(spark, sf_dir)["events"]
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # persisted: the 5-row sketch table feeds both the rank-audit join
+    # and the final audit — without it the full events scan + sketch
+    # aggregation would run twice ("one extra scan" would be a lie)
     sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         F.percentile_approx(cents, F.lit(0.5)).alias("approx_p50_cents"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).persist()
     ranked = (
         ev.select("event_type", cents.alias("cents"))
         .join(F.broadcast(sk.select("event_type", "approx_p50_cents")), "event_type")

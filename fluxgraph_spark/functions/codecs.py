@@ -199,8 +199,10 @@ def resize_nearest(arr, width: int, height: int):
 # ---------------------------------------------------------------------------
 
 def decode_wav(data: bytes):
-    """WAV bytes -> (sample_rate, n_channels, numpy int array of shape
-    (n_frames, n_channels)).  Integer PCM, 8- or 16-bit."""
+    """WAV bytes -> (sample_rate, n_channels, numpy int16 array of shape
+    (n_frames, n_channels)).  Integer PCM, 8- or 16-bit; 8-bit samples
+    are rescaled to int16 full scale (x256) so downstream amplitude
+    normalization (/32768) is bit-depth-independent."""
     import numpy as np
 
     if data[:4] != _WAV_MAGIC or data[8:12] != b"WAVE":
@@ -229,8 +231,8 @@ def decode_wav(data: bytes):
     n_ch, rate, bits = fmt
     dtype = np.uint8 if bits == 8 else np.dtype("<i2")
     samples = np.frombuffer(frames, dtype=dtype)
-    if bits == 8:  # 8-bit WAV is unsigned, center at 0
-        samples = samples.astype(np.int16) - 128
+    if bits == 8:  # unsigned, center at 0, rescale to int16 full range
+        samples = (samples.astype(np.int16) - 128) * 256
     n_frames = len(samples) // n_ch
     return rate, n_ch, samples[: n_frames * n_ch].reshape(n_frames, n_ch)
 

@@ -232,15 +232,16 @@ def jaccard_pairs(
     happens, so a 100 TB corpus verifies in O(candidates), not O(corpus²).
 
     ``broadcast_block``: hint the block/id joins as broadcasts.  Default
-    None probes ``block.count()`` (cheap when the caller persists the
-    candidates, as the pipeline entry points do) and broadcasts only
-    under 1M pairs — candidate lists track near-dup density and can be
-    too big to broadcast at corpus scale; above the cutoff AQE picks the
-    strategy at runtime."""
+    None probes ``block.count()`` — but ONLY when the block is cached
+    (as the pipeline entry points ensure); an uncached block is not
+    re-executed just to size it (the banding join is the expensive
+    stage) and the strategy is left to AQE.  Candidate lists track
+    near-dup density and can be too big to broadcast at corpus scale,
+    hence the 1M-pair cutoff."""
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
     if block is not None:
         if broadcast_block is None:
-            broadcast_block = block.count() <= 1_000_000
+            broadcast_block = block.is_cached and block.count() <= 1_000_000
         bcast = F.broadcast if broadcast_block else (lambda d: d)
         ids = (
             block.select(F.col("id_a").alias("id"))

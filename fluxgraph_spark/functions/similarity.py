@@ -421,6 +421,9 @@ def pq_adc_topk(
     adc_micro, rank) ascending by distance."""
     spark = corpus.sparkSession
     codebooks = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    # a corpus smaller than ksub yields a shorter codebook: the LUT
+    # stride MUST be the actual entry count or lookups cross subspaces
+    ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     q_rows = queries.select(

@@ -49,17 +49,20 @@ def load_graph_parquet(
     ``DataFrameGraph`` instead of OOMing the driver."""
     vdf = spark.read.parquet(os.path.join(path, "vertices"))
     edf = spark.read.parquet(os.path.join(path, "edges"))
-    total = vdf.count() + edf.count()
+    ldf = spark.read.parquet(os.path.join(path, "tx_log"))
+    # the tx_log counts too: one tx per mutation means it can dwarf the
+    # live version rows (compaction shrinks versions, never the log)
+    total = vdf.count() + edf.count() + ldf.count()
     if total > max_rows:
         raise ValueError(
-            f"{total} version rows at {path} exceeds max_rows={max_rows}; "
+            f"{total} version+log rows at {path} exceeds max_rows={max_rows}; "
             "this rehydrate collects to the driver — use "
             "TemporalGraph.from_dataframes / DataFrameGraph for big graphs "
             "(or raise max_rows explicitly)"
         )
     v = vdf.collect()
     e = edf.collect()
-    log = spark.read.parquet(os.path.join(path, "tx_log")).collect()
+    log = ldf.collect()
 
     store = LocalStore()
     g = TemporalGraph(spark, store)

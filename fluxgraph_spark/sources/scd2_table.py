@@ -134,15 +134,33 @@ class Scd2ParquetTable:
     def _bucket_expr(self):
         return F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
 
-    def ingest(self, changes: DataFrame) -> dict:
+    def ingest(self, changes: DataFrame, batch_id: "int | None" = None) -> dict:
         """Merge a change batch and commit (write -> audit -> publish).
 
         Returns the audit record.  Raises (leaving the committed state
         untouched and the staging directory removed) if the audit fails.
+
+        ``batch_id`` (optional, monotonically increasing — e.g. a
+        Structured Streaming epoch id): committed ids are recorded in
+        the manifest, and an ingest whose id is <= the last committed id
+        is SKIPPED — this is what makes a replayed foreachBatch
+        microbatch idempotent (exactly-once-visible) instead of merging
+        the same change rows twice.
         """
         from ..operators.temporal import scd2_from_change_events, scd2_upsert
 
         m = self._read_manifest()
+        if (
+            batch_id is not None
+            and m is not None
+            and m.get("last_batch_id") is not None
+            and batch_id <= m["last_batch_id"]
+        ):
+            return {
+                "version": m["version"],
+                "skipped": True,
+                "reason": f"batch_id {batch_id} <= committed {m['last_batch_id']}",
+            }
         vid = (m["version"] + 1) if m else 1
 
         # bounded driver probe: WHICH buckets are touched (<= n_buckets ints)
@@ -200,10 +218,16 @@ class Scd2ParquetTable:
                     f"affected {affected}"
                 )
 
-            # PUBLISH: move bucket dirs into place, then swap the manifest
+            # PUBLISH: move bucket dirs into place, then swap the manifest.
+            # An existing dst is an orphan of a crashed earlier attempt at
+            # this same vid (the manifest never references an unpublished
+            # version), so replacing it keeps retries crash-safe instead
+            # of wedging on ENOTEMPTY.
             for b in affected:
                 dst = self._bucket_dir(b, vid)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
                 os.rename(os.path.join(staging, f"{_BUCKET_COL}={b}"), dst)
         finally:
             shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
@@ -233,6 +257,9 @@ class Scd2ParquetTable:
 
         buckets = dict(m["buckets"]) if m else {}
         buckets.update({str(b): vid for b in affected})
+        last_batch = m.get("last_batch_id") if m else None
+        if batch_id is not None:
+            last_batch = batch_id if last_batch is None else max(last_batch, batch_id)
         self._publish_manifest(
             {
                 "version": vid,
@@ -240,6 +267,7 @@ class Scd2ParquetTable:
                 "key_cols": self.key_cols,
                 "ts_col": self.ts_col,
                 "n_buckets": self.n_buckets,
+                "last_batch_id": last_batch,
             }
         )
         return audit

@@ -85,12 +85,14 @@ def scd2_streaming_table_sink(
     copy-on-write commit (write-audit-publish), so the streaming path
     rewrites only the buckets the batch touches instead of swapping the
     whole table — the scale-correct replacement for
-    :func:`scd2_streaming_sink`'s full-table overwrite.  One commit-log
-    row per microbatch gives exactly-once-visible history (a replayed
-    batch re-runs the same merge; the audit rejects torn output).
+    :func:`scd2_streaming_sink`'s full-table overwrite.  The streaming
+    epoch id is recorded in the table manifest and replayed microbatches
+    (restart after a commit but before the streaming checkpoint) are
+    SKIPPED, so history is exactly-once-visible rather than
+    at-least-once.
     """
 
-    def _ingest_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         table.ingest(
@@ -98,7 +100,8 @@ def scd2_streaming_table_sink(
                 *table.key_cols,
                 F.col(ts_col).alias(table.ts_col),
                 *value_cols,
-            )
+            ),
+            batch_id=batch_id,
         )
 
     return (

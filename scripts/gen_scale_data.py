@@ -79,11 +79,16 @@ def main():
         if tbl == "documents":
             # per-replica token suffix: replicas mutually distinct,
             # within-replica shingle structure unchanged
+            # split on runs of whitespace and drop empties so irregular
+            # spacing never fabricates extra "~r" tokens (token counts and
+            # shingle sets must keep the base corpus's shape)
             rep = rep.withColumn(
                 "text",
                 F.array_join(
                     F.transform(
-                        F.split(F.col("text"), " "),
+                        F.filter(
+                            F.split(F.col("text"), r"\s+"), lambda x: x != ""
+                        ),
                         lambda x: F.concat(x, F.lit("~"), F.col("__r").cast("string")),
                     ),
                     " ",

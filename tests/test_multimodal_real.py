@@ -120,3 +120,36 @@ def test_fake_path_unchanged_for_oracles(spark):
     png = codecs.encode_png(np.full((2, 4, 3), 128, dtype=np.uint8))
     want = [b / 255.0 for b in hashlib.md5(png).digest()[:8]]
     assert feats[1] == pytest.approx(want)
+
+
+def test_wav_8bit_amplitude_parity():
+    """8-bit PCM decodes to int16 full scale, so amplitude features are
+    bit-depth-independent (a full-scale 8-bit square wave has the same
+    rms as a full-scale 16-bit one)."""
+    import struct
+
+    payload = bytes([255, 0] * 50)  # full-scale unsigned 8-bit square
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    riff = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    wav8 = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    rate, ch, samples = codecs.decode_wav(wav8)
+    assert (rate, ch) == (8000, 1)
+    x = samples.astype(float) / 32768.0
+    assert abs(x).max() == pytest.approx(1.0, abs=0.01)
+    assert (x ** 2).mean() ** 0.5 == pytest.approx(1.0, abs=0.01)
+
+
+def test_pq_small_corpus_stride(spark):
+    """Corpus smaller than ksub: the LUT stride must follow the actual
+    codebook size — distances stay finite and self-ranking sane."""
+    from fluxgraph_spark.functions import similarity
+
+    rows = [(i, [float(i)] * 16) for i in range(10)]  # 10 < ksub=16
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    out = similarity.pq_adc_topk(emb, queries, k=5, m=4, ksub=16).collect()
+    assert len(out) == 5
+    assert all(r["adc_micro"] is not None and r["adc_micro"] >= 0 for r in out)

@@ -137,3 +137,56 @@ def test_load_graph_parquet_guard(spark, tmp_path):
         load_graph_parquet(spark, str(tmp_path / "g"), max_rows=2)
     g2 = load_graph_parquet(spark, str(tmp_path / "g"))
     assert g2.vertices_df().count() == 2
+
+
+def test_ingest_batch_id_replay_is_idempotent(spark, tmp_path):
+    """A replayed microbatch (same batch_id) must be SKIPPED, not merged
+    twice — the foreachBatch crash-replay scenario."""
+    tbl = Scd2ParquetTable(spark, str(tmp_path / "tbl"), ["user_id"])
+    a1 = tbl.ingest(_batch(spark, _ts_rows(BATCH1, [0, 1])), batch_id=0)
+    assert not a1.get("skipped")
+    snapshot = sorted(map(tuple, tbl.read().collect()))
+    # replay of batch 0: skipped, state unchanged
+    a_replay = tbl.ingest(_batch(spark, _ts_rows(BATCH1, [0, 1])), batch_id=0)
+    assert a_replay["skipped"]
+    assert sorted(map(tuple, tbl.read().collect())) == snapshot
+    assert tbl._read_manifest()["version"] == 1
+    # the next epoch proceeds normally
+    a2 = tbl.ingest(_batch(spark, _ts_rows(BATCH2, [5, 6])), batch_id=1)
+    assert not a2.get("skipped") and a2["version"] == 2
+
+
+def test_publish_retry_after_partial_rename(spark, tmp_path):
+    """Orphan b=X/v=vid dirs from a crash between renames and the
+    manifest swap must not wedge the retried ingest."""
+    import os
+
+    tbl = Scd2ParquetTable(spark, str(tmp_path / "tbl"), ["user_id"], n_buckets=4)
+    tbl.ingest(_batch(spark, _ts_rows(BATCH1, [0, 1])))
+    # fabricate a crashed attempt at the NEXT version: orphan dirs exist
+    # for every bucket the next batch will touch, manifest unmoved
+    b2 = _batch(spark, _ts_rows(BATCH2, [5, 6]))
+    from pyspark.sql import functions as F
+
+    buckets = [
+        r[0]
+        for r in b2.select(
+            F.pmod(F.hash("user_id"), F.lit(4)).alias("b")
+        ).distinct().collect()
+    ]
+    for b in buckets:
+        orphan = os.path.join(str(tmp_path / "tbl"), f"b={b}", "v=2")
+        os.makedirs(orphan)
+        open(os.path.join(orphan, "garbage.parquet"), "w").write("torn")
+    audit = tbl.ingest(b2)  # retry must replace the orphans and publish
+    assert audit["version"] == 2
+    from fluxgraph_spark.operators.temporal import scd2_from_change_events
+
+    want = scd2_from_change_events(
+        _batch(spark, _ts_rows(BATCH1, [0, 1])).unionByName(b2),
+        ["user_id"], "valid_from",
+    )
+    cols = ["user_id", "valid_from", "valid_to", "version_idx", "is_current", "state"]
+    assert sorted(map(tuple, tbl.read().select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
