@@ -35,9 +35,11 @@ QUERIES = [
     "d_simhash",
     "d_semantic_dedupe",
     "d_corpus_dedupe",
+    "d_incr_dedupe",
     "s_cosine_topk",
     "s_lsh_topk",
     "s_ivf_topk",
+    "s_pq_topk",
     "g_components_star",
     "g_pagerank_top10",
     "t_asof_join",
