@@ -129,6 +129,20 @@ class Scd2ParquetTable:
         n_changes, n_buckets_rewritten, n_rows_written)."""
         return self.spark.read.parquet(os.path.join(self.path, "txlog"))
 
+    def as_of(self, ts) -> DataFrame:
+        """Business-time snapshot: the version of each key live at
+        ``ts`` (``valid_from <= ts`` and ``valid_to`` open or after
+        ``ts``).  A plain column predicate over the committed table — it
+        pushes down to the parquet scan, and with bucket dirs also
+        partitioned by a valid_from time bucket it would prune whole
+        partitions (the same pruning story as the graph snapshot
+        reads)."""
+        df = self.read()
+        return df.where(
+            (F.col(self.ts_col) <= F.lit(ts))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(ts)))
+        )
+
     # -- write ---------------------------------------------------------
 
     def _bucket_expr(self):

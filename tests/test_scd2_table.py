@@ -190,3 +190,20 @@ def test_publish_retry_after_partial_rename(spark, tmp_path):
     assert sorted(map(tuple, tbl.read().select(cols).collect())) == sorted(
         map(tuple, want.select(cols).collect())
     )
+
+
+def test_as_of_snapshot_reads(spark, tmp_path):
+    """as_of returns exactly the versions live at the asked business
+    time, across two ingests."""
+    tbl = Scd2ParquetTable(spark, str(tmp_path / "tbl"), ["user_id"])
+    tbl.ingest(_batch(spark, _ts_rows(BATCH1, [0, 1])))   # u1=a@t0, u2=x@t1
+    tbl.ingest(_batch(spark, _ts_rows(BATCH2, [5, 6])))   # u1=b@t5, u3=m@t6
+    snap = {
+        r["user_id"]: r["state"] for r in tbl.as_of(t(2)).collect()
+    }
+    assert snap == {1: "a", 2: "x"}          # before u1's update, u3 absent
+    snap2 = {
+        r["user_id"]: r["state"] for r in tbl.as_of(t(7)).collect()
+    }
+    assert snap2 == {1: "b", 2: "x", 3: "m"}  # current picture
+    assert tbl.as_of(T0 - datetime.timedelta(hours=1)).count() == 0
