@@ -31,7 +31,10 @@ HEADLINE = [
     "t_scd2_versions",          # SCD2 window build
     "t_asof_join",              # as-of join (union+window)
     "t_sessionize",             # sessionization
-    "d_minhash_lsh_pairs",      # dedup: minhash->LSH->verify
+    "d_lsh_fast_pairs",         # dedup: minhash->LSH->verify (xxhash64 fast
+                                # path; benched as d_minhash_lsh_pairs through
+                                # BENCH_r03 — that registry name now carries
+                                # the md5 oracle configuration)
     "d_simhash",                # simhash fingerprints
     "x_quality",                # text quality scoring
     "s_cosine_topk",            # similarity search

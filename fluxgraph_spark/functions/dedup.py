@@ -594,10 +594,24 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.95,
+    planes: int = 8,
+    exact: bool = False,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold.  ``block_col`` is the blocking key
-    (at scale: an LSH/IVF bucket; in oracles: a label column).  Without a
-    block this is all-pairs — only for small verification runs."""
+    """Pairs with cosine >= threshold.  ``block_col`` is an explicit
+    blocking key (an IVF bucket, a language/label column...).
+
+    With ``block_col=None`` the DEFAULT is multi-probe hyperplane-LSH
+    blocking: each vector lands in its sign bucket plus the ``planes``
+    buckets one bit-flip away, and only bucket-sharing pairs are scored
+    — two vectors meet iff their sign patterns differ on <= 2 planes,
+    which near-parallel (cosine ~ threshold) vectors almost always
+    satisfy.  So the no-thought code path is the bucketed one that
+    survives 100 TB; the O(n²) all-pairs self-join must be requested
+    explicitly with ``exact=True`` (small verification runs and SQL
+    oracles only).  The hyperplanes are md5-derived (deterministic,
+    engine-replayable) — see similarity.hyperplane_bucket."""
+    from .similarity import hyperplane_bucket
+
     dot = F.aggregate(
         F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -617,17 +631,34 @@ def embedding_near_dup_pairs(
             )
         ),
     )
+    blocked = block_col is not None
+    if block_col is None and not exact:
+        bucket = hyperplane_bucket(F.col("vec"), F.size(F.col("vec")), planes)
+        flips = F.array(
+            F.col("__b"),
+            *[F.col("__b").bitwiseXOR(F.lit(2 ** p)) for p in range(planes)],
+        )
+        base = (
+            base.withColumn("__b", bucket)
+            .withColumn("blk", F.explode(flips))
+            .drop("__b")
+        )
+        blocked = True
     a = base.alias("a")
     b = base.alias("b")
-    on = [F.col("a.id") < F.col("b.id")]
-    if block_col:
-        on.append(F.col("a.blk") == F.col("b.blk"))
-    joined = a.join(b, on[0] if len(on) == 1 else (on[0] & on[1]))
-    return joined.select(
+    cond = F.col("a.id") < F.col("b.id")
+    if blocked:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    joined = a.join(b, cond)
+    out = joined.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+    if block_col is None and not exact:
+        # multi-probe scores a pair once per shared bucket
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def minhash_lsh_dedup_reproducible(
@@ -646,11 +677,50 @@ def minhash_lsh_dedup_reproducible(
 
     The shingle table feeds four consumers (signatures, both sides of
     the intersection join, sizes) and the candidate pairs feed two —
-    both are persisted so the explode/md5 work runs once per action."""
+    both are persisted so the explode/md5 work runs once per action.
+    The candidate frame is materialized EAGERLY (one count) before the
+    verify: the banding join runs exactly once, every downstream join
+    reads the cache, and the broadcast decision is made here explicitly
+    rather than left to a cached-only probe (whose lazy first execution
+    let AQE re-plan the banding join run-to-run)."""
     sh = shingle_table(df, id_col, text_col, n=n).persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands).persist()
-    return jaccard_pairs(sh, block=cand, threshold=threshold)
+    n_cand = cand.count()
+    return jaccard_pairs(
+        sh, block=cand, threshold=threshold,
+        broadcast_block=n_cand <= 1_000_000,
+    )
+
+
+def dedupe_near_reproducible(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus near-dup dedup on the md5 hash family — the auditable twin
+    of :func:`dedupe_near`: verified pairs from
+    :func:`minhash_lsh_dedup_reproducible` -> transitive star-clusters ->
+    keep the min-id representative per cluster.  Because every stage
+    (shingles, signatures, banding, Jaccard, min-id components) is
+    deterministic and hash-portable, an external SQL engine replays the
+    SURVIVOR SET bit-for-bit (components via recursive closure — the
+    converged star labels equal min-reachable-id).  Use the xxhash64
+    :func:`dedupe_near` when cross-engine audit is not required; its
+    plan shape is identical and each stage ~2-4× cheaper."""
+    pairs = minhash_lsh_dedup_reproducible(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    clusters = near_dup_clusters(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def semantic_dedupe(
@@ -671,12 +741,15 @@ def semantic_dedupe(
     representative (itself for singletons), kept=1 iff it IS the
     representative.
 
-    Scale: pairs come from the blocked similarity join (LSH/IVF bucket
-    at 100 TB, ``block_col`` here); components run min-label propagation
-    with ``max_iters`` fixed supersteps so a SQL oracle can replay the
-    recurrence exactly.  Near-dup clusters are shallow (diameter a few
-    hops), so a small fixed superstep count is also the converged
-    answer in practice — for adversarially long chains use
+    Scale: pairs come from the blocked similarity join — an explicit
+    ``block_col`` (IVF bucket, language...) when given, else the
+    DEFAULT multi-probe hyperplane-LSH blocking of
+    :func:`embedding_near_dup_pairs` — either way the no-thought path
+    is bucketed, never the O(n²) self-join.  Components run min-label
+    propagation with ``max_iters`` fixed supersteps so a SQL oracle can
+    replay the recurrence exactly.  Near-dup clusters are shallow
+    (diameter a few hops), so a small fixed superstep count is also the
+    converged answer in practice — for adversarially long chains use
     ``connected_components_star`` (O(log n) rounds) instead."""
     from ..operators import analytics as AN
 
@@ -844,4 +917,13 @@ def dedupe_incremental(
     near_drop = verified.select(F.col("id_a").alias("id")).distinct()
 
     drops = exact_drop.unionByName(near_drop).distinct().withColumnRenamed("id", id_col)
+    # Materialize the (small: dropped ids only) drop set and cut its
+    # lineage, then release the shingle/candidate caches NOW.  In the
+    # intended steady state (one call per crawl batch against a growing
+    # corpus) leaving them cached would accumulate executor storage
+    # memory across batches; after the checkpoint the returned anti-join
+    # depends only on new_batch + the checkpointed ids.
+    drops = drops.localCheckpoint(eager=True)
+    sh.unpersist()
+    cand.unpersist()
     return new_batch.join(drops, id_col, "left_anti")

@@ -86,13 +86,18 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def hyperplane_bucket(vec: Column, dim: int, planes: int = 8, seed: str = "lsh") -> Column:
+def hyperplane_bucket(
+    vec: Column, dim: "int | Column", planes: int = 8, seed: str = "lsh"
+) -> Column:
     """Random-hyperplane LSH bucket id (0..2^planes-1), deterministic:
-    plane p's component d is md5-derived in [-0.5, 0.5)."""
+    plane p's component d is md5-derived in [-0.5, 0.5).  ``dim`` may be
+    a Column (e.g. ``F.size(vec)``) when the width isn't statically
+    known — the plane components are generated per-row either way."""
+    last = F.lit(dim - 1) if isinstance(dim, int) else (dim - 1)
     bits = []
     for p in range(planes):
         comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.sequence(F.lit(0), last),
             lambda d: (
                 F.conv(
                     F.substring(F.md5(F.concat(F.lit(f"{seed}:{p}:"), d.cast("string"))), 1, 8),

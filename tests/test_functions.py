@@ -498,6 +498,62 @@ def test_semantic_dedupe_clusters_transitively(spark):
     assert out[20] == (20, 1)  # blocking key isolates label 1
 
 
+def test_dedupe_near_reproducible_matches_closure(spark):
+    """md5-family corpus dedup: A~B~C chain collapses to min-id survivor
+    and the survivor set equals a driver-side transitive closure over
+    the verified pairs (the property the recursive-CTE oracle relies
+    on)."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = a.replace("zeta", "zzz")
+    c = b.replace("kappa", "qqq")
+    far = "totally unrelated content about spark shuffles and parquet readers"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, far)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedupe_near_reproducible(
+            df, "doc_id", "text", bands=8, threshold=0.3
+        ).collect()
+    )
+    assert kept == [1, 9]
+
+
+def test_embedding_default_block_is_lsh(spark):
+    """With no block_col the default is multi-probe hyperplane-LSH
+    blocking: (a) every label-blocked near-dup pair is also found by the
+    default blocker (recall >= label-blocked on the fixture), (b) the
+    default never invents pairs the exact all-pairs scan lacks, and
+    (c) the default plan is an equi-join, not a cartesian product."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.98, 0.199], 0),
+        (3, [0.92, 0.392], 0),
+        (10, [0.0, 1.0], 0),
+        (20, [1.0, 0.0], 1),    # identical to 1, other label
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], b) for i, v, b in rows],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pair_set = lambda d: {
+        (r["id_a"], r["id_b"]) for r in d.collect()
+    }
+    labeled = pair_set(
+        dedup.embedding_near_dup_pairs(df, block_col="label", threshold=0.95)
+    )
+    default = dedup.embedding_near_dup_pairs(df, threshold=0.95)
+    default_set = pair_set(default)
+    exact = pair_set(
+        dedup.embedding_near_dup_pairs(df, threshold=0.95, exact=True)
+    )
+    assert labeled <= default_set          # blocked recall >= label-blocked
+    assert default_set <= exact            # blocking only prunes
+    assert (1, 20) in default_set          # cross-label dup found by LSH
+    plan = default._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_minhash_lsh_reproducible_finds_planted_dups(spark):
     """The md5-family LSH pipeline recovers a planted near-duplicate
     pair and never emits a pair below the Jaccard threshold."""
