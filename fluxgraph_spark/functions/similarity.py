@@ -446,7 +446,12 @@ def pq_adc_topk(
                     d += (x - y) * (x - y)
                 flat.append(int(__import__("math").floor(d * 1_000_000 + 0.5)))
         luts.append((r["query_id"], flat))
-    lut_df = spark.createDataFrame(luts, "query_id long, lut array<bigint>")
+    # the LUT schema inherits the caller's query-id type (string ids are
+    # as valid as longs — the PQ path never does arithmetic on them)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    lut_df = spark.createDataFrame(
+        luts, f"query_id {qid_type}, lut array<bigint>"
+    )
     adc = F.expr(
         f"aggregate(zip_with(codes, sequence(0, {m - 1}), "
         f"(c, s) -> element_at(lut, s * {ksub} + c)), "

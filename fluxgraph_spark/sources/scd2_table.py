@@ -148,32 +148,67 @@ class Scd2ParquetTable:
     def _bucket_expr(self):
         return F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
 
-    def ingest(self, changes: DataFrame, batch_id: "int | None" = None) -> dict:
+    @staticmethod
+    def _writer_map(m: Optional[dict]) -> dict:
+        """Per-writer committed batch ids.  Migrates pre-writer-id
+        manifests (bare ``last_batch_id``) to the ``"default"`` writer."""
+        if m is None:
+            return {}
+        if "writers" in m:
+            return dict(m["writers"])
+        if m.get("last_batch_id") is not None:
+            return {"default": m["last_batch_id"]}
+        return {}
+
+    def ingest(
+        self,
+        changes: DataFrame,
+        batch_id: "int | None" = None,
+        writer_id: str = "default",
+    ) -> dict:
         """Merge a change batch and commit (write -> audit -> publish).
 
         Returns the audit record.  Raises (leaving the committed state
         untouched and the staging directory removed) if the audit fails.
 
-        ``batch_id`` (optional, monotonically increasing — e.g. a
-        Structured Streaming epoch id): committed ids are recorded in
-        the manifest, and an ingest whose id is <= the last committed id
-        is SKIPPED — this is what makes a replayed foreachBatch
-        microbatch idempotent (exactly-once-visible) instead of merging
-        the same change rows twice.
+        ``batch_id`` (optional, monotonically increasing per writer —
+        e.g. a Structured Streaming epoch id): committed ids are
+        recorded in the manifest PER ``writer_id``, and an ingest whose
+        id is <= that writer's last committed id is SKIPPED — this is
+        what makes a replayed foreachBatch microbatch idempotent
+        (exactly-once-visible) instead of merging the same change rows
+        twice.  ``writer_id`` identifies the writing query (the Delta
+        txn pattern's appId — scd2_streaming_table_sink passes its
+        checkpoint directory): a NEW streaming query whose epoch ids
+        restart at 0 gets its own counter instead of being silently
+        swallowed by another writer's high-water mark.
+
+        Concurrency: optimistic.  The manifest is re-read immediately
+        before publish and the commit ABORTS (staged data discarded,
+        committed state untouched) if another writer published in the
+        meantime — last-write-wins manifest clobbering can't happen.
+        Writers that lose simply retry on the new version.  (On a local
+        filesystem a sub-millisecond rename race remains between the
+        check and the swap; deployments with genuinely concurrent
+        writers should serialize ingest with an external lock, which is
+        the same requirement Delta has on S3.)
         """
         from ..operators.temporal import scd2_from_change_events, scd2_upsert
 
         m = self._read_manifest()
+        writers = self._writer_map(m)
         if (
             batch_id is not None
-            and m is not None
-            and m.get("last_batch_id") is not None
-            and batch_id <= m["last_batch_id"]
+            and writers.get(writer_id) is not None
+            and batch_id <= writers[writer_id]
         ):
             return {
                 "version": m["version"],
                 "skipped": True,
-                "reason": f"batch_id {batch_id} <= committed {m['last_batch_id']}",
+                "reason": (
+                    f"batch_id {batch_id} <= committed "
+                    f"{writers[writer_id]} for writer {writer_id!r}"
+                ),
             }
         vid = (m["version"] + 1) if m else 1
 
@@ -232,6 +267,18 @@ class Scd2ParquetTable:
                     f"affected {affected}"
                 )
 
+            # PRE-PUBLISH CHECK (optimistic concurrency): another ingest
+            # that started from the same manifest would compute the same
+            # vid and clobber this commit's bucket pointers — abort
+            # instead if anyone published since we read the manifest.
+            m2 = self._read_manifest()
+            if (m2["version"] if m2 else 0) != vid - 1:
+                raise RuntimeError(
+                    f"concurrent commit detected: expected version {vid - 1} "
+                    f"before publish, found {(m2['version'] if m2 else 0)}; "
+                    "retry the ingest against the new committed state"
+                )
+
             # PUBLISH: move bucket dirs into place, then swap the manifest.
             # An existing dst is an orphan of a crashed earlier attempt at
             # this same vid (the manifest never references an unpublished
@@ -244,9 +291,35 @@ class Scd2ParquetTable:
                     shutil.rmtree(dst)
                 os.rename(os.path.join(staging, f"{_BUCKET_COL}={b}"), dst)
         finally:
-            shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+            # scope the cleanup to THIS commit's staging subdirectory — a
+            # concurrent ingest's staged buckets (a different v=) survive;
+            # drop the shared _staging/ root only once it is empty
+            shutil.rmtree(staging, ignore_errors=True)
+            try:
+                os.rmdir(os.path.join(self.path, "_staging"))
+            except OSError:
+                pass
 
+        buckets = dict(m["buckets"]) if m else {}
+        buckets.update({str(b): vid for b in affected})
+        if batch_id is not None:
+            prev = writers.get(writer_id)
+            writers[writer_id] = batch_id if prev is None else max(prev, batch_id)
         committed_at = datetime.datetime.now(datetime.timezone.utc)
+        self._publish_manifest(
+            {
+                "version": vid,
+                "buckets": buckets,
+                "key_cols": self.key_cols,
+                "ts_col": self.ts_col,
+                "n_buckets": self.n_buckets,
+                "writers": writers,
+            }
+        )
+        # The txlog row lands AFTER the manifest swap: a crash between
+        # the two loses only the (recoverable from the retained
+        # _manifest.v*.json) log row — it can never mint a phantom
+        # version that history() reports but no reader can see.
         audit = {
             "version": vid,
             "committed_at": committed_at.isoformat(),
@@ -267,22 +340,6 @@ class Scd2ParquetTable:
             "n_buckets_rewritten long, n_rows_written long",
         ).write.mode("overwrite").parquet(
             os.path.join(self.path, "txlog", f"v={vid}")
-        )
-
-        buckets = dict(m["buckets"]) if m else {}
-        buckets.update({str(b): vid for b in affected})
-        last_batch = m.get("last_batch_id") if m else None
-        if batch_id is not None:
-            last_batch = batch_id if last_batch is None else max(last_batch, batch_id)
-        self._publish_manifest(
-            {
-                "version": vid,
-                "buckets": buckets,
-                "key_cols": self.key_cols,
-                "ts_col": self.ts_col,
-                "n_buckets": self.n_buckets,
-                "last_batch_id": last_batch,
-            }
         )
         return audit
 

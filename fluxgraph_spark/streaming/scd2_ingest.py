@@ -89,7 +89,11 @@ def scd2_streaming_table_sink(
     epoch id is recorded in the table manifest and replayed microbatches
     (restart after a commit but before the streaming checkpoint) are
     SKIPPED, so history is exactly-once-visible rather than
-    at-least-once.
+    at-least-once.  The skip high-water mark is keyed by the CHECKPOINT
+    DIRECTORY (the query's durable identity, Delta's (appId, version)
+    txn pattern): a brand-new query with a fresh checkpoint — whose
+    epoch ids restart at 0 — gets its own counter instead of having
+    every batch silently swallowed by a previous query's mark.
     """
 
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -102,6 +106,7 @@ def scd2_streaming_table_sink(
                 *value_cols,
             ),
             batch_id=batch_id,
+            writer_id=checkpoint_dir,
         )
 
     return (

@@ -661,6 +661,28 @@ def test_pq_adc_topk_separates_clusters(spark):
         assert all(1 <= c <= 8 for c in r["codes"])
 
 
+def test_pq_adc_topk_string_query_ids(spark):
+    """The PQ path is id-type-agnostic: string query ids must flow
+    through the broadcast LUT (its schema derives from the caller's
+    query frame, not a hardcoded long)."""
+    import random
+
+    from fluxgraph_spark.functions import similarity
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3) * 5 + rng.uniform(-0.2, 0.2) for _ in range(8)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where("vec_id IN (0, 1)").selectExpr(
+        "concat('q-', vec_id) AS query_id", "embedding"
+    )
+    out = similarity.pq_adc_topk(emb, queries, k=5, m=4, ksub=4).collect()
+    assert len(out) == 10
+    assert {r["query_id"] for r in out} == {"q-0", "q-1"}
+
+
 def test_dedupe_incremental_vs_corpus_and_within_batch(spark):
     """Incremental new-batch dedup: exact corpus match drops, verified
     near-dup of a corpus doc drops, later near-dup within the batch

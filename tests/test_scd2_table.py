@@ -156,6 +156,91 @@ def test_ingest_batch_id_replay_is_idempotent(spark, tmp_path):
     assert not a2.get("skipped") and a2["version"] == 2
 
 
+def test_new_writer_epoch_reset_not_swallowed(spark, tmp_path):
+    """A NEW writer (fresh streaming checkpoint, epoch ids restart at 0)
+    must NOT be skipped by another writer's high-water mark — the silent
+    data-loss mode of a global batch_id counter."""
+    tbl = Scd2ParquetTable(spark, str(tmp_path / "tbl"), ["user_id"])
+    a1 = tbl.ingest(
+        _batch(spark, _ts_rows(BATCH1, [0, 1])), batch_id=5, writer_id="/ckpt/q1"
+    )
+    assert not a1.get("skipped")
+    # different writer, batch_id 0 <= 5: must COMMIT, not skip
+    a2 = tbl.ingest(
+        _batch(spark, _ts_rows(BATCH2, [5, 6])), batch_id=0, writer_id="/ckpt/q2"
+    )
+    assert not a2.get("skipped") and a2["version"] == 2
+    # same writer replaying its own epoch: skipped
+    a3 = tbl.ingest(
+        _batch(spark, _ts_rows(BATCH2, [5, 6])), batch_id=0, writer_id="/ckpt/q2"
+    )
+    assert a3["skipped"]
+    m = tbl._read_manifest()
+    assert m["writers"] == {"/ckpt/q1": 5, "/ckpt/q2": 0}
+
+
+def test_old_manifest_batch_id_migrates_to_default_writer(spark, tmp_path):
+    """Pre-writer-map manifests carried a bare last_batch_id; it must
+    keep protecting the default writer after the upgrade."""
+    import json
+
+    tbl = Scd2ParquetTable(spark, str(tmp_path / "tbl"), ["user_id"])
+    tbl.ingest(_batch(spark, _ts_rows(BATCH1, [0, 1])), batch_id=3)
+    # rewrite the manifest in the OLD format (bare last_batch_id)
+    mp = tbl._manifest_path()
+    m = json.load(open(mp))
+    m["last_batch_id"] = m["writers"]["default"]
+    del m["writers"]
+    json.dump(m, open(mp, "w"))
+    a = tbl.ingest(_batch(spark, _ts_rows(BATCH2, [5, 6])), batch_id=3)
+    assert a["skipped"]  # default writer's mark survived the migration
+    a2 = tbl.ingest(_batch(spark, _ts_rows(BATCH2, [5, 6])), batch_id=4)
+    assert not a2.get("skipped")
+
+
+def test_concurrent_commit_aborts_not_clobbers(spark, tmp_path):
+    """If another writer publishes between an ingest's manifest read and
+    its publish, the slower commit must ABORT (committed state intact),
+    never last-write-wins the manifest."""
+    path = str(tmp_path / "tbl")
+    tbl = Scd2ParquetTable(spark, path, ["user_id"])
+    tbl.ingest(_batch(spark, _ts_rows(BATCH1, [0, 1])))
+
+    slow = Scd2ParquetTable(spark, path, ["user_id"])
+    # simulate the interleave: slow reads the manifest (version 1) now...
+    orig_read = slow._read_manifest
+    fast_done = {"done": False}
+
+    def racing_read():
+        m = orig_read()
+        # after slow's FIRST manifest read, a fast writer commits v2
+        if not fast_done["done"]:
+            fast_done["done"] = True
+            Scd2ParquetTable(spark, path, ["user_id"]).ingest(
+                _batch(spark, _ts_rows(BATCH2, [5, 6]))
+            )
+        return m
+
+    slow._read_manifest = racing_read
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        slow.ingest(_batch(spark, _ts_rows(BATCH3, [9, 10])))
+    # the fast writer's commit is intact and readable
+    m = tbl._read_manifest()
+    assert m["version"] == 2
+    assert tbl.read().count() == 4  # batch1 + batch2 histories
+
+
+def test_history_never_reports_unpublished_version(spark, tmp_path):
+    """txlog rows land after the manifest swap: history() version count
+    can never exceed the committed manifest version."""
+    tbl = Scd2ParquetTable(spark, str(tmp_path / "tbl"), ["user_id"])
+    tbl.ingest(_batch(spark, _ts_rows(BATCH1, [0, 1])))
+    tbl.ingest(_batch(spark, _ts_rows(BATCH2, [5, 6])))
+    hist_versions = sorted(r["v"] for r in tbl.history().collect())
+    assert hist_versions == [1, 2]
+    assert max(hist_versions) <= tbl._read_manifest()["version"]
+
+
 def test_publish_retry_after_partial_rename(spark, tmp_path):
     """Orphan b=X/v=vid dirs from a crash between renames and the
     manifest swap must not wedge the retried ingest."""
