@@ -117,27 +117,81 @@ class Scd2ParquetTable:
             if buckets is None or int(b) in buckets
         ]
 
-    def read(self, buckets: Optional[set[int]] = None) -> DataFrame:
-        """The committed SCD2 table (optionally only some buckets)."""
+    def _key_tuples(self, keys) -> list[tuple]:
+        return [k if isinstance(k, tuple) else (k,) for k in keys]
+
+    def _buckets_for_keys(self, keys) -> set[int]:
+        """Bucket ids for explicit key tuples — the manifest-driven prune
+        set.  A bounded driver probe over len(keys) rows; the key values
+        are cast to the COMMITTED key column types first so the bucket
+        hash matches the writer's exactly (hash(int) != hash(bigint))."""
+        committed = self.spark.read.parquet(self._committed_paths()[0])
+        kdf = self.spark.createDataFrame(
+            self._key_tuples(keys), ", ".join(
+                f"{c} {committed.schema[c].dataType.simpleString()}"
+                for c in self.key_cols
+            )
+        )
+        return {
+            r[0]
+            for r in kdf.select(self._bucket_expr().alias("b")).distinct().collect()
+        }
+
+    def _key_filter(self, keys):
+        cond = F.lit(False)
+        for kt in self._key_tuples(keys):
+            match = F.lit(True)
+            for c, v in zip(self.key_cols, kt):
+                match = match & (F.col(c) == F.lit(v))
+            cond = cond | match
+        return cond
+
+    def read(
+        self,
+        buckets: Optional[set[int]] = None,
+        keys=None,
+    ) -> DataFrame:
+        """The committed SCD2 table.  ``buckets`` restricts to explicit
+        bucket ids; ``keys`` (a list of key values, or tuples for
+        composite keys) PRUNES to the buckets those keys hash into and
+        filters to exactly those keys — a point lookup on a 100 TB table
+        opens 1/n_buckets of the files (the manifest knows every
+        committed bucket dir; non-matching ones are never listed, let
+        alone scanned) instead of filtering a full scan."""
+        if keys is not None:
+            kb = self._buckets_for_keys(keys)
+            buckets = kb if buckets is None else (set(buckets) & kb)
         paths = self._committed_paths(buckets)
         if not paths:
+            all_paths = self._committed_paths()
+            if all_paths and buckets is not None:
+                # valid table, but no committed bucket holds these keys
+                # (or the bucket intersection is empty): empty result
+                # with the table schema, zero data files scanned
+                df = self.spark.read.parquet(all_paths[0]).where(F.lit(False))
+                return df.where(self._key_filter(keys)) if keys is not None else df
             raise ValueError(f"no committed data at {self.path}")
-        return self.spark.read.parquet(*paths)
+        df = self.spark.read.parquet(*paths)
+        if keys is not None:
+            df = df.where(self._key_filter(keys))
+        return df
 
     def history(self) -> DataFrame:
         """Commit log: one row per publish (version, committed_at,
         n_changes, n_buckets_rewritten, n_rows_written)."""
         return self.spark.read.parquet(os.path.join(self.path, "txlog"))
 
-    def as_of(self, ts) -> DataFrame:
+    def as_of(self, ts, keys=None) -> DataFrame:
         """Business-time snapshot: the version of each key live at
         ``ts`` (``valid_from <= ts`` and ``valid_to`` open or after
         ``ts``).  A plain column predicate over the committed table — it
         pushes down to the parquet scan, and with bucket dirs also
         partitioned by a valid_from time bucket it would prune whole
         partitions (the same pruning story as the graph snapshot
-        reads)."""
-        df = self.read()
+        reads).  ``keys`` prunes the scan to the buckets those keys
+        live in (see :meth:`read`) — the single-entity "what did we
+        know about key K at time T" lookup touches one bucket dir."""
+        df = self.read(keys=keys)
         return df.where(
             (F.col(self.ts_col) <= F.lit(ts))
             & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(ts)))

@@ -204,6 +204,36 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
     return tpch_vertices(t), tpch_edges(t)
 
 
+def materialize_graph(spark: SparkSession, sf_dir: str, out_dir: str):
+    """Write the property graph ONCE as parquet — vertices partitioned
+    by ``kind``, edges by ``label`` — and return it re-read.
+
+    This is the storage layout a production graph would live in: every
+    g_* query filters on kind/label first, and with the partition
+    columns in the directory structure those filters prune whole
+    directories before a single row group is opened (at 100 TB the
+    `label='part_of'` scan reads the 25-row partition, not the
+    multi-billion-row contains edges).  It also removes the per-query
+    union-derivation floor — bench timings over this layout measure the
+    query, not graph construction."""
+    v, e = tpch_graph(spark, sf_dir)
+    v.write.mode("overwrite").partitionBy("kind").parquet(
+        os.path.join(out_dir, "vertices")
+    )
+    e.write.mode("overwrite").partitionBy("label").parquet(
+        os.path.join(out_dir, "edges")
+    )
+    return read_graph(spark, out_dir)
+
+
+def read_graph(spark: SparkSession, out_dir: str):
+    """(vertices_df, edges_df) from a :func:`materialize_graph` dir."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "vertices")),
+        spark.read.parquet(os.path.join(out_dir, "edges")),
+    )
+
+
 # The same construction in ANSI SQL (DuckDB oracle side).  Kept adjacent to
 # the DataFrame code so they evolve together.
 TPCH_GRAPH_VERTICES_SQL = """
