@@ -34,13 +34,15 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff(data: bytes) -> str | None:
-    """'png' | 'wav' | None by magic bytes."""
+    """'png' | 'wav' | 'avi' | None by magic bytes."""
     if data is None:
         return None
     if data[:8] == _PNG_MAGIC:
         return "png"
     if data[:4] == _WAV_MAGIC and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == _WAV_MAGIC and data[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -255,3 +257,158 @@ def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
         + b"data" + struct.pack("<I", len(payload)) + payload
     )
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed 24-bit DIB frames)
+# ---------------------------------------------------------------------------
+#
+# The VERDICT r3 item-5 video path: AVI is a plain RIFF chunk tree —
+# LIST('hdrl') with the avih main header and one 'vids' stream
+# (strh/strf), LIST('movi') holding one '00db' chunk per frame, and an
+# idx1 index.  With the stream stored as uncompressed bottom-up BGR DIB
+# (BITMAPINFOHEADER biCompression=0, biBitCount=24 — the raw format
+# every AVI tool accepts), frame extraction is pure chunk walking plus a
+# row flip: no entropy coding, no ffmpeg.  MJPEG ('00dc'/MJPG) streams
+# are detected and rejected with a clear error instead of a wrong
+# answer.
+
+_AVI_MAGIC = b"RIFF"
+
+
+def sniff_avi(data: bytes) -> bool:
+    return (
+        data is not None
+        and data[:4] == _AVI_MAGIC
+        and data[8:12] == b"AVI "
+    )
+
+
+def decode_avi(data: bytes):
+    """AVI bytes -> (fps: float, frames: list of (h, w, 3) uint8 RGB
+    arrays, top-down row order).
+
+    Walks the RIFF tree for the 'vids' stream header (frame rate =
+    dwRate/dwScale) and BITMAPINFOHEADER (dimensions, must be
+    uncompressed 24-bit), then decodes every '00db'/'00dc' movi chunk
+    as a bottom-up BGR DIB with 4-byte-aligned rows."""
+    import numpy as np
+
+    if not sniff_avi(data):
+        raise ValueError("not a RIFF/AVI file")
+
+    fps = None
+    w = h = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal fps, w, h
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + clen, end)
+            if cid in (b"RIFF", b"LIST"):
+                # list body starts after the 4-byte list type
+                walk(buf, body_start + 4, body_end)
+            elif cid == b"strh":
+                fcc_type = buf[body_start : body_start + 4]
+                if fcc_type == b"vids":
+                    handler = buf[body_start + 4 : body_start + 8]
+                    if handler in (b"MJPG", b"mjpg"):
+                        raise ValueError(
+                            "MJPEG AVI streams need a JPEG codec; only "
+                            "uncompressed DIB ('DIB '/raw) is supported"
+                        )
+                    scale, rate = struct.unpack(
+                        "<II", buf[body_start + 20 : body_start + 28]
+                    )
+                    if scale:
+                        fps = rate / scale
+            elif cid == b"strf" and w is None:
+                (_bisize, bw, bh, _planes, bits, comp) = struct.unpack(
+                    "<IiiHHI", buf[body_start : body_start + 20]
+                )
+                if bits != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported AVI pixel format (bits={bits}, "
+                        f"compression={comp}); only uncompressed 24-bit DIB"
+                    )
+                w, h = bw, abs(bh)
+            elif cid[2:4] in (b"db", b"dc"):
+                frames_raw.append(buf[body_start:body_end])
+            pos = body_start + clen + (clen & 1)  # chunks are word-aligned
+
+    walk(data, 0, len(data))
+    if w is None or h is None:
+        raise ValueError("AVI missing video stream format (strf)")
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for raw in frames_raw:
+        if len(raw) < stride * h:
+            raise ValueError("AVI frame chunk shorter than one DIB image")
+        a = np.frombuffer(raw[: stride * h], dtype=np.uint8)
+        a = a.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        # DIB rows are bottom-up, pixels BGR: flip both to top-down RGB
+        frames.append(a[::-1, :, ::-1].copy())
+    return (fps or 1.0), frames
+
+
+def encode_avi(frames, fps: float = 1.0) -> bytes:
+    """List of (h, w, 3) uint8 RGB arrays -> minimal spec-valid AVI
+    (uncompressed bottom-up BGR DIB '00db' frames + idx1 index)."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w, c = np.asarray(frames[0]).shape
+    if c != 3:
+        raise ValueError("frames must be (h, w, 3) RGB")
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = []
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        if a.shape != (h, w, 3):
+            raise ValueError("all frames must share one shape")
+        dib = np.zeros((h, stride), dtype=np.uint8)
+        dib[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        frame_bytes.append(dib.tobytes())
+    fsize = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    rate = max(1, int(round(fps * 1000)))
+    scale = 1000
+    avih = struct.pack(
+        "<14I",
+        int(1e6 * scale / rate),  # dwMicroSecPerFrame
+        fsize * rate // scale,    # dwMaxBytesPerSec
+        0,                        # dwPaddingGranularity
+        0x10,                     # AVIF_HASINDEX
+        len(frames), 0, 1, fsize, w, h, 0, 0, 0, 0,
+    )
+    # dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale, dwRate,
+    # dwStart, dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                        scale, rate, 0, len(frames),
+                                        fsize, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00db", fb) for fb in frame_bytes)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the movi list type fourcc
+    idx_entries = []
+    off = 4
+    for fb in frame_bytes:
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fb)))
+        off += 8 + len(fb) + (len(fb) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -11,11 +11,13 @@ Two decoder paths share one operator shape:
   the Spark-side plumbing (schema, batching, partitioning) is fully
   testable AND replayable by the DuckDB oracles.
 * ``decoder="real"`` — actual byte-level decode via the dependency-free
-  PNG/WAV codecs in ``codecs.py`` (this container has no PIL/ffmpeg):
-  images decode to pixel arrays (all five PNG filters), audio to PCM
-  sample arrays; features/resizes are computed from real pixels/samples.
-  Video frame extraction still requires a container codec (ffmpeg) and
-  raises ``NotImplementedError`` — the one genuinely stubbed kernel.
+  PNG/WAV/AVI codecs in ``codecs.py`` (this container has no
+  PIL/ffmpeg): images decode to pixel arrays (all five PNG filters),
+  audio to PCM sample arrays, video frames from uncompressed-DIB AVI
+  containers (RIFF chunk walk — codecs.decode_avi); features, resizes
+  and frame samples are computed from real pixels/samples.  Entropy-
+  coded video (MJPEG/H.264) is rejected with a clear error — that tier
+  genuinely needs a compiled codec.
 
 ``codecs`` is registered for cloudpickle BY-VALUE shipping, so executors
 do not need fluxgraph_spark on their PYTHONPATH (mapInPandas closures
@@ -221,10 +223,83 @@ def resize_images(media: DataFrame, width: int, height: int, decoder: str = "fak
     return media.mapInPandas(batches, schema=out_schema)
 
 
+def video_table_from_documents(
+    docs: DataFrame, width: int = 8, height: int = 2
+) -> DataFrame:
+    """Synthesize a media table of REAL (decodable) AVI videos from the
+    documents fixture: every 5th document becomes an uncompressed-DIB
+    AVI at 1 fps whose frame ``i`` pixels are the md5 digest of
+    (text bytes + byte(i)) tiled across a ``width`` x ``height`` RGB
+    frame.  Deterministic end to end, so a SQL oracle can replay
+    per-frame pixel statistics from the text alone — while the Spark
+    side truly encodes, stores and container-decodes the bytes.
+
+    Frame count mirrors m_frame_samples' duration rule:
+    ``strlen(text) * 17 % 5000 + 1000`` ms at 1000 ms/frame.  The
+    default 8 x 2 x 3 = 48-byte frame is exactly three digest tiles, so
+    the frame mean equals the digest-byte mean (oracle arithmetic stays
+    integer-exact)."""
+    encode_avi = codecs.encode_avi
+    npix = width * height * 3
+    if npix % 16 != 0:
+        raise ValueError("width*height*3 must be a multiple of 16 (digest tiling)")
+
+    out_schema = MEDIA_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            ids, types, contents, metas = [], [], [], []
+            for _, row in pdf.iterrows():
+                text = row["text"] or ""
+                raw = text.encode("utf-8")
+                dur_ms = len(text) * 17 % 5000 + 1000
+                n_frames = max(1, dur_ms // 1000)
+                frames = []
+                for i in range(n_frames):
+                    digest = _hashlib.md5(raw + bytes([i % 256])).digest()
+                    px = np.frombuffer(digest * (npix // 16), dtype=np.uint8)
+                    frames.append(px.reshape(height, width, 3).copy())
+                ids.append(row["doc_id"])
+                types.append("video")
+                contents.append(encode_avi(frames, fps=1.0))
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "duration_ms": dur_ms,
+                        "mime": "video/avi",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema=out_schema)
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> DataFrame:
-    """Frame-sampling plumbing for video rows: one output row per sampled
-    frame (deterministic count from meta.duration_ms; fake decoder emits
-    md5-offset features per frame)."""
+    """Frame-sampling for video rows: one output row per sampled frame.
+
+    ``decoder="real"`` container-decodes each row's AVI bytes
+    (codecs.decode_avi — uncompressed-DIB streams, no ffmpeg), samples
+    one frame per ``every_ms`` of stream time, and emits real per-frame
+    pixel statistics: [mean, std, min, max, width, height, n_frames,
+    fps] (pixel stats normalized /255).  The fake decoder keeps the
+    previous metadata-driven md5 features (byte-stable for the
+    m_frame_samples oracle)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -232,24 +307,38 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, decoder: str = "fake")
             T.StructField("frame_feature", T.ArrayType(T.DoubleType()), False),
         ]
     )
-    decode = _make_decoder(decoder)
+    decode_avi = codecs.decode_avi
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             ids, idxs, feats = [], [], []
             for _, row in pdf.iterrows():
+                if decoder == "real":
+                    fps, frames = decode_avi(row["content"])
+                    step = max(1, int(round(every_ms * fps / 1000.0)))
+                    for i in range(0, len(frames), step):
+                        fr = frames[i].astype(np.float64)
+                        h, w, _c = fr.shape
+                        ids.append(row["media_id"])
+                        idxs.append(i)
+                        feats.append(
+                            [
+                                float(fr.mean()) / 255.0,
+                                float(fr.std()) / 255.0,
+                                float(fr.min()) / 255.0,
+                                float(fr.max()) / 255.0,
+                                float(w),
+                                float(h),
+                                float(len(frames)),
+                                float(fps),
+                            ]
+                        )
+                    continue
                 dur = (row["meta"] or {}).get("duration_ms") or 0
                 n_frames = max(1, int(dur // every_ms))
                 for i in range(n_frames):
-                    if decoder == "real":
-                        # the one genuinely stubbed kernel: extracting
-                        # frames from a video container needs ffmpeg,
-                        # which this container does not ship
-                        raise NotImplementedError(
-                            "real video frame extraction requires ffmpeg; "
-                            "PNG/WAV decode is available via "
-                            "extract_features/resize_images"
-                        )
                     digest = hashlib.md5((row["content"] or b"") + bytes([i % 256])).digest()
                     ids.append(row["media_id"])
                     idxs.append(i)

@@ -100,10 +100,12 @@ def test_extract_features_real_rejects_unknown_bytes(spark):
         multimodal.extract_features(media, decoder="real").collect()
 
 
-def test_sample_frames_real_still_stubbed(spark):
+def test_sample_frames_real_rejects_non_avi(spark):
+    """Non-AVI bytes on the real path fail loudly (no silent fake
+    fallback)."""
     rows = [(3, "video", bytearray(b"fakevideo"), {"width": None, "height": None, "duration_ms": 3000, "mime": "video/fake"})]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="ffmpeg"):
+    with pytest.raises(Exception, match="RIFF/AVI"):
         multimodal.sample_frames(media, decoder="real").collect()
 
 
@@ -140,6 +142,61 @@ def test_wav_8bit_amplitude_parity():
     x = samples.astype(float) / 32768.0
     assert abs(x).max() == pytest.approx(1.0, abs=0.01)
     assert (x ** 2).mean() ** 0.5 == pytest.approx(1.0, abs=0.01)
+
+
+def test_avi_roundtrip_exact():
+    """AVI encode -> decode recovers every frame bit-for-bit, including
+    non-4-byte-aligned row strides and the stored fps."""
+    rng = np.random.RandomState(11)
+    for shape in [(17, 23, 3), (3, 5, 3), (2, 8, 3)]:
+        frames = [rng.randint(0, 256, shape, dtype=np.uint8) for _ in range(4)]
+        data = codecs.encode_avi(frames, fps=2.0)
+        assert codecs.sniff(data) == "avi"
+        fps, out = codecs.decode_avi(data)
+        assert fps == pytest.approx(2.0)
+        assert len(out) == 4
+        for a, b in zip(frames, out):
+            assert np.array_equal(a, b)
+
+
+def test_avi_rejects_mjpeg():
+    """Entropy-coded streams are rejected with a clear error, never a
+    silent wrong answer."""
+    frames = [np.zeros((2, 2, 3), dtype=np.uint8)]
+    data = bytearray(codecs.encode_avi(frames))
+    i = bytes(data).find(b"vidsDIB ")
+    data[i + 4 : i + 8] = b"MJPG"
+    with pytest.raises(ValueError, match="MJPEG"):
+        codecs.decode_avi(bytes(data))
+
+
+def test_sample_frames_real_decodes_container(spark):
+    """sample_frames(decoder='real') container-decodes synthesized AVIs:
+    per-frame mean equals the digest-byte mean the construction planted,
+    and frame counts follow the duration rule."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(5, "hello world video test " * 10), (10, "short")],
+        "doc_id long, text string",
+    )
+    vids = multimodal.video_table_from_documents(docs)
+    rows = multimodal.sample_frames(vids, every_ms=1000, decoder="real").collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for doc_id, text in [(5, "hello world video test " * 10), (10, "short")]:
+        dur = len(text) * 17 % 5000 + 1000
+        want_frames = max(1, dur // 1000)
+        got = sorted(by_media[doc_id], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == list(range(want_frames))
+        for r in got:
+            digest = hashlib.md5(
+                text.encode() + bytes([r["frame_idx"] % 256])
+            ).digest()
+            want_mean = sum(digest) / 16.0 / 255.0
+            assert r["frame_feature"][0] == pytest.approx(want_mean, abs=1e-12)
+            assert r["frame_feature"][4:8] == [8.0, 2.0, float(want_frames), 1.0]
 
 
 def test_pq_small_corpus_stride(spark):
