@@ -1,0 +1,247 @@
+"""Rexster-shaped read-only REST shim (SURVEY §2 row S8).
+
+The reference ships a Rexster ``GraphConfiguration`` adapter
+(FluxGraphConfiguration.java:24-42): given rexster.xml's
+``<graph-location>``, it constructs a FluxGraph and hands it to the
+Rexster server, which then exposes the TinkerPop 2.x REST surface over
+the Blueprints API.  The rebuild's twin has the same two halves:
+
+* :func:`graph_from_location` — the configuration contract: a location
+  string (here: a ``save_graph_parquet`` directory, the analog of the
+  reference's Datomic URI) resolved to a live graph, raising on a
+  missing/empty location exactly like the reference's
+  ``GraphConfigurationException`` path.
+* :class:`RexsterShim` — a dependency-free (stdlib ``http.server``)
+  read-only HTTP layer serving the Rexster response shapes over a
+  :class:`~fluxgraph_spark.graph.TemporalGraph`: the
+  ``{"version", "results", "totalSize", "queryTime"}`` envelope,
+  vertices as ``{"_id", "_type": "vertex", ...properties}``, edges with
+  ``"_outV"/"_inV"/"_label"``, TinkerPop typed-value query params
+  (``value=(i,5)``), and Rexster's ``rexster.offset.start/end`` paging.
+
+Read-only by design: Rexster's mutating verbs return 405 — the engine's
+write path is the transactional Python API (C1-C7), not HTTP.  This is
+a deployment shim for element-at-a-time reads; set-at-a-time analytics
+stay on the DataFrame surface where Catalyst can see them.
+
+Routing (``handle``) is pure — (method, path, params) -> (status, body)
+— so the protocol surface is testable without sockets; ``serve`` is a
+thin threaded-server wrapper around it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import time
+from typing import Any, Optional
+from urllib.parse import parse_qs, urlparse
+
+_VERSION = "fluxgraph-spark/rexster-shim 1.0"
+
+_OUT_DIRS = {"out": "out", "outE": "out"}
+_IN_DIRS = {"in": "in", "inE": "in"}
+_BOTH_DIRS = {"both": "both", "bothE": "both"}
+_VERTEX_RETURNING = {"out", "in", "both"}
+
+
+def graph_from_location(spark, location: Optional[str]):
+    """The reference's ``configureGraphInstance`` contract
+    (FluxGraphConfiguration.java:28-42): resolve the configured graph
+    location to a live graph, with the same missing-location error
+    path."""
+    if location is None or len(location) == 0:
+        raise ValueError(
+            "Check graph configuration. Missing or empty configuration "
+            "element: graph-location"
+        )
+    from .parquet_io import load_graph_parquet
+
+    return load_graph_parquet(spark, location)
+
+
+def _typed_param(raw: str) -> Any:
+    """TinkerPop 2.x typed query-param values: ``(i,5)`` int,
+    ``(l,5)`` long, ``(d,1.5)`` double, ``(f,1.5)`` float, ``(b,true)``
+    boolean, ``(s,x)`` string; bare values fall back to string."""
+    if raw.startswith("(") and raw.endswith(")") and "," in raw:
+        code, _, val = raw[1:-1].partition(",")
+        code = code.strip().lower()
+        val = val.strip()
+        if code in ("i", "l"):
+            return int(val)
+        if code in ("d", "f"):
+            return float(val)
+        if code == "b":
+            return val.lower() == "true"
+        return val
+    return raw
+
+
+def _json_value(v: Any) -> Any:
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _vertex_json(v) -> dict:
+    out = {k: _json_value(v.get_property(k)) for k in v.get_property_keys()}
+    out["_id"] = v.id
+    out["_type"] = "vertex"
+    return out
+
+
+def _edge_json(e) -> dict:
+    out = {k: _json_value(e.get_property(k)) for k in e.get_property_keys()}
+    out["_id"] = e.id
+    out["_type"] = "edge"
+    out["_label"] = e.get_label()
+    out["_outV"] = e.get_vertex("out").id
+    out["_inV"] = e.get_vertex("in").id
+    return out
+
+
+class RexsterShim:
+    """Read-only Rexster-shaped routes over one named TemporalGraph."""
+
+    def __init__(self, graph, name: str = "fluxgraph") -> None:
+        self.graph = graph
+        self.name = name
+
+    # -- pure routing --------------------------------------------------
+
+    def handle(self, method: str, path: str, params: Optional[dict] = None):
+        """(method, path, query params) -> (http status, response dict).
+        Params values are raw strings (first value wins, as parse_qs
+        lists collapse)."""
+        t0 = time.time()
+        params = params or {}
+        if method.upper() != "GET":
+            return 405, {
+                "message": "this shim is read-only; use the Python API to mutate",
+                "version": _VERSION,
+            }
+        parts = [p for p in path.split("/") if p]
+        try:
+            status, body = self._route(parts, params)
+        except KeyError:
+            status, body = 404, {"message": f"Graph [{parts[1]}] could not be found"}
+        body.setdefault("version", _VERSION)
+        body.setdefault("queryTime", round((time.time() - t0) * 1000, 3))
+        return status, body
+
+    def _route(self, parts: list[str], params: dict):
+        if not parts:
+            return 200, {"name": _VERSION, "graphs": [self.name]}
+        if parts[0] != "graphs":
+            return 404, {"message": f"unknown route /{'/'.join(parts)}"}
+        if len(parts) == 1:
+            return 200, {"graphs": [self.name]}
+        if parts[1] != self.name:
+            return 404, {"message": f"Graph [{parts[1]}] could not be found"}
+        if len(parts) == 2:
+            return 200, {
+                "name": self.name,
+                "graph": f"fluxgraph_spark[{self.name}]",
+                "type": "fluxgraph_spark.TemporalGraph",
+                "readOnly": True,
+                "features": dict(getattr(self.graph, "features", {})),
+            }
+        if parts[2] == "vertices":
+            return self._vertices(parts[3:], params)
+        if parts[2] == "edges":
+            return self._edges(parts[3:], params)
+        return 404, {"message": f"unknown route /{'/'.join(parts)}"}
+
+    # -- collections ---------------------------------------------------
+
+    def _page(self, items: list, params: dict) -> dict:
+        total = len(items)
+        start = int(params.get("rexster.offset.start", 0))
+        end = params.get("rexster.offset.end")
+        if end is not None:
+            items = items[start : int(end)]
+        elif start:
+            items = items[start:]
+        return {"results": items, "totalSize": total}
+
+    def _lookup_params(self, params: dict):
+        key = params.get("key")
+        if key is None:
+            return None, None
+        return key, _typed_param(params.get("value", ""))
+
+    def _vertices(self, rest: list[str], params: dict):
+        g = self.graph
+        if not rest:
+            key, value = self._lookup_params(params)
+            items = [_vertex_json(v) for v in g.get_vertices(key, value)]
+            return 200, self._page(items, params)
+        vid = int(rest[0])
+        v = g.get_vertex(vid)
+        if v is None or v.is_deleted():
+            return 404, {"message": f"Vertex with [{vid}] cannot be found."}
+        if len(rest) == 1:
+            return 200, {"results": _vertex_json(v)}
+        direction = rest[1]
+        labels = tuple(params["_label"].split(",")) if "_label" in params else ()
+        dirmap = {**_OUT_DIRS, **_IN_DIRS, **_BOTH_DIRS}
+        if direction not in dirmap:
+            return 404, {"message": f"unknown vertex route [{direction}]"}
+        if direction in _VERTEX_RETURNING:
+            items = [_vertex_json(n) for n in v.get_vertices(dirmap[direction], *labels)]
+        else:
+            items = [_edge_json(e) for e in v.get_edges(dirmap[direction], *labels)]
+        return 200, self._page(items, params)
+
+    def _edges(self, rest: list[str], params: dict):
+        g = self.graph
+        if not rest:
+            key, value = self._lookup_params(params)
+            items = [_edge_json(e) for e in g.get_edges(key, value)]
+            return 200, self._page(items, params)
+        eid = int(rest[0])
+        e = g.get_edge(eid)
+        if e is None or e.is_deleted():
+            return 404, {"message": f"Edge with [{eid}] cannot be found."}
+        return 200, {"results": _edge_json(e)}
+
+    # -- stdlib HTTP wrapper -------------------------------------------
+
+    def serve(self, port: int = 8182, host: str = "127.0.0.1"):
+        """Start a threaded HTTP server on (host, port); returns the
+        server object (call ``.shutdown()`` to stop; ``.server_address``
+        has the bound port when ``port=0``)."""
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        shim = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _respond(self, method: str) -> None:
+                url = urlparse(self.path)
+                params = {k: v[0] for k, v in parse_qs(url.query).items()}
+                status, body = shim.handle(method, url.path, params)
+                payload = json.dumps(body, default=str).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):  # noqa: N802 (http.server API)
+                self._respond("GET")
+
+            def do_POST(self):  # noqa: N802
+                self._respond("POST")
+
+            def do_DELETE(self):  # noqa: N802
+                self._respond("DELETE")
+
+            def log_message(self, *args):  # silence per-request stderr
+                pass
+
+        server = ThreadingHTTPServer((host, port), Handler)
+        import threading
+
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server

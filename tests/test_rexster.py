@@ -1,0 +1,136 @@
+"""Rexster-shaped REST shim (SURVEY §2 S8) — pure routing + one real
+HTTP round trip over a TemporalGraph built through the public API."""
+
+import json
+import urllib.request
+
+import pytest
+
+from fluxgraph_spark import TemporalGraph
+from fluxgraph_spark.sources.rexster import RexsterShim, graph_from_location
+
+
+@pytest.fixture(scope="module")
+def shim(spark):
+    g = TemporalGraph.create(spark)
+    a = g.add_vertex()
+    b = g.add_vertex()
+    c = g.add_vertex()
+    a.set_property("name", "alice")
+    a.set_property("age", 30)
+    b.set_property("name", "bob")
+    e1 = g.add_edge(None, a, b, "knows")
+    e1.set_property("weight", 2)
+    g.add_edge(None, a, c, "likes")
+    return RexsterShim(g, name="flux"), a, b, c, e1
+
+
+def test_graph_metadata_and_listing(shim):
+    s, *_ = shim
+    status, body = s.handle("GET", "/graphs")
+    assert status == 200 and body["graphs"] == ["flux"]
+    status, body = s.handle("GET", "/graphs/flux")
+    assert status == 200
+    assert body["readOnly"] is True
+    assert body["features"]["ignoresSuppliedIds"] is True
+    status, body = s.handle("GET", "/graphs/nope")
+    assert status == 404 and "could not be found" in body["message"]
+
+
+def test_vertices_listing_lookup_and_paging(shim):
+    s, a, b, c, _ = shim
+    status, body = s.handle("GET", "/graphs/flux/vertices")
+    assert status == 200 and body["totalSize"] == 3
+    ids = {v["_id"] for v in body["results"]}
+    assert ids == {a.id, b.id, c.id}
+    # Rexster typed-value property lookup
+    status, body = s.handle(
+        "GET", "/graphs/flux/vertices", {"key": "age", "value": "(i,30)"}
+    )
+    assert [v["_id"] for v in body["results"]] == [a.id]
+    assert body["results"][0]["name"] == "alice"
+    # paging: offset window of 1
+    status, body = s.handle(
+        "GET", "/graphs/flux/vertices",
+        {"rexster.offset.start": "1", "rexster.offset.end": "2"},
+    )
+    assert body["totalSize"] == 3 and len(body["results"]) == 1
+
+
+def test_vertex_neighbors_and_edges(shim):
+    s, a, b, c, e1 = shim
+    status, body = s.handle("GET", f"/graphs/flux/vertices/{a.id}")
+    assert status == 200 and body["results"]["name"] == "alice"
+    # out neighbors, label-filtered
+    status, body = s.handle(
+        "GET", f"/graphs/flux/vertices/{a.id}/out", {"_label": "knows"}
+    )
+    assert [v["_id"] for v in body["results"]] == [b.id]
+    # outE edges carry Rexster edge fields
+    status, body = s.handle("GET", f"/graphs/flux/vertices/{a.id}/outE")
+    got = {e["_label"]: e for e in body["results"]}
+    assert set(got) == {"knows", "likes"}
+    assert got["knows"]["_outV"] == a.id and got["knows"]["_inV"] == b.id
+    assert got["knows"]["weight"] == 2
+    # in direction from the far side
+    status, body = s.handle("GET", f"/graphs/flux/vertices/{b.id}/in")
+    assert [v["_id"] for v in body["results"]] == [a.id]
+
+
+def test_edges_and_404s(shim):
+    s, a, b, _, e1 = shim
+    status, body = s.handle("GET", "/graphs/flux/edges", {"key": "label", "value": "knows"})
+    assert status == 200 and [e["_id"] for e in body["results"]] == [e1.id]
+    status, body = s.handle("GET", f"/graphs/flux/edges/{e1.id}")
+    assert body["results"]["_label"] == "knows"
+    status, body = s.handle("GET", "/graphs/flux/vertices/999999")
+    assert status == 404 and "cannot be found" in body["message"]
+    status, body = s.handle("GET", "/graphs/flux/edges/999999")
+    assert status == 404
+
+
+def test_read_only_verbs_rejected(shim):
+    s, *_ = shim
+    status, body = s.handle("POST", "/graphs/flux/vertices")
+    assert status == 405 and "read-only" in body["message"]
+    status, _ = s.handle("DELETE", "/graphs/flux/vertices/1")
+    assert status == 405
+
+
+def test_http_round_trip(shim):
+    """One real socket round trip: ephemeral port, JSON envelope."""
+    s, a, *_ = shim
+    server = s.serve(port=0)
+    try:
+        port = server.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/graphs/flux/vertices/{a.id}"
+        ) as resp:
+            assert resp.status == 200
+            body = json.loads(resp.read())
+        assert body["results"]["name"] == "alice"
+        assert "queryTime" in body and "version" in body
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/graphs/flux/vertices/424242")
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_graph_from_location_contract(spark, tmp_path):
+    """The reference's configureGraphInstance error + load path
+    (FluxGraphConfiguration.java:28-42)."""
+    with pytest.raises(ValueError, match="Missing or empty configuration"):
+        graph_from_location(spark, "")
+    with pytest.raises(ValueError, match="Missing or empty configuration"):
+        graph_from_location(spark, None)
+    from fluxgraph_spark.sources.parquet_io import save_graph_parquet
+
+    g = TemporalGraph.create(spark)
+    v1, v2 = g.add_vertex(), g.add_vertex()
+    g.add_edge(None, v1, v2, "knows")
+    save_graph_parquet(g, str(tmp_path / "g"))
+    g2 = graph_from_location(spark, str(tmp_path / "g"))
+    shim = RexsterShim(g2)
+    status, body = shim.handle("GET", "/graphs/fluxgraph/vertices")
+    assert status == 200 and body["totalSize"] == 2
