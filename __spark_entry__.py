@@ -4375,13 +4375,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
         ),
         grams AS (
-          SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
-          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS gs(i)
+          -- gram list built inside one row evaluation (list_transform), not a
+          -- lateral UNNEST join: some DuckDB builds re-materialize the token
+          -- list per emitted gram in the lateral form, going quadratic per doc.
+          SELECT doc_id, list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS gs
+          FROM toks
         )
-        SELECT doc_id, count(*) AS n_grams,
-               count(DISTINCT g) AS n_distinct_grams,
-               round((count(*) - count(DISTINCT g)) / greatest(count(*), 1), 6) AS dup_gram_ratio
-        FROM grams GROUP BY doc_id
+        SELECT doc_id, len(gs) AS n_grams,
+               len(list_distinct(gs)) AS n_distinct_grams,
+               round((len(gs) - len(list_distinct(gs))) / greatest(len(gs), 1), 6) AS dup_gram_ratio
+        FROM grams
         """,
         "x_split": f"""
         SELECT CASE
