@@ -314,6 +314,34 @@ def q_g_touch_count_3hop(spark, sf_dir):
     return weighted.agg(F.sum("w").cast("long").alias("touches"))
 
 
+def q_g_gremlin_pipe(spark, sf_dir):
+    """Gremlin 2.x pipeline STRING evaluated by operators/gremlin.py —
+    the Blueprints-era query language the reference's users actually
+    write (SURVEY §0), compiled onto the fluent DSL as one Catalyst
+    join tree: distinct parts ordered by customers of nation 7."""
+    from fluxgraph_spark.operators import gremlin as GL
+
+    _, v, e = _graph(spark, sf_dir)
+    return GL.run(
+        "g.V.has('kind','customer').has('nationkey', 7L)"
+        ".in('placed_by').out('contains').dedup.values('id','name')",
+        v, e,
+    )
+
+
+def q_g_gremlin_heavy(spark, sf_dir):
+    """Edge-centric Gremlin pipeline with a typed T.gte comparison:
+    orders containing a >=49-quantity lineitem (dedup'd endpoint set)."""
+    from fluxgraph_spark.operators import gremlin as GL
+
+    _, v, e = _graph(spark, sf_dir)
+    return GL.run(
+        "g.E.has('label','contains').has('quantity', T.gte, 49.0)"
+        ".outV.dedup.values('id','totalprice')",
+        v, e,
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal queries (SURVEY §2.5 re-expressed set-at-a-time)
 # ---------------------------------------------------------------------------
@@ -2623,6 +2651,7 @@ _R4_PRIORITY = [
     # changed/new in round 4 — need fresh driver rows
     "d_minhash_lsh_pairs", "d_corpus_dedupe", "d_lsh_verified_pairs",
     "d_incr_dedupe", "d_semantic_dedupe", "st_scd2_ingest", "x_frames",
+    "g_gremlin_pipe", "g_gremlin_heavy",
 ]
 
 # Rows-only variants (xxhash64 fast paths — not SQL-replayable by
@@ -2656,6 +2685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_components": q_g_components,
         "g_components_star": q_g_components_star,
         "g_touch_count_3hop": q_g_touch_count_3hop,
+        "g_gremlin_pipe": q_g_gremlin_pipe,
+        "g_gremlin_heavy": q_g_gremlin_heavy,
         "g_bfs_levels": q_g_bfs_levels,
         "g_lpa_communities": q_g_lpa_communities,
         "g_sssp_weighted": q_g_sssp_weighted,
@@ -3423,6 +3454,21 @@ def oracle_sql() -> dict[str, str]:
              + 2 * (SELECT count(*) FROM sub)
              + 2 * (SELECT count(*) FROM e2)
              + 2 * (SELECT count(*) FROM e3) AS BIGINT) AS touches
+        """,
+        "g_gremlin_pipe": GRAPH_CTES
+        + """
+        SELECT DISTINCT p.id, p.name
+        FROM gv c
+        JOIN ge o ON o.label = 'placed_by' AND o.dst = c.id
+        JOIN ge l ON l.label = 'contains' AND l.src = o.src
+        JOIN gv p ON p.id = l.dst
+        WHERE c.kind = 'customer' AND c.nationkey = 7
+        """,
+        "g_gremlin_heavy": GRAPH_CTES
+        + """
+        SELECT DISTINCT v.id, v.totalprice
+        FROM ge e JOIN gv v ON v.id = e.src
+        WHERE e.label = 'contains' AND e.quantity >= 49.0
         """,
         # temporal surface
         "t_scd2_versions": """

@@ -140,6 +140,15 @@ class Traversal:
         """Edge destination vertex (reference edge.getVertex(IN))."""
         return self._vertex_step(M.DST)
 
+    def both_v(self) -> "Traversal":
+        """Both endpoints of each edge — one output row per endpoint
+        (Gremlin ``bothV`` bag semantics)."""
+        e = self._need("E")
+        ids = e.select(F.col(M.SRC).alias(M.ID)).unionAll(
+            e.select(F.col(M.DST).alias(M.ID))
+        )
+        return self._derived(ids.join(self._vertices, M.ID, "inner"), "V")
+
     # -- shaping / terminals -------------------------------------------
     def dedup(self) -> "Traversal":
         cur = self._current()

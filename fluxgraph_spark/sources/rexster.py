@@ -37,7 +37,13 @@ import time
 from typing import Any, Optional
 from urllib.parse import parse_qs, urlparse
 
+from .. import model as M
+
 _VERSION = "fluxgraph-spark/rexster-shim 1.0"
+
+# Gremlin endpoint response cap: REST materializes rows on the driver by
+# nature; anything larger belongs in parquet via the DataFrame API.
+_GREMLIN_MAX_ROWS = 10_000
 
 _OUT_DIRS = {"out": "out", "outE": "out"}
 _IN_DIRS = {"in": "in", "inE": "in"}
@@ -151,6 +157,8 @@ class RexsterShim:
             return self._vertices(parts[3:], params)
         if parts[2] == "edges":
             return self._edges(parts[3:], params)
+        if parts[2:4] == ["tp", "gremlin"]:
+            return self._gremlin(params)
         return 404, {"message": f"unknown route /{'/'.join(parts)}"}
 
     # -- collections ---------------------------------------------------
@@ -193,6 +201,38 @@ class RexsterShim:
         else:
             items = [_edge_json(e) for e in v.get_edges(dirmap[direction], *labels)]
         return 200, self._page(items, params)
+
+    def _gremlin(self, params: dict):
+        """Rexster's Gremlin extension (``/graphs/{g}/tp/gremlin?script=``):
+        the pipeline string evaluates through operators/gremlin.py as one
+        DataFrame chain; only the HTTP response materializes rows, capped
+        at ``_GREMLIN_MAX_ROWS`` (an interactive REST surface, not a bulk
+        export — bulk results belong in parquet via the DataFrame API)."""
+        script = params.get("script")
+        if not script:
+            return 400, {"success": False, "message": "no script provided"}
+        from ..operators import gremlin as GL
+
+        try:
+            df = GL.run(script, self.graph.vertices_df(), self.graph.edges_df())
+        except ValueError as ex:
+            return 400, {"success": False, "message": str(ex)}
+        rows = df.limit(_GREMLIN_MAX_ROWS).collect()
+        results = []
+        for r in rows:
+            d = {}
+            for k, v in r.asDict().items():
+                if k in (M.TX_FROM, M.TX_TO):
+                    continue
+                if M.is_property_column(k):
+                    k = M.demangle(k)[0]
+                elif k == M.ID:
+                    k = "_id"
+                d[k] = _json_value(v)
+            results.append(d)
+        body = self._page(results, params)
+        body["success"] = True
+        return 200, body
 
     def _edges(self, rest: list[str], params: dict):
         g = self.graph

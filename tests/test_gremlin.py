@@ -1,0 +1,147 @@
+"""Gremlin 2.x pipeline parser/evaluator (operators/gremlin.py) — parse
+shapes, evaluation vs the fluent DSL on the classic graph, type-mangled
+property resolution, and the Rexster tp/gremlin extension route."""
+
+import pytest
+
+from fluxgraph_spark.operators import gremlin as GL
+from fluxgraph_spark.operators.fluent import Traversal
+
+
+# -- parser -----------------------------------------------------------
+
+
+def test_parse_shapes():
+    steps = GL.parse("g.V.has('kind','customer').out('placed_by').dedup.count()")
+    assert [s.name for s in steps] == ["V", "has", "out", "dedup", "count"]
+    assert steps[1].args == ("kind", "customer")
+
+    steps = GL.parse("g.v(42).outE('contains').inV[0..9]")
+    assert steps[0] == GL.Step("v", (42,))
+    assert steps[-1] == GL.Step("range", (0, 9))
+
+    steps = GL.parse('g.V.has("qty", T.gte, 30L).values("name")')
+    assert steps[1].args == ("qty", GL.Cmp("gte"), 30)
+
+    steps = GL.parse("g.V.interval('w', 0.5, 1.5).hasNot('lang', null)")
+    assert steps[1].args == ("w", 0.5, 1.5)
+
+    # Groovy literal suffixes and escapes
+    steps = GL.parse(r"g.V.has('name', 'it\'s').has('f', 1.5f)")
+    assert steps[1].args == ("name", "it's")
+    assert steps[2].args == ("f", 1.5)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "V.has('x', 1)",            # no g root
+        "g.V.has('x', T.gte)",      # comparator without value
+        "g.V.frobnicate()",         # unknown step (raises at run)
+        "g.V[3..7]",                # offset range is nondeterministic
+        "g.E.outE",                 # edge step on an E frontier
+        "g.V.inV",                  # endpoint step on a V frontier
+        "g.V.values('name').out('x')",  # hop after projection
+    ],
+)
+def test_rejects(spark, bad):
+    v = spark.range(1).selectExpr("id", "'a' AS kind")
+    e = spark.createDataFrame([], "id long, src long, dst long, label string")
+    with pytest.raises(ValueError):
+        GL.run(bad, v, e).collect()
+
+
+# -- evaluation vs the fluent DSL on the classic graph ----------------
+
+
+def test_classic_graph_pipelines(toy_graph):
+    g, vs, es = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+
+    def rows(script):
+        return sorted(map(tuple, GL.run(script, v_df, e_df).collect()))
+
+    # marko's outgoing knows -> names (bag semantics)
+    got = rows(f"g.v({vs['marko'].id}).out('knows').values('name')")
+    assert got == [("josh",), ("vadas",)]
+
+    # same pipeline through the fluent DSL — identical result sets
+    fluent = sorted(
+        map(tuple,
+            Traversal(v_df, e_df).V(vs["marko"].id).out("knows")
+            .df().select("name__string").collect())
+    )
+    assert got == fluent
+
+    # creators of java projects, dedup'd (marko creates only lop)
+    got = rows("g.V.has('lang','java').in('created').dedup.values('name')")
+    assert got == [("josh",), ("marko",), ("peter",)]
+
+    # bag semantics without dedup: josh created two java projects
+    got = rows("g.V.has('lang','java').in('created').values('name')")
+    assert got.count(("josh",)) == 2
+
+    # typed comparison on a mangled int column
+    got = rows("g.V.has('age', T.gte, 30).values('name')")
+    assert got == [("josh",), ("peter",)]
+
+    # edge-centric: created-edges with weight >= 1.0 -> target names
+    got = rows("g.E.has('label','created').has('weight', T.gte, 1.0).inV.values('name')")
+    assert got == [("ripple",)]
+
+    # count() stays a DataFrame (one-row `count` column)
+    df = GL.run("g.V.has('lang','java').count()", v_df, e_df)
+    assert df.columns == ["count"] and df.collect()[0][0] == 2
+
+    # bothV from marko's knows-edges: marko twice + vadas + josh
+    got = rows(f"g.v({vs['marko'].id}).outE('knows').bothV.values('name')")
+    assert got == [("josh",), ("marko",), ("marko",), ("vadas",)]
+
+    # order + range paging is deterministic
+    df = GL.run("g.V.order.values('name')[0..2]", v_df, e_df)
+    # order precedes projection here: sorts by vertex id (insertion order)
+    assert [r[0] for r in df.collect()] == ["marko", "vadas", "lop"]
+
+
+def test_mangled_key_resolution(toy_graph):
+    g, vs, _ = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+    # has() on an absent key matches nothing; hasNot() matches everything
+    assert GL.run("g.V.has('no_such_key').count()", v_df, e_df).collect()[0][0] == 0
+    assert GL.run("g.V.hasNot('no_such_key').count()", v_df, e_df).collect()[0][0] == 6
+    # has(key) existence on a mangled column
+    assert GL.run("g.V.has('lang').count()", v_df, e_df).collect()[0][0] == 2
+    # values() demangles to the bare key as the output column
+    df = GL.run("g.V.has('lang').values('lang','name')", v_df, e_df)
+    assert df.columns == ["lang", "name"]
+
+
+def test_rexster_gremlin_route(toy_graph):
+    from fluxgraph_spark.sources.rexster import RexsterShim
+
+    g, vs, _ = toy_graph
+    shim = RexsterShim(g, name="flux")
+    status, body = shim.handle(
+        "GET", "/graphs/flux/tp/gremlin",
+        {"script": "g.V.has('lang','java').in('created').dedup.values('name')"},
+    )
+    assert status == 200 and body["success"] is True
+    assert sorted(r["name"] for r in body["results"]) == ["josh", "marko", "peter"]
+
+    # frontier results demangle property columns and hide tx bookkeeping
+    status, body = shim.handle(
+        "GET", "/graphs/flux/tp/gremlin",
+        {"script": f"g.v({vs['lop'].id})"},
+    )
+    assert status == 200
+    (row,) = body["results"]
+    assert row["_id"] == vs["lop"].id and row["name"] == "lop"
+    assert "tx_from" not in row and "name__string" not in row
+
+    # syntax errors surface as 400, not 500
+    status, body = shim.handle(
+        "GET", "/graphs/flux/tp/gremlin", {"script": "g.V.explode()"}
+    )
+    assert status == 400 and body["success"] is False
+    status, body = shim.handle("GET", "/graphs/flux/tp/gremlin", {})
+    assert status == 400
