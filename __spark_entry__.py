@@ -2236,6 +2236,29 @@ def q_d_incr_dedupe(spark, sf_dir):
     return kept.select("doc_id", "source", "n_chars")
 
 
+def q_d_indexed_dedupe(spark, sf_dir):
+    """The same incremental dedup decision as d_incr_dedupe, but served
+    from a PERSISTED bucketed index (sources/bucketed.py DedupIndex):
+    the corpus's hash + band fingerprints are written once as tables
+    bucketed on their join keys, the batch joins against them without
+    the corpus ever re-shingling or shuffling, and only colliding corpus
+    docs are re-read for the Jaccard verify.  Same md5 family ->
+    decision-identical -> shares d_incr_dedupe's SQL oracle."""
+    from fluxgraph_spark.sources import bucketed as BK
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    db = "flux_driver_idx"
+    BK.ensure_database(spark, db, f"/tmp/{db}_{os.path.basename(sf_dir.rstrip('/'))}")
+    idx = BK.DedupIndex.build(
+        corpus, "doc_id", "text", f"{db}.corpus",
+        n=3, num_hashes=8, bands=4, n_buckets=8,
+    )
+    kept = idx.dedupe_batch(new_batch, corpus, "doc_id", "text", threshold=0.5)
+    return kept.select("doc_id", "source", "n_chars")
+
+
 def q_d_minhash_sigs(spark, sf_dir):
     """MinHash signatures (first 4 components) — cross-engine hash parity."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -2651,7 +2674,7 @@ _R4_PRIORITY = [
     # changed/new in round 4 — need fresh driver rows
     "d_minhash_lsh_pairs", "d_corpus_dedupe", "d_lsh_verified_pairs",
     "d_incr_dedupe", "d_semantic_dedupe", "st_scd2_ingest", "x_frames",
-    "g_gremlin_pipe", "g_gremlin_heavy",
+    "g_gremlin_pipe", "g_gremlin_heavy", "d_indexed_dedupe",
 ]
 
 # Rows-only variants (xxhash64 fast paths — not SQL-replayable by
@@ -2771,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_unpivot": q_x_unpivot,
         "d_minhash_sigs": q_d_minhash_sigs,
         "d_incr_dedupe": q_d_incr_dedupe,
+        "d_indexed_dedupe": q_d_indexed_dedupe,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
         "d_lsh_fast_pairs": q_d_lsh_fast_pairs,
@@ -4583,6 +4607,7 @@ def oracle_sql() -> dict[str, str]:
         "d_minhash_lsh_pairs": _lsh_verified_sql(8, 2),
         "d_corpus_dedupe": _corpus_dedupe_sql(8, 4),
         "d_incr_dedupe": _incr_dedupe_sql(8, 4),
+        "d_indexed_dedupe": _incr_dedupe_sql(8, 4),
         "m_media_features": """
         SELECT doc_id AS media_id, strlen(text) AS n_bytes,
                round(('0x' || substring(md5(text), 1, 2))::UBIGINT::DOUBLE / 255, 6) AS f0

@@ -155,6 +155,17 @@ def lsh_candidate_pairs(
     bands or the verify step would re-find.  Default None = exact
     all-pairs behavior (oracle-replayable)."""
     banded = band_table(signatures, num_hashes=num_hashes, bands=bands)
+    return pairs_from_bands(banded, max_bucket_size=max_bucket_size)
+
+
+def pairs_from_bands(
+    banded: DataFrame, max_bucket_size: "int | None" = None
+) -> DataFrame:
+    """Candidate pairs from an (id, band, bucket) band table — the join
+    half of :func:`lsh_candidate_pairs`, split out so a PERSISTED band
+    index (sources/bucketed.py ``DedupIndex``) can feed it directly:
+    with the index table bucketed by (band, bucket), both the self-join
+    and the hot-bucket stats groupBy run shuffle-free."""
     if max_bucket_size is not None:
         stats = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__n"), F.min("id").alias("__rep")

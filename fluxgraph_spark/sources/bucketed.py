@@ -1,0 +1,247 @@
+"""Persistent BUCKETED dedup-index tables — shuffle-free corpus joins.
+
+At 100 TB the MinHash-LSH band join is the dominant shuffle: every
+dedup run re-shingles, re-hashes, and re-shuffles the whole corpus to
+co-locate equal (band, bucket) fingerprints.  Spark's bucketed tables
+remove that cost structurally: write the fingerprints ONCE clustered on
+the join key (``df.write.bucketBy(n, "band", "bucket").sortBy(...)``)
+and every later consumer gets co-location from the STORAGE layout —
+
+* full-corpus candidate generation (the band self-join) plans with zero
+  Exchange: the bucketed scan feeds the join directly, so a re-run
+  against a 100 TB corpus shuffles nothing (tests assert the plan);
+* the hot-bucket stats pass (groupBy band, bucket) aggregates within
+  buckets, also shuffle-free;
+* an incremental crawl batch joins ITS OWN fingerprints (tiny) against
+  the index — the corpus side never moves, per-batch cost stays
+  O(new x collisions) regardless of corpus size.
+
+``DedupIndex`` packages the two index tables the steady-state pipeline
+persists between crawls:
+
+    {prefix}_hashes  (id, h)             bucketed by h
+    {prefix}_bands   (id, band, bucket)  bucketed by (band, bucket)
+
+built with the md5-derived hash family (functions/text.stable_hash64)
+so every decision replays exactly in the SQL oracles.  The reference
+has no bulk path at all (element-at-a-time Datomic writes,
+FluxGraph.java:325-340); this is part of the training-data-pipeline
+extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    band_table,
+    jaccard_pairs,
+    minhash_signatures,
+    pairs_from_bands,
+    shingle_table,
+)
+from ..functions.text import stable_hash64
+
+
+def ensure_database(spark: SparkSession, database: str, location: Optional[str] = None) -> None:
+    """Create the index database if absent.  Pass ``location`` to keep
+    warehouse files out of the default ``spark-warehouse`` directory
+    (tests point this at a tmp dir; production at a real warehouse
+    path)."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a parquet table bucketed (and sorted) by
+    ``bucket_cols``.  ``n_buckets`` sizes the parallelism of every
+    future shuffle-free join against the table — pick it like you pick
+    shuffle partitions for the corpus (files scale with buckets x
+    writing tasks)."""
+    (
+        df.write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .mode(mode)
+        .saveAsTable(table)
+    )
+
+
+class DedupIndex:
+    """The persisted corpus dedup index (see module docstring).
+
+    ``build`` writes it from a corpus snapshot; ``append`` grows it with
+    a new batch (same bucket spec, so co-location survives); between
+    them ``candidate_pairs`` / ``dedupe_batch`` consume it without ever
+    shuffling the corpus side.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        prefix: str,
+        n: int = 3,
+        num_hashes: int = 8,
+        bands: int = 4,
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.prefix = prefix
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n_buckets = n_buckets
+        self.hashes_table = f"{prefix}_hashes"
+        self.bands_table = f"{prefix}_bands"
+
+    # -- construction ---------------------------------------------------
+
+    def _index_frames(self, docs: DataFrame, id_col: str, text_col: str):
+        base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        hashes = base.select("id", stable_hash64(F.col("text")).alias("h"))
+        sh = shingle_table(base, "id", "text", n=self.n)
+        sig = minhash_signatures(sh, num_hashes=self.num_hashes)
+        banded = band_table(sig, num_hashes=self.num_hashes, bands=self.bands)
+        return hashes, banded
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        prefix: str,
+        n: int = 3,
+        num_hashes: int = 8,
+        bands: int = 4,
+        n_buckets: int = 16,
+    ) -> "DedupIndex":
+        idx = cls(
+            docs.sparkSession, prefix,
+            n=n, num_hashes=num_hashes, bands=bands, n_buckets=n_buckets,
+        )
+        hashes, banded = idx._index_frames(docs, id_col, text_col)
+        write_bucketed(hashes, idx.hashes_table, ["h"], n_buckets)
+        write_bucketed(banded, idx.bands_table, ["band", "bucket"], n_buckets)
+        return idx
+
+    def append(self, batch: DataFrame, id_col: str, text_col: str) -> None:
+        """Grow the index with a new batch (post-dedup survivors).  The
+        append reuses the tables' bucket spec, so files stay clustered
+        on the join keys."""
+        hashes, banded = self._index_frames(batch, id_col, text_col)
+        write_bucketed(hashes, self.hashes_table, ["h"], self.n_buckets, mode="append")
+        write_bucketed(
+            banded, self.bands_table, ["band", "bucket"], self.n_buckets, mode="append"
+        )
+
+    # -- readers --------------------------------------------------------
+
+    def hashes(self) -> DataFrame:
+        return self.spark.table(self.hashes_table)
+
+    def bands_df(self) -> DataFrame:
+        return self.spark.table(self.bands_table)
+
+    # -- consumers ------------------------------------------------------
+
+    def candidate_pairs(self, max_bucket_size: Optional[int] = None) -> DataFrame:
+        """Corpus-wide LSH candidate pairs from the persisted index —
+        the band self-join and (with a cap) the hot-bucket stats pass
+        both run on bucketed scans: zero Exchange in the plan."""
+        return pairs_from_bands(self.bands_df(), max_bucket_size=max_bucket_size)
+
+    def dedupe_batch(
+        self,
+        new_batch: DataFrame,
+        corpus_docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Survivors of ``new_batch`` against the PERSISTED index —
+        decision-identical to functions/dedup.dedupe_incremental (same
+        hash family, banding, and verify tier), but the corpus side
+        comes from the index tables: the exact tier probes the hash
+        table, the near tier joins batch fingerprints against the band
+        table, and only the colliding corpus documents are re-read (a
+        semi-join on ``corpus_docs``) for the n-gram Jaccard verify.
+        Cost per batch: O(new x collisions); the corpus is never
+        re-shingled, re-hashed, or self-joined.
+        """
+        base = new_batch.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+        b_hashes, b_bands = self._index_frames(new_batch, id_col, text_col)
+        b_hashes = b_hashes.persist()
+        b_bands = b_bands.persist()
+
+        # exact tier: corpus hash hit, or smaller-id twin within batch
+        hn = b_hashes.alias("hn")
+        exact_corpus = hn.join(
+            self.hashes().alias("ho"), F.col("hn.h") == F.col("ho.h"), "left_semi"
+        ).select(F.col("hn.id").alias("id"))
+        hb = b_hashes.alias("hb")
+        exact_batch = (
+            hn.join(
+                hb,
+                (F.col("hn.h") == F.col("hb.h")) & (F.col("hb.id") < F.col("hn.id")),
+                "left_semi",
+            )
+        ).select(F.col("hn.id").alias("id"))
+        exact_drop = exact_corpus.unionByName(exact_batch).distinct()
+
+        # near tier: batch bands vs index bands + smaller-id batch bands
+        bn = b_bands.alias("bn")
+        cand_corpus = (
+            bn.join(
+                self.bands_df().alias("bo"),
+                (F.col("bn.band") == F.col("bo.band"))
+                & (F.col("bn.bucket") == F.col("bo.bucket")),
+            )
+            .select(F.col("bn.id").alias("id_a"), F.col("bo.id").alias("id_b"))
+        )
+        bb = b_bands.alias("bb")
+        cand_batch = (
+            bn.join(
+                bb,
+                (F.col("bn.band") == F.col("bb.band"))
+                & (F.col("bn.bucket") == F.col("bb.bucket"))
+                & (F.col("bb.id") < F.col("bn.id")),
+            )
+            .select(F.col("bn.id").alias("id_a"), F.col("bb.id").alias("id_b"))
+        )
+        cand = cand_corpus.unionByName(cand_batch).dropDuplicates().persist()
+
+        # verify tier: shingle ONLY the batch + the colliding corpus docs
+        hit_ids = (
+            cand.select(F.col("id_b").alias("id"))
+            .distinct()
+            .join(base.select("id"), "id", "left_anti")
+        )
+        corpus_hits = corpus_docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        ).join(hit_ids, "id", "left_semi")
+        sh = shingle_table(base.unionByName(corpus_hits), "id", "text", n=self.n)
+        verified = jaccard_pairs(sh, block=cand, threshold=threshold)
+        near_drop = verified.select(F.col("id_a").alias("id")).distinct()
+
+        drops = (
+            exact_drop.unionByName(near_drop)
+            .distinct()
+            .withColumnRenamed("id", id_col)
+        )
+        drops = drops.localCheckpoint(eager=True)
+        b_hashes.unpersist()
+        b_bands.unpersist()
+        cand.unpersist()
+        return new_batch.join(drops, id_col, "left_anti")

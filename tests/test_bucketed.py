@@ -1,0 +1,120 @@
+"""Bucketed dedup-index tables (sources/bucketed.py): zero-Exchange
+corpus joins from storage layout, decision-equivalence with the
+self-contained incremental operator, and append-vs-rebuild identity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluxgraph_spark.functions import dedup
+from fluxgraph_spark.sources import bucketed
+from fluxgraph_spark.sources.tpch import read_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+DB = "flux_test_idx"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("warehouse")
+    bucketed.ensure_database(spark, DB, str(loc))
+    yield DB
+    spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, warehouse):
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    idx = bucketed.DedupIndex.build(
+        corpus, "doc_id", "text", f"{warehouse}.corpus",
+        n=3, num_hashes=8, bands=4, n_buckets=4,
+    )
+    return idx, corpus, batch
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_candidate_pairs_match_unbucketed(index):
+    idx, corpus, _ = index
+    sh = dedup.shingle_table(
+        corpus.selectExpr("doc_id AS id", "text"), "id", "text", n=3
+    )
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    want = _pairs_set(dedup.lsh_candidate_pairs(sig, num_hashes=8, bands=4))
+    got = _pairs_set(idx.candidate_pairs())
+    assert got == want and got
+
+
+def test_band_self_join_is_shuffle_free(spark, index):
+    idx, *_ = index
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            idx.candidate_pairs()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the join itself must be fed by bucketed scans; the only allowed
+        # Exchange is the one under dropDuplicates of the pair OUTPUT
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, join_part
+        # capped variant: the stats groupBy is also shuffle-free
+        plan_capped = (
+            idx.candidate_pairs(max_bucket_size=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        agg_part = plan_capped.split("SortMergeJoin")[-1]
+        assert "Exchange" not in agg_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dedupe_batch_matches_incremental(index):
+    idx, corpus, batch = index
+    want = sorted(
+        r["doc_id"]
+        for r in dedup.dedupe_incremental(
+            batch, corpus, "doc_id", "text",
+            n=3, num_hashes=8, bands=4, threshold=0.5,
+        ).collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in idx.dedupe_batch(batch, corpus, "doc_id", "text", threshold=0.5)
+        .collect()
+    )
+    assert got == want
+    # the batch had at least one duplicate to drop, else the test is vacuous
+    assert len(got) < batch.count()
+
+
+def test_append_equals_rebuild(spark, docs, warehouse, index):
+    idx, corpus, batch = index
+    survivors = idx.dedupe_batch(batch, corpus, "doc_id", "text", threshold=0.5)
+
+    grown = bucketed.DedupIndex.build(
+        corpus, "doc_id", "text", f"{warehouse}.grown",
+        n=3, num_hashes=8, bands=4, n_buckets=4,
+    )
+    grown.append(survivors, "doc_id", "text")
+
+    rebuilt = bucketed.DedupIndex.build(
+        corpus.unionByName(survivors.select("doc_id", "text")),
+        "doc_id", "text", f"{warehouse}.rebuilt",
+        n=3, num_hashes=8, bands=4, n_buckets=4,
+    )
+    for a, b in (
+        (grown.bands_df(), rebuilt.bands_df()),
+        (grown.hashes(), rebuilt.hashes()),
+    ):
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # an appended index keeps answering shuffle-free
+    assert _pairs_set(grown.candidate_pairs()) == _pairs_set(rebuilt.candidate_pairs())
