@@ -2043,6 +2043,49 @@ def q_st_scd2_ingest(spark, sf_dir):
     )
 
 
+def q_st_dedup_ingest(spark, sf_dir):
+    """Streaming crawl ingest through the persistent bucketed dedup
+    index (streaming/dedup_ingest.py): the new batch streams through
+    foreachBatch, dedupes against the corpus seed + index, survivors
+    land under batch_id partitions and their fingerprints append to the
+    index — the steady-state shape of a continuously growing corpus.
+    One microbatch here, so the committed survivors equal
+    d_incr_dedupe's decision set and share its SQL oracle."""
+    import tempfile
+
+    from fluxgraph_spark.sources import bucketed as BK
+    from fluxgraph_spark.streaming.dedup_ingest import (
+        dedup_streaming_sink,
+        seed_corpus,
+    )
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+
+    root = tempfile.mkdtemp(prefix="dedup_ingest_")
+    db = "flux_st_idx"
+    BK.ensure_database(spark, db, os.path.join(root, "wh"))
+    idx = BK.DedupIndex.build(
+        corpus, "doc_id", "text", f"{db}.corpus",
+        n=3, num_hashes=8, bands=4, n_buckets=8,
+    )
+    corpus_dir = os.path.join(root, "corpus")
+    surv_dir = os.path.join(root, "survivors")
+    seed_corpus(corpus, corpus_dir)
+
+    src = os.path.join(root, "stream_src")
+    new_batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = dedup_streaming_sink(
+        stream, idx, corpus_dir, surv_dir,
+        "doc_id", "text", os.path.join(root, "ckpt"), threshold=0.5,
+    )
+    q.awaitTermination()
+    surv = spark.read.option("basePath", surv_dir).parquet(surv_dir)
+    return surv.select("doc_id", "source", "n_chars")
+
+
 def q_st_stream_join(spark, sf_dir):
     """Watermarked stream-stream interval join (click attribution):
     each purchase pairs with the same user's clicks from the previous
@@ -2675,6 +2718,7 @@ _R4_PRIORITY = [
     "d_minhash_lsh_pairs", "d_corpus_dedupe", "d_lsh_verified_pairs",
     "d_incr_dedupe", "d_semantic_dedupe", "st_scd2_ingest", "x_frames",
     "g_gremlin_pipe", "g_gremlin_heavy", "d_indexed_dedupe",
+    "st_dedup_ingest",
 ]
 
 # Rows-only variants (xxhash64 fast paths — not SQL-replayable by
@@ -2774,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_stream_join": q_st_stream_join,
         "st_running_stats": q_st_running_stats,
         "st_scd2_ingest": q_st_scd2_ingest,
+        "st_dedup_ingest": q_st_dedup_ingest,
         "t_time_buckets": q_t_time_buckets,
         "t_resample": q_t_resample,
         "x_rolling": q_x_rolling,
@@ -4608,6 +4653,7 @@ def oracle_sql() -> dict[str, str]:
         "d_corpus_dedupe": _corpus_dedupe_sql(8, 4),
         "d_incr_dedupe": _incr_dedupe_sql(8, 4),
         "d_indexed_dedupe": _incr_dedupe_sql(8, 4),
+        "st_dedup_ingest": _incr_dedupe_sql(8, 4),
         "m_media_features": """
         SELECT doc_id AS media_id, strlen(text) AS n_bytes,
                round(('0x' || substring(md5(text), 1, 2))::UBIGINT::DOUBLE / 255, 6) AS f0

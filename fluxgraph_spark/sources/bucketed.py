@@ -147,9 +147,15 @@ class DedupIndex:
     # -- readers --------------------------------------------------------
 
     def hashes(self) -> DataFrame:
+        # refresh first: appends may come through another session over
+        # the same catalog (e.g. foreachBatch's batch-scoped clone), and
+        # this session's cached relation would otherwise keep the stale
+        # file list.  Costs a metadata lookup, saves a wrong join.
+        self.spark.catalog.refreshTable(self.hashes_table)
         return self.spark.table(self.hashes_table)
 
     def bands_df(self) -> DataFrame:
+        self.spark.catalog.refreshTable(self.bands_table)
         return self.spark.table(self.bands_table)
 
     # -- consumers ------------------------------------------------------

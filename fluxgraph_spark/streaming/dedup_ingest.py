@@ -1,0 +1,90 @@
+"""Streaming corpus ingest through the persistent dedup index.
+
+The steady-state shape of a growing training corpus: crawl batches
+arrive as a document stream, each microbatch dedupes against EVERYTHING
+ingested so far (exact + verified-near tiers), survivors are appended
+to the corpus and their fingerprints to the bucketed index
+(sources/bucketed.py ``DedupIndex``) — so the next batch's decisions see
+them, and per-batch cost stays O(batch x collisions) no matter how
+large the corpus grows.  The reference has no streaming surface at all
+(SURVEY §2.8); this extends the engine's Structured-Streaming family
+(events, changefeed, SCD2 ingest) to the pipeline's dedup tier.
+
+Crash/replay semantics: survivors and corpus documents land in
+``batch_id=N`` subdirectories written with overwrite, so a replayed
+microbatch after a crash rewrites its own partition instead of
+double-appending.  The index append is NOT deduplicated on replay —
+deliberately: duplicate fingerprint rows cannot change any later
+decision (the exact tier is a semi-join, candidate pairs are
+de-duplicated before the verify), they only add index bytes, and a
+bytes-exact repair is one ``DedupIndex.build`` from the corpus
+directory.  Decisions stay correct under at-least-once execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..sources.bucketed import DedupIndex
+
+
+def seed_corpus(docs: DataFrame, corpus_dir: str) -> None:
+    """Write the initial corpus (the documents the index was built from)
+    under ``corpus_dir`` in the same ``batch_id=N`` partition layout the
+    streaming sink appends to (seed takes ``batch_id=-1``, below any
+    stream batch id)."""
+    docs.write.mode("overwrite").parquet(os.path.join(corpus_dir, "batch_id=-1"))
+
+
+def dedup_streaming_sink(
+    doc_stream: DataFrame,
+    index: DedupIndex,
+    corpus_dir: str,
+    survivors_dir: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+):
+    """Start an available-now ``foreachBatch`` query that dedupes each
+    microbatch of ``doc_stream`` against ``corpus_dir`` + the index,
+    appends survivors to both, and records them under ``survivors_dir``.
+
+    ``corpus_dir`` must be seeded via :func:`seed_corpus` with the
+    initial corpus the index was built from; the per-batch read
+    partition-discovers every ``batch_id=N`` directory (seed + all
+    earlier survivors).
+
+    Returns the StreamingQuery; callers ``awaitTermination()``.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        corpus = (
+            spark.read.option("basePath", corpus_dir)
+            .parquet(corpus_dir)
+            .select(batch_df.columns)
+        )
+        kept = index.dedupe_batch(
+            batch_df, corpus, id_col, text_col, threshold=threshold
+        )
+        # pin the decision set BEFORE the index/corpus mutate beneath it
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(survivors_dir, f"batch_id={batch_id}")
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch_id={batch_id}")
+        )
+        index.append(kept, id_col, text_col)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

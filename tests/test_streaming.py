@@ -280,3 +280,91 @@ def test_interval_stream_join_matches_batch(spark, events_dir):
     ).drop(bc.user_id)
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+
+
+def test_dedup_streaming_ingest_matches_sequential_batches(spark, tmp_path):
+    """Streaming crawl ingest through the persistent bucketed dedup
+    index: two microbatches (mtime-ordered files) produce exactly the
+    survivors of the equivalent sequential dedupe_incremental calls,
+    and each batch's decisions see the previous batch's survivors."""
+    import glob
+    import time
+
+    from fluxgraph_spark.functions import dedup
+    from fluxgraph_spark.sources import bucketed
+    from fluxgraph_spark.sources.tpch import read_tables
+    from fluxgraph_spark.streaming.dedup_ingest import (
+        dedup_streaming_sink, seed_corpus,
+    )
+
+    docs = read_tables(spark, SF_DIR)["documents"]
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch_a = docs.where(F.col("doc_id") % 10 == 0)
+    batch_b = docs.where(F.col("doc_id") % 10 == 5)
+
+    # stage the stream: one file per batch, mtimes force A before B
+    src = str(tmp_path / "doc_stream")
+    os.makedirs(src)
+    for name, b, age in (("a", batch_a, 200), ("b", batch_b, 0)):
+        d = str(tmp_path / f"stage_{name}")
+        b.coalesce(1).write.parquet(d)
+        (part,) = glob.glob(d + "/part-*.parquet")
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst)
+        t = time.time() - age
+        os.utime(dst, (t, t))
+
+    db = "flux_stream_idx"
+    bucketed.ensure_database(spark, db, str(tmp_path / "wh"))
+    try:
+        idx = bucketed.DedupIndex.build(
+            corpus, "doc_id", "text", f"{db}.corpus",
+            n=3, num_hashes=8, bands=4, n_buckets=4,
+        )
+        corpus_dir = str(tmp_path / "corpus")
+        surv_dir = str(tmp_path / "survivors")
+        seed_corpus(corpus, corpus_dir)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = dedup_streaming_sink(
+            stream, idx, corpus_dir, surv_dir,
+            "doc_id", "text", str(tmp_path / "ckpt"), threshold=0.5,
+        )
+        q.awaitTermination(180)
+
+        k1 = dedup.dedupe_incremental(
+            batch_a, corpus, "doc_id", "text", n=3, num_hashes=8, bands=4,
+            threshold=0.5,
+        )
+        k2 = dedup.dedupe_incremental(
+            batch_b, corpus.unionByName(k1), "doc_id", "text",
+            n=3, num_hashes=8, bands=4, threshold=0.5,
+        )
+        want1 = sorted(r["doc_id"] for r in k1.collect())
+        want2 = sorted(r["doc_id"] for r in k2.collect())
+
+        surv = spark.read.option("basePath", surv_dir).parquet(surv_dir)
+        got1 = sorted(
+            r["doc_id"] for r in surv.where(F.col("batch_id") == 0).collect()
+        )
+        got2 = sorted(
+            r["doc_id"] for r in surv.where(F.col("batch_id") == 1).collect()
+        )
+        assert got1 == want1
+        assert got2 == want2
+        # cross-batch dependency really fired: batch B lost at least one
+        # doc to an A survivor beyond what the seed corpus alone explains
+        k2_vs_corpus_only = dedup.dedupe_incremental(
+            batch_b, corpus, "doc_id", "text", n=3, num_hashes=8, bands=4,
+            threshold=0.5,
+        )
+        assert len(want2) < k2_vs_corpus_only.count()
+        # the corpus dir now replays as seed + both survivor sets
+        grown = spark.read.option("basePath", corpus_dir).parquet(corpus_dir)
+        assert grown.count() == corpus.count() + len(want1) + len(want2)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
