@@ -2578,6 +2578,27 @@ def q_s_ivf_topk(spark, sf_dir):
     return similarity.cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+def q_s_ivf_indexed_topk(spark, sf_dir):
+    """The same IVF ANN decision as s_ivf_topk, served from a PERSISTED
+    index (sources/ann_index.py IvfIndex): corpus vectors written once,
+    partitioned by inverted list; the probe reads only the queried
+    partitions (static prune from a bounded centroid-id list).  Same
+    deterministic centroid sample -> bit-identical -> shares
+    s_ivf_topk's SQL oracle."""
+    import tempfile
+
+    from fluxgraph_spark.sources.ann_index import IvfIndex
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = IvfIndex.build(
+        emb, tempfile.mkdtemp(prefix="ivf_idx_"), n_centroids=16
+    )
+    return idx.topk(queries, k=10, n_probe=4)
+
+
 def q_s_pq_topk(spark, sf_dir):
     """Product-quantization ANN: corpus compressed to m=4 one-byte codes
     per vector (64x), queries score via asymmetric-distance lookup-table
@@ -2718,7 +2739,7 @@ _R4_PRIORITY = [
     "d_minhash_lsh_pairs", "d_corpus_dedupe", "d_lsh_verified_pairs",
     "d_incr_dedupe", "d_semantic_dedupe", "st_scd2_ingest", "x_frames",
     "g_gremlin_pipe", "g_gremlin_heavy", "d_indexed_dedupe",
-    "st_dedup_ingest",
+    "st_dedup_ingest", "s_ivf_indexed_topk",
 ]
 
 # Rows-only variants (xxhash64 fast paths — not SQL-replayable by
@@ -2862,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_near_dups": q_s_embedding_near_dups,
         "s_lsh_topk": q_s_lsh_topk,
         "s_ivf_topk": q_s_ivf_topk,
+        "s_ivf_indexed_topk": q_s_ivf_indexed_topk,
         "s_pq_topk": q_s_pq_topk,
         "pipeline_corpus": q_pipeline_corpus,
         "m_media_features": q_m_media_features,
@@ -4707,6 +4729,9 @@ def oracle_sql() -> dict[str, str]:
     for name, cols in _BIGINT_RESULT_COLS.items():
         reps = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
         sqls[name] = f"SELECT * REPLACE ({reps}) FROM (\n{sqls[name]}\n) __q"
+    # persisted-index twins are decision-identical to their in-memory
+    # counterparts (same hash family / centroid sample) — same oracle
+    sqls["s_ivf_indexed_topk"] = sqls["s_ivf_topk"]
     return sqls
 
 

@@ -1,0 +1,150 @@
+"""Persisted IVF ANN index: partition-pruned probe reads.
+
+The in-memory IVF path (functions/similarity.cosine_topk_ivf) re-assigns
+the whole corpus to centroids on every call.  At 100 TB the corpus
+assignment is the expensive half, and it only changes when vectors do —
+so persist it: corpus vectors land in parquet PARTITIONED BY their
+nearest centroid id (one directory per inverted list), the centroid
+table (tiny, ~sqrt(corpus) rows) lands beside it.  A query batch then
+
+* assigns ITS OWN vectors to ``n_probe`` centroids (a narrow map over
+  the tiny query frame — similarity.ivf_assign),
+* prunes the corpus scan to exactly the probed partitions (the probe
+  list is queries x n_probe distinct ids, collected like the SCD2
+  table's bucket list — a bounded driver probe on an interactive path),
+* scores only the surviving lists and ranks top-k.
+
+So query cost is proportional to the probed lists, not the corpus, and
+the scan prune shows up in the plan as a PartitionFilters entry (test-
+asserted via inputFiles).  ``append`` assigns new vectors to the FROZEN
+centroid set and appends into their partitions — lists drift only as
+much as the data does, and a rebuild is one ``build`` call.
+
+Same md5-deterministic centroid sample as the in-memory path, so index
+results are bit-identical to cosine_topk_ivf and replay in the same SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import (
+    _as_double_vec,
+    _dot,
+    _norm,
+    _topk_per_query,
+    ivf_assign,
+    ivf_centroids,
+)
+
+
+class IvfIndex:
+    """A directory holding ``centroids/`` (centroid_id, cvec) and
+    ``lists/`` (vec_id, cvec, partitioned by centroid_id)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.centroids_dir = os.path.join(index_dir, "centroids")
+        self.lists_dir = os.path.join(index_dir, "lists")
+
+    # -- construction ---------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        index_dir: str,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        idx = cls(corpus.sparkSession, index_dir)
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        cents.coalesce(1).write.mode("overwrite").parquet(idx.centroids_dir)
+        idx._write_lists(corpus, id_col, vec_col, mode="overwrite")
+        return idx
+
+    def _write_lists(
+        self, vectors: DataFrame, id_col: str, vec_col: str, mode: str
+    ) -> None:
+        v = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double_vec(F.col(vec_col)).alias("cvec"),
+        )
+        assigned = (
+            ivf_assign(v, self.centroids(), 1, "vec_id", "cvec")
+            .withColumnRenamed("id", "vec_id")
+            .join(v, "vec_id")
+        )
+        (
+            assigned.select("centroid_id", "vec_id", "cvec")
+            .write.partitionBy("centroid_id")
+            .mode(mode)
+            .parquet(self.lists_dir)
+        )
+
+    def append(
+        self, batch: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> None:
+        """Assign new vectors against the frozen centroid set and append
+        into their list partitions."""
+        self._write_lists(batch, id_col, vec_col, mode="append")
+
+    # -- readers --------------------------------------------------------
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self.centroids_dir)
+
+    def lists(self, centroid_ids: Optional[list] = None) -> DataFrame:
+        df = self.spark.read.parquet(self.lists_dir)
+        if centroid_ids is not None:
+            df = df.where(F.col("centroid_id").isin(centroid_ids))
+        return df
+
+    # -- query ----------------------------------------------------------
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        query_id_col: str = "query_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Ranked approximate top-k, scanning only the probed lists."""
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double_vec(F.col(vec_col)).alias("qvec"),
+        )
+        q_buckets = ivf_assign(
+            q, self.centroids(), n_probe, "query_id", "qvec"
+        ).withColumnRenamed("id", "query_id")
+        # bounded driver probe (queries x n_probe ids) -> static partition
+        # prune on the lists scan; mirrors Scd2ParquetTable's bucket list
+        probe_ids = [
+            r["centroid_id"]
+            for r in q_buckets.select("centroid_id").distinct().collect()
+        ]
+        lists = self.lists(probe_ids)
+        cand = (
+            q_buckets.join(lists, "centroid_id")
+            .select("query_id", "vec_id", "cvec")
+            .dropDuplicates(["query_id", "vec_id"])
+        )
+        qv = q.withColumn("qn", _norm(F.col("qvec")))
+        scored = cand.join(F.broadcast(qv), "query_id").select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("cvec"), F.col("qvec"))
+                / (_norm(F.col("cvec")) * F.col("qn")),
+                6,
+            ).alias("cosine"),
+        )
+        return _topk_per_query(scored, k)

@@ -1,0 +1,85 @@
+"""Persisted IVF ANN index (sources/ann_index.py): bit-equality with the
+in-memory IVF path, partition-pruned probe reads, and append semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluxgraph_spark.functions import similarity
+from fluxgraph_spark.sources.ann_index import IvfIndex
+from fluxgraph_spark.sources.tpch import read_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_tables(spark, SF_DIR)["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def index(spark, emb, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ivf")
+    return IvfIndex.build(emb, str(d / "idx"), n_centroids=16)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_indexed_topk_equals_in_memory(emb, index):
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = _rows(
+        similarity.cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4)
+    )
+    got = _rows(index.topk(queries, k=10, n_probe=4))
+    assert got == want and len(got) == 50
+
+
+def test_probe_reads_only_probed_partitions(emb, index):
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    def files_read(df):
+        return {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+
+    all_files = files_read(index.lists())
+    # 2 queries x 2 probes <= 4 of 16 lists
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qv = q.select(
+        F.col("query_id").alias("query_id"),
+        similarity._as_double_vec(F.col("embedding")).alias("qvec"),
+    )
+    probes = similarity.ivf_assign(
+        qv, index.centroids(), 2, "query_id", "qvec"
+    )
+    ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
+    pruned = files_read(index.lists(ids))
+    assert len(ids) <= 4
+    assert pruned < all_files
+    assert len(pruned) <= len(ids)
+    # every pruned file path carries one of the probed partition dirs
+    assert all(any(f"centroid_id={i}/" in p for i in ids) for p in pruned)
+
+
+def test_append_matches_rebuild(spark, emb, index, tmp_path):
+    base = emb.where(F.col("vec_id") % 7 != 0)
+    extra = emb.where(F.col("vec_id") % 7 == 0)
+    # centroids must come from the SAME sample for both paths: freeze the
+    # base index, append the rest
+    grown = IvfIndex.build(base, str(tmp_path / "grown"), n_centroids=16)
+    # frozen-centroid rebuild: same centroid set, full corpus assignment
+    grown.append(extra)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _rows(grown.topk(queries, k=10, n_probe=4))
+    # reference: full assignment against grown's centroid set
+    full = IvfIndex(spark, str(tmp_path / "full"))
+    grown.centroids().coalesce(1).write.parquet(full.centroids_dir)
+    full._write_lists(emb, "vec_id", "embedding", mode="overwrite")
+    want = _rows(full.topk(queries, k=10, n_probe=4))
+    assert got == want
