@@ -2292,8 +2292,13 @@ def q_d_indexed_dedupe(spark, sf_dir):
     docs = tpch.read_tables(spark, sf_dir)["documents"]
     new_batch = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
+    import tempfile
+
     db = "flux_driver_idx"
-    BK.ensure_database(spark, db, f"/tmp/{db}_{os.path.basename(sf_dir.rstrip('/'))}")
+    # location must be process-unique: a leftover directory from another
+    # process + a fresh in-memory catalog = LOCATION_ALREADY_EXISTS on
+    # the first saveAsTable (the catalog "creates" over the old files)
+    BK.ensure_database(spark, db, tempfile.mkdtemp(prefix=f"{db}_"))
     idx = BK.DedupIndex.build(
         corpus, "doc_id", "text", f"{db}.corpus",
         n=3, num_hashes=8, bands=4, n_buckets=8,

@@ -108,6 +108,12 @@ AUDITED = [
     "t_retention",
     "x_corpus_stats",
     "x_weighted_sample",
+    # round 4: gremlin pipelines + persisted-index paths
+    "g_gremlin_pipe",
+    "g_gremlin_heavy",
+    "d_indexed_dedupe",
+    "s_ivf_indexed_topk",
+    "x_frames",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -171,6 +177,12 @@ NO_PUSHDOWN_EXPECTED = {
     "s_ivf_topk",           # full-embeddings scan + centroid sample
     "s_pq_topk",            # full-embeddings narrow encode + LUT broadcast
     "s_lsh_topk",           # full-embeddings bucketing
+    "g_gremlin_pipe",       # kind/label predicates fold into union-branch pruning
+    "g_gremlin_heavy",      # label/quantity predicates fold into union branches
+    "d_indexed_dedupe",     # batch-vs-persisted-index fingerprint joins
+    "x_frames",             # full-corpus synthetic AVI decode (mapInPandas)
+    "s_ivf_indexed_topk",   # probe prune is PartitionFilters (directory-level,
+                            # stronger than a row-group PushedFilters entry)
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -230,6 +242,10 @@ NO_BROADCAST_EXPECTED = {
     "s_lsh_topk",           # bucket equi-join: broadcast chosen by hint/AQE
     "s_ivf_topk",           # probe joins: AQE decides
     "d_semantic_dedupe",    # corpus-scale embedding self-join: must NOT broadcast at scale
+    "g_gremlin_pipe",       # hop equi-joins: AQE decides at runtime
+    "g_gremlin_heavy",      # endpoint join: AQE decides
+    "d_indexed_dedupe",     # batch-vs-index joins: AQE decides
+    "x_frames",             # narrow mapInPandas decode, no joins
 }
 
 
