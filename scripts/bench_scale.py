@@ -45,6 +45,11 @@ QUERIES = [
     "t_asof_join",
     "t_scd2_versions",
     "x_pack",
+    # round 4: persisted-index paths (timings include the one-off index
+    # build — the amortized per-query cost is strictly lower)
+    "d_indexed_dedupe",
+    "s_ivf_indexed_topk",
+    "g_gremlin_pipe",
 ]
 
 
