@@ -342,6 +342,19 @@ def q_g_gremlin_heavy(spark, sf_dir):
     )
 
 
+def q_g_gremlin_groupcount(spark, sf_dir):
+    """Gremlin-2 side-effect pipe: hop then groupCount — suppliers per
+    nation via `g.V.has('kind','supplier').out('located_in')
+    .groupCount('name')`, one scan + one hop join + one aggregation."""
+    from fluxgraph_spark.operators import gremlin as GL
+
+    _, v, e = _graph(spark, sf_dir)
+    return GL.run(
+        "g.V.has('kind','supplier').out('located_in').groupCount('name')",
+        v, e,
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal queries (SURVEY §2.5 re-expressed set-at-a-time)
 # ---------------------------------------------------------------------------
@@ -2744,7 +2757,7 @@ _R4_PRIORITY = [
     "d_minhash_lsh_pairs", "d_corpus_dedupe", "d_lsh_verified_pairs",
     "d_incr_dedupe", "d_semantic_dedupe", "st_scd2_ingest", "x_frames",
     "g_gremlin_pipe", "g_gremlin_heavy", "d_indexed_dedupe",
-    "st_dedup_ingest", "s_ivf_indexed_topk",
+    "st_dedup_ingest", "s_ivf_indexed_topk", "g_gremlin_groupcount",
 ]
 
 # Rows-only variants (xxhash64 fast paths — not SQL-replayable by
@@ -2780,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_touch_count_3hop": q_g_touch_count_3hop,
         "g_gremlin_pipe": q_g_gremlin_pipe,
         "g_gremlin_heavy": q_g_gremlin_heavy,
+        "g_gremlin_groupcount": q_g_gremlin_groupcount,
         "g_bfs_levels": q_g_bfs_levels,
         "g_lpa_communities": q_g_lpa_communities,
         "g_sssp_weighted": q_g_sssp_weighted,
@@ -3565,6 +3579,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT v.id, v.totalprice
         FROM ge e JOIN gv v ON v.id = e.src
         WHERE e.label = 'contains' AND e.quantity >= 49.0
+        """,
+        "g_gremlin_groupcount": GRAPH_CTES
+        + """
+        SELECT n.name, count(*) AS count
+        FROM gv s
+        JOIN ge e ON e.label = 'located_in' AND e.src = s.id
+        JOIN gv n ON n.id = e.dst
+        WHERE s.kind = 'supplier'
+        GROUP BY n.name
         """,
         # temporal surface
         "t_scd2_versions": """

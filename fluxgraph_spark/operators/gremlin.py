@@ -21,7 +21,15 @@ engine's surface covers — everything SURVEY §2.3/§2.4 maps to):
     endpoints   outV  inV  bothV
     shaping     dedup  order  range(0, n)  limit(n)  [i..j]
     projection  id  label  values(*keys)  property(k)
+    aggregation groupCount(k?)  sum  mean  max  min  (over a projected
+                single value; groupCount over a key, or visit counts
+                per element id without one)
     terminals   count()  toList()/iterate() (no-ops — evaluation is lazy)
+
+Per-traverser history steps (``path``, ``back``, ``select``, ``loop``)
+are deliberately absent: they reference the walk that produced a row,
+which set-at-a-time evaluation does not carry.  The fluent DSL composes
+the same results from explicit joins when needed.
 
 `T` comparison tokens: T.eq T.neq T.gt T.gte T.lt T.lte (Tokens.T of
 Gremlin 2; FluxVertex's VertexQuery accepts the same set through
@@ -270,7 +278,8 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
     for step in steps:
         name, args = step.name, step.args
         if not isinstance(cur, Traversal) and name not in (
-            "order", "dedup", "range", "limit", "count", *_NOOPS,
+            "order", "dedup", "range", "limit", "count",
+            "groupCount", "sum", "mean", "max", "min", *_NOOPS,
         ):
             raise GremlinSyntaxError(
                 f".{name} after a projection/terminal step"
@@ -355,6 +364,28 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
         elif name == "count":
             df = cur.df() if isinstance(cur, Traversal) else cur
             cur = df.agg(F.count(F.lit(1)).alias("count"))
+        elif name == "groupCount":
+            df = cur.df() if isinstance(cur, Traversal) else cur
+            if args:
+                col = _resolve_key(df.columns, args[0])
+                if not col:
+                    raise GremlinSyntaxError(f"unknown property key {args[0]!r}")
+                keys = [F.col(col).alias(args[0])]
+            elif isinstance(cur, Traversal):
+                keys = [F.col(M.ID)]  # traverser visit counts per element
+            else:
+                keys = [F.col(c) for c in df.columns]
+            cur = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+        elif name in ("sum", "mean", "max", "min"):
+            if isinstance(cur, Traversal) or len(cur.columns) != 1:
+                raise GremlinSyntaxError(
+                    f".{name} aggregates a single projected value — "
+                    f"use .values(key) / .property(key) first"
+                )
+            agg = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[
+                name
+            ](F.col(cur.columns[0]))
+            cur = cur.agg(agg.alias(name))
         elif name in _NOOPS:
             pass
         else:

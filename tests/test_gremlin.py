@@ -145,3 +145,29 @@ def test_rexster_gremlin_route(toy_graph):
     assert status == 400 and body["success"] is False
     status, body = shim.handle("GET", "/graphs/flux/tp/gremlin", {})
     assert status == 400
+
+
+def test_aggregation_pipes(toy_graph):
+    g, vs, _ = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+
+    # groupCount over a key
+    df = GL.run("g.E.groupCount('label')", v_df, e_df)
+    got = {r["label"]: r["count"] for r in df.collect()}
+    assert got == {"knows": 2, "created": 4}
+
+    # groupCount without a key = traverser visit counts per element id
+    df = GL.run("g.V.has('lang','java').in('created').groupCount()", v_df, e_df)
+    got = {r["id"]: r["count"] for r in df.collect()}
+    assert got[vs["josh"].id] == 2 and got[vs["marko"].id] == 1
+
+    # numeric pipes over a projected value
+    assert GL.run("g.V.has('age').values('age').sum()", v_df, e_df).collect()[0][0] == 123
+    assert GL.run("g.V.values('age').max()", v_df, e_df).collect()[0][0] == 35
+    assert GL.run("g.V.values('age').min()", v_df, e_df).collect()[0][0] == 27
+    mean = GL.run("g.E.has('label','created').values('weight').mean()", v_df, e_df)
+    assert abs(mean.collect()[0][0] - 0.5) < 1e-6
+
+    # aggregating a whole frontier is rejected with a pointer
+    with pytest.raises(ValueError):
+        GL.run("g.V.sum()", v_df, e_df).collect()
