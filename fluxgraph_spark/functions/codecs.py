@@ -299,10 +299,11 @@ def decode_avi(data: bytes):
 
     fps = None
     w = h = None
+    cur_stream = None  # fccType of the most recent strh (gates strf parse)
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal fps, w, h
+        nonlocal fps, w, h, cur_stream
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -312,7 +313,11 @@ def decode_avi(data: bytes):
                 # list body starts after the 4-byte list type
                 walk(buf, body_start + 4, body_end)
             elif cid == b"strh":
-                fcc_type = buf[body_start : body_start + 4]
+                # remember which stream the NEXT strf describes: an AVI
+                # may list its audio stream first, and a WAVEFORMATEX
+                # strf must not be unpacked as a BITMAPINFOHEADER
+                cur_stream = buf[body_start : body_start + 4]
+                fcc_type = cur_stream
                 if fcc_type == b"vids":
                     handler = buf[body_start + 4 : body_start + 8]
                     if handler in (b"MJPG", b"mjpg"):
@@ -325,7 +330,7 @@ def decode_avi(data: bytes):
                     )
                     if scale:
                         fps = rate / scale
-            elif cid == b"strf" and w is None:
+            elif cid == b"strf" and w is None and cur_stream == b"vids":
                 (_bisize, bw, bh, _planes, bits, comp) = struct.unpack(
                     "<IiiHHI", buf[body_start : body_start + 20]
                 )

@@ -141,6 +141,15 @@ class Step:
 
 def parse(script: str) -> list[Step]:
     """Parse a Gremlin pipeline string into a flat step list."""
+    try:
+        return _parse(script)
+    except IndexError:
+        # truncated input (unclosed args list / range suffix) walks past
+        # the token list — surface it as a syntax error, not IndexError
+        raise GremlinSyntaxError("unexpected end of pipeline") from None
+
+
+def _parse(script: str) -> list[Step]:
     toks = _tokenize(script)
     if not toks or toks[0] != ("name", "g"):
         raise GremlinSyntaxError("pipeline must start with `g`")

@@ -191,10 +191,16 @@ class DedupIndex:
         b_hashes = b_hashes.persist()
         b_bands = b_bands.persist()
 
-        # exact tier: corpus hash hit, or smaller-id twin within batch
+        # exact tier: corpus hash hit, or smaller-id twin within batch.
+        # The id inequality makes the probe replay-safe: a crashed-and-
+        # replayed microbatch finds its own previous fingerprints in the
+        # index (same ids), and without it every replayed doc would
+        # self-match and drop.  Real corpus twins always carry other ids.
         hn = b_hashes.alias("hn")
         exact_corpus = hn.join(
-            self.hashes().alias("ho"), F.col("hn.h") == F.col("ho.h"), "left_semi"
+            self.hashes().alias("ho"),
+            (F.col("hn.h") == F.col("ho.h")) & (F.col("hn.id") != F.col("ho.id")),
+            "left_semi",
         ).select(F.col("hn.id").alias("id"))
         hb = b_hashes.alias("hb")
         exact_batch = (
@@ -212,7 +218,9 @@ class DedupIndex:
             bn.join(
                 self.bands_df().alias("bo"),
                 (F.col("bn.band") == F.col("bo.band"))
-                & (F.col("bn.bucket") == F.col("bo.bucket")),
+                & (F.col("bn.bucket") == F.col("bo.bucket"))
+                # replay-safe: see the exact tier above
+                & (F.col("bn.id") != F.col("bo.id")),
             )
             .select(F.col("bn.id").alias("id_a"), F.col("bo.id").alias("id_b"))
         )
@@ -237,7 +245,11 @@ class DedupIndex:
         corpus_hits = corpus_docs.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         ).join(hit_ids, "id", "left_semi")
-        sh = shingle_table(base.unionByName(corpus_hits), "id", "text", n=self.n)
+        # jaccard_pairs consumes the shingles three times (sizes agg +
+        # both join sides) — persist so the explode/md5 work runs once
+        sh = shingle_table(
+            base.unionByName(corpus_hits), "id", "text", n=self.n
+        ).persist()
         verified = jaccard_pairs(sh, block=cand, threshold=threshold)
         near_drop = verified.select(F.col("id_a").alias("id")).distinct()
 
@@ -250,4 +262,5 @@ class DedupIndex:
         b_hashes.unpersist()
         b_bands.unpersist()
         cand.unpersist()
+        sh.unpersist()
         return new_batch.join(drops, id_col, "left_anti")

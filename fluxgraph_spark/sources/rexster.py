@@ -132,6 +132,10 @@ class RexsterShim:
             status, body = self._route(parts, params)
         except KeyError:
             status, body = 404, {"message": f"Graph [{parts[1]}] could not be found"}
+        except ValueError as ex:
+            # malformed client input (e.g. non-numeric rexster.offset.*)
+            # is a 400 envelope, never an unhandled handler exception
+            status, body = 400, {"message": f"malformed request: {ex}"}
         body.setdefault("version", _VERSION)
         body.setdefault("queryTime", round((time.time() - t0) * 1000, 3))
         return status, body
@@ -185,7 +189,10 @@ class RexsterShim:
             key, value = self._lookup_params(params)
             items = [_vertex_json(v) for v in g.get_vertices(key, value)]
             return 200, self._page(items, params)
-        vid = int(rest[0])
+        try:
+            vid = int(rest[0])
+        except ValueError:
+            return 404, {"message": f"Vertex with [{rest[0]}] cannot be found."}
         v = g.get_vertex(vid)
         if v is None or v.is_deleted():
             return 404, {"message": f"Vertex with [{vid}] cannot be found."}
@@ -240,7 +247,10 @@ class RexsterShim:
             key, value = self._lookup_params(params)
             items = [_edge_json(e) for e in g.get_edges(key, value)]
             return 200, self._page(items, params)
-        eid = int(rest[0])
+        try:
+            eid = int(rest[0])
+        except ValueError:
+            return 404, {"message": f"Edge with [{rest[0]}] cannot be found."}
         e = g.get_edge(eid)
         if e is None or e.is_deleted():
             return 404, {"message": f"Edge with [{eid}] cannot be found."}

@@ -36,6 +36,7 @@ import datetime
 import json
 import os
 import shutil
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,7 +126,10 @@ class Scd2ParquetTable:
         set.  A bounded driver probe over len(keys) rows; the key values
         are cast to the COMMITTED key column types first so the bucket
         hash matches the writer's exactly (hash(int) != hash(bigint))."""
-        committed = self.spark.read.parquet(self._committed_paths()[0])
+        paths = self._committed_paths()
+        if not paths:
+            raise ValueError(f"no committed data at {self.path}")
+        committed = self.spark.read.parquet(paths[0])
         kdf = self.spark.createDataFrame(
             self._key_tuples(keys), ", ".join(
                 f"{c} {committed.schema[c].dataType.simpleString()}"
@@ -284,8 +288,14 @@ class Scd2ParquetTable:
             n_existing = 0
             merged = scd2_from_change_events(changes, self.key_cols, self.ts_col)
 
-        # WRITE: stage new versions of the affected buckets only
-        staging = os.path.join(self.path, "_staging", f"v={vid}")
+        # WRITE: stage new versions of the affected buckets only.  The
+        # staging dir is unique PER ATTEMPT (uuid), not per vid: two
+        # racers that read the same manifest compute the same vid, and a
+        # shared v= dir would let one overwrite the other's staged
+        # buckets before either reaches the pre-publish version check.
+        staging = os.path.join(
+            self.path, "_staging", f"v={vid}-{uuid.uuid4().hex[:12]}"
+        )
         (
             merged.withColumn(_BUCKET_COL, self._bucket_expr())
             .write.mode("overwrite")
@@ -345,8 +355,8 @@ class Scd2ParquetTable:
                     shutil.rmtree(dst)
                 os.rename(os.path.join(staging, f"{_BUCKET_COL}={b}"), dst)
         finally:
-            # scope the cleanup to THIS commit's staging subdirectory — a
-            # concurrent ingest's staged buckets (a different v=) survive;
+            # scope the cleanup to THIS attempt's staging subdirectory — a
+            # concurrent ingest's staged buckets (a different uuid) survive;
             # drop the shared _staging/ root only once it is empty
             shutil.rmtree(staging, ignore_errors=True)
             try:

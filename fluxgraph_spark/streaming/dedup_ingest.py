@@ -10,15 +10,20 @@ large the corpus grows.  The reference has no streaming surface at all
 (SURVEY §2.8); this extends the engine's Structured-Streaming family
 (events, changefeed, SCD2 ingest) to the pipeline's dedup tier.
 
-Crash/replay semantics: survivors and corpus documents land in
-``batch_id=N`` subdirectories written with overwrite, so a replayed
-microbatch after a crash rewrites its own partition instead of
-double-appending.  The index append is NOT deduplicated on replay —
-deliberately: duplicate fingerprint rows cannot change any later
-decision (the exact tier is a semi-join, candidate pairs are
-de-duplicated before the verify), they only add index bytes, and a
-bytes-exact repair is one ``DedupIndex.build`` from the corpus
-directory.  Decisions stay correct under at-least-once execution.
+Crash/replay semantics (at-least-once foreachBatch): survivors and
+corpus documents land in ``batch_id=N`` subdirectories written with
+overwrite, so a replayed microbatch rewrites its own partition instead
+of double-appending; the replay DECIDES identically because (a) the
+per-batch corpus read filters to ``batch_id < N`` (the crashed attempt
+may already have written its own partition) and (b) the index probes
+exclude same-id rows (the crashed attempt may already have appended the
+batch's fingerprints — without the exclusion every replayed doc would
+self-match and vanish).  The index append itself is NOT deduplicated on
+replay — deliberately: with same-id rows excluded from probes,
+duplicate fingerprints cannot change any later decision (candidate
+pairs are de-duplicated before the verify), they only add index bytes,
+and a bytes-exact repair is one ``DedupIndex.build`` from the corpus
+directory.
 """
 
 from __future__ import annotations
@@ -26,6 +31,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sources.bucketed import DedupIndex
 
@@ -64,9 +70,15 @@ def dedup_streaming_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # replay safety: a crashed batch N may have already written its
+        # own corpus/batch_id=N partition — a replay must dedupe against
+        # strictly EARLIER state, or its docs self-match and vanish.
+        # (The index probes exclude same-id rows for the same reason —
+        # sources/bucketed.py dedupe_batch.)
         corpus = (
             spark.read.option("basePath", corpus_dir)
             .parquet(corpus_dir)
+            .where(F.col("batch_id") < batch_id)
             .select(batch_df.columns)
         )
         kept = index.dedupe_batch(

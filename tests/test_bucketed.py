@@ -118,3 +118,24 @@ def test_append_equals_rebuild(spark, docs, warehouse, index):
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     # an appended index keeps answering shuffle-free
     assert _pairs_set(grown.candidate_pairs()) == _pairs_set(rebuilt.candidate_pairs())
+
+
+def test_dedupe_batch_replay_is_idempotent(spark, docs, warehouse):
+    """Crashed-and-replayed microbatch: the batch's fingerprints are
+    already in the index (the crashed attempt appended them).  The
+    replay must reach the SAME decisions — same-id index rows are
+    excluded from the exact and band probes — not drop everything as
+    self-matches."""
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    idx = bucketed.DedupIndex.build(
+        corpus, "doc_id", "text", f"{warehouse}.replay",
+        n=3, num_hashes=8, bands=4, n_buckets=4,
+    )
+    first = idx.dedupe_batch(batch, corpus, "doc_id", "text", threshold=0.5)
+    first_ids = sorted(r["doc_id"] for r in first.collect())
+    idx.append(first, "doc_id", "text")  # what the crashed attempt did
+    replay = idx.dedupe_batch(batch, corpus, "doc_id", "text", threshold=0.5)
+    replay_ids = sorted(r["doc_id"] for r in replay.collect())
+    assert replay_ids == first_ids
+    assert replay_ids  # and not the empty set a self-match would produce

@@ -171,3 +171,12 @@ def test_aggregation_pipes(toy_graph):
     # aggregating a whole frontier is rejected with a pointer
     with pytest.raises(ValueError):
         GL.run("g.V.sum()", v_df, e_df).collect()
+
+
+@pytest.mark.parametrize(
+    "truncated",
+    ["g.V.has('kind','x'", "g.V[0..", "g.V.out(", "g.V.has('k',"],
+)
+def test_truncated_pipelines_raise_syntax_error(truncated):
+    with pytest.raises(GL.GremlinSyntaxError):
+        GL.parse(truncated)

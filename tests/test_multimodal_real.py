@@ -210,3 +210,50 @@ def test_pq_small_corpus_stride(spark):
     out = similarity.pq_adc_topk(emb, queries, k=5, m=4, ksub=16).collect()
     assert len(out) == 5
     assert all(r["adc_micro"] is not None and r["adc_micro"] >= 0 for r in out)
+
+
+def test_decode_avi_audio_stream_listed_first():
+    """A valid AVI may list its audio stream before the video stream;
+    the audio strf (WAVEFORMATEX) must not be parsed as a
+    BITMAPINFOHEADER — only the strf following an strh(vids) counts."""
+    import struct
+
+    import numpy as np
+
+    from fluxgraph_spark.functions import codecs
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 255, (4, 6, 3)).astype("uint8") for _ in range(2)]
+    data = codecs.encode_avi(frames, fps=2.0)
+
+    def chunk(cid, body):
+        return (
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    # splice an auds strl (strh + WAVEFORMATEX strf) before the vids strl
+    strh_a = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 0)
+        + struct.pack("<4h", 0, 0, 0, 0)
+    )
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    auds = lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+
+    (avih_size,) = struct.unpack("<I", data[28:32])
+    ins = 32 + avih_size + (avih_size & 1)
+    out = bytearray(data)
+    out[ins:ins] = auds
+    for off in (4, 16):  # RIFF size, hdrl LIST size
+        (sz,) = struct.unpack("<I", bytes(out[off : off + 4]))
+        struct.pack_into("<I", out, off, sz + len(auds))
+
+    fps, got = codecs.decode_avi(bytes(out))
+    _, want = codecs.decode_avi(data)
+    assert fps == 2.0 and len(got) == 2
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)

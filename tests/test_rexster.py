@@ -134,3 +134,15 @@ def test_graph_from_location_contract(spark, tmp_path):
     shim = RexsterShim(g2)
     status, body = shim.handle("GET", "/graphs/fluxgraph/vertices")
     assert status == 200 and body["totalSize"] == 2
+
+
+def test_malformed_ids_and_paging(shim):
+    s, *_ = shim
+    status, body = s.handle("GET", "/graphs/flux/vertices/abc")
+    assert status == 404 and "cannot be found" in body["message"]
+    status, body = s.handle("GET", "/graphs/flux/edges/xyz")
+    assert status == 404 and "cannot be found" in body["message"]
+    status, body = s.handle(
+        "GET", "/graphs/flux/vertices", {"rexster.offset.start": "foo"}
+    )
+    assert status == 400 and "malformed" in body["message"]

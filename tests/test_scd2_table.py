@@ -315,3 +315,11 @@ def test_as_of_snapshot_reads(spark, tmp_path):
     }
     assert snap2 == {1: "b", 2: "x", 3: "m"}  # current picture
     assert tbl.as_of(T0 - datetime.timedelta(hours=1)).count() == 0
+
+
+def test_keyed_read_on_empty_table_raises_value_error(spark, tmp_path):
+    from fluxgraph_spark.sources.scd2_table import Scd2ParquetTable
+
+    tbl = Scd2ParquetTable(spark, str(tmp_path / "empty"), ["user_id"], n_buckets=4)
+    with pytest.raises(ValueError, match="no committed data"):
+        tbl.read(keys=[3])
