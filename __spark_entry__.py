@@ -2617,6 +2617,27 @@ def q_s_ivf_indexed_topk(spark, sf_dir):
     return idx.topk(queries, k=10, n_probe=4)
 
 
+def q_s_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ combined index (FAISS IVFADC layout): probes prune the
+    scan to the queried inverted-list partitions AND the scan touches
+    only m-byte PQ codes — asymmetric integer-micro distance against a
+    broadcast LUT.  Deterministic md5-sample centroids + codebooks, so
+    the two-stage decision replays exactly in SQL."""
+    import tempfile
+
+    from fluxgraph_spark.sources.ann_index import IvfPqIndex
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = IvfPqIndex.build(
+        emb, tempfile.mkdtemp(prefix="ivfpq_idx_"),
+        n_centroids=16, m=4, ksub=16,
+    )
+    return idx.topk(queries, k=10, n_probe=4)
+
+
 def q_s_pq_topk(spark, sf_dir):
     """Product-quantization ANN: corpus compressed to m=4 one-byte codes
     per vector (64x), queries score via asymmetric-distance lookup-table
@@ -2758,6 +2779,7 @@ _R4_PRIORITY = [
     "d_incr_dedupe", "d_semantic_dedupe", "st_scd2_ingest", "x_frames",
     "g_gremlin_pipe", "g_gremlin_heavy", "d_indexed_dedupe",
     "st_dedup_ingest", "s_ivf_indexed_topk", "g_gremlin_groupcount",
+    "s_ivfpq_topk",
 ]
 
 # Rows-only variants (xxhash64 fast paths — not SQL-replayable by
@@ -2903,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_lsh_topk": q_s_lsh_topk,
         "s_ivf_topk": q_s_ivf_topk,
         "s_ivf_indexed_topk": q_s_ivf_indexed_topk,
+        "s_ivfpq_topk": q_s_ivfpq_topk,
         "s_pq_topk": q_s_pq_topk,
         "pipeline_corpus": q_pipeline_corpus,
         "m_media_features": q_m_media_features,
@@ -4680,6 +4703,67 @@ def oracle_sql() -> dict[str, str]:
           SELECT l.query_id, e.vec_id, CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
           FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
           GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, vec_id, adc_micro, rank FROM (
+          SELECT query_id, vec_id, adc_micro,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_micro, vec_id) AS INT) AS rank
+          FROM scored) WHERE rank <= 10
+        """,
+        # IVF+PQ replay: the IVF CTEs pick each query's probed lists and
+        # each corpus vector's single list; the PQ CTEs encode + LUT;
+        # scoring sums integer micro distances over the probed candidates
+        "s_ivfpq_topk": """
+        WITH base AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        cents AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id,
+                 vec AS cvec
+          FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        ivf_scored AS MATERIALIZED (
+          SELECT b.vec_id, c.centroid_id,
+                 list_dot_product(b.vec, c.cvec)
+                   / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+          FROM base b CROSS JOIN cents c),
+        assign1 AS MATERIALIZED (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM ivf_scored) WHERE rn = 1),
+        qassign AS MATERIALIZED (
+          SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM ivf_scored WHERE vec_id < 5) WHERE rn <= 4),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT q.query_id, a.vec_id
+          FROM qassign q JOIN assign1 a ON a.centroid_id = q.centroid_id),
+        samp AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code,
+                 vec
+          FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        cb AS MATERIALIZED (
+          SELECT u.s, samp.code, (samp.vec)[u.s*16+1 : u.s*16+16] AS csub
+          FROM samp, UNNEST([0,1,2,3]) AS u(s)),
+        enc AS MATERIALIZED (
+          SELECT vec_id, s, code FROM (
+            SELECT b.vec_id, cb.s, cb.code,
+                   row_number() OVER (PARTITION BY b.vec_id, cb.s ORDER BY
+                     list_sum(list_transform(
+                       list_zip((b.vec)[cb.s*16+1 : cb.s*16+16], cb.csub),
+                       x -> (x[1]-x[2])*(x[1]-x[2]))) ASC, cb.code) AS rn
+            FROM base b CROSS JOIN cb) WHERE rn = 1),
+        lut AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, cb.s, cb.code,
+                 CAST(floor(list_sum(list_transform(
+                   list_zip((q.vec)[cb.s*16+1 : cb.s*16+16], cb.csub),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000 + 0.5) AS BIGINT) AS dmicro
+          FROM base q CROSS JOIN cb WHERE q.vec_id < 5),
+        scored AS (
+          SELECT cd.query_id, cd.vec_id, CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
+          FROM cand cd
+          JOIN enc e ON e.vec_id = cd.vec_id
+          JOIN lut l ON l.query_id = cd.query_id AND l.s = e.s AND l.code = e.code
+          GROUP BY cd.query_id, cd.vec_id)
         SELECT query_id, vec_id, adc_micro, rank FROM (
           SELECT query_id, vec_id, adc_micro,
                  CAST(row_number() OVER (

@@ -40,6 +40,8 @@ from ..functions.similarity import (
     _topk_per_query,
     ivf_assign,
     ivf_centroids,
+    pq_codebooks,
+    pq_encode,
 )
 
 
@@ -148,3 +150,163 @@ class IvfIndex:
             ).alias("cosine"),
         )
         return _topk_per_query(scored, k)
+
+
+class IvfPqIndex:
+    """IVF + PQ combined index — the classic production ANN layout
+    (FAISS's IVFADC, Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): corpus vectors are assigned to
+    inverted lists (IVF) AND stored only as m one-byte PQ codes, so a
+    query batch
+
+    * prunes the scan to its ``n_probe`` partitions (directory-level,
+      as :class:`IvfIndex`), and
+    * scans only compressed codes inside them — asymmetric-distance
+      lookups against a broadcast integer LUT, never the raw vectors.
+
+    At 100 TB that compounds: probing 4 of 1024 lists reads ~0.4% of
+    the rows, and each row is ~64x smaller than the raw vector.  Both
+    stages reuse the deterministic md5-sample construction of the
+    in-memory paths (similarity.ivf_centroids / pq_codebooks), so the
+    whole two-stage decision replays exactly in the SQL oracle.
+
+    Layout: ``centroids/`` parquet, ``codebooks.json`` (m x ksub x dsub
+    floats — driver-sized by construction), ``codes/`` parquet
+    partitioned by ``centroid_id`` holding (vec_id, codes).
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.centroids_dir = os.path.join(index_dir, "centroids")
+        self.codebooks_path = os.path.join(index_dir, "codebooks.json")
+        self.codes_dir = os.path.join(index_dir, "codes")
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        index_dir: str,
+        n_centroids: int = 16,
+        m: int = 4,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfPqIndex":
+        import json
+
+        idx = cls(corpus.sparkSession, index_dir)
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        cents.coalesce(1).write.mode("overwrite").parquet(idx.centroids_dir)
+        codebooks = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+        os.makedirs(index_dir, exist_ok=True)
+        with open(idx.codebooks_path, "w") as f:
+            json.dump(codebooks, f)
+        v = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double_vec(F.col(vec_col)).alias("cvec"),
+        )
+        assigned = ivf_assign(v, cents, 1, "vec_id", "cvec").withColumnRenamed(
+            "id", "vec_id"
+        )
+        codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+        (
+            assigned.join(codes, "vec_id")
+            .select("centroid_id", "vec_id", "codes")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(idx.codes_dir)
+        )
+        return idx
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self.centroids_dir)
+
+    def codebooks(self) -> list:
+        import json
+
+        with open(self.codebooks_path) as f:
+            return json.load(f)
+
+    def codes(self, centroid_ids: Optional[list] = None) -> DataFrame:
+        df = self.spark.read.parquet(self.codes_dir)
+        if centroid_ids is not None:
+            df = df.where(F.col("centroid_id").isin(centroid_ids))
+        return df
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        query_id_col: str = "query_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(query_id, vec_id, adc_micro, rank) ascending by asymmetric
+        distance, scanning only the probed lists' compressed codes."""
+        import math
+
+        from pyspark.sql import Window as W
+
+        codebooks = self.codebooks()
+        m = len(codebooks)
+        ksub = len(codebooks[0])
+        dsub = len(codebooks[0][0])
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double_vec(F.col(vec_col)).alias("qvec"),
+        )
+        q_buckets = ivf_assign(
+            q, self.centroids(), n_probe, "query_id", "qvec"
+        ).withColumnRenamed("id", "query_id")
+        probe_ids = [
+            r["centroid_id"]
+            for r in q_buckets.select("centroid_id").distinct().collect()
+        ]
+        codes = self.codes(probe_ids)
+
+        # per-query integer-micro ADC LUT (bounded: queries x m x ksub)
+        luts = []
+        for r in q.collect():
+            flat = []
+            for s in range(m):
+                qsub = [float(x) for x in r["qvec"][s * dsub : (s + 1) * dsub]]
+                for cvec in codebooks[s]:
+                    d = 0.0
+                    for x, y in zip(qsub, cvec):  # sequential fold = parity
+                        d += (x - y) * (x - y)
+                    flat.append(int(math.floor(d * 1_000_000 + 0.5)))
+            luts.append((r["query_id"], flat))
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        lut_df = self.spark.createDataFrame(
+            luts, f"query_id {qid_type}, lut array<bigint>"
+        )
+        adc = F.expr(
+            f"aggregate(zip_with(codes, sequence(0, {m - 1}), "
+            f"(c, s) -> element_at(lut, s * {ksub} + c)), "
+            f"cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        # each vector lives in exactly one list (n_probe=1 assignment at
+        # build), so the probe join yields unique (query_id, vec_id)
+        scored = (
+            q_buckets.join(codes, "centroid_id")
+            .join(F.broadcast(lut_df), "query_id")
+            .select("query_id", "vec_id", adc.alias("adc_micro"))
+        )
+        w_local = W.partitionBy("query_id", "salt").orderBy(
+            F.col("adc_micro").asc(), F.col("vec_id")
+        )
+        local = (
+            scored.withColumn("salt", F.spark_partition_id())
+            .withColumn("r", F.row_number().over(w_local))
+            .where(F.col("r") <= k)
+            .drop("salt", "r")
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("adc_micro").asc(), F.col("vec_id")
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "adc_micro", "rank")
+        )

@@ -83,3 +83,40 @@ def test_append_matches_rebuild(spark, emb, index, tmp_path):
     full._write_lists(emb, "vec_id", "embedding", mode="overwrite")
     want = _rows(full.topk(queries, k=10, n_probe=4))
     assert got == want
+
+
+def test_ivfpq_topk_prunes_and_ranks(spark, emb, tmp_path):
+    from fluxgraph_spark.sources.ann_index import IvfPqIndex
+
+    idx = IvfPqIndex.build(
+        emb, str(tmp_path / "ivfpq"), n_centroids=16, m=4, ksub=16
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = idx.topk(queries, k=10, n_probe=4)
+    rows = got.collect()
+    assert len(rows) == 50
+    assert got.columns == ["query_id", "vec_id", "adc_micro", "rank"]
+    # queries come from the corpus: each probes its own list, and its own
+    # PQ code is its LUT argmin — rank 1 must be the query itself
+    rank1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert all(qid == vid for qid, vid in rank1.items())
+    # ranks ascend with adc within each query
+    for qid in rank1:
+        per = sorted(
+            (r["rank"], r["adc_micro"]) for r in rows if r["query_id"] == qid
+        )
+        assert [p[0] for p in per] == list(range(1, 11))
+        assert all(per[i][1] <= per[i + 1][1] for i in range(9))
+
+    # the codes scan reads only the probed partitions
+    def files_read(df):
+        return {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+
+    qv = queries.select(
+        "query_id", similarity._as_double_vec(F.col("embedding")).alias("qvec")
+    )
+    probes = similarity.ivf_assign(qv, idx.centroids(), 4, "query_id", "qvec")
+    ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
+    assert files_read(idx.codes(ids)) < files_read(idx.codes())
