@@ -49,6 +49,7 @@ QUERIES = [
     # build — the amortized per-query cost is strictly lower)
     "d_indexed_dedupe",
     "s_ivf_indexed_topk",
+    "s_ivfpq_topk",
     "g_gremlin_pipe",
 ]
 

@@ -113,6 +113,7 @@ AUDITED = [
     "g_gremlin_heavy",
     "d_indexed_dedupe",
     "s_ivf_indexed_topk",
+    "s_ivfpq_topk",
     "x_frames",
 ]
 
@@ -183,6 +184,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_frames",             # full-corpus synthetic AVI decode (mapInPandas)
     "s_ivf_indexed_topk",   # probe prune is PartitionFilters (directory-level,
                             # stronger than a row-group PushedFilters entry)
+    "s_ivfpq_topk",         # same: PartitionFilters on the codes scan
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
