@@ -3,6 +3,10 @@ from .graphson import load_graphson, write_graphson
 from .gml import load_gml
 from .parquet_io import DataFrameGraph, load_graph_parquet, save_graph_parquet
 from .tpch import tpch_graph
+from .bucketed import DedupIndex
+from .ann_index import IvfIndex, IvfPqIndex
+from .scd2_table import Scd2ParquetTable
+from .rexster import RexsterShim
 
 __all__ = [
     "load_graphml",
@@ -14,4 +18,9 @@ __all__ = [
     "save_graph_parquet",
     "load_graph_parquet",
     "tpch_graph",
+    "DedupIndex",
+    "IvfIndex",
+    "IvfPqIndex",
+    "Scd2ParquetTable",
+    "RexsterShim",
 ]
