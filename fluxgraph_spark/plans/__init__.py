@@ -16,6 +16,8 @@ from .layout import (
     write_time_bucketed,
     read_as_of_pruned,
     write_id_bucketed,
+    materialize_graph_bucketed,
+    BucketedGraph,
     explain_str,
 )
 
@@ -23,5 +25,7 @@ __all__ = [
     "write_time_bucketed",
     "read_as_of_pruned",
     "write_id_bucketed",
+    "materialize_graph_bucketed",
+    "BucketedGraph",
     "explain_str",
 ]

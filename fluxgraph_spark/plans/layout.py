@@ -73,3 +73,62 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     with redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
+
+
+def materialize_graph_bucketed(
+    vertices: DataFrame,
+    edges: DataFrame,
+    database_prefix: str,
+    n_buckets: int = 32,
+) -> "BucketedGraph":
+    """Traversal-optimized graph layout: vertices bucketed by id, edges
+    stored TWICE — bucketed by ``src`` (out-hops) and by ``dst``
+    (in-hops), the storage analog of forward and reverse adjacency
+    indexes.  A hop join against either copy reads the (huge) edge table
+    pre-shuffled from disk, so the only Exchange in the plan moves the
+    (small) frontier — at 100 TB the edge table never crosses the
+    network again after the one-time write.  The duplicate edge copy is
+    the textbook space-for-shuffle trade every production graph store
+    makes (adjacency in both directions)."""
+    write_id_bucketed(vertices, f"{database_prefix}_vertices", n_buckets, key=M.ID)
+    write_id_bucketed(edges, f"{database_prefix}_edges_out", n_buckets, key=M.SRC)
+    write_id_bucketed(edges, f"{database_prefix}_edges_in", n_buckets, key=M.DST)
+    return BucketedGraph(vertices.sparkSession, database_prefix)
+
+
+class BucketedGraph:
+    """Reader over :func:`materialize_graph_bucketed` tables with
+    frontier-only-shuffle hop joins."""
+
+    def __init__(self, spark: SparkSession, database_prefix: str) -> None:
+        self.spark = spark
+        self.prefix = database_prefix
+
+    def vertices(self) -> DataFrame:
+        return self.spark.table(f"{self.prefix}_vertices")
+
+    def edges_out(self) -> DataFrame:
+        return self.spark.table(f"{self.prefix}_edges_out")
+
+    def edges_in(self) -> DataFrame:
+        return self.spark.table(f"{self.prefix}_edges_in")
+
+    def _hop(self, frontier_ids: DataFrame, table: DataFrame, key: str,
+             other: str, labels) -> DataFrame:
+        e = table
+        if labels:
+            e = e.where(F.col(M.LABEL).isin(list(labels)))
+        return (
+            frontier_ids.select(F.col(M.ID).alias(key))
+            .join(e, key)
+            .select(F.col(other).alias(M.ID))
+        )
+
+    def out_hop(self, frontier_ids: DataFrame, *labels: str) -> DataFrame:
+        """Bag of destination ids one hop out (duplicates preserved —
+        T3 semantics).  The edges_out scan is bucket-aligned: only the
+        frontier shuffles."""
+        return self._hop(frontier_ids, self.edges_out(), M.SRC, M.DST, labels)
+
+    def in_hop(self, frontier_ids: DataFrame, *labels: str) -> DataFrame:
+        return self._hop(frontier_ids, self.edges_in(), M.DST, M.SRC, labels)
