@@ -122,12 +122,18 @@ class RexsterShim:
         lists collapse)."""
         t0 = time.time()
         params = params or {}
-        if method.upper() != "GET":
+        parts = [p for p in path.split("/") if p]
+        # POST is allowed ONLY on the Gremlin extension route (Rexster
+        # clients POST their scripts; the scripts themselves are still
+        # read-only pipelines).  Every other mutating verb stays 405:
+        # writes belong to the transactional Python API.
+        if method.upper() != "GET" and not (
+            method.upper() == "POST" and parts[2:4] == ["tp", "gremlin"]
+        ):
             return 405, {
                 "message": "this shim is read-only; use the Python API to mutate",
                 "version": _VERSION,
             }
-        parts = [p for p in path.split("/") if p]
         try:
             status, body = self._route(parts, params)
         except KeyError:
@@ -270,6 +276,18 @@ class RexsterShim:
             def _respond(self, method: str) -> None:
                 url = urlparse(self.path)
                 params = {k: v[0] for k, v in parse_qs(url.query).items()}
+                n = int(self.headers.get("Content-Length") or 0)
+                if n:
+                    # Rexster's Gremlin extension POSTs {"script": ...}
+                    raw = self.rfile.read(n)
+                    try:
+                        posted = json.loads(raw)
+                        if isinstance(posted, dict):
+                            params.update(
+                                {k: v for k, v in posted.items() if isinstance(v, str)}
+                            )
+                    except ValueError:
+                        pass
                 status, body = shim.handle(method, url.path, params)
                 payload = json.dumps(body, default=str).encode()
                 self.send_response(status)

@@ -146,3 +146,44 @@ def test_malformed_ids_and_paging(shim):
         "GET", "/graphs/flux/vertices", {"rexster.offset.start": "foo"}
     )
     assert status == 400 and "malformed" in body["message"]
+
+
+def test_gremlin_post_route(shim):
+    """Rexster clients POST their Gremlin scripts; POST is accepted on
+    the tp/gremlin route only (the scripts are read-only pipelines) —
+    every other verb/route stays 405."""
+    s, a, b, c, e1 = shim
+    status, body = s.handle(
+        "POST", "/graphs/flux/tp/gremlin",
+        {"script": "g.V.has('name','alice').out.dedup.count()"},
+    )
+    assert status == 200 and body["success"] is True
+    assert body["results"] == [{"count": 2}]
+    status, body = s.handle("POST", "/graphs/flux/vertices")
+    assert status == 405
+    status, body = s.handle("DELETE", "/graphs/flux/tp/gremlin", {"script": "g.V"})
+    assert status == 405
+
+
+def test_gremlin_post_http_round_trip(shim):
+    import urllib.request
+
+    s, *_ = shim
+    srv = s.serve(port=0)
+    try:
+        port = srv.server_address[1]
+        payload = json.dumps(
+            {"script": "g.V.has('name','alice').outE.label"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphs/flux/tp/gremlin",
+            data=payload,
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert body["success"] is True
+        assert sorted(x["label"] for x in body["results"]) == ["knows", "likes"]
+    finally:
+        srv.shutdown()
