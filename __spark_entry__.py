@@ -2617,6 +2617,21 @@ def q_s_ivf_indexed_topk(spark, sf_dir):
     return idx.topk(queries, k=10, n_probe=4)
 
 
+def q_s_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with Lloyd-refined centroids (2 k-means iterations, integer-
+    micro cluster means) — the ANN quality path, still fully
+    deterministic: the iterative refinement unrolls into the SQL oracle
+    (each iteration = one assignment argmax + one integer-mean CTE)."""
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.ivf_centroids_refined(emb, n_centroids=16, iters=2)
+    return similarity.cosine_topk_ivf(
+        emb, queries, k=10, n_probe=4, centroids=cents
+    )
+
+
 def q_s_ivfpq_topk(spark, sf_dir):
     """IVF+PQ combined index (FAISS IVFADC layout): probes prune the
     scan to the queried inverted-list partitions AND the scan touches
@@ -2779,7 +2794,7 @@ _R4_PRIORITY = [
     "d_incr_dedupe", "d_semantic_dedupe", "st_scd2_ingest", "x_frames",
     "g_gremlin_pipe", "g_gremlin_heavy", "d_indexed_dedupe",
     "st_dedup_ingest", "s_ivf_indexed_topk", "g_gremlin_groupcount",
-    "s_ivfpq_topk",
+    "s_ivfpq_topk", "s_ivf_kmeans_topk",
 ]
 
 # Rows-only variants (xxhash64 fast paths — not SQL-replayable by
@@ -2926,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ivf_topk": q_s_ivf_topk,
         "s_ivf_indexed_topk": q_s_ivf_indexed_topk,
         "s_ivfpq_topk": q_s_ivfpq_topk,
+        "s_ivf_kmeans_topk": q_s_ivf_kmeans_topk,
         "s_pq_topk": q_s_pq_topk,
         "pipeline_corpus": q_pipeline_corpus,
         "m_media_features": q_m_media_features,
@@ -3133,6 +3149,81 @@ comp AS (SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
 """
+
+
+def _ivf_kmeans_sql(iters: int = 2, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """IVF top-k with Lloyd-refined centroids, the iterations UNROLLED:
+    each one is an assignment argmax + an integer-micro cluster-mean CTE
+    (the label_centroids determinism trick), so the refined centroid
+    values — and therefore buckets, candidates, and ranks — replay
+    bit-for-bit."""
+    parts = [
+        "WITH base AS MATERIALIZED (",
+        "  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),",
+        "cents0 AS MATERIALIZED (",
+        "  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id,",
+        "         vec AS cvec",
+        f"  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}),",
+    ]
+    for i in range(iters):
+        parts += [
+            f"scored{i} AS MATERIALIZED (",
+            "  SELECT b.vec_id, c.centroid_id,",
+            "         list_dot_product(b.vec, c.cvec)",
+            "           / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim",
+            f"  FROM base b CROSS JOIN cents{i} c),",
+            f"assign{i} AS MATERIALIZED (",
+            "  SELECT vec_id, centroid_id FROM (",
+            "    SELECT vec_id, centroid_id,",
+            "           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn",
+            f"    FROM scored{i}) WHERE rn = 1),",
+            f"means{i} AS MATERIALIZED (",
+            "  SELECT a.centroid_id, g.i AS pos,",
+            "         CAST(floor(CAST(sum(CAST(floor(b.vec[g.i] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)",
+            "                    / count(*) + 0.5) AS BIGINT) AS micro",
+            f"  FROM assign{i} a JOIN base b USING (vec_id),",
+            "       UNNEST(generate_series(1, len(b.vec))) AS g(i)",
+            "  GROUP BY a.centroid_id, g.i),",
+            f"cents{i + 1} AS MATERIALIZED (",
+            "  SELECT p.centroid_id, coalesce(mm.newvec, p.cvec) AS cvec",
+            f"  FROM cents{i} p LEFT JOIN (",
+            "    SELECT centroid_id, list(micro / 1000000.0 ORDER BY pos) AS newvec",
+            f"    FROM means{i} GROUP BY centroid_id) mm USING (centroid_id)),",
+        ]
+    n = iters
+    parts += [
+        "fscored AS MATERIALIZED (",
+        "  SELECT b.vec_id, c.centroid_id,",
+        "         list_dot_product(b.vec, c.cvec)",
+        "           / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim",
+        f"  FROM base b CROSS JOIN cents{n} c),",
+        "fassign AS MATERIALIZED (",
+        "  SELECT vec_id, centroid_id FROM (",
+        "    SELECT vec_id, centroid_id,",
+        "           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn",
+        "    FROM fscored) WHERE rn = 1),",
+        "qassign AS MATERIALIZED (",
+        "  SELECT vec_id AS query_id, centroid_id FROM (",
+        "    SELECT vec_id, centroid_id,",
+        "           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn",
+        f"    FROM fscored WHERE vec_id < 5) WHERE rn <= {n_probe}),",
+        "cand AS MATERIALIZED (",
+        "  SELECT DISTINCT q.query_id, a.vec_id",
+        "  FROM qassign q JOIN fassign a ON a.centroid_id = q.centroid_id)",
+        "SELECT query_id, vec_id, cosine, rank FROM (",
+        "  SELECT cd.query_id, cd.vec_id,",
+        "         round(list_dot_product(b.vec, qb.vec)",
+        "           / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(qb.vec, qb.vec))), 6) AS cosine,",
+        "         row_number() OVER (",
+        "           PARTITION BY cd.query_id",
+        "           ORDER BY round(list_dot_product(b.vec, qb.vec)",
+        "             / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(qb.vec, qb.vec))), 6) DESC,",
+        "           cd.vec_id) AS rank",
+        "  FROM cand cd JOIN base b ON b.vec_id = cd.vec_id",
+        "               JOIN base qb ON qb.vec_id = cd.query_id",
+        ") WHERE rank <= 10",
+    ]
+    return "\n".join(parts)
 
 
 def _incr_dedupe_sql(num_hashes: int = 8, bands: int = 4) -> str:
@@ -4844,6 +4935,7 @@ def oracle_sql() -> dict[str, str]:
     # persisted-index twins are decision-identical to their in-memory
     # counterparts (same hash family / centroid sample) — same oracle
     sqls["s_ivf_indexed_topk"] = sqls["s_ivf_topk"]
+    sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
     return sqls
 
 

@@ -234,6 +234,74 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_refined(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd/k-means refinement of the deterministic centroid sample —
+    the quality path the plain sample trades away, WITHOUT giving up
+    cross-engine verification: each iteration assigns every vector to
+    its nearest centroid (cosine argmax — the same narrow unrolled map
+    as ``ivf_assign``) and replaces the centroid with its cluster's
+    per-dimension mean computed in integer ``1/scale`` units
+    (floor(x*scale+0.5) summed as BIGINT, one correctly-rounded IEEE
+    division — the :func:`label_centroids` trick), so the refined
+    centroids are bit-identical in any engine and the whole iterative
+    loop unrolls into a SQL oracle.  Empty clusters keep their previous
+    centroid.  Scale shape per iteration: one narrow assignment map +
+    one (centroid, dim) aggregation with map-side partials — the
+    canonical distributed k-means step."""
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double_vec(F.col(vec_col)).alias("vvec")
+    )
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(v, cents, 1, "vec_id", "vvec").withColumnRenamed(
+            "id", "vec_id"
+        )
+        pos = assigned.join(v, "vec_id").select(
+            "centroid_id", F.posexplode("vvec").alias("pos", "x")
+        )
+        means = pos.groupBy("centroid_id", "pos").agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * scale + F.lit(0.5)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        new_vecs = (
+            means.select(
+                "centroid_id",
+                "pos",
+                (
+                    F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+                    .cast("long")
+                    / F.lit(float(scale))
+                ).alias("val"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("new_cvec")
+            )
+        )
+        cents = cents.join(new_vecs, "centroid_id", "left").select(
+            "centroid_id",
+            F.coalesce(F.col("new_cvec"), F.col("cvec")).alias("cvec"),
+        )
+        # each iteration's assignment collects the (tiny) centroid table;
+        # pin the new centroids so lineage doesn't recompute the chain
+        cents = cents.sparkSession.createDataFrame(
+            cents.collect(), cents.schema
+        )
+    return cents
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -243,16 +311,23 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Approximate top-k via an inverted file: corpus vectors bucket to
     their nearest centroid; each query scans only its ``n_probe`` nearest
     buckets.  At 100 TB: persist the assigned corpus partitioned by
     centroid_id — each probe is then a partition-pruned scan, and the
-    centroid table (tiny) broadcasts everywhere."""
+    centroid table (tiny) broadcasts everywhere.  Pass ``centroids``
+    (e.g. :func:`ivf_centroids_refined`) to bucket against a refined
+    set instead of the raw sample."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double_vec(F.col(vec_col)).alias("cvec")
     )
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
     corpus_buckets = ivf_assign(c, cents, 1, "vec_id", "cvec").withColumnRenamed(
         "id", "vec_id"
     )

@@ -114,6 +114,7 @@ AUDITED = [
     "d_indexed_dedupe",
     "s_ivf_indexed_topk",
     "s_ivfpq_topk",
+    "s_ivf_kmeans_topk",
     "x_frames",
 ]
 
@@ -185,6 +186,7 @@ NO_PUSHDOWN_EXPECTED = {
     "s_ivf_indexed_topk",   # probe prune is PartitionFilters (directory-level,
                             # stronger than a row-group PushedFilters entry)
     "s_ivfpq_topk",         # same: PartitionFilters on the codes scan
+    "s_ivf_kmeans_topk",    # full-embeddings scan + iterative centroid refine
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -248,6 +250,7 @@ NO_BROADCAST_EXPECTED = {
     "g_gremlin_heavy",      # endpoint join: AQE decides
     "d_indexed_dedupe",     # batch-vs-index joins: AQE decides
     "x_frames",             # narrow mapInPandas decode, no joins
+    "s_ivf_kmeans_topk",    # probe joins: AQE decides
 }
 
 

@@ -120,3 +120,35 @@ def test_ivfpq_topk_prunes_and_ranks(spark, emb, tmp_path):
     probes = similarity.ivf_assign(qv, idx.centroids(), 4, "query_id", "qvec")
     ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
     assert files_read(idx.codes(ids)) < files_read(idx.codes())
+
+
+def test_ivf_kmeans_refinement_improves_objective(spark, emb):
+    """Lloyd iterations must not worsen the clustering objective: mean
+    cosine similarity of vectors to their assigned centroid rises (or
+    holds) from the raw sample to the refined set, and the refined
+    centroids are genuinely different values (means, not samples)."""
+    from pyspark.sql import functions as F
+
+    def objective(cents):
+        v = emb.select(
+            F.col("vec_id"),
+            similarity._as_double_vec(F.col("embedding")).alias("vvec"),
+        )
+        assigned = similarity.ivf_assign(v, cents, 1, "vec_id", "vvec")
+        joined = assigned.withColumnRenamed("id", "vec_id").join(v, "vec_id").join(
+            cents, "centroid_id"
+        )
+        sim = similarity._dot(F.col("vvec"), F.col("cvec")) / (
+            similarity._norm(F.col("vvec")) * similarity._norm(F.col("cvec"))
+        )
+        return joined.agg(F.avg(sim)).collect()[0][0]
+
+    sample = similarity.ivf_centroids(emb, 16)
+    refined = similarity.ivf_centroids_refined(emb, 16, iters=2)
+    assert refined.count() == 16
+    s_obj, r_obj = objective(sample), objective(refined)
+    assert r_obj >= s_obj - 1e-9, (s_obj, r_obj)
+    # the refined vectors are means, not corpus rows
+    sample_vecs = {tuple(r["cvec"]) for r in sample.collect()}
+    refined_vecs = {tuple(r["cvec"]) for r in refined.collect()}
+    assert refined_vecs - sample_vecs
