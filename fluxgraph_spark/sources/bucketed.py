@@ -144,6 +144,25 @@ class DedupIndex:
             banded, self.bands_table, ["band", "bucket"], self.n_buckets, mode="append"
         )
 
+    def compact(self) -> None:
+        """Rewrite both index tables once with the same bucket spec,
+        merging the small files per-batch appends accumulate (each
+        append adds writing-tasks x buckets files; steady-state crawl
+        ingest grows the file count linearly).  Maintenance operation:
+        rows are pinned (localCheckpoint) before the overwrite so the
+        rewrite never reads the table it is replacing."""
+        for table, cols in (
+            (self.hashes_table, ["h"]),
+            (self.bands_table, ["band", "bucket"]),
+        ):
+            self.spark.catalog.refreshTable(table)
+            df = self.spark.table(table).localCheckpoint(eager=True)
+            # repartition on the bucket columns with n_buckets tasks:
+            # Spark's repartition hash == its bucketBy hash, so each task
+            # holds exactly one bucket and writes exactly one file
+            df = df.repartition(self.n_buckets, *[F.col(c) for c in cols])
+            write_bucketed(df, table, cols, self.n_buckets, mode="overwrite")
+
     # -- readers --------------------------------------------------------
 
     def hashes(self) -> DataFrame:

@@ -139,3 +139,30 @@ def test_dedupe_batch_replay_is_idempotent(spark, docs, warehouse):
     replay_ids = sorted(r["doc_id"] for r in replay.collect())
     assert replay_ids == first_ids
     assert replay_ids  # and not the empty set a self-match would produce
+
+
+def test_compact_merges_append_files(spark, docs, warehouse):
+    """After several appends the band table holds one file set per
+    batch; compact() rewrites once with the same bucket spec — fewer
+    files, identical rows, and candidate generation stays shuffle-free."""
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    idx = bucketed.DedupIndex.build(
+        corpus, "doc_id", "text", f"{warehouse}.compact",
+        n=3, num_hashes=8, bands=4, n_buckets=4,
+    )
+    for mod in (0, 5):
+        idx.append(docs.where(F.col("doc_id") % 10 == mod), "doc_id", "text")
+    before_rows = sorted(map(tuple, idx.bands_df().collect()))
+    before_files = len(idx.bands_df().inputFiles())
+    idx.compact()
+    after_rows = sorted(map(tuple, idx.bands_df().collect()))
+    after_files = len(idx.bands_df().inputFiles())
+    assert after_rows == before_rows
+    assert after_files < before_files
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = idx.candidate_pairs()._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.split("SortMergeJoin")[-1]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
