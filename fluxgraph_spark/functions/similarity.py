@@ -499,17 +499,38 @@ def pq_adc_topk(
     (queries x m x ksub) ints + a two-stage top-k.  Zero corpus
     shuffles before the top-k reduction.  Output: (query_id, vec_id,
     adc_micro, rank) ascending by distance."""
-    spark = corpus.sparkSession
     codebooks = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
     # a corpus smaller than ksub yields a shorter codebook: the LUT
     # stride MUST be the actual entry count or lookups cross subspaces
     ksub = len(codebooks[0])
-    dsub = len(codebooks[0][0])
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    lut_df = pq_query_lut(queries, codebooks, query_id_col, vec_col)
+    scored = codes.crossJoin(F.broadcast(lut_df)).select(
+        "query_id", "vec_id", pq_adc_column(m, ksub).alias("adc_micro")
+    )
+    return topk_asc(scored, k)
+
+
+def pq_query_lut(
+    queries: DataFrame,
+    codebooks: list,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, lut array<bigint>): the per-query asymmetric-distance
+    lookup table — squared-L2 to every codebook entry, floored to
+    integer micro-units (order-independent sums -> SQL-replayable).
+    Bounded driver work: queries x m x ksub entries.  The query-id
+    column inherits the caller's type (string ids are as valid as
+    longs — the PQ path never does arithmetic on them)."""
+    import math
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double_vec(F.col(vec_col)).alias("vec"),
-    ).collect()  # bounded: the query set
+    ).collect()
     luts = []
     for r in q_rows:
         flat = []
@@ -519,24 +540,31 @@ def pq_adc_topk(
                 d = 0.0
                 for x, y in zip(qsub, cvec):  # sequential fold = engine parity
                     d += (x - y) * (x - y)
-                flat.append(int(__import__("math").floor(d * 1_000_000 + 0.5)))
+                flat.append(int(math.floor(d * 1_000_000 + 0.5)))
         luts.append((r["query_id"], flat))
-    # the LUT schema inherits the caller's query-id type (string ids are
-    # as valid as longs — the PQ path never does arithmetic on them)
     qid_type = queries.schema[query_id_col].dataType.simpleString()
-    lut_df = spark.createDataFrame(
+    return queries.sparkSession.createDataFrame(
         luts, f"query_id {qid_type}, lut array<bigint>"
     )
-    adc = F.expr(
+
+
+def pq_adc_column(m: int, ksub: int) -> Column:
+    """Exact-integer ADC sum over a ``codes`` column against a ``lut``
+    column: m element_at lookups, BIGINT fold.  ``ksub`` MUST be the
+    actual codebook entry count or lookups cross subspaces."""
+    return F.expr(
         f"aggregate(zip_with(codes, sequence(0, {m - 1}), "
         f"(c, s) -> element_at(lut, s * {ksub} + c)), "
         f"cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    scored = codes.crossJoin(F.broadcast(lut_df)).select(
-        "query_id", "vec_id", adc.alias("adc_micro")
-    )
+
+
+def topk_asc(scored: DataFrame, k: int, order_col: str = "adc_micro") -> DataFrame:
+    """Two-stage ascending top-k per query_id (distance ranking): local
+    per-partition prune, then the global rank over the survivors —
+    never a global sort of the full scored set."""
     w_local = W.partitionBy("query_id", "salt").orderBy(
-        F.col("adc_micro").asc(), F.col("vec_id")
+        F.col(order_col).asc(), F.col("vec_id")
     )
     local = (
         scored.withColumn("salt", F.spark_partition_id())
@@ -544,7 +572,7 @@ def pq_adc_topk(
         .where(F.col("r") <= k)
         .drop("salt", "r")
     )
-    w = W.partitionBy("query_id").orderBy(F.col("adc_micro").asc(), F.col("vec_id"))
+    w = W.partitionBy("query_id").orderBy(F.col(order_col).asc(), F.col("vec_id"))
     return local.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).where(F.col("rank") <= k)

@@ -91,8 +91,15 @@ def materialize_graph_bucketed(
     the textbook space-for-shuffle trade every production graph store
     makes (adjacency in both directions)."""
     write_id_bucketed(vertices, f"{database_prefix}_vertices", n_buckets, key=M.ID)
-    write_id_bucketed(edges, f"{database_prefix}_edges_out", n_buckets, key=M.SRC)
-    write_id_bucketed(edges, f"{database_prefix}_edges_in", n_buckets, key=M.DST)
+    # two writes, one computation: without the persist a DERIVED edges
+    # frame (tpch unions, joins...) would re-run its full lineage for
+    # the second copy
+    edges = edges.persist()
+    try:
+        write_id_bucketed(edges, f"{database_prefix}_edges_out", n_buckets, key=M.SRC)
+        write_id_bucketed(edges, f"{database_prefix}_edges_in", n_buckets, key=M.DST)
+    finally:
+        edges.unpersist()
     return BucketedGraph(vertices.sparkSession, database_prefix)
 
 

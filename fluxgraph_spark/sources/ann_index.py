@@ -40,8 +40,11 @@ from ..functions.similarity import (
     _topk_per_query,
     ivf_assign,
     ivf_centroids,
+    pq_adc_column,
     pq_codebooks,
     pq_encode,
+    pq_query_lut,
+    topk_asc,
 )
 
 
@@ -243,15 +246,15 @@ class IvfPqIndex:
         vec_col: str = "embedding",
     ) -> DataFrame:
         """(query_id, vec_id, adc_micro, rank) ascending by asymmetric
-        distance, scanning only the probed lists' compressed codes."""
-        import math
-
-        from pyspark.sql import Window as W
-
+        distance, scanning only the probed lists' compressed codes.
+        LUT construction, the ADC fold, and the ascending two-stage
+        top-k are the SAME code the full-scan path uses
+        (similarity.pq_query_lut / pq_adc_column / topk_asc) — only the
+        candidate set differs (probed partitions instead of the whole
+        corpus)."""
         codebooks = self.codebooks()
         m = len(codebooks)
         ksub = len(codebooks[0])
-        dsub = len(codebooks[0][0])
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             _as_double_vec(F.col(vec_col)).alias("qvec"),
@@ -264,49 +267,14 @@ class IvfPqIndex:
             for r in q_buckets.select("centroid_id").distinct().collect()
         ]
         codes = self.codes(probe_ids)
-
-        # per-query integer-micro ADC LUT (bounded: queries x m x ksub)
-        luts = []
-        for r in q.collect():
-            flat = []
-            for s in range(m):
-                qsub = [float(x) for x in r["qvec"][s * dsub : (s + 1) * dsub]]
-                for cvec in codebooks[s]:
-                    d = 0.0
-                    for x, y in zip(qsub, cvec):  # sequential fold = parity
-                        d += (x - y) * (x - y)
-                    flat.append(int(math.floor(d * 1_000_000 + 0.5)))
-            luts.append((r["query_id"], flat))
-        qid_type = queries.schema[query_id_col].dataType.simpleString()
-        lut_df = self.spark.createDataFrame(
-            luts, f"query_id {qid_type}, lut array<bigint>"
-        )
-        adc = F.expr(
-            f"aggregate(zip_with(codes, sequence(0, {m - 1}), "
-            f"(c, s) -> element_at(lut, s * {ksub} + c)), "
-            f"cast(0 as bigint), (acc, x) -> acc + x)"
-        )
+        lut_df = pq_query_lut(queries, codebooks, query_id_col, vec_col)
         # each vector lives in exactly one list (n_probe=1 assignment at
         # build), so the probe join yields unique (query_id, vec_id)
         scored = (
             q_buckets.join(codes, "centroid_id")
             .join(F.broadcast(lut_df), "query_id")
-            .select("query_id", "vec_id", adc.alias("adc_micro"))
+            .select("query_id", "vec_id", pq_adc_column(m, ksub).alias("adc_micro"))
         )
-        w_local = W.partitionBy("query_id", "salt").orderBy(
-            F.col("adc_micro").asc(), F.col("vec_id")
-        )
-        local = (
-            scored.withColumn("salt", F.spark_partition_id())
-            .withColumn("r", F.row_number().over(w_local))
-            .where(F.col("r") <= k)
-            .drop("salt", "r")
-        )
-        w = W.partitionBy("query_id").orderBy(
-            F.col("adc_micro").asc(), F.col("vec_id")
-        )
-        return (
-            local.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k)
-            .select("query_id", "vec_id", "adc_micro", "rank")
+        return topk_asc(scored, k).select(
+            "query_id", "vec_id", "adc_micro", "rank"
         )

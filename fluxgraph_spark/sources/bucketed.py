@@ -148,20 +148,46 @@ class DedupIndex:
         """Rewrite both index tables once with the same bucket spec,
         merging the small files per-batch appends accumulate (each
         append adds writing-tasks x buckets files; steady-state crawl
-        ingest grows the file count linearly).  Maintenance operation:
-        rows are pinned (localCheckpoint) before the overwrite so the
-        rewrite never reads the table it is replacing."""
+        ingest grows the file count linearly).
+
+        Crash-safe: the rewrite lands in a ``__compact`` sibling table
+        FIRST (full copy, row count audited), and only then replaces the
+        original — a failure mid-write leaves the live table untouched,
+        and a failure between drop and rename leaves the complete copy
+        recoverable under the sibling name.  Never overwrite-in-place
+        from pinned rows: the pin is executor storage, not durable."""
         for table, cols in (
             (self.hashes_table, ["h"]),
             (self.bands_table, ["band", "bucket"]),
         ):
             self.spark.catalog.refreshTable(table)
-            df = self.spark.table(table).localCheckpoint(eager=True)
+            src = self.spark.table(table)
+            n_before = src.count()
+            tmp = f"{table}__compact"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
             # repartition on the bucket columns with n_buckets tasks:
             # Spark's repartition hash == its bucketBy hash, so each task
-            # holds exactly one bucket and writes exactly one file
-            df = df.repartition(self.n_buckets, *[F.col(c) for c in cols])
-            write_bucketed(df, table, cols, self.n_buckets, mode="overwrite")
+            # holds exactly one bucket and writes exactly one file.  The
+            # bucketed-scan optimization must be OFF for this read — the
+            # scan otherwise already "satisfies" the partitioning, the
+            # exchange is elided, and every small input file writes its
+            # own output again (no compaction happens at all).
+            prev = self.spark.conf.get("spark.sql.sources.bucketing.enabled")
+            self.spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+            try:
+                write_bucketed(
+                    src.repartition(self.n_buckets, *[F.col(c) for c in cols]),
+                    tmp, cols, self.n_buckets, mode="overwrite",
+                )
+            finally:
+                self.spark.conf.set("spark.sql.sources.bucketing.enabled", prev)
+            if self.spark.table(tmp).count() != n_before:
+                self.spark.sql(f"DROP TABLE {tmp}")
+                raise RuntimeError(
+                    f"compact audit failed for {table}: row count changed"
+                )
+            self.spark.sql(f"DROP TABLE {table}")
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
 
     # -- readers --------------------------------------------------------
 

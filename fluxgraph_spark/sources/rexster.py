@@ -45,6 +45,10 @@ _VERSION = "fluxgraph-spark/rexster-shim 1.0"
 # nature; anything larger belongs in parquet via the DataFrame API.
 _GREMLIN_MAX_ROWS = 10_000
 
+# POST body cap (scripts are small; never buffer a client-declared
+# Content-Length of arbitrary size into driver memory)
+_MAX_BODY_BYTES = 1 << 20
+
 _OUT_DIRS = {"out": "out", "outE": "out"}
 _IN_DIRS = {"in": "in", "inE": "in"}
 _BOTH_DIRS = {"both": "both", "bothE": "both"}
@@ -277,17 +281,36 @@ class RexsterShim:
                 url = urlparse(self.path)
                 params = {k: v[0] for k, v in parse_qs(url.query).items()}
                 n = int(self.headers.get("Content-Length") or 0)
+                if n > _MAX_BODY_BYTES:
+                    # never buffer a client-declared body of arbitrary
+                    # size — scripts are small
+                    payload = json.dumps(
+                        {"message": "request body too large", "version": _VERSION}
+                    ).encode()
+                    self.send_response(413)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
                 if n:
-                    # Rexster's Gremlin extension POSTs {"script": ...}
+                    # Rexster's Gremlin extension POSTs {"script": ...};
+                    # scalar params (paging bounds...) arrive stringified,
+                    # and classic form-encoded bodies fall back to parse_qs
                     raw = self.rfile.read(n)
                     try:
                         posted = json.loads(raw)
                         if isinstance(posted, dict):
                             params.update(
-                                {k: v for k, v in posted.items() if isinstance(v, str)}
+                                {
+                                    k: v if isinstance(v, str) else json.dumps(v)
+                                    for k, v in posted.items()
+                                    if isinstance(v, (str, int, float, bool))
+                                }
                             )
                     except ValueError:
-                        pass
+                        for k, v in parse_qs(raw.decode(errors="replace")).items():
+                            params[k] = v[0]
                 status, body = shim.handle(method, url.path, params)
                 payload = json.dumps(body, default=str).encode()
                 self.send_response(status)

@@ -187,3 +187,44 @@ def test_gremlin_post_http_round_trip(shim):
         assert sorted(x["label"] for x in body["results"]) == ["knows", "likes"]
     finally:
         srv.shutdown()
+
+
+def test_post_body_variants_and_size_cap(shim):
+    import urllib.error
+    import urllib.request
+
+    s, *_ = shim
+    srv = s.serve(port=0)
+    try:
+        port = srv.server_address[1]
+        url = f"http://127.0.0.1:{port}/graphs/flux/tp/gremlin"
+        # classic form-encoded body works too
+        req = urllib.request.Request(
+            url, data=b"script=g.V.count()",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.load(r)["results"] == [{"count": 3}]
+        # numeric JSON params survive (stringified) — paging bound applies
+        payload = json.dumps({"script": "g.V.order.id", "rexster.offset.end": 2}).encode()
+        req = urllib.request.Request(
+            url, data=payload,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert len(json.load(r)["results"]) == 2
+        # a client-declared multi-MB body is rejected before buffering
+        big = urllib.request.Request(
+            url, data=b"x" * 8, headers={"Content-Length": str(1 << 22)},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(big, timeout=10)
+            assert False, "expected HTTP 413"
+        except urllib.error.HTTPError as ex:
+            assert ex.code == 413
+        except OSError:
+            pass  # server may cut the connection on the oversized body
+    finally:
+        srv.shutdown()
