@@ -2320,6 +2320,16 @@ def q_d_indexed_dedupe(spark, sf_dir):
     return kept.select("doc_id", "source", "n_chars")
 
 
+def q_d_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs (|A∩B| / min|A|,|B| >= 0.5):
+    the excerpt/quote detector symmetric Jaccard misses when sizes
+    differ.  Candidates = pairs sharing a rare shingle (df <= 5);
+    boilerplate-frequency shingles never pair."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    return dedup.containment_pairs(sh, threshold=0.5, rare_df_max=5)
+
+
 def q_d_minhash_sigs(spark, sf_dir):
     """MinHash signatures (first 4 components) — cross-engine hash parity."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -2794,7 +2804,7 @@ _R4_PRIORITY = [
     "d_incr_dedupe", "d_semantic_dedupe", "st_scd2_ingest", "x_frames",
     "g_gremlin_pipe", "g_gremlin_heavy", "d_indexed_dedupe",
     "st_dedup_ingest", "s_ivf_indexed_topk", "g_gremlin_groupcount",
-    "s_ivfpq_topk", "s_ivf_kmeans_topk",
+    "s_ivfpq_topk", "s_ivf_kmeans_topk", "d_containment",
 ]
 
 # Rows-only variants (xxhash64 fast paths — not SQL-replayable by
@@ -2917,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_sigs": q_d_minhash_sigs,
         "d_incr_dedupe": q_d_incr_dedupe,
         "d_indexed_dedupe": q_d_indexed_dedupe,
+        "d_containment": q_d_containment,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
         "d_lsh_fast_pairs": q_d_lsh_fast_pairs,
@@ -4879,6 +4890,29 @@ def oracle_sql() -> dict[str, str]:
         "d_incr_dedupe": _incr_dedupe_sql(8, 4),
         "d_indexed_dedupe": _incr_dedupe_sql(8, 4),
         "st_dedup_ingest": _incr_dedupe_sql(8, 4),
+        "d_containment": f"""
+        WITH {SHINGLES_SQL.strip()},
+        sizes AS (SELECT id, count(*) AS n_sh FROM shing GROUP BY id),
+        rare AS (
+          SELECT shingle FROM shing GROUP BY shingle HAVING count(*) <= 5),
+        shr AS (SELECT s.id, s.shingle FROM shing s JOIN rare USING (shingle)),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM shr a JOIN shr b USING (shingle) WHERE a.id < b.id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN shing sa ON sa.id = c.id_a
+          JOIN shing sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b)
+        SELECT id_a, id_b, containment FROM (
+          SELECT i.id_a, i.id_b,
+                 round(i.n_inter / least(na.n_sh, nb.n_sh), 6) AS containment
+          FROM inter i
+          JOIN sizes na ON na.id = i.id_a
+          JOIN sizes nb ON nb.id = i.id_b)
+        WHERE containment >= 0.5
+        """,
         "m_media_features": """
         SELECT doc_id AS media_id, strlen(text) AS n_bytes,
                round(('0x' || substring(md5(text), 1, 2))::UBIGINT::DOUBLE / 255, 6) AS f0

@@ -293,6 +293,88 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    block: DataFrame | None = None,
+    threshold: float = 0.0,
+    rare_df_max: "int | None" = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment: |A∩B| / min(|A|, |B|) — near 1
+    when a short document is quoted or embedded inside a long one,
+    exactly the duplication symmetric Jaccard scores LOW (the union is
+    dominated by the long side), so MinHash-banded dedup misses it.
+    The standard excerpt/quote/boilerplate-page detector for a training
+    corpus.
+
+    Candidates: an explicit ``block`` (id_a, id_b) when given; else,
+    with ``rare_df_max``, pairs sharing at least one RARE shingle
+    (document frequency <= rare_df_max).  Rarity blocking fits
+    containment where MinHash does not: an embedded excerpt shares ALL
+    its shingles with its container, so any of its rare shingles links
+    the pair, while boilerplate-frequency shingles never form pairs —
+    candidate count is bounded by sum over rare shingles of df², with
+    df capped.  Both sides of every candidate then count their FULL
+    intersection.  Unblocked+uncapped is all-pairs: small oracles only.
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if block is None and rare_df_max is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= rare_df_max)
+            .select("shingle")
+        )
+        sh_r = shingles.join(rare, "shingle", "left_semi")
+        block = (
+            sh_r.alias("a")
+            .join(sh_r.alias("b"), "shingle")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates()
+        )
+    if block is not None:
+        ids = (
+            block.select(F.col("id_a").alias("id"))
+            .unionByName(block.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = shingles.join(ids, "id", "left_semi")
+        inter = (
+            block.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+    )
+    if threshold > 0:
+        out = out.where(F.col("containment") >= threshold)
+    return out
+
+
 def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

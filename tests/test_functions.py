@@ -709,3 +709,33 @@ def test_dedupe_incremental_vs_corpus_and_within_batch(spark):
         ).collect()
     )
     assert kept == [12]
+
+
+def test_containment_catches_embedded_excerpt(spark):
+    """A short doc quoted inside a long one: containment ~= 1 while
+    symmetric Jaccard is low (union dominated by the long side) — the
+    case MinHash-banded dedup structurally misses.  Rare-shingle
+    blocking must surface the pair without an all-pairs join."""
+    import uuid
+
+    excerpt = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"w{uuid.uuid4().hex[:6]}" for _ in range(300))
+    container = filler + " " + excerpt + " " + " ".join(
+        f"z{uuid.uuid4().hex[:6]}" for _ in range(300)
+    )
+    unrelated = " ".join(f"u{uuid.uuid4().hex[:6]}" for _ in range(50))
+    docs = spark.createDataFrame(
+        [(1, excerpt), (2, container), (3, unrelated)], "doc_id long, text string"
+    )
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(sh, rare_df_max=5).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh).collect()
+    }
+    assert cont[(1, 2)] >= 0.99           # the excerpt is fully contained
+    assert jac[(1, 2)] < 0.1              # ...but Jaccard calls them unrelated
+    assert (1, 3) not in cont and (2, 3) not in cont
