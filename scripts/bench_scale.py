@@ -51,6 +51,7 @@ QUERIES = [
     "s_ivf_indexed_topk",
     "s_ivfpq_topk",
     "g_gremlin_pipe",
+    "d_containment",
 ]
 
 
