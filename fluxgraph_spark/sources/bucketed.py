@@ -31,6 +31,7 @@ extension surface.
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,7 +51,15 @@ def ensure_database(spark: SparkSession, database: str, location: Optional[str] 
     """Create the index database if absent.  Pass ``location`` to keep
     warehouse files out of the default ``spark-warehouse`` directory
     (tests point this at a tmp dir; production at a real warehouse
-    path)."""
+    path).
+
+    Both values interpolate into SQL text, so they are validated: the
+    database must be a plain identifier and the location must not embed
+    a quote (paths with quotes break the statement or inject into it)."""
+    if not re.fullmatch(r"[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)*", database):
+        raise ValueError(f"invalid database identifier: {database!r}")
+    if location is not None and "'" in location:
+        raise ValueError(f"location must not contain a quote: {location!r}")
     loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
 
@@ -186,8 +195,19 @@ class DedupIndex:
                 raise RuntimeError(
                     f"compact audit failed for {table}: row count changed"
                 )
-            self.spark.sql(f"DROP TABLE {table}")
-            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            # The DROP -> RENAME swap is the one non-atomic window: a
+            # crash between them leaves the live name unbound while the
+            # COMPLETE copy survives under the sibling name.  Surface
+            # the exact recovery statement instead of a bare failure.
+            try:
+                self.spark.sql(f"DROP TABLE {table}")
+                self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            except Exception as ex:
+                raise RuntimeError(
+                    f"compact swap interrupted for {table}; the full copy "
+                    f"is intact under {tmp} — recover with: "
+                    f"ALTER TABLE {tmp} RENAME TO {table}"
+                ) from ex
 
     # -- readers --------------------------------------------------------
 
@@ -279,7 +299,12 @@ class DedupIndex:
             )
             .select(F.col("bn.id").alias("id_a"), F.col("bb.id").alias("id_b"))
         )
+        # eager count: materializes the banding joins ONCE here (instead
+        # of lazily inside jaccard_pairs' broadcast probe — one less AQE
+        # replan surface, same fix as dedup.py's minhash entry point) and
+        # sizes the explicit broadcast decision below.
         cand = cand_corpus.unionByName(cand_batch).dropDuplicates().persist()
+        n_cand = cand.count()
 
         # verify tier: shingle ONLY the batch + the colliding corpus docs
         hit_ids = (
@@ -295,7 +320,10 @@ class DedupIndex:
         sh = shingle_table(
             base.unionByName(corpus_hits), "id", "text", n=self.n
         ).persist()
-        verified = jaccard_pairs(sh, block=cand, threshold=threshold)
+        verified = jaccard_pairs(
+            sh, block=cand, threshold=threshold,
+            broadcast_block=n_cand <= 1_000_000,
+        )
         near_drop = verified.select(F.col("id_a").alias("id")).distinct()
 
         drops = (

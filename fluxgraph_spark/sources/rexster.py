@@ -234,7 +234,16 @@ class RexsterShim:
             df = GL.run(script, self.graph.vertices_df(), self.graph.edges_df())
         except ValueError as ex:
             return 400, {"success": False, "message": str(ex)}
-        rows = df.limit(_GREMLIN_MAX_ROWS).collect()
+        except Exception as ex:  # noqa: BLE001 — e.g. AnalysisException
+            return 500, {"success": False, "message": str(ex)[:2000]}
+        try:
+            # Analysis/execution errors only surface at collect time (e.g.
+            # a type mismatch inside a comparison); those are server-side
+            # evaluation failures, not syntax errors — return the JSON
+            # envelope instead of letting the exception kill the handler.
+            rows = df.limit(_GREMLIN_MAX_ROWS).collect()
+        except Exception as ex:  # noqa: BLE001 — HTTP boundary
+            return 500, {"success": False, "message": str(ex)[:2000]}
         results = []
         for r in rows:
             d = {}
@@ -280,7 +289,18 @@ class RexsterShim:
             def _respond(self, method: str) -> None:
                 url = urlparse(self.path)
                 params = {k: v[0] for k, v in parse_qs(url.query).items()}
-                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    payload = json.dumps(
+                        {"message": "malformed Content-Length", "version": _VERSION}
+                    ).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
                 if n > _MAX_BODY_BYTES:
                     # never buffer a client-declared body of arbitrary
                     # size — scripts are small

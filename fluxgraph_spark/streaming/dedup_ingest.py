@@ -41,7 +41,22 @@ def seed_corpus(docs: DataFrame, corpus_dir: str) -> None:
     under ``corpus_dir`` in the same ``batch_id=N`` partition layout the
     streaming sink appends to (seed takes ``batch_id=-1``, below any
     stream batch id)."""
+    _reject_batch_id_column(docs)
     docs.write.mode("overwrite").parquet(os.path.join(corpus_dir, "batch_id=-1"))
+
+
+def _reject_batch_id_column(df: DataFrame) -> None:
+    """``batch_id`` is this sink's partition/replay bookkeeping column; a
+    document schema that already carries one would silently shadow it —
+    the per-batch ``batch_id < N`` corpus filter and the
+    ``select(batch_df.columns)`` projection would bind to the DATA column
+    and corrupt replay filtering.  Fail loudly at the boundary instead."""
+    if "batch_id" in df.columns:
+        raise ValueError(
+            "document schema must not contain a 'batch_id' column — it is "
+            "reserved for the ingest sink's partition layout; rename the "
+            "input column before streaming it through dedup_streaming_sink"
+        )
 
 
 def dedup_streaming_sink(
@@ -65,6 +80,7 @@ def dedup_streaming_sink(
 
     Returns the StreamingQuery; callers ``awaitTermination()``.
     """
+    _reject_batch_id_column(doc_stream)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

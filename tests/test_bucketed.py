@@ -166,3 +166,14 @@ def test_compact_merges_append_files(spark, docs, warehouse):
         assert "Exchange" not in plan.split("SortMergeJoin")[-1]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ensure_database_validates_inputs(spark):
+    """database/location interpolate into SQL text — hostile values must
+    be rejected, not executed (ADVICE r4)."""
+    with pytest.raises(ValueError, match="invalid database identifier"):
+        bucketed.ensure_database(spark, "x; DROP DATABASE y")
+    with pytest.raises(ValueError, match="invalid database identifier"):
+        bucketed.ensure_database(spark, "bad-name")
+    with pytest.raises(ValueError, match="quote"):
+        bucketed.ensure_database(spark, "ok_db", "/tmp/it's-a-path")

@@ -228,3 +228,37 @@ def test_post_body_variants_and_size_cap(shim):
             pass  # server may cut the connection on the oversized body
     finally:
         srv.shutdown()
+
+
+def test_gremlin_runtime_error_returns_envelope(shim):
+    """A script that parses but fails during Spark evaluation (ANSI cast
+    failure at collect time) must come back as a JSON error envelope,
+    not crash the handler (ADVICE r4)."""
+    s, *_ = shim
+    status, body = s.handle(
+        "POST", "/graphs/flux/tp/gremlin",
+        {"script": "g.V.has('age', T.gt, 'notanumber')"},
+    )
+    assert status == 500
+    assert body["success"] is False and "CAST_INVALID_INPUT" in body["message"]
+
+
+def test_malformed_content_length_returns_400(shim):
+    """A non-numeric Content-Length header gets a 400 envelope instead
+    of a dropped connection (ADVICE r4)."""
+    import http.client
+
+    s, *_ = shim
+    srv = s.serve(port=0)
+    try:
+        port = srv.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.putrequest("POST", "/graphs/flux/tp/gremlin")
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "malformed Content-Length" in json.loads(resp.read())["message"]
+        conn.close()
+    finally:
+        srv.shutdown()

@@ -368,3 +368,18 @@ def test_dedup_streaming_ingest_matches_sequential_batches(spark, tmp_path):
         assert grown.count() == corpus.count() + len(want1) + len(want2)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_dedup_ingest_rejects_reserved_batch_id_column(spark, tmp_path):
+    """A doc schema that already carries batch_id would silently shadow
+    the sink's partition/replay bookkeeping column — rejected at the
+    boundary (ADVICE r4)."""
+    from fluxgraph_spark.streaming.dedup_ingest import seed_corpus
+
+    bad = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("text").alias("text"),
+        F.lit(7).alias("batch_id"),
+    )
+    with pytest.raises(ValueError, match="batch_id"):
+        seed_corpus(bad, str(tmp_path / "corpus"))
