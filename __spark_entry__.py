@@ -2361,16 +2361,37 @@ def q_d_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_d_lsh_fast_pairs(spark, sf_dir):
-    """MinHash+LSH verified pairs on the xxhash64 FAST path (JVM-side
-    seeded hashes, no md5 strings; array-native shingles) — the
-    throughput configuration for production corpora.  Non-gated variant:
-    xxhash64 isn't replayable by the DuckDB oracle, so this entry keeps
-    the weaker rows-only check and sits at the registry tail; the md5
-    twins (d_minhash_lsh_pairs, d_lsh_verified_pairs) carry the full
-    hash gates for the identical plan shape."""
+    """xxhash64 fast-path MinHash+LSH with a RECALL BOUNDS AUDIT (the
+    k_sketches pattern): the throughput configuration's verified pairs
+    (JVM-side seeded hashes, array-native shingles — not replayable by
+    an external SQL engine) are scored against the md5 family's verified
+    pairs on the same corpus.  Both tiers verify candidates with exact
+    Jaccard >= 0.5, so the md5 set is a deterministic, SQL-replayable
+    subset of the true near-dup pairs; the fast path must re-find at
+    least 90% of it (empirically >= 99.6% at sf0.001/0.01/0.1 — banding
+    probability at the duplication levels the corpus plants is ~1).  The
+    oracle computes ``n_truth`` exactly in DuckDB and pins ``recall_ok``
+    TRUE — a recall regression in the xxhash64 family hash-mismatches
+    and turns the row red.  This closes the one registry entry that had
+    only a rows-only check through round 4."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
-    return dedup.minhash_lsh_dedup(
+    fast = dedup.minhash_lsh_dedup(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    truth = dedup.minhash_lsh_dedup_reproducible(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
+    )
+    joined = truth.select("id_a", "id_b").join(
+        fast.select("id_a", "id_b").withColumn("hit", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0))
+            >= F.count(F.lit(1)) * F.lit(0.9)
+        ).alias("recall_ok"),
     )
 
 
@@ -2786,36 +2807,20 @@ def _interleave_families(qs: dict) -> dict:
     return {k: qs[k] for k in order}
 
 
-# Round-4 rotation (VERDICT.md round 3, "Next round" item 2): the 18
-# queries that never appeared in a driver CORRECTNESS prefix (r2 ∪ r3 =
-# 99/117) lead the dict VERBATIM, followed by entries whose
-# implementation changed this round (re-pointed md5 dedup paths, new
-# queries) — so the driver's bounded ~50-entry prefix finally hashes
-# every row the previous rounds missed and r2∪r3∪r4 covers the registry.
-_R4_PRIORITY = [
-    # never driver-checked through round 3
-    "r_priority_lines", "r_custdist", "r_supplier_cnt",
-    "r_excess_suppliers", "g_triangles", "g_kcore", "g_link_predict",
-    "t_resample", "r_topk_per_group", "r_pivot_status", "r_cube_stats",
-    "t_gap_stats", "x_quality", "x_langid", "x_scrub", "x_repetition",
-    "x_split", "x_fingerprint",
-    # changed/new in round 4 — need fresh driver rows
-    "d_minhash_lsh_pairs", "d_corpus_dedupe", "d_lsh_verified_pairs",
-    "d_incr_dedupe", "d_semantic_dedupe", "st_scd2_ingest", "x_frames",
-    "g_gremlin_pipe", "g_gremlin_heavy", "d_indexed_dedupe",
-    "st_dedup_ingest", "s_ivf_indexed_topk", "g_gremlin_groupcount",
-    "s_ivfpq_topk", "s_ivf_kmeans_topk", "d_containment",
+# Round-5 rotation: new/changed entries lead (they need fresh driver
+# rows — d_lsh_fast_pairs is newly GATED via its recall bounds audit,
+# closing the last rows-only registry entry), followed by the rest of
+# the registry family-interleaved.  Every entry now carries a full SQL
+# oracle; the round-4 rows-only tail is gone.
+_R5_PRIORITY = [
+    "d_lsh_fast_pairs",
 ]
 
-# Rows-only variants (xxhash64 fast paths — not SQL-replayable by
-# design): pinned to the registry TAIL so the driver's correctness
-# prefix contains full-oracle rows only; each has an md5-family twin
-# carrying the hash gate for the same plan shape.
-_NON_GATED_TAIL = ["d_lsh_fast_pairs"]
+_NON_GATED_TAIL: list[str] = []
 
 
-def _order_round4(qs: dict) -> dict:
-    head = {k: qs[k] for k in _R4_PRIORITY if k in qs}
+def _order_round5(qs: dict) -> dict:
+    head = {k: qs[k] for k in _R5_PRIORITY if k in qs}
     tail = {k: qs[k] for k in _NON_GATED_TAIL if k in qs}
     mid = {k: v for k, v in qs.items() if k not in head and k not in tail}
     out = head
@@ -2825,7 +2830,7 @@ def _order_round4(qs: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _order_round4({
+    return _order_round5({
         # graph surface
         "g_vertices_by_kind": q_g_vertices_by_kind,
         "g_edges_by_label": q_g_edges_by_label,
@@ -4959,10 +4964,16 @@ def oracle_sql() -> dict[str, str]:
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
         """,
-        # d_lsh_fast_pairs: intentionally no oracle (xxhash64 hash family
-        # is not SQL-replayable) -> pinned to the registry tail, outside
-        # the driver's correctness prefix; its md5 twins carry the gate.
     }
+    # d_lsh_fast_pairs: recall bounds audit — the xxhash64 family itself
+    # is not SQL-replayable, so the gated output is the exact md5-family
+    # verified-pair count (computed identically here) plus a recall
+    # verdict the oracle pins TRUE (see q_d_lsh_fast_pairs).
+    sqls["d_lsh_fast_pairs"] = (
+        "SELECT count(*) AS n_truth, TRUE AS recall_ok FROM (\n"
+        + _lsh_verified_sql(8, 4)
+        + "\n) __truth"
+    )
     for name, cols in _BIGINT_RESULT_COLS.items():
         reps = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
         sqls[name] = f"SELECT * REPLACE ({reps}) FROM (\n{sqls[name]}\n) __q"
