@@ -31,10 +31,16 @@ HEADLINE = [
     "t_scd2_versions",          # SCD2 window build
     "t_asof_join",              # as-of join (union+window)
     "t_sessionize",             # sessionization
-    "d_lsh_fast_pairs",         # dedup: minhash->LSH->verify (xxhash64 fast
-                                # path; benched as d_minhash_lsh_pairs through
-                                # BENCH_r03 — that registry name now carries
-                                # the md5 oracle configuration)
+    "d_lsh_fast_raw",           # dedup: minhash->LSH->verify (xxhash64 fast
+                                # path; bench-local callable — the registry's
+                                # d_lsh_fast_pairs is now a recall audit that
+                                # also computes the md5 truth set, which would
+                                # double-count here.  Same plan/params as the
+                                # d_lsh_fast_pairs benched in BENCH_r04.)
+    "d_indexed_probe",          # dedup steady state: batch probe against the
+                                # PERSISTED bucketed index (built once outside
+                                # timings — the recurring cost a crawl pays;
+                                # VERDICT r4 item 4)
     "d_simhash",                # simhash fingerprints
     "x_quality",                # text quality scoring
     "s_cosine_topk",            # similarity search
@@ -48,6 +54,53 @@ HEADLINE = [
     "d_lsh_verified_pairs",     # md5 minhash LSH + exact-Jaccard verify
     "x_pack",                   # context-window sequence packing
 ]
+
+
+def _bench_local_queries(spark, sf_dir):
+    """Bench-only callables (not registry entries):
+
+    * ``d_lsh_fast_raw`` — the raw xxhash64 fast-path pairs.  The
+      registry's d_lsh_fast_pairs is now a recall bounds audit that also
+      computes the md5-family truth set; timing it would charge the fast
+      path for both plans.
+    * ``d_indexed_probe`` — dedupe a batch against the PERSISTED bucketed
+      index.  The index is built here, ONCE, outside the timings: that is
+      the steady-state split a crawl pipeline actually runs (build
+      amortized over many batches; the probe is the recurring cost).
+      SCALE_BENCH showed the recompute path's verify tier at 8.15x for
+      10x data vs 1.94x for the indexed path — this entry tracks the
+      number that matters at 100 TB.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.functions import dedup as dedup_mod
+    from fluxgraph_spark.sources import bucketed as BK
+    from fluxgraph_spark.sources import tpch as tpch_mod
+
+    def d_lsh_fast_raw(spark, sf_dir):
+        docs = tpch_mod.read_tables(spark, sf_dir)["documents"]
+        return dedup_mod.minhash_lsh_dedup(
+            docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+        )
+
+    db = "flux_bench_idx"
+    BK.ensure_database(spark, db, tempfile.mkdtemp(prefix=f"{db}_"))
+    docs = tpch_mod.read_tables(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    idx = BK.DedupIndex.build(
+        corpus, "doc_id", "text", f"{db}.corpus",
+        n=3, num_hashes=8, bands=4,
+    )
+
+    def d_indexed_probe(spark, sf_dir):
+        batch = tpch_mod.read_tables(spark, sf_dir)["documents"].where(
+            F.col("doc_id") % 5 == 0
+        )
+        return idx.dedupe_batch(batch, corpus, "doc_id", "text", threshold=0.5)
+
+    return {"d_lsh_fast_raw": d_lsh_fast_raw, "d_indexed_probe": d_indexed_probe}
 
 
 def main():
@@ -82,6 +135,7 @@ def main():
     # one small graph query warms the vertex/edge scan codegen paths too
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     qs = entrymod.queries()
+    qs.update(_bench_local_queries(spark, sf_dir))
     qs["g_vertices_by_kind"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
