@@ -323,3 +323,87 @@ def test_keyed_read_on_empty_table_raises_value_error(spark, tmp_path):
     tbl = Scd2ParquetTable(spark, str(tmp_path / "empty"), ["user_id"], n_buckets=4)
     with pytest.raises(ValueError, match="no committed data"):
         tbl.read(keys=[3])
+
+
+@pytest.mark.parametrize("winner", ["a", "b"])
+def test_two_thread_race_exactly_one_publishes(spark, tmp_path, winner):
+    """Two REAL threads racing ingest against one table (VERDICT r4
+    item 5): both hold the same manifest view (barrier on the first
+    manifest read), the designated loser is held at its next manifest
+    read until the winner fully commits — exactly one publishes, the
+    other aborts cleanly on the pre-publish version check, the staging
+    root is empty afterward (per-attempt uuid dirs never cross-clobber),
+    and the loser's retry lands the same final state as a sequential
+    rebuild.  Parametrized so each writer wins once (both orderings)."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    Scd2ParquetTable(spark, path, ["user_id"]).ingest(
+        _batch(spark, _ts_rows(BATCH1, [0, 1]))
+    )
+
+    start = threading.Barrier(2, timeout=120)
+    winner_done = threading.Event()
+    results = {}
+    batches = {
+        "a": _ts_rows(BATCH2, [5, 6]),
+        "b": _ts_rows(BATCH3, [9, 10]),
+    }
+
+    def make_writer(name):
+        tbl = Scd2ParquetTable(spark, path, ["user_id"])
+        orig = tbl._read_manifest
+        calls = {"n": 0}
+
+        def hooked():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                m = orig()
+                start.wait()  # both writers now hold the same version
+                return m
+            if name != winner:
+                winner_done.wait(timeout=120)  # lose deterministically
+            return orig()
+
+        tbl._read_manifest = hooked
+
+        def run():
+            try:
+                results[name] = ("ok", tbl.ingest(_batch(spark, batches[name])))
+            except RuntimeError as ex:
+                results[name] = ("abort", str(ex))
+            finally:
+                if name == winner:
+                    winner_done.set()
+
+        return threading.Thread(target=run)
+
+    threads = [make_writer("a"), make_writer("b")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+
+    assert sorted(k for k, _ in results.values()) == ["abort", "ok"]
+    assert results[winner][0] == "ok"
+    loser = "b" if winner == "a" else "a"
+    assert "concurrent commit" in results[loser][1]
+    # per-attempt staging dirs cleaned by both sides, root removed
+    assert not os.path.exists(os.path.join(path, "_staging"))
+
+    # loser retries against the new committed state and succeeds
+    fresh = Scd2ParquetTable(spark, path, ["user_id"])
+    assert fresh.ingest(_batch(spark, batches[loser]))["version"] == 3
+
+    from fluxgraph_spark.operators.temporal import scd2_from_change_events
+
+    all_changes = (
+        _batch(spark, _ts_rows(BATCH1, [0, 1]))
+        .unionByName(_batch(spark, batches["a"]))
+        .unionByName(_batch(spark, batches["b"]))
+    )
+    want = scd2_from_change_events(all_changes, ["user_id"], "valid_from")
+    cols = ["user_id", "valid_from", "valid_to", "version_idx", "is_current", "state"]
+    assert sorted(map(tuple, fresh.read().select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
