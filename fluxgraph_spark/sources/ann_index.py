@@ -48,6 +48,22 @@ from ..functions.similarity import (
 )
 
 
+def auto_n_centroids(n_rows: int) -> int:
+    """Default inverted-list count when the caller doesn't size it:
+    ``sqrt(n_rows)`` — the standard IVF heuristic (FAISS guidelines;
+    Jégou et al. TPAMI'11) balancing list length (``n/sqrt(n)`` rows
+    scanned per probed list) against centroid-assignment cost
+    (``sqrt(n)`` comparisons per vector).
+
+    Sizing guide: 10^6 rows → 1,000 lists (~1k vectors each),
+    10^9 → 31,623 (~31k each), 10^12 → 65,536 (cap; ~15M per list —
+    at that scale raise the cap and shard the centroid table, or add a
+    coarse second level).  Floor 16 keeps toy corpora from degenerating
+    to a handful of lists.  Pass ``n_centroids`` explicitly to pin the
+    layout (the oracle-gated queries do)."""
+    return int(min(max(16, int(n_rows) ** 0.5), 65_536))
+
+
 class IvfIndex:
     """A directory holding ``centroids/`` (centroid_id, cvec) and
     ``lists/`` (vec_id, cvec, partitioned by centroid_id)."""
@@ -65,11 +81,15 @@ class IvfIndex:
         cls,
         corpus: DataFrame,
         index_dir: str,
-        n_centroids: int = 16,
+        n_centroids: Optional[int] = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IvfIndex":
+        """``n_centroids=None`` (default) sizes the list count from the
+        corpus via :func:`auto_n_centroids` (one count at build time)."""
         idx = cls(corpus.sparkSession, index_dir)
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(corpus.count())
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
         cents.coalesce(1).write.mode("overwrite").parquet(idx.centroids_dir)
         idx._write_lists(corpus, id_col, vec_col, mode="overwrite")
@@ -190,15 +210,19 @@ class IvfPqIndex:
         cls,
         corpus: DataFrame,
         index_dir: str,
-        n_centroids: int = 16,
+        n_centroids: Optional[int] = None,
         m: int = 4,
         ksub: int = 16,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IvfPqIndex":
+        """``n_centroids=None`` (default) sizes the list count from the
+        corpus via :func:`auto_n_centroids` (one count at build time)."""
         import json
 
         idx = cls(corpus.sparkSession, index_dir)
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(corpus.count())
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
         cents.coalesce(1).write.mode("overwrite").parquet(idx.centroids_dir)
         codebooks = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)

@@ -47,6 +47,27 @@ from ..functions.dedup import (
 from ..functions.text import stable_hash64
 
 
+def auto_n_buckets(spark: SparkSession, n_rows: int) -> int:
+    """Default bucket count for a corpus of ``n_rows`` documents when the
+    caller doesn't size it explicitly.
+
+    Two pressures: (a) never fewer buckets than the session's shuffle
+    parallelism — a bucketed join can't use more tasks than buckets, so
+    undersized buckets idle the cluster; (b) keep per-bucket fingerprint
+    volume bounded (~1M docs/bucket: at ~8 band rows + 1 hash row per
+    doc that is file sizes a task handles comfortably), so buckets grow
+    with the corpus.  Capped at 65,536 — beyond that, per-bucket volume
+    grows again (≈15M docs/bucket at 10^12 rows), which stays fine
+    because bucketed scans split large files by row group.
+
+    Sizing guide (32-partition session): 10^6 rows → 32 buckets,
+    10^9 → 1,000, 10^12 → 65,536 (cap).  Pass ``n_buckets`` explicitly
+    to pin a layout (e.g. to match an existing co-bucketed table)."""
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    need = -(-int(n_rows) // 1_000_000)  # ceil div
+    return int(min(max(shuffle, need), 65_536))
+
+
 def ensure_database(spark: SparkSession, database: str, location: Optional[str] = None) -> None:
     """Create the index database if absent.  Pass ``location`` to keep
     warehouse files out of the default ``spark-warehouse`` directory
@@ -101,16 +122,33 @@ class DedupIndex:
         n: int = 3,
         num_hashes: int = 8,
         bands: int = 4,
-        n_buckets: int = 16,
+        n_buckets: Optional[int] = None,
     ) -> None:
         self.spark = spark
         self.prefix = prefix
         self.n = n
         self.num_hashes = num_hashes
         self.bands = bands
-        self.n_buckets = n_buckets
         self.hashes_table = f"{prefix}_hashes"
         self.bands_table = f"{prefix}_bands"
+        if n_buckets is None and spark.catalog.tableExists(self.hashes_table):
+            # opening an existing index: the layout owns the bucket
+            # count — read it back from the catalog rather than trusting
+            # a caller default that may not match the files on disk
+            n_buckets = self._catalog_n_buckets()
+        self.n_buckets = n_buckets
+
+    def _catalog_n_buckets(self) -> int:
+        rows = self.spark.sql(
+            f"DESCRIBE FORMATTED {self.hashes_table}"
+        ).collect()
+        for r in rows:
+            if r["col_name"].strip() == "Num Buckets":
+                return int(r["data_type"])
+        raise ValueError(
+            f"{self.hashes_table} exists but is not bucketed — not a "
+            "DedupIndex table"
+        )
 
     # -- construction ---------------------------------------------------
 
@@ -132,10 +170,17 @@ class DedupIndex:
         n: int = 3,
         num_hashes: int = 8,
         bands: int = 4,
-        n_buckets: int = 16,
+        n_buckets: Optional[int] = None,
     ) -> "DedupIndex":
+        """Write the index from a corpus snapshot.  ``n_buckets=None``
+        (default) sizes the layout from the corpus via
+        :func:`auto_n_buckets` (one count at build time); pass it
+        explicitly to pin a layout."""
+        spark = docs.sparkSession
+        if n_buckets is None:
+            n_buckets = auto_n_buckets(spark, docs.count())
         idx = cls(
-            docs.sparkSession, prefix,
+            spark, prefix,
             n=n, num_hashes=num_hashes, bands=bands, n_buckets=n_buckets,
         )
         hashes, banded = idx._index_frames(docs, id_col, text_col)

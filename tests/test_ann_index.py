@@ -152,3 +152,20 @@ def test_ivf_kmeans_refinement_improves_objective(spark, emb):
     sample_vecs = {tuple(r["cvec"]) for r in sample.collect()}
     refined_vecs = {tuple(r["cvec"]) for r in refined.collect()}
     assert refined_vecs - sample_vecs
+
+
+def test_auto_centroid_sizing(spark, emb, tmp_path):
+    """n_centroids=None derives sqrt(n) inverted lists (VERDICT r4
+    item 6): formula at the sizing-guide scales, and a real build picks
+    it up (one list per centroid id in the written layout)."""
+    from fluxgraph_spark.sources.ann_index import auto_n_centroids
+
+    assert auto_n_centroids(10**6) == 1000
+    assert auto_n_centroids(10**9) == 31622
+    assert auto_n_centroids(10**12) == 65_536
+    assert auto_n_centroids(10) == 16  # floor
+
+    n = emb.count()
+    idx = IvfIndex.build(emb, str(tmp_path / "auto_idx"))
+    got = idx.centroids().count()
+    assert got == auto_n_centroids(n)

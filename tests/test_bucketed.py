@@ -177,3 +177,21 @@ def test_ensure_database_validates_inputs(spark):
         bucketed.ensure_database(spark, "bad-name")
     with pytest.raises(ValueError, match="quote"):
         bucketed.ensure_database(spark, "ok_db", "/tmp/it's-a-path")
+
+
+def test_auto_bucket_sizing(spark, docs, warehouse):
+    """n_buckets=None derives the layout from the corpus (VERDICT r4
+    item 6): shuffle-partition floor at toy scale, data-driven growth,
+    hard cap; and a reopened index reads its bucket count back from the
+    catalog instead of trusting a caller default."""
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # formula across the sizing-guide scales
+    assert bucketed.auto_n_buckets(spark, 10**6) == max(shuffle, 1)
+    assert bucketed.auto_n_buckets(spark, 10**9) == max(shuffle, 1000)
+    assert bucketed.auto_n_buckets(spark, 10**12) == 65_536
+    # build-time: a toy corpus lands on the parallelism floor
+    idx = bucketed.DedupIndex.build(docs, "doc_id", "text", f"{warehouse}.auto")
+    assert idx.n_buckets == max(shuffle, 1)
+    # reopening with no explicit n_buckets resolves from the catalog
+    reopened = bucketed.DedupIndex(spark, f"{warehouse}.auto")
+    assert reopened.n_buckets == idx.n_buckets
