@@ -342,6 +342,24 @@ def q_g_gremlin_heavy(spark, sf_dir):
     )
 
 
+def q_g_gremlin_path(spark, sf_dir):
+    """Gremlin per-traverser HISTORY pipeline (VERDICT r4 item 3): walk
+    customers of nation 7 to their orders' parts carrying the full walk
+    as a path column (operators/fluent.py track_paths — history rides
+    each row, no extra shuffles), dedup'd per reached part keeping the
+    lexicographically-least path (deterministic traverser collapse).
+    The path strings replay exactly in SQL: min() of the concatenated
+    id walk grouped by the final element."""
+    from fluxgraph_spark.operators import gremlin as GL
+
+    _, v, e = _graph(spark, sf_dir)
+    return GL.run(
+        "g.V.has('kind','customer').has('nationkey', 7L)"
+        ".in('placed_by').out('contains').dedup.path",
+        v, e,
+    )
+
+
 def q_g_gremlin_groupcount(spark, sf_dir):
     """Gremlin-2 side-effect pipe: hop then groupCount — suppliers per
     nation via `g.V.has('kind','supplier').out('located_in')
@@ -2840,6 +2858,7 @@ def _interleave_families(qs: dict) -> dict:
 _R5_PRIORITY = [
     "d_lsh_fast_pairs",
     "s_ivfpq_rerank",
+    "g_gremlin_path",
 ]
 
 _NON_GATED_TAIL: list[str] = []
@@ -2872,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_gremlin_pipe": q_g_gremlin_pipe,
         "g_gremlin_heavy": q_g_gremlin_heavy,
         "g_gremlin_groupcount": q_g_gremlin_groupcount,
+        "g_gremlin_path": q_g_gremlin_path,
         "g_bfs_levels": q_g_bfs_levels,
         "g_lpa_communities": q_g_lpa_communities,
         "g_sssp_weighted": q_g_sssp_weighted,
@@ -3825,6 +3845,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT v.id, v.totalprice
         FROM ge e JOIN gv v ON v.id = e.src
         WHERE e.label = 'contains' AND e.quantity >= 49.0
+        """,
+        "g_gremlin_path": GRAPH_CTES
+        + """
+        SELECT min('v[' || CAST(c.id AS VARCHAR) || ']->v['
+                   || CAST(o.src AS VARCHAR) || ']->v['
+                   || CAST(l.dst AS VARCHAR) || ']') AS path
+        FROM gv c
+        JOIN ge o ON o.label = 'placed_by' AND o.dst = c.id
+        JOIN ge l ON l.label = 'contains' AND l.src = o.src
+        WHERE c.kind = 'customer' AND c.nationkey = 7
+        GROUP BY l.dst
         """,
         "g_gremlin_groupcount": GRAPH_CTES
         + """

@@ -19,17 +19,25 @@ engine's surface covers — everything SURVEY §2.3/§2.4 maps to):
     hops        out(*labels)  in(*labels)  both(*labels)
     edge steps  outE(*labels)  inE(*labels)  bothE(*labels)
     endpoints   outV  inV  bothV
-    shaping     dedup  order  range(0, n)  limit(n)  [i..j]
+    shaping     dedup  order  range(i, j)  limit(n)  [i..j]
+                (i > 0 requires an earlier explicit ``order`` — offset
+                paging of an UNORDERED distributed frontier is
+                nondeterministic; a sorted frontier pages fine)
     projection  id  label  values(*keys)  property(k)
+    history     as('x')  back('x')  select('x','y')  path
+                (per-traverser walk history carried as columns — see
+                fluent.py ``track_paths``; ``path`` emits the walk as a
+                ``v[1]->e[7]->v[2]`` string, ``select`` the element ids
+                at the named steps.  Enabled automatically when the
+                pipeline uses any history step.)
     aggregation groupCount(k?)  sum  mean  max  min  (over a projected
                 single value; groupCount over a key, or visit counts
                 per element id without one)
     terminals   count()  toList()/iterate() (no-ops — evaluation is lazy)
 
-Per-traverser history steps (``path``, ``back``, ``select``, ``loop``)
-are deliberately absent: they reference the walk that produced a row,
-which set-at-a-time evaluation does not carry.  The fluent DSL composes
-the same results from explicit joins when needed.
+``loop`` remains absent: unbounded per-traverser iteration needs a
+driver-side fixpoint (the analytics operators' superstep pattern), not
+a static join tree.
 
 `T` comparison tokens: T.eq T.neq T.gt T.gte T.lt T.lte (Tokens.T of
 Gremlin 2; FluxVertex's VertexQuery accepts the same set through
@@ -283,9 +291,18 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
     steps = parse(script)
     if not steps:
         raise GremlinSyntaxError("empty pipeline")
-    cur: Any = Traversal(vertices, edges)
+    track = any(s.name in ("path", "select", "as", "back") for s in steps)
+    cur: Any = Traversal(vertices, edges, track_paths=track)
+    ordered = False  # an explicit `order` makes later offset paging deterministic
     for step in steps:
         name, args = step.name, step.args
+        if name == "order":
+            pass
+        elif name not in ("range", "limit", *_NOOPS):
+            # conservative: only steps that provably keep row order leave
+            # the ordered flag up — anything else (hops, filters, dedup,
+            # projections) may re-plan/re-shuffle and lose it
+            ordered = False
         if not isinstance(cur, Traversal) and name not in (
             "order", "dedup", "range", "limit", "count",
             "groupCount", "sum", "mean", "max", "min", *_NOOPS,
@@ -342,18 +359,27 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
                 else list(df.columns)
             df = df.orderBy(*cols)
             cur = cur._derived(df, cur._kind) if isinstance(cur, Traversal) else df
+            ordered = True
         elif name in ("range", "limit"):
             if name == "limit":
                 lo, hi = 0, args[0] - 1
             else:
                 lo, hi = args
             if lo != 0:
-                raise GremlinSyntaxError(
-                    "range/[i..j] must start at 0 (offset paging of an "
-                    "unordered distributed frontier is nondeterministic; "
-                    "use rexster.offset paging on the REST surface instead)"
-                )
-            cur = cur.limit(hi + 1)
+                if not ordered:
+                    raise GremlinSyntaxError(
+                        "range/[i..j] with a non-zero start needs an "
+                        "explicit `order` first (offset paging of an "
+                        "unordered distributed frontier is "
+                        "nondeterministic; use rexster.offset paging on "
+                        "the REST surface instead)"
+                    )
+                # a sorted frontier pages deterministically
+                df = cur.df() if isinstance(cur, Traversal) else cur
+                df = df.offset(lo).limit(hi - lo + 1)
+                cur = cur._derived(df, cur._kind) if isinstance(cur, Traversal) else df
+            else:
+                cur = cur.limit(hi + 1)
         elif name in ("values", "property"):
             if name == "property" and len(args) != 1:
                 raise GremlinSyntaxError("property(k) takes one key")
@@ -395,6 +421,29 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
                 name
             ](F.col(cur.columns[0]))
             cur = cur.agg(agg.alias(name))
+        elif name == "as":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise GremlinSyntaxError("as('name') takes one string")
+            cur = cur.as_(args[0])
+        elif name == "back":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise GremlinSyntaxError(
+                    "back('name') takes one named step (numeric back(n) "
+                    "is not supported — name the step with as())"
+                )
+            try:
+                cur = cur.back(args[0])
+            except ValueError as ex:
+                raise GremlinSyntaxError(str(ex)) from None
+        elif name == "select":
+            try:
+                cur = cur.select_steps(*args)
+            except ValueError as ex:
+                raise GremlinSyntaxError(str(ex)) from None
+        elif name == "path":
+            if args:
+                raise GremlinSyntaxError("path takes no args")
+            cur = cur.path_df()
         elif name in _NOOPS:
             pass
         else:

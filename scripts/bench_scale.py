@@ -52,6 +52,11 @@ QUERIES = [
     "s_ivfpq_topk",
     "g_gremlin_pipe",
     "d_containment",
+    # round 5: the graph-diff fact build (stack explode) — fact volume
+    # grows with the version chains, the kind of thing that surprises at
+    # 10x (VERDICT r4 item 8) — and the IVFPQ exact-rerank tier
+    "t_state_diff",
+    "s_ivfpq_rerank",
 ]
 
 

@@ -211,3 +211,73 @@ def test_gremlin_over_as_of_snapshot(spark):
     )
     assert now_names == ["bob", "carol"]
     assert then_names == ["bob"]
+
+
+def test_history_steps_classic_graph(toy_graph):
+    """Gremlin path/as/back/select over the classic graph (VERDICT r4
+    item 3): walk history carried as columns, per-traverser bag
+    semantics, deterministic dedup."""
+    g, vs, es = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+    m, j = vs["marko"].id, vs["josh"].id
+
+    # path: marko -> knows -> created (josh's two projects)
+    got = sorted(
+        r["path"]
+        for r in GL.run(f"g.v({m}).out('knows').out('created').path", v_df, e_df).collect()
+    )
+    assert got == [
+        f"v[{m}]->v[{j}]->v[{vs['lop'].id}]",
+        f"v[{m}]->v[{j}]->v[{vs['ripple'].id}]",
+    ]
+
+    # path through an edge step records the edge
+    got = sorted(
+        r["path"]
+        for r in GL.run(f"g.v({m}).outE('created').inV.path", v_df, e_df).collect()
+    )
+    assert got == [f"v[{m}]->e[{es['e3'].id}]->v[{vs['lop'].id}]"]
+
+    # select: (creator, project) id pairs via named steps
+    got = sorted(
+        map(tuple,
+            GL.run("g.V.as('who').out('created').as('what').select('who','what')",
+                   v_df, e_df).collect())
+    )
+    want = sorted([
+        (m, vs["lop"].id), (j, vs["ripple"].id),
+        (j, vs["lop"].id), (vs["peter"].id, vs["lop"].id),
+    ])
+    assert got == want
+    # select() with no names emits every named step in naming order
+    df = GL.run("g.V.as('a').out('knows').as('b').select", v_df, e_df)
+    assert df.columns == ["a", "b"]
+
+    # back: filter downstream, then return to the named step —
+    # "people who created a java project" via back
+    got = sorted(
+        map(tuple,
+            GL.run("g.V.as('p').out('created').has('lang','java')"
+                   ".back('p').dedup.values('name')", v_df, e_df).collect())
+    )
+    assert got == [("josh",), ("marko",), ("peter",)]
+
+    # dedup collapses traversers per element deterministically (min path)
+    got = sorted(
+        r["path"]
+        for r in GL.run("g.V.out('created').dedup.path", v_df, e_df).collect()
+    )
+    assert len(got) == 2  # lop, ripple — one surviving path each
+    assert got[0].endswith(f"v[{vs['lop'].id}]")
+
+    # ordered offset paging now allowed; unordered still rejected
+    ids = [r["id"] for r in GL.run("g.V.order.range(2, 4).id", v_df, e_df).collect()]
+    assert ids == sorted(v["id"] for v in ({"id": x.id} for x in vs.values()))[2:5]
+    with pytest.raises(GL.GremlinSyntaxError, match="order"):
+        GL.run("g.V.range(2, 4)", v_df, e_df)
+
+    # history steps demand names
+    with pytest.raises(GL.GremlinSyntaxError):
+        GL.run("g.V.back('nope')", v_df, e_df)
+    with pytest.raises(GL.GremlinSyntaxError):
+        GL.run("g.V.as('x').select('y')", v_df, e_df)
