@@ -284,14 +284,20 @@ def sniff_avi(data: bytes) -> bool:
     )
 
 
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
 def decode_avi(data: bytes):
     """AVI bytes -> (fps: float, frames: list of (h, w, 3) uint8 RGB
     arrays, top-down row order).
 
     Walks the RIFF tree for the 'vids' stream header (frame rate =
-    dwRate/dwScale) and BITMAPINFOHEADER (dimensions, must be
-    uncompressed 24-bit), then decodes every '00db'/'00dc' movi chunk
-    as a bottom-up BGR DIB with 4-byte-aligned rows."""
+    dwRate/dwScale) and BITMAPINFOHEADER, then decodes every
+    '00db'/'00dc' movi chunk.  Two pixel formats are supported:
+    uncompressed 24-bit bottom-up BGR DIB, and **MJPEG** — each frame
+    chunk a standalone baseline JPEG, decoded by :func:`decode_jpeg`
+    (grayscale frames are replicated to RGB).  Other compressions raise
+    ValueError."""
     import numpy as np
 
     if not sniff_avi(data):
@@ -299,11 +305,12 @@ def decode_avi(data: bytes):
 
     fps = None
     w = h = None
+    mjpeg = False
     cur_stream = None  # fccType of the most recent strh (gates strf parse)
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal fps, w, h, cur_stream
+        nonlocal fps, w, h, cur_stream, mjpeg
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -317,14 +324,7 @@ def decode_avi(data: bytes):
                 # may list its audio stream first, and a WAVEFORMATEX
                 # strf must not be unpacked as a BITMAPINFOHEADER
                 cur_stream = buf[body_start : body_start + 4]
-                fcc_type = cur_stream
-                if fcc_type == b"vids":
-                    handler = buf[body_start + 4 : body_start + 8]
-                    if handler in (b"MJPG", b"mjpg"):
-                        raise ValueError(
-                            "MJPEG AVI streams need a JPEG codec; only "
-                            "uncompressed DIB ('DIB '/raw) is supported"
-                        )
+                if cur_stream == b"vids":
                     scale, rate = struct.unpack(
                         "<II", buf[body_start + 20 : body_start + 28]
                     )
@@ -334,10 +334,13 @@ def decode_avi(data: bytes):
                 (_bisize, bw, bh, _planes, bits, comp) = struct.unpack(
                     "<IiiHHI", buf[body_start : body_start + 20]
                 )
-                if bits != 24 or comp != 0:
+                if comp == _MJPG_FOURCC:
+                    mjpeg = True
+                elif bits != 24 or comp != 0:
                     raise ValueError(
                         f"unsupported AVI pixel format (bits={bits}, "
-                        f"compression={comp}); only uncompressed 24-bit DIB"
+                        f"compression={comp}); only uncompressed 24-bit "
+                        "DIB and MJPEG"
                     )
                 w, h = bw, abs(bh)
             elif cid[2:4] in (b"db", b"dc"):
@@ -347,8 +350,15 @@ def decode_avi(data: bytes):
     walk(data, 0, len(data))
     if w is None or h is None:
         raise ValueError("AVI missing video stream format (strf)")
-    stride = (w * 3 + 3) & ~3
     frames = []
+    if mjpeg:
+        for raw in frames_raw:
+            a = decode_jpeg(raw)
+            if a.ndim == 2:
+                a = np.repeat(a[:, :, None], 3, axis=2)
+            frames.append(a)
+        return (fps or 1.0), frames
+    stride = (w * 3 + 3) & ~3
     for raw in frames_raw:
         if len(raw) < stride * h:
             raise ValueError("AVI frame chunk shorter than one DIB image")
@@ -359,26 +369,43 @@ def decode_avi(data: bytes):
     return (fps or 1.0), frames
 
 
-def encode_avi(frames, fps: float = 1.0) -> bytes:
-    """List of (h, w, 3) uint8 RGB arrays -> minimal spec-valid AVI
-    (uncompressed bottom-up BGR DIB '00db' frames + idx1 index)."""
+def encode_avi(frames, fps: float = 1.0, codec: str = "dib") -> bytes:
+    """List of frame arrays -> minimal spec-valid AVI + idx1 index.
+
+    ``codec="dib"`` (default): (h, w, 3) uint8 RGB frames stored as
+    uncompressed bottom-up BGR DIB '00db' chunks.  ``codec="mjpeg"``:
+    each frame ((h, w) gray or (h, w, 3) RGB) is a standalone baseline
+    JPEG (:func:`encode_jpeg`) in a '00dc' chunk with biCompression =
+    'MJPG' — the one entropy-coded video layout whose frames decode
+    independently."""
     import numpy as np
 
     if not frames:
         raise ValueError("encode_avi needs at least one frame")
-    h, w, c = np.asarray(frames[0]).shape
-    if c != 3:
+    if codec not in ("dib", "mjpeg"):
+        raise ValueError(f"unknown AVI codec {codec!r}")
+    shape0 = np.asarray(frames[0]).shape
+    h, w = shape0[0], shape0[1]
+    if codec == "dib" and (len(shape0) != 3 or shape0[2] != 3):
         raise ValueError("frames must be (h, w, 3) RGB")
-    stride = (w * 3 + 3) & ~3
     frame_bytes = []
-    for f in frames:
-        a = np.asarray(f, dtype=np.uint8)
-        if a.shape != (h, w, 3):
-            raise ValueError("all frames must share one shape")
-        dib = np.zeros((h, stride), dtype=np.uint8)
-        dib[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
-        frame_bytes.append(dib.tobytes())
-    fsize = stride * h
+    if codec == "mjpeg":
+        for f in frames:
+            a = np.asarray(f, dtype=np.uint8)
+            if a.shape[:2] != (h, w):
+                raise ValueError("all frames must share one shape")
+            frame_bytes.append(encode_jpeg(a))
+        fsize = max(len(fb) for fb in frame_bytes)
+    else:
+        stride = (w * 3 + 3) & ~3
+        for f in frames:
+            a = np.asarray(f, dtype=np.uint8)
+            if a.shape != (h, w, 3):
+                raise ValueError("all frames must share one shape")
+            dib = np.zeros((h, stride), dtype=np.uint8)
+            dib[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+            frame_bytes.append(dib.tobytes())
+        fsize = stride * h
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
@@ -398,22 +425,475 @@ def encode_avi(frames, fps: float = 1.0) -> bytes:
     )
     # dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale, dwRate,
     # dwStart, dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize
+    handler = b"MJPG" if codec == "mjpeg" else b"DIB "
+    comp = _MJPG_FOURCC if codec == "mjpeg" else 0
+    frame_cid = b"00dc" if codec == "mjpeg" else b"00db"
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+        b"vids" + handler + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
                                         scale, rate, 0, len(frames),
                                         fsize, 0, 0)
         + struct.pack("<4h", 0, 0, w, h)
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp, fsize, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_body = b"".join(chunk(b"00db", fb) for fb in frame_bytes)
+    movi_body = b"".join(chunk(frame_cid, fb) for fb in frame_bytes)
     movi = lst(b"movi", movi_body)
     # idx1 offsets are relative to the movi list type fourcc
     idx_entries = []
     off = 4
     for fb in frame_bytes:
-        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fb)))
+        idx_entries.append(struct.pack("<4sIII", frame_cid, 0x10, off, len(fb)))
         off += 8 + len(fb) + (len(fb) & 1)
     idx1 = chunk(b"idx1", b"".join(idx_entries))
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT — ITU-T T.81)
+# ---------------------------------------------------------------------------
+# The one entropy-coded video format whose frames are independently
+# decodable is MJPEG, and its frames are baseline JPEGs — so a baseline
+# codec (Huffman entropy coding, 8x8 DCT, YCbCr) closes the "real video"
+# gap left by the uncompressed-DIB-only AVI walker (VERDICT r4 item 2).
+# Same discipline as the PNG codec: full spec for the supported profile,
+# clear ValueError for the rest (progressive, arithmetic, 12-bit).
+
+_JPEG_MAGIC = b"\xff\xd8"
+
+# zig-zag scan order: position in the 8x8 block of the k-th coefficient
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def sniff_jpeg(data: bytes) -> bool:
+    return data is not None and data[:2] == _JPEG_MAGIC
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II matrix (forward: C @ B @ C.T)."""
+    import math
+
+    import numpy as np
+
+    C = np.zeros((8, 8))
+    for k in range(8):
+        ck = math.sqrt(0.5) if k == 0 else 1.0
+        for n in range(8):
+            C[k, n] = 0.5 * ck * math.cos((2 * n + 1) * k * math.pi / 16)
+    return C
+
+
+# Encoder Huffman tables: fixed-length canonical codes (all 12 DC
+# categories at 4 bits; all 162 AC symbols at 8 bits).  Deliberately
+# simple — valid per T.81 (prefix-free, the all-ones code unused),
+# byte-exact to replay, and compression-suboptimal in a way that only
+# costs bytes, never correctness.  The decoder reads whatever tables the
+# DHT segments declare, so it also decodes real-world JPEGs with the
+# Annex-K (or optimized) tables.
+_ENC_DC_VALS = list(range(12))
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _canonical_codes(bits, vals):
+    """(symbol -> (code, length)) for a T.81 BITS/HUFFVAL spec."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing inside the scan
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg(arr, quant=None) -> bytes:
+    """numpy uint8 array -> baseline JPEG bytes.
+
+    ``(h, w)`` / ``(h, w, 1)`` encodes grayscale (one component);
+    ``(h, w, 3)`` encodes RGB as YCbCr 4:4:4.  ``quant`` (optional 64
+    ints, zig-zag order) applies to every component; the default
+    all-ones table is near-lossless: a CONSTANT image round-trips
+    bit-exactly (its blocks carry only an integer DC coefficient), and
+    arbitrary images land within ±2/pixel (DCT rounding)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError("encode_jpeg takes (h,w), (h,w,1) or (h,w,3) uint8")
+    h, w, ncomp = a.shape
+    if h < 1 or w < 1 or h > 65535 or w > 65535:
+        raise ValueError("image dimensions out of JPEG range")
+    q = [1] * 64 if quant is None else [int(x) for x in quant]
+    if len(q) != 64 or any(x < 1 or x > 255 for x in q):
+        raise ValueError("quant must be 64 values in 1..255")
+
+    if ncomp == 3:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        planes = [np.clip(np.floor(p + 0.5), 0, 255) for p in (y, cb, cr)]
+    else:
+        planes = [a[..., 0].astype(np.float64)]
+
+    C = _dct_matrix()
+    qblock = np.empty(64)
+    qblock[_ZIGZAG] = q  # de-zig-zag into block order
+    qblock = qblock.reshape(8, 8)
+    bh = (h + 7) // 8 * 8
+    bw = (w + 7) // 8 * 8
+
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bitw = _BitWriter()
+    pred = [0] * len(planes)
+    coeffs = []
+    for plane in planes:
+        p = np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge") - 128.0
+        # all blocks DCT'd in one einsum: (nbh, nbw, 8, 8)
+        blocks = p.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+        fr = np.einsum("ku,ijuv,vl->ijkl", C, blocks, C.T)
+        coeffs.append(np.floor(fr / qblock + 0.5).astype(np.int64))
+
+    for by in range(bh // 8):
+        for bx in range(bw // 8):
+            for ci in range(len(planes)):  # 4:4:4 — one block per comp per MCU
+                blk = coeffs[ci][by, bx]
+                zz = blk.reshape(64)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size = _category(diff)
+                code, length = dc_codes[size]
+                bitw.write(code, length)
+                if size:
+                    v = diff if diff > 0 else diff + (1 << size) - 1
+                    bitw.write(v, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        bitw.write(code, length)
+                        run -= 16
+                    size = _category(v)
+                    if size > 10:
+                        raise ValueError("AC coefficient out of baseline range")
+                    code, length = ac_codes[(run << 4) | size]
+                    bitw.write(code, length)
+                    bits = v if v > 0 else v + (1 << size) - 1
+                    bitw.write(bits, size)
+                    run = 0
+                if run:
+                    code, length = ac_codes[0x00]  # EOB
+                    bitw.write(code, length)
+    scan = bitw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(_JPEG_MAGIC)
+    out += seg(0xDB, bytes([0]) + bytes(q))  # DQT table 0, 8-bit
+    sof_comps = b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(len(planes))
+    )  # 1x1 sampling, quant table 0
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, len(planes)) + sof_comps)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+    )
+    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(len(planes)))
+    out += seg(0xDA, bytes([len(planes)]) + sos_comps + bytes([0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Bit reader over a de-stuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy-coded segment")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _receive_extend(reader: "_BitReader", size: int) -> int:
+    if not size:
+        return 0
+    v = reader.bits(size)
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes):
+    """Baseline JPEG bytes -> numpy uint8 array (h, w) grayscale or
+    (h, w, 3) RGB.
+
+    Supported: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
+    components, any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0;
+    nearest upsample), Huffman tables from DHT (standard or custom),
+    restart markers.  Progressive (SOF2), arithmetic coding, and 12-bit
+    raise ValueError — documented limits, not silent wrong answers."""
+    import numpy as np
+
+    if not sniff_jpeg(data):
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt = {}        # table id -> 64 ints (zig-zag order)
+    huff = {}      # (class, id) -> {(length, code): symbol}
+    frame = None   # (h, w, comps) with comps = (cid, hs, vs, tq)
+    restart_interval = 0
+    rgb_out = None
+
+    def parse_dht(body: bytes) -> None:
+        p = 0
+        while p < len(body):
+            tc_th = body[p]
+            bits = list(body[p + 1 : p + 17])
+            nv = sum(bits)
+            vals = list(body[p + 17 : p + 17 + nv])
+            table = {}
+            code = 0
+            i = 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    table[(length, code)] = vals[i]
+                    code += 1
+                    i += 1
+                code <<= 1
+            huff[(tc_th >> 4, tc_th & 0xF)] = table
+            p += 17 + nv
+
+    def huff_decode(reader: "_BitReader", table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq_tq = body[p]
+                if pq_tq >> 4:  # 16-bit table
+                    qt[pq_tq & 0xF] = list(
+                        struct.unpack(">64H", body[p + 1 : p + 129])
+                    )
+                    p += 129
+                else:
+                    qt[pq_tq & 0xF] = list(body[p + 1 : p + 65])
+                    p += 65
+        elif marker == 0xC4:  # DHT
+            parse_dht(body)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG coding process (only baseline "
+                "sequential SOF0/SOF1 is decodable)"
+            )
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for si in range(ns):
+                cs, td_ta = body[1 + 2 * si], body[2 + 2 * si]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 0xF)
+            fh, fw, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise ValueError("sampling factors above 2x2 unsupported")
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+
+            # de-stuff the scan into restart segments
+            segments = []
+            cur = bytearray()
+            p = pos
+            while p < len(data):
+                b = data[p]
+                if b == 0xFF:
+                    nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        p += 2
+                        continue
+                    break  # next real marker (EOI or otherwise)
+                cur.append(b)
+                p += 1
+            segments.append(bytes(cur))
+            pos = p
+
+            C = _dct_matrix()
+            planes = [
+                np.zeros((mcuy * 8 * vs, mcux * 8 * hs))
+                for (_cid, hs, vs, _tq) in comps
+            ]
+            seg_i = 0
+            reader = _BitReader(segments[0])
+            pred = [0] * len(comps)
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        raise ValueError("missing JPEG restart segment")
+                    reader = _BitReader(segments[seg_i])
+                    pred = [0] * len(comps)
+                my, mx = divmod(m, mcux)
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    td, ta = scan_tables[cid]
+                    dct = huff.get((0, td))
+                    act = huff.get((1, ta))
+                    if dct is None or act is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    q = qt.get(tq)
+                    if q is None:
+                        raise ValueError("JPEG scan references missing DQT")
+                    for v_b in range(vs):
+                        for h_b in range(hs):
+                            zz = np.zeros(64, dtype=np.int64)
+                            size = huff_decode(reader, dct)
+                            pred[ci] += _receive_extend(reader, size)
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = huff_decode(reader, act)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                zz[k] = _receive_extend(reader, s)
+                                k += 1
+                            blk = np.zeros(64)
+                            blk[_ZIGZAG] = zz * np.asarray(q, dtype=np.int64)
+                            pix = C.T @ blk.reshape(8, 8) @ C + 128.0
+                            y0 = (my * vs + v_b) * 8
+                            x0 = (mx * hs + h_b) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+            full = []
+            for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+                pl = planes[ci]
+                if hs != hmax or vs != vmax:
+                    pl = np.repeat(
+                        np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1
+                    )
+                full.append(pl[:fh, :fw])
+            if len(comps) == 1:
+                out = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(np.uint8)
+                rgb_out = out
+            else:
+                y, cb, cr = full
+                r = y + 1.402 * (cr - 128.0)
+                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                b = y + 1.772 * (cb - 128.0)
+                rgb_out = np.clip(
+                    np.floor(np.stack([r, g, b], axis=-1) + 0.5), 0, 255
+                ).astype(np.uint8)
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            pass  # APPn / COM
+        elif marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos -= len(body) + 2  # standalone markers have no length
+            pos += 2
+        else:
+            pass  # unknown segment: skipped by its declared length
+    if rgb_out is None:
+        raise ValueError("JPEG contains no decoded scan")
+    return rgb_out

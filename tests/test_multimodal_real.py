@@ -159,15 +159,66 @@ def test_avi_roundtrip_exact():
             assert np.array_equal(a, b)
 
 
-def test_avi_rejects_mjpeg():
-    """Entropy-coded streams are rejected with a clear error, never a
-    silent wrong answer."""
+def test_avi_rejects_unsupported_compression():
+    """Compressions without a decoder (e.g. H.264) are rejected with a
+    clear error, never a silent wrong answer.  (MJPEG is decodable now —
+    see the round-trip tests below.)"""
+    import struct as _struct
+
     frames = [np.zeros((2, 2, 3), dtype=np.uint8)]
     data = bytearray(codecs.encode_avi(frames))
-    i = bytes(data).find(b"vidsDIB ")
-    data[i + 4 : i + 8] = b"MJPG"
-    with pytest.raises(ValueError, match="MJPEG"):
+    i = bytes(data).find(_struct.pack("<IiiHHI", 40, 2, 2, 1, 24, 0))
+    assert i > 0
+    data[i + 16 : i + 20] = b"H264"  # biCompression fourcc
+    with pytest.raises(ValueError, match="unsupported AVI pixel format"):
         codecs.decode_avi(bytes(data))
+
+
+def test_jpeg_roundtrip():
+    """Baseline JPEG codec: constant images bit-exact (only an integer
+    DC coefficient survives the all-ones quant table), arbitrary images
+    within the DCT-rounding tolerance, odd dimensions cropped, and
+    progressive JPEGs rejected with a clear error."""
+    for v in (0, 77, 128, 255):
+        img = np.full((2, 8), v, dtype=np.uint8)
+        assert (codecs.decode_jpeg(codecs.encode_jpeg(img)) == v).all()
+    const_rgb = np.full((4, 12, 3), (10, 200, 99), dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(const_rgb))
+    assert np.abs(out.astype(int) - const_rgb.astype(int)).max() <= 1
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(gray))
+    assert out.shape == (16, 24)
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 2
+    rgb = rng.randint(0, 256, (11, 13, 3), dtype=np.uint8)  # odd dims
+    out = codecs.decode_jpeg(codecs.encode_jpeg(rgb))
+    assert out.shape == (11, 13, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+
+    bad = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    bad[bad.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        codecs.decode_jpeg(bytes(bad))
+
+
+def test_mjpeg_avi_roundtrip():
+    """MJPEG-in-AVI (VERDICT r4 item 2): frame chunks are standalone
+    baseline JPEGs; the container walk + per-frame entropy decode
+    recovers constant frames exactly and arbitrary RGB frames within
+    codec tolerance."""
+    consts = [np.full((2, 8), b, dtype=np.uint8) for b in (5, 250, 66)]
+    fps, got = codecs.decode_avi(codecs.encode_avi(consts, fps=1.0, codec="mjpeg"))
+    assert fps == 1.0 and len(got) == 3
+    for f, b in zip(got, (5, 250, 66)):
+        assert f.shape == (2, 8, 3) and (f == b).all()
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (8, 16, 3), dtype=np.uint8) for _ in range(2)]
+    fps, got = codecs.decode_avi(codecs.encode_avi(frames, fps=2.0, codec="mjpeg"))
+    assert fps == 2.0 and len(got) == 2
+    for a, b in zip(got, frames):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 4
 
 
 def test_sample_frames_real_decodes_container(spark):
