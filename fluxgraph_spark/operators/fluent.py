@@ -292,6 +292,19 @@ class Traversal:
             *[F.col(_AS_PREFIX + n).alias(n) for n in use]
         )
 
+    def simple_path(self) -> "Traversal":
+        """Keep only traversers whose walked path has no repeated
+        element (Gremlin ``simplePath``) — a cycle filter expressed as
+        one array predicate over the history column, no joins."""
+        cur = self._current()
+        if _PATH not in cur.columns:
+            raise ValueError("simple_path requires Traversal(track_paths=True)")
+        parts = F.split(F.col(_PATH), "->")
+        return self._derived(
+            cur.where(F.size(parts) == F.size(F.array_distinct(parts))),
+            self._kind,
+        )
+
     def path_df(self) -> DataFrame:
         """The walked path per traverser (Gremlin ``path``) as a single
         ``path`` string column, e.g. ``v[1]->e[7]->v[2]``."""

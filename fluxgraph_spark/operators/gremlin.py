@@ -24,7 +24,7 @@ engine's surface covers — everything SURVEY §2.3/§2.4 maps to):
                 paging of an UNORDERED distributed frontier is
                 nondeterministic; a sorted frontier pages fine)
     projection  id  label  values(*keys)  property(k)
-    history     as('x')  back('x')  select('x','y')  path
+    history     as('x')  back('x')  select('x','y')  path  simplePath
                 (per-traverser walk history carried as columns — see
                 fluent.py ``track_paths``; ``path`` emits the walk as a
                 ``v[1]->e[7]->v[2]`` string, ``select`` the element ids
@@ -291,7 +291,9 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
     steps = parse(script)
     if not steps:
         raise GremlinSyntaxError("empty pipeline")
-    track = any(s.name in ("path", "select", "as", "back") for s in steps)
+    track = any(
+        s.name in ("path", "select", "as", "back", "simplePath") for s in steps
+    )
     cur: Any = Traversal(vertices, edges, track_paths=track)
     ordered = False  # an explicit `order` makes later offset paging deterministic
     for step in steps:
@@ -444,6 +446,10 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
             if args:
                 raise GremlinSyntaxError("path takes no args")
             cur = cur.path_df()
+        elif name == "simplePath":
+            if args:
+                raise GremlinSyntaxError("simplePath takes no args")
+            cur = cur.simple_path()
         elif name in _NOOPS:
             pass
         else:

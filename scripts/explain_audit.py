@@ -116,6 +116,10 @@ AUDITED = [
     "s_ivfpq_topk",
     "s_ivf_kmeans_topk",
     "x_frames",
+    # round 5: gremlin walk history, IVFPQ exact rerank, MJPEG decode
+    "g_gremlin_path",
+    "s_ivfpq_rerank",
+    "x_frames_mjpeg",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -187,6 +191,9 @@ NO_PUSHDOWN_EXPECTED = {
                             # stronger than a row-group PushedFilters entry)
     "s_ivfpq_topk",         # same: PartitionFilters on the codes scan
     "s_ivf_kmeans_topk",    # full-embeddings scan + iterative centroid refine
+    "g_gremlin_path",       # kind predicates fold into union-branch pruning
+    "s_ivfpq_rerank",       # PartitionFilters on codes AND vectors scans
+    "x_frames_mjpeg",       # full-corpus synthetic MJPEG decode (mapInPandas)
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -251,6 +258,8 @@ NO_BROADCAST_EXPECTED = {
     "d_indexed_dedupe",     # batch-vs-index joins: AQE decides
     "x_frames",             # narrow mapInPandas decode, no joins
     "s_ivf_kmeans_topk",    # probe joins: AQE decides
+    "g_gremlin_path",       # hop equi-joins: AQE decides
+    "x_frames_mjpeg",       # narrow mapInPandas decode, no joins
 }
 
 

@@ -281,3 +281,23 @@ def test_history_steps_classic_graph(toy_graph):
         GL.run("g.V.back('nope')", v_df, e_df)
     with pytest.raises(GL.GremlinSyntaxError):
         GL.run("g.V.as('x').select('y')", v_df, e_df)
+
+
+def test_simple_path_filters_cycles(toy_graph):
+    """simplePath drops traversers that revisit an element."""
+    g, vs, _ = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+    m = vs["marko"].id
+    # out('knows').in('knows') returns to marko (cycle) — simplePath
+    # keeps only walks landing on a NEW vertex
+    all_rows = GL.run(f"g.v({m}).out('knows').in('knows').path", v_df, e_df).collect()
+    simple = GL.run(
+        f"g.v({m}).out('knows').in('knows').simplePath.path", v_df, e_df
+    ).collect()
+    assert len(all_rows) == 2  # via vadas and via josh, both back to marko
+    assert simple == []  # every such walk revisits marko
+    # a genuinely simple walk survives
+    kept = GL.run(
+        f"g.v({m}).out('knows').out('created').simplePath.path", v_df, e_df
+    ).collect()
+    assert len(kept) == 2
