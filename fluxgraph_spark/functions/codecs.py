@@ -548,15 +548,22 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def encode_jpeg(arr, quant=None) -> bytes:
+def encode_jpeg(arr, quant=None, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """numpy uint8 array -> baseline JPEG bytes.
 
     ``(h, w)`` / ``(h, w, 1)`` encodes grayscale (one component);
-    ``(h, w, 3)`` encodes RGB as YCbCr 4:4:4.  ``quant`` (optional 64
-    ints, zig-zag order) applies to every component; the default
-    all-ones table is near-lossless: a CONSTANT image round-trips
-    bit-exactly (its blocks carry only an integer DC coefficient), and
-    arbitrary images land within ±2/pixel (DCT rounding)."""
+    ``(h, w, 3)`` encodes RGB as YCbCr — ``subsampling="444"`` (default,
+    every component full-resolution) or ``"420"`` (chroma box-averaged
+    2x2; Y sampled 2x2 per MCU — exercises the decoder's interleaved
+    multi-block MCU + upsample path).  ``restart_interval=N`` emits DRI
+    and an RSTn marker every N MCUs (byte-aligned, DC predictors reset).
+    ``quant`` (optional 64 ints, zig-zag order) applies to every
+    component; the default all-ones table is near-lossless: a CONSTANT
+    image round-trips bit-exactly (its blocks carry only an integer DC
+    coefficient), and arbitrary images land within ±2/pixel of the
+    source (±4 through the color transform; 4:2:0 additionally averages
+    chroma)."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -567,6 +574,8 @@ def encode_jpeg(arr, quant=None) -> bytes:
     h, w, ncomp = a.shape
     if h < 1 or w < 1 or h > 65535 or w > 65535:
         raise ValueError("image dimensions out of JPEG range")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     q = [1] * 64 if quant is None else [int(x) for x in quant]
     if len(q) != 64 or any(x < 1 or x > 255 for x in q):
         raise ValueError("quant must be 64 values in 1..255")
@@ -579,77 +588,111 @@ def encode_jpeg(arr, quant=None) -> bytes:
         planes = [np.clip(np.floor(p + 0.5), 0, 255) for p in (y, cb, cr)]
     else:
         planes = [a[..., 0].astype(np.float64)]
+    if ncomp == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * len(planes)
+    hmax = max(hs for hs, _vs in samp)
+    vmax = max(vs for _hs, vs in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     C = _dct_matrix()
     qblock = np.empty(64)
     qblock[_ZIGZAG] = q  # de-zig-zag into block order
     qblock = qblock.reshape(8, 8)
-    bh = (h + 7) // 8 * 8
-    bw = (w + 7) // 8 * 8
 
-    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
-    bitw = _BitWriter()
-    pred = [0] * len(planes)
     coeffs = []
-    for plane in planes:
-        p = np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge") - 128.0
-        # all blocks DCT'd in one einsum: (nbh, nbw, 8, 8)
-        blocks = p.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+    for ci, plane in enumerate(planes):
+        hs, vs = samp[ci]
+        # pad to the full MCU grid at this component's resolution
+        full_h, full_w = mcuy * 8 * vmax, mcux * 8 * hmax
+        p = np.pad(plane, ((0, full_h - h), (0, full_w - w)), mode="edge")
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            # box average — the standard chroma downsample
+            p = p.reshape(full_h // fy, fy, full_w // fx, fx).mean(axis=(1, 3))
+            p = np.floor(p + 0.5)
+        ph, pw = p.shape
+        blocks = (p - 128.0).reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
         fr = np.einsum("ku,ijuv,vl->ijkl", C, blocks, C.T)
         coeffs.append(np.floor(fr / qblock + 0.5).astype(np.int64))
 
-    for by in range(bh // 8):
-        for bx in range(bw // 8):
-            for ci in range(len(planes)):  # 4:4:4 — one block per comp per MCU
-                blk = coeffs[ci][by, bx]
-                zz = blk.reshape(64)[_ZIGZAG]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size = _category(diff)
-                code, length = dc_codes[size]
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    scan = bytearray()
+    bitw = _BitWriter()
+    pred = [0] * len(planes)
+    rst = 0
+
+    def encode_block(blk) -> None:
+        nonlocal pred
+        zz = blk.reshape(64)[_ZIGZAG]
+        diff = int(zz[0]) - pred[ci_state[0]]
+        pred[ci_state[0]] = int(zz[0])
+        size = _category(diff)
+        code, length = dc_codes[size]
+        bitw.write(code, length)
+        if size:
+            v = diff if diff > 0 else diff + (1 << size) - 1
+            bitw.write(v, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
                 bitw.write(code, length)
-                if size:
-                    v = diff if diff > 0 else diff + (1 << size) - 1
-                    bitw.write(v, size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]
-                        bitw.write(code, length)
-                        run -= 16
-                    size = _category(v)
-                    if size > 10:
-                        raise ValueError("AC coefficient out of baseline range")
-                    code, length = ac_codes[(run << 4) | size]
-                    bitw.write(code, length)
-                    bits = v if v > 0 else v + (1 << size) - 1
-                    bitw.write(bits, size)
-                    run = 0
-                if run:
-                    code, length = ac_codes[0x00]  # EOB
-                    bitw.write(code, length)
-    scan = bitw.flush()
+                run -= 16
+            size = _category(v)
+            if size > 10:
+                raise ValueError("AC coefficient out of baseline range")
+            code, length = ac_codes[(run << 4) | size]
+            bitw.write(code, length)
+            bits = v if v > 0 else v + (1 << size) - 1
+            bitw.write(bits, size)
+            run = 0
+        if run:
+            code, length = ac_codes[0x00]  # EOB
+            bitw.write(code, length)
+
+    ci_state = [0]
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            scan += bitw.flush()
+            scan += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bitw = _BitWriter()
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci in range(len(planes)):
+            ci_state[0] = ci
+            hs, vs = samp[ci]
+            for vb in range(vs):
+                for hb in range(hs):
+                    encode_block(coeffs[ci][my * vs + vb, mx * hs + hb])
+    scan += bitw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     out = bytearray(_JPEG_MAGIC)
     out += seg(0xDB, bytes([0]) + bytes(q))  # DQT table 0, 8-bit
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sof_comps = b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(len(planes))
-    )  # 1x1 sampling, quant table 0
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+        for ci in range(len(planes))
+    )
     out += seg(0xC0, struct.pack(">BHHB", 8, h, w, len(planes)) + sof_comps)
     out += seg(
         0xC4,
         bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
         + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
     )
-    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(len(planes)))
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(len(planes)))
     out += seg(0xDA, bytes([len(planes)]) + sos_comps + bytes([0, 63, 0]))
     out += scan
     out += b"\xff\xd9"  # EOI

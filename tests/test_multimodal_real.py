@@ -308,3 +308,27 @@ def test_decode_avi_audio_stream_listed_first():
     assert fps == 2.0 and len(got) == 2
     for a, b in zip(got, want):
         assert np.array_equal(a, b)
+
+
+def test_jpeg_restart_markers_and_420_subsampling():
+    """The decoder's RST-segment and interleaved-MCU/upsample paths,
+    driven by the encoder's restart_interval and 4:2:0 modes."""
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(gray))
+    data = codecs.encode_jpeg(gray, restart_interval=2)
+    assert b"\xff\xdd" in data and b"\xff\xd0" in data  # DRI + RST0
+    assert np.array_equal(codecs.decode_jpeg(data), plain)
+
+    const = np.full((20, 28, 3), (10, 200, 99), dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(const, subsampling="420"))
+    assert np.abs(out.astype(int) - const.astype(int)).max() <= 1
+
+    g = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    neutral = np.stack([g, g, g], axis=-1)  # constant chroma, full-res Y
+    out = codecs.decode_jpeg(codecs.encode_jpeg(neutral, subsampling="420"))
+    assert np.abs(out.astype(int) - neutral.astype(int)).max() <= 3
+
+    odd = rng.randint(0, 256, (9, 21, 3), dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(odd, subsampling="420"))
+    assert out.shape == (9, 21, 3)
