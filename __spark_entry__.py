@@ -2727,6 +2727,31 @@ def q_s_ivfpq_rerank(spark, sf_dir):
     return idx.topk_rerank(queries, k=10, n_probe=4, rerank=3)
 
 
+def q_s_ivfpq_residual_topk(spark, sf_dir):
+    """True-IVFADC construction: PQ codebooks trained on and codes
+    assigned to RESIDUALS (vector minus its assigned centroid — Jégou
+    et al. TPAMI'11 §IV; what FAISS's IndexIVFPQ actually stores).
+    Residuals cluster far tighter than raw vectors, so the same m=4
+    one-byte code budget resolves finer distances; queries build one
+    integer LUT per (query, probed centroid) on the query's own
+    residual, broadcast and joined on the composite key.  Deterministic
+    md5-sample centroids/codebooks + exact double-precision residual
+    subtraction replay the whole two-stage decision in SQL."""
+    import tempfile
+
+    from fluxgraph_spark.sources.ann_index import IvfPqIndex
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = IvfPqIndex.build(
+        emb, tempfile.mkdtemp(prefix="ivfpq_res_"),
+        n_centroids=16, m=4, ksub=16, residual=True,
+    )
+    return idx.topk(queries, k=10, n_probe=4)
+
+
 def q_s_pq_topk(spark, sf_dir):
     """Product-quantization ANN: corpus compressed to m=4 one-byte codes
     per vector (64x), queries score via asymmetric-distance lookup-table
@@ -2883,6 +2908,7 @@ _R5_PRIORITY = [
     "s_ivfpq_rerank",
     "g_gremlin_path",
     "x_frames_mjpeg",
+    "s_ivfpq_residual_topk",
 ]
 
 _NON_GATED_TAIL: list[str] = []
@@ -3029,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ivf_indexed_topk": q_s_ivf_indexed_topk,
         "s_ivfpq_topk": q_s_ivfpq_topk,
         "s_ivfpq_rerank": q_s_ivfpq_rerank,
+        "s_ivfpq_residual_topk": q_s_ivfpq_residual_topk,
         "s_ivf_kmeans_topk": q_s_ivf_kmeans_topk,
         "s_pq_topk": q_s_pq_topk,
         "pipeline_corpus": q_pipeline_corpus,
@@ -3186,14 +3213,69 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 """
 
 
-def _ivfpq_sql(tail: str) -> str:
-    """Replay of the IVFADC index (q_s_ivfpq_topk / q_s_ivfpq_rerank):
-    md5-sample centroids and codebooks, nearest-centroid corpus
-    assignment, 4-probe query assignment, integer-micro ADC sums over
-    the candidate lists.  ``tail`` picks the final tier: ``topk`` ranks
-    the ADC distances directly; ``rerank`` takes the ADC top-30
-    shortlist and re-ranks it by EXACT cosine against the raw vectors
-    (the IndexRefine tier of q_s_ivfpq_rerank)."""
+def _ivfpq_sql(tail: str, residual: bool = False) -> str:
+    """Replay of the IVFADC index (q_s_ivfpq_topk / q_s_ivfpq_rerank /
+    q_s_ivfpq_residual_topk): md5-sample centroids and codebooks,
+    nearest-centroid corpus assignment, 4-probe query assignment,
+    integer-micro ADC sums over the candidate lists.  ``residual``
+    replays the true-IVFADC construction: codebooks trained on and
+    codes assigned to (vector - assigned centroid), with one LUT per
+    (query, probed centroid) on the query's own residual.  ``tail``
+    picks the final tier: ``topk`` ranks the ADC distances directly;
+    ``rerank`` takes the ADC top-30 shortlist and re-ranks it by EXACT
+    cosine against the raw vectors (the IndexRefine tier of
+    q_s_ivfpq_rerank)."""
+    if residual:
+        enc_src = """
+        res AS MATERIALIZED (
+          SELECT b.vec_id, a.centroid_id,
+                 list_transform(list_zip(b.vec, c.cvec), x -> x[1] - x[2]) AS vec
+          FROM base b
+          JOIN assign1 a ON a.vec_id = b.vec_id
+          JOIN cents c ON c.centroid_id = a.centroid_id)"""
+        samp_from = "res"
+        enc_from = "res"
+        lut_block = """
+        qres AS MATERIALIZED (
+          SELECT qa.query_id, qa.centroid_id,
+                 list_transform(list_zip(b.vec, c.cvec), x -> x[1] - x[2]) AS vec
+          FROM qassign qa
+          JOIN base b ON b.vec_id = qa.query_id
+          JOIN cents c ON c.centroid_id = qa.centroid_id),
+        lut AS MATERIALIZED (
+          SELECT q.query_id, q.centroid_id, cb.s, cb.code,
+                 CAST(floor(list_sum(list_transform(
+                   list_zip((q.vec)[cb.s*16+1 : cb.s*16+16], cb.csub),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000 + 0.5) AS BIGINT) AS dmicro
+          FROM qres q CROSS JOIN cb),
+        candc AS MATERIALIZED (
+          SELECT q.query_id, q.centroid_id, a.vec_id
+          FROM qassign q JOIN assign1 a ON a.centroid_id = q.centroid_id),
+        scored AS MATERIALIZED (
+          SELECT cd.query_id, cd.vec_id, CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
+          FROM candc cd
+          JOIN enc e ON e.vec_id = cd.vec_id
+          JOIN lut l ON l.query_id = cd.query_id
+                    AND l.centroid_id = cd.centroid_id
+                    AND l.s = e.s AND l.code = e.code
+          GROUP BY cd.query_id, cd.vec_id)"""
+    else:
+        enc_src = None
+        samp_from = "base"
+        enc_from = "base"
+        lut_block = """
+        lut AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, cb.s, cb.code,
+                 CAST(floor(list_sum(list_transform(
+                   list_zip((q.vec)[cb.s*16+1 : cb.s*16+16], cb.csub),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000 + 0.5) AS BIGINT) AS dmicro
+          FROM base q CROSS JOIN cb WHERE q.vec_id < 5),
+        scored AS MATERIALIZED (
+          SELECT cd.query_id, cd.vec_id, CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
+          FROM cand cd
+          JOIN enc e ON e.vec_id = cd.vec_id
+          JOIN lut l ON l.query_id = cd.query_id AND l.s = e.s AND l.code = e.code
+          GROUP BY cd.query_id, cd.vec_id)"""
     ctes = """
         WITH base AS MATERIALIZED (
           SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -3218,11 +3300,14 @@ def _ivfpq_sql(tail: str) -> str:
             FROM ivf_scored WHERE vec_id < 5) WHERE rn <= 4),
         cand AS MATERIALIZED (
           SELECT DISTINCT q.query_id, a.vec_id
-          FROM qassign q JOIN assign1 a ON a.centroid_id = q.centroid_id),
+          FROM qassign q JOIN assign1 a ON a.centroid_id = q.centroid_id)"""
+    if enc_src is not None:
+        ctes += "," + enc_src
+    ctes += f""",
         samp AS MATERIALIZED (
           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code,
                  vec
-          FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+          FROM {samp_from} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
         cb AS MATERIALIZED (
           SELECT u.s, samp.code, (samp.vec)[u.s*16+1 : u.s*16+16] AS csub
           FROM samp, UNNEST([0,1,2,3]) AS u(s)),
@@ -3233,19 +3318,8 @@ def _ivfpq_sql(tail: str) -> str:
                      list_sum(list_transform(
                        list_zip((b.vec)[cb.s*16+1 : cb.s*16+16], cb.csub),
                        x -> (x[1]-x[2])*(x[1]-x[2]))) ASC, cb.code) AS rn
-            FROM base b CROSS JOIN cb) WHERE rn = 1),
-        lut AS MATERIALIZED (
-          SELECT q.vec_id AS query_id, cb.s, cb.code,
-                 CAST(floor(list_sum(list_transform(
-                   list_zip((q.vec)[cb.s*16+1 : cb.s*16+16], cb.csub),
-                   x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000 + 0.5) AS BIGINT) AS dmicro
-          FROM base q CROSS JOIN cb WHERE q.vec_id < 5),
-        scored AS MATERIALIZED (
-          SELECT cd.query_id, cd.vec_id, CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
-          FROM cand cd
-          JOIN enc e ON e.vec_id = cd.vec_id
-          JOIN lut l ON l.query_id = cd.query_id AND l.s = e.s AND l.code = e.code
-          GROUP BY cd.query_id, cd.vec_id)"""
+            FROM {enc_from} b CROSS JOIN cb) WHERE rn = 1),"""
+    ctes += lut_block
     if tail == "topk":
         return ctes + """
         SELECT query_id, vec_id, adc_micro, rank FROM (
@@ -4993,6 +5067,7 @@ def oracle_sql() -> dict[str, str]:
         # scoring sums integer micro distances over the probed candidates
         "s_ivfpq_topk": _ivfpq_sql("topk"),
         "s_ivfpq_rerank": _ivfpq_sql("rerank"),
+        "s_ivfpq_residual_topk": _ivfpq_sql("topk", residual=True),
         "s_cosine_topk": """
         SELECT query_id, vec_id, cosine, rank FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

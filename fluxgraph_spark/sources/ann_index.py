@@ -206,6 +206,30 @@ class IvfPqIndex:
         self.codes_dir = os.path.join(index_dir, "codes")
         self.vectors_dir = os.path.join(index_dir, "vectors")
 
+    @staticmethod
+    def _centroid_vec_map(centroids: DataFrame):
+        """centroid_id -> literal cvec array as one map expression, so a
+        residual subtraction is a NARROW map over the vector frame (the
+        centroid table is ~sqrt(corpus) by construction — the same
+        bounded driver collect ivf_assign already does)."""
+        entries = []
+        for r in centroids.select("centroid_id", "cvec").collect():
+            entries.append(F.lit(r["centroid_id"]))
+            entries.append(F.array(*[F.lit(float(x)) for x in r["cvec"]]))
+        return F.create_map(*entries)
+
+    @classmethod
+    def _residuals(cls, v: DataFrame, assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+        """(vec_id, centroid_id, rvec = vec - assigned centroid)."""
+        cmap = cls._centroid_vec_map(centroids)
+        return v.join(assigned, "vec_id").select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                F.col("cvec"), cmap[F.col("centroid_id")], lambda a, b: a - b
+            ).alias("rvec"),
+        )
+
     @classmethod
     def build(
         cls,
@@ -217,6 +241,7 @@ class IvfPqIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         store_vectors: bool = True,
+        residual: bool = False,
     ) -> "IvfPqIndex":
         """``n_centroids=None`` (default) sizes the list count from the
         corpus via :func:`auto_n_centroids` (one count at build time).
@@ -226,7 +251,16 @@ class IvfPqIndex:
         rerank tier (:meth:`topk_rerank`) re-reads shortlisted rows from
         there with the same directory prune as the code scan.  Set False
         for a pure-ADC index at full 64x compression (rerank then
-        unavailable)."""
+        unavailable).
+
+        ``residual=True`` PQ-encodes the RESIDUAL (vector minus its
+        assigned centroid) instead of the raw vector — the true FAISS
+        IVFADC construction (Jégou et al. TPAMI'11 §IV): residuals
+        cluster much tighter than raw vectors, so the same code budget
+        resolves finer distances.  Queries then build one LUT per
+        (query, probed centroid) on the query's own residual.  The flag
+        is persisted beside the codebooks, so readers pick the matching
+        ADC automatically."""
         import json
 
         idx = cls(corpus.sparkSession, index_dir)
@@ -234,10 +268,6 @@ class IvfPqIndex:
             n_centroids = auto_n_centroids(corpus.count())
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
         cents.coalesce(1).write.mode("overwrite").parquet(idx.centroids_dir)
-        codebooks = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
-        os.makedirs(index_dir, exist_ok=True)
-        with open(idx.codebooks_path, "w") as f:
-            json.dump(codebooks, f)
         v = corpus.select(
             F.col(id_col).alias("vec_id"),
             _as_double_vec(F.col(vec_col)).alias("cvec"),
@@ -245,7 +275,16 @@ class IvfPqIndex:
         assigned = ivf_assign(v, cents, 1, "vec_id", "cvec").withColumnRenamed(
             "id", "vec_id"
         ).persist()  # feeds the code write and (optionally) the vector write
-        codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+        if residual:
+            res = cls._residuals(v, assigned, cents)
+            codebooks = pq_codebooks(res, m=m, ksub=ksub, id_col="vec_id", vec_col="rvec")
+            codes = pq_encode(res, codebooks, id_col="vec_id", vec_col="rvec")
+        else:
+            codebooks = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+            codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+        os.makedirs(index_dir, exist_ok=True)
+        with open(idx.codebooks_path, "w") as f:
+            json.dump({"residual": residual, "codebooks": codebooks}, f)
         (
             assigned.join(codes, "vec_id")
             .select("centroid_id", "vec_id", "codes")
@@ -267,11 +306,19 @@ class IvfPqIndex:
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self.centroids_dir)
 
-    def codebooks(self) -> list:
+    def _load_codebooks(self):
+        """(codebooks, residual) — reads both the current dict layout
+        and the round-4 bare-list layout (implicitly non-residual)."""
         import json
 
         with open(self.codebooks_path) as f:
-            return json.load(f)
+            data = json.load(f)
+        if isinstance(data, dict):
+            return data["codebooks"], bool(data.get("residual"))
+        return data, False
+
+    def codebooks(self) -> list:
+        return self._load_codebooks()[0]
 
     def codes(self, centroid_ids: Optional[list] = None) -> DataFrame:
         df = self.spark.read.parquet(self.codes_dir)
@@ -288,28 +335,59 @@ class IvfPqIndex:
     ):
         """(scored, probe_ids): per-(query, candidate) integer ADC over
         the probed partitions' compressed codes — the shared first tier
-        of :meth:`topk` and :meth:`topk_rerank`."""
-        codebooks = self.codebooks()
+        of :meth:`topk` and :meth:`topk_rerank`.
+
+        Residual indexes score against one LUT per (query, probed
+        centroid) — the query's residual vs that centroid — joined on
+        the composite key, still a broadcast of queries x n_probe
+        LUT rows."""
+        codebooks, residual = self._load_codebooks()
         m = len(codebooks)
         ksub = len(codebooks[0])
+        cents = self.centroids()
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             _as_double_vec(F.col(vec_col)).alias("qvec"),
         )
         q_buckets = ivf_assign(
-            q, self.centroids(), n_probe, "query_id", "qvec"
+            q, cents, n_probe, "query_id", "qvec"
         ).withColumnRenamed("id", "query_id")
         probe_ids = [
             r["centroid_id"]
             for r in q_buckets.select("centroid_id").distinct().collect()
         ]
         codes = self.codes(probe_ids)
-        lut_df = pq_query_lut(queries, codebooks, query_id_col, vec_col)
         # each vector lives in exactly one list (n_probe=1 assignment at
         # build), so the probe join yields unique (query_id, vec_id)
+        if not residual:
+            lut_df = pq_query_lut(queries, codebooks, query_id_col, vec_col)
+            scored = (
+                q_buckets.join(codes, "centroid_id")
+                .join(F.broadcast(lut_df), "query_id")
+                .select(
+                    "query_id", "vec_id", pq_adc_column(m, ksub).alias("adc_micro")
+                )
+            )
+            return scored, probe_ids
+        qc = F.concat_ws("#", F.col("query_id").cast("string"),
+                         F.col("centroid_id").cast("string"))
+        cmap = self._centroid_vec_map(cents)
+        qres = (
+            q_buckets.join(q, "query_id")
+            .select(
+                qc.alias("qc"),
+                F.zip_with(
+                    F.col("qvec"), cmap[F.col("centroid_id")], lambda a, b: a - b
+                ).alias("rvec"),
+            )
+        )
+        lut_df = pq_query_lut(qres, codebooks, "qc", "rvec").withColumnRenamed(
+            "query_id", "qc"
+        )
         scored = (
             q_buckets.join(codes, "centroid_id")
-            .join(F.broadcast(lut_df), "query_id")
+            .withColumn("qc", qc)
+            .join(F.broadcast(lut_df), "qc")
             .select("query_id", "vec_id", pq_adc_column(m, ksub).alias("adc_micro"))
         )
         return scored, probe_ids

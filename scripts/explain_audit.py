@@ -119,6 +119,7 @@ AUDITED = [
     # round 5: gremlin walk history, IVFPQ exact rerank, MJPEG decode
     "g_gremlin_path",
     "s_ivfpq_rerank",
+    "s_ivfpq_residual_topk",
     "x_frames_mjpeg",
 ]
 
@@ -193,6 +194,7 @@ NO_PUSHDOWN_EXPECTED = {
     "s_ivf_kmeans_topk",    # full-embeddings scan + iterative centroid refine
     "g_gremlin_path",       # kind predicates fold into union-branch pruning
     "s_ivfpq_rerank",       # PartitionFilters on codes AND vectors scans
+    "s_ivfpq_residual_topk",  # PartitionFilters on the codes scan
     "x_frames_mjpeg",       # full-corpus synthetic MJPEG decode (mapInPandas)
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)

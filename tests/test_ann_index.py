@@ -204,3 +204,52 @@ def test_ivfpq_rerank_recall_beats_plain_adc(spark, emb, tmp_path):
         key = (r["query_id"], r["vec_id"])
         if key in truth_cos:
             assert abs(r["cosine"] - truth_cos[key]) < 1e-9
+
+
+def test_ivfpq_residual_encoding(spark, emb, tmp_path):
+    """True-IVFADC residual construction: codes store (vec - assigned
+    centroid); on the fixed test corpus residual ADC recalls at least
+    as much of the brute-force cosine top-k as raw-vector ADC, the
+    exact-rerank tier composes on top, and the persisted residual flag
+    round-trips (a reopened index picks the residual ADC
+    automatically)."""
+    from fluxgraph_spark.sources.ann_index import IvfPqIndex
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    raw = IvfPqIndex.build(
+        emb, str(tmp_path / "raw"), n_centroids=16, m=4, ksub=16
+    )
+    res = IvfPqIndex.build(
+        emb, str(tmp_path / "res"), n_centroids=16, m=4, ksub=16, residual=True
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=k).collect()
+    }
+    raw_set = {
+        (r["query_id"], r["vec_id"])
+        for r in raw.topk(queries, k=k, n_probe=4).collect()
+    }
+    res_set = {
+        (r["query_id"], r["vec_id"])
+        for r in res.topk(queries, k=k, n_probe=4).collect()
+    }
+    assert len(res_set & truth) >= len(raw_set & truth)
+    # codes genuinely differ (residual vs raw encodings)
+    assert res_set != raw_set or res.codes().collect() != raw.codes().collect()
+
+    # reopened index resolves the persisted residual flag
+    reopened = IvfPqIndex(spark, str(tmp_path / "res"))
+    got = sorted(map(tuple, reopened.topk(queries, k=k, n_probe=4).collect()))
+    want = sorted(map(tuple, res.topk(queries, k=k, n_probe=4).collect()))
+    assert got == want
+
+    # rerank composes on the residual shortlist
+    rr = {
+        (r["query_id"], r["vec_id"])
+        for r in res.topk_rerank(queries, k=k, n_probe=4, rerank=3).collect()
+    }
+    assert len(rr & truth) >= len(res_set & truth)
