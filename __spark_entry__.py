@@ -360,6 +360,23 @@ def q_g_gremlin_path(spark, sf_dir):
     )
 
 
+def q_g_gremlin_loop(spark, sf_dir):
+    """Bounded Gremlin ``loop`` (the last absent Gremlin-2 step): the
+    literal while-bound lets the looped section UNROLL statically into
+    the join tree (operators/gremlin._unroll_loops) — Catalyst still
+    sees one chained-equi-join plan, exactly multi_hop's shape.  Early
+    1995 orders, two generic out-hops (order→customer→nation and
+    order→part→supplier), visit counts per reached kind."""
+    from fluxgraph_spark.operators import gremlin as GL
+
+    _, v, e = _graph(spark, sf_dir)
+    return GL.run(
+        "g.V.has('kind','order').has('orderdate', T.lt, '1995-03-01')"
+        ".out.loop(1){it.loops < 3}.groupCount('kind')",
+        v, e,
+    )
+
+
 def q_g_gremlin_groupcount(spark, sf_dir):
     """Gremlin-2 side-effect pipe: hop then groupCount — suppliers per
     nation via `g.V.has('kind','supplier').out('located_in')
@@ -2909,6 +2926,7 @@ _R5_PRIORITY = [
     "g_gremlin_path",
     "x_frames_mjpeg",
     "s_ivfpq_residual_topk",
+    "g_gremlin_loop",
 ]
 
 _NON_GATED_TAIL: list[str] = []
@@ -2942,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_gremlin_heavy": q_g_gremlin_heavy,
         "g_gremlin_groupcount": q_g_gremlin_groupcount,
         "g_gremlin_path": q_g_gremlin_path,
+        "g_gremlin_loop": q_g_gremlin_loop,
         "g_bfs_levels": q_g_bfs_levels,
         "g_lpa_communities": q_g_lpa_communities,
         "g_sssp_weighted": q_g_sssp_weighted,
@@ -3944,6 +3963,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT v.id, v.totalprice
         FROM ge e JOIN gv v ON v.id = e.src
         WHERE e.label = 'contains' AND e.quantity >= 49.0
+        """,
+        "g_gremlin_loop": GRAPH_CTES
+        + """
+        , sel AS MATERIALIZED (
+          SELECT id FROM gv WHERE kind = 'order' AND orderdate < '1995-03-01'),
+        hop1 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN sel s ON e.src = s.id),
+        hop2 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN hop1 h ON e.src = h.id)
+        SELECT v.kind AS kind, CAST(count(*) AS BIGINT) AS count
+        FROM hop2 JOIN gv v ON v.id = hop2.id
+        GROUP BY v.kind
         """,
         "g_gremlin_path": GRAPH_CTES
         + """

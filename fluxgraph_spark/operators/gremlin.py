@@ -30,14 +30,18 @@ engine's surface covers — everything SURVEY §2.3/§2.4 maps to):
                 ``v[1]->e[7]->v[2]`` string, ``select`` the element ids
                 at the named steps.  Enabled automatically when the
                 pipeline uses any history step.)
+    loops       loop(k){it.loops < N}  loop('name'){it.loops < N}
+                (bounded while-closures only — the literal bound lets
+                the section unroll statically into the join tree; see
+                ``_unroll_loops``)
     aggregation groupCount(k?)  sum  mean  max  min  (over a projected
                 single value; groupCount over a key, or visit counts
                 per element id without one)
     terminals   count()  toList()/iterate() (no-ops — evaluation is lazy)
 
-``loop`` remains absent: unbounded per-traverser iteration needs a
-driver-side fixpoint (the analytics operators' superstep pattern), not
-a static join tree.
+Unbounded ``loop`` (a data-dependent while-closure or emit-closure)
+remains absent: that is a driver-side fixpoint (the analytics
+operators' superstep pattern), not a static join tree.
 
 `T` comparison tokens: T.eq T.neq T.gt T.gte T.lt T.lte (Tokens.T of
 Gremlin 2; FluxVertex's VertexQuery accepts the same set through
@@ -81,7 +85,7 @@ _TOKEN_RE = re.compile(
     | (?P<number>-?\d+\.\d+[fFdD]?|-?\d+[lL]?)
     | (?P<tcmp>T\.(?:neq|eq|gte|gt|lte|lt))
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<punct>\.\.|[().,\[\]])
+    | (?P<punct>\.\.|[().,\[\]{}<])
     )
     """,
     re.VERBOSE,
@@ -188,6 +192,18 @@ def _parse(script: str) -> list[Step]:
                     if toks[i] == ("punct", ","):
                         i += 1
                 i += 1
+            if name == "loop" and i < len(toks) and toks[i] == ("punct", "{"):
+                # the canonical bounded while-closure: {it.loops < N}
+                want = [("punct", "{"), ("name", "it"), ("punct", "."),
+                        ("name", "loops"), ("punct", "<")]
+                if toks[i : i + 5] != want or i + 6 >= len(toks) \
+                        or toks[i + 5][0] != "lit" \
+                        or toks[i + 6] != ("punct", "}"):
+                    raise GremlinSyntaxError(
+                        "loop closures support exactly {it.loops < N}"
+                    )
+                args.append(toks[i + 5][1])
+                i += 7
             steps.append(Step(name, tuple(args)))
         elif (kind, val) == ("punct", "["):
             # Groovy range suffix [i..j] (inclusive) — also [i] single index
@@ -217,6 +233,48 @@ def _parse(script: str) -> list[Step]:
 @dataclass(frozen=True)
 class Cmp:
     op: str
+
+
+def _unroll_loops(steps: list[Step]) -> list[Step]:
+    """Statically unroll ``loop`` steps: the loop bound is a literal, so
+    the looped section just repeats in the step list — the evaluator
+    stays a single pass and Catalyst still sees ONE join tree (the
+    unrolled hops are chained equi-joins, exactly what multi_hop
+    plans).  ``loop(k){it.loops < N}`` re-runs the previous ``k`` steps
+    (or the section after ``as('name')`` for a named anchor) until the
+    counter — which starts at 1 and increments per arrival — fails the
+    bound: N-1 total executions, matching GremlinDocs' classic example
+    (``g.v(1).out.loop(1){it.loops < 3}`` = the 2-hop frontier).
+    Unbounded/emit-closure loops stay unsupported: a data-dependent
+    fixpoint needs the driver-side superstep pattern of the analytics
+    operators, not a static pipeline."""
+    out: list[Step] = []
+    for st in steps:
+        if st.name != "loop":
+            out.append(st)
+            continue
+        if len(st.args) != 2:
+            raise GremlinSyntaxError(
+                "loop takes (stepsBack|'name') and a {it.loops < N} closure"
+            )
+        anchor, bound = st.args
+        if not isinstance(bound, int) or bound < 2:
+            raise GremlinSyntaxError("loop bound must be an int >= 2")
+        if isinstance(anchor, str):
+            marks = [
+                i for i, s in enumerate(out)
+                if s.name == "as" and s.args == (anchor,)
+            ]
+            if not marks:
+                raise GremlinSyntaxError(f"loop anchor {anchor!r} not named")
+            section = out[marks[-1] + 1 :]
+        else:
+            if anchor < 1 or anchor > len(out):
+                raise GremlinSyntaxError(f"loop({anchor}) out of range")
+            section = out[len(out) - anchor :]
+        for _ in range(bound - 2):  # the section already ran once
+            out.extend(section)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +346,7 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
     Always returns a DataFrame (count() becomes a one-row ``count``
     frame) — evaluation stays lazy/declarative end to end.
     """
-    steps = parse(script)
+    steps = _unroll_loops(parse(script))
     if not steps:
         raise GremlinSyntaxError("empty pipeline")
     track = any(

@@ -301,3 +301,39 @@ def test_simple_path_filters_cycles(toy_graph):
         f"g.v({m}).out('knows').out('created').simplePath.path", v_df, e_df
     ).collect()
     assert len(kept) == 2
+
+
+def test_loop_unrolls_bounded_sections(toy_graph):
+    """Bounded loop (GremlinDocs classic semantics): loop(1){it.loops<3}
+    runs the previous step twice; the named-anchor form matches; bad
+    closures and unbounded forms are rejected."""
+    g, vs, _ = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+    m = vs["marko"].id
+
+    got = sorted(
+        r["name"] for r in
+        GL.run(f"g.v({m}).out.loop(1){{it.loops < 3}}.values('name')",
+               v_df, e_df).collect()
+    )
+    assert got == ["lop", "ripple"]  # josh's creations, 2 hops out
+    named = sorted(
+        r["name"] for r in
+        GL.run(f"g.v({m}).as('x').out.loop('x'){{it.loops < 3}}.values('name')",
+               v_df, e_df).collect()
+    )
+    assert named == got
+    # {it.loops < 2} == plain single execution
+    one = sorted(
+        r["name"] for r in
+        GL.run(f"g.v({m}).out.loop(1){{it.loops < 2}}.values('name')",
+               v_df, e_df).collect()
+    )
+    assert one == ["josh", "lop", "vadas"]
+
+    with pytest.raises(GL.GremlinSyntaxError):
+        GL.run("g.V.out.loop(1){it.loops > 3}", v_df, e_df)  # not a bound
+    with pytest.raises(GL.GremlinSyntaxError):
+        GL.run("g.V.out.loop(1)", v_df, e_df)  # no closure
+    with pytest.raises(GL.GremlinSyntaxError):
+        GL.run("g.V.out.loop('nope'){it.loops < 3}", v_df, e_df)
