@@ -408,6 +408,40 @@ def q_t_scd2_versions(spark, sf_dir):
     )
 
 
+def q_t_scd2_travel(spark, sf_dir):
+    """TRANSACTION-time travel on the durable SCD2 table (the
+    Scd2ParquetTable twin of the graph's P1 tx-id checkpoints): two
+    change batches commit as versions 1 and 2, and ``read_version(1)``
+    resolves the RETAINED v1 manifest's bucket pointers — the state
+    exactly as first published, byte-identical to an SCD2 build over
+    batch 1 alone (the oracle).  At 100 TB this read opens only the
+    bucket dirs the old manifest references; no log replay, no
+    snapshot reconstruction."""
+    import tempfile
+
+    from fluxgraph_spark.sources.scd2_table import Scd2ParquetTable
+
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    cols = ["user_id", "ts", "event_type", "value"]
+    b1 = ev.where(F.col("event_id") % 2 == 0).select(*cols)
+    b2 = ev.where(F.col("event_id") % 2 == 1).select(*cols)
+    tbl = Scd2ParquetTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="scd2_tt_"), "tbl"),
+        ["user_id"], ts_col="ts", n_buckets=8,
+    )
+    tbl.ingest(b1)
+    tbl.ingest(b2)
+    old = tbl.read_version(1)
+    return old.select(
+        "user_id",
+        _us(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "version_idx",
+        _us(F.col("valid_to")).alias("valid_to_us"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
 def q_t_compact(spark, sf_dir):
     """Temporal coalescing (SQL:2011 "pack", operators/temporal.py
     scd2_compact): merge runs of adjacent versions with unchanged
@@ -2927,6 +2961,7 @@ _R5_PRIORITY = [
     "x_frames_mjpeg",
     "s_ivfpq_residual_topk",
     "g_gremlin_loop",
+    "t_scd2_travel",
 ]
 
 _NON_GATED_TAIL: list[str] = []
@@ -2980,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_range_join": q_t_range_join,
         "t_versions_at": q_t_versions_at,
         "t_compact": q_t_compact,
+        "t_scd2_travel": q_t_scd2_travel,
         # relational surface
         "pricing_summary": q_pricing_summary,
         "top_orders_building": q_top_orders_building,
@@ -4004,6 +4040,16 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(lead(ts) OVER w) AS valid_to_us,
                CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
         FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "t_scd2_travel": """
+        SELECT user_id,
+               epoch_us(ts) AS ts_us,
+               event_type,
+               CAST(row_number() OVER w AS INT) AS version_idx,
+               epoch_us(lead(ts) OVER w) AS valid_to_us,
+               CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM events WHERE event_id % 2 = 0
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
         "t_compact": """

@@ -196,10 +196,16 @@ def scd2_upsert(
     invariant: the merged table is identical to rebuilding from the
     full concatenated change history (test-pinned).
     """
+    # "valid_from" is always excluded even when ts_col differs:
+    # scd2_from_change_events emits it as a DERIVED copy of ts_col, so a
+    # table keyed on e.g. ts_col="ts" carries both — treating the copy
+    # as a value column would demand it from the change batch (latent
+    # until the first UPSERT against a non-default-ts table)
     value_cols = [
         c
         for c in current.columns
-        if c not in {*key_cols, ts_col, "valid_to", "version_idx", "is_current"}
+        if c not in {*key_cols, ts_col, "valid_from", "valid_to",
+                     "version_idx", "is_current"}
     ]
     touched_keys = changes.select(*key_cols).distinct()
     untouched = current.join(touched_keys, key_cols, "left_anti")

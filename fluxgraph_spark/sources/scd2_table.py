@@ -180,6 +180,38 @@ class Scd2ParquetTable:
             df = df.where(self._key_filter(keys))
         return df
 
+    def read_version(self, version: int) -> DataFrame:
+        """TRANSACTION-time travel: the committed table exactly as of
+        commit ``version`` — the durable twin of the graph's tx-id
+        checkpoints (reference P1, FluxGraph.java:179 via the driver
+        store; here the retained per-version manifests resolve the
+        bucket pointers that were live at that commit).  Distinct from
+        :meth:`as_of`, which cuts by BUSINESS validity time over the
+        current commit.  Raises if the version was never committed or
+        its bucket versions have been vacuumed away (vacuum keeps only
+        the current manifest's pointers — retain old versions by not
+        vacuuming, exactly Delta/Iceberg's retention contract)."""
+        vpath = os.path.join(self.path, f"_manifest.v{version}.json")
+        try:
+            with open(vpath) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no committed version {version} at {self.path}"
+            ) from None
+        paths = [
+            self._bucket_dir(int(b), v)
+            for b, v in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
+        ]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"version {version} is no longer readable: {len(missing)} "
+                "bucket version(s) were vacuumed; disable vacuum to retain "
+                "time-travel history"
+            )
+        return self.spark.read.parquet(*paths)
+
     def history(self) -> DataFrame:
         """Commit log: one row per publish (version, committed_at,
         n_changes, n_buckets_rewritten, n_rows_written)."""

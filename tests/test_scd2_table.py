@@ -407,3 +407,57 @@ def test_two_thread_race_exactly_one_publishes(spark, tmp_path, winner):
     assert sorted(map(tuple, fresh.read().select(cols).collect())) == sorted(
         map(tuple, want.select(cols).collect())
     )
+
+
+def test_read_version_time_travel(spark, tmp_path):
+    """Transaction-time travel via retained per-version manifests: each
+    committed version reads back exactly as it was published; unknown
+    versions raise, and vacuum invalidates superseded versions with a
+    clear error."""
+    tbl = Scd2ParquetTable(spark, str(tmp_path / "tbl"), ["user_id"])
+    tbl.ingest(_batch(spark, _ts_rows(BATCH1, [0, 1])))
+    v1_rows = sorted(map(tuple, tbl.read().collect()))
+    tbl.ingest(_batch(spark, _ts_rows(BATCH2, [5, 6])))
+
+    got_v1 = sorted(map(tuple, tbl.read_version(1).collect()))
+    assert got_v1 == v1_rows
+    got_v2 = sorted(map(tuple, tbl.read_version(2).collect()))
+    assert got_v2 == sorted(map(tuple, tbl.read().collect()))
+    assert len(got_v2) > len(got_v1)
+
+    with pytest.raises(ValueError, match="no committed version 9"):
+        tbl.read_version(9)
+
+    tbl.vacuum()
+    # the current version survives vacuum; superseded ones raise clearly
+    assert sorted(map(tuple, tbl.read_version(2).collect())) == got_v2
+    with pytest.raises(ValueError, match="vacuum"):
+        tbl.read_version(1).collect()
+
+
+def test_multi_batch_ingest_with_nondefault_ts_col(spark, tmp_path):
+    """Regression: scd2_from_change_events always emits a derived
+    valid_from column, so a table keyed on ts_col='ts' carries both —
+    the upsert must not demand the derived copy from the next change
+    batch (it previously did, breaking every second ingest on
+    non-default-ts tables)."""
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, state string"
+        )
+
+    tbl = Scd2ParquetTable(
+        spark, str(tmp_path / "tbl"), ["user_id"], ts_col="ts"
+    )
+    tbl.ingest(b([(1, t(0), "a"), (2, t(1), "x")]))
+    tbl.ingest(b([(1, t(5), "b")]))  # previously raised AnalysisException
+    got = tbl.read()
+    assert "valid_from" in got.columns and "ts" in got.columns
+    rows = sorted(
+        map(tuple, got.select("user_id", "ts", "state", "is_current").collect())
+    )
+    assert rows == [
+        (1, t(0), "a", False),
+        (1, t(5), "b", True),
+        (2, t(1), "x", True),
+    ]
