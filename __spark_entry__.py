@@ -1996,6 +1996,22 @@ def q_x_decontaminate(spark, sf_dir):
     return dedup.contamination_hits(probe, bench, window=4)
 
 
+def q_x_decontaminate_bloom(spark, sf_dir):
+    """Decontamination with the BLOOM-prune tier
+    (dedup.contamination_hits_bloom): the benchmark fingerprints
+    compress to a 2^20-bit bitmap broadcast as one array row, the
+    corpus eliminates non-contaminated fingerprints MAP-SIDE with pure
+    bit arithmetic (no join for the overwhelming majority), and only
+    bloom survivors verify against the exact fingerprint set — which
+    makes the decision identical to x_decontaminate, so the two share
+    one SQL oracle.  The 100 TB shape: a ~MB bitmap replaces a
+    100-1000x larger broadcast set on the hot path."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    probe = docs.where(F.col("doc_id") % 50 != 0)
+    return dedup.contamination_hits_bloom(probe, bench, window=4)
+
+
 def q_x_vocab(spark, sf_dir):
     """Corpus vocabulary: top-100 tokens by frequency.  Partial aggs
     combine map-side, the distributed top-k replaces a global sort."""
@@ -2962,6 +2978,7 @@ _R5_PRIORITY = [
     "s_ivfpq_residual_topk",
     "g_gremlin_loop",
     "t_scd2_travel",
+    "x_decontaminate_bloom",
 ]
 
 _NON_GATED_TAIL: list[str] = []
@@ -3055,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tfidf_top_terms": q_x_tfidf_top_terms,
         "x_vocab": q_x_vocab,
         "x_decontaminate": q_x_decontaminate,
+        "x_decontaminate_bloom": q_x_decontaminate_bloom,
         # streaming surface (real Structured Streaming runs, availableNow)
         "st_windowed_counts": q_st_windowed_counts,
         "st_sessionize": q_st_sessionize,
@@ -5260,6 +5278,9 @@ def oracle_sql() -> dict[str, str]:
     # counterparts (same hash family / centroid sample) — same oracle
     sqls["s_ivf_indexed_topk"] = sqls["s_ivf_topk"]
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
+    # bloom tier only PRUNES; the exact verify makes the decision
+    # identical to the exact operator — same oracle
+    sqls["x_decontaminate_bloom"] = sqls["x_decontaminate"]
     return sqls
 
 

@@ -893,6 +893,82 @@ def contamination_hits(
     )
 
 
+def contamination_hits_bloom(
+    probe: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 13,
+    n_bits_pow2: int = 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`contamination_hits` with a BLOOM-FILTER prune tier — the
+    classic 100 TB decontamination layout: the benchmark fingerprint
+    set compresses to a 2^``n_bits_pow2``-bit Bloom bitmap (``k``
+    xxhash64 probes per fingerprint) that broadcasts as ONE array row,
+    and the corpus tests its fingerprints against it with pure bit
+    arithmetic BEFORE any join — the overwhelming non-contaminated
+    majority is eliminated map-side by a ~MB bitmap instead of flowing
+    into a join against the full fingerprint set (which at eval-suite
+    scale is 100-1000x larger than its bloom).  Survivors (exact hits
+    plus the bloom's false positives) then verify against the exact
+    fingerprint set, so the RESULT is decision-identical to the exact
+    operator — the bloom can only prune, never alter — and the same SQL
+    oracle applies.  False-positive rate at the defaults:
+    (1 - e^(-kn/m))^k, ~0.2% for 10^5 fingerprints in 2^20 bits.
+
+    The bitmap builds driver-side from the collected benchmark
+    fingerprints — a bounded probe (eval suites, not corpora); at 10^8+
+    benchmark fingerprints build it distributed via bit-position
+    aggregation instead."""
+    from .text import rolling_hashes
+
+    grams = lambda df: F.explode(  # noqa: E731 — local shorthand
+        F.array_distinct(rolling_hashes(F.col(text_col), window))
+    ).alias("fp")
+    m = 1 << n_bits_pow2
+    bench_fps = benchmark.select(grams(benchmark)).distinct().persist()
+    # bit positions computed by SPARK's own xxhash64 — bit-for-bit the
+    # same family the membership test below probes, no reimplementation
+    pos_rows = bench_fps.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(j), F.col("fp")), F.lit(m))
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos")
+    ).distinct().collect()
+    words = [0] * (m // 64)
+    for r in pos_rows:
+        pos = int(r["pos"])
+        words[pos // 64] |= 1 << (pos % 64)
+    spark = probe.sparkSession
+    bits_df = spark.createDataFrame(
+        [([_to_i64(w) for w in words],)], "bits array<bigint>"
+    )
+    corpus_fps = probe.select(F.col(id_col), grams(probe))
+    passed = corpus_fps.crossJoin(F.broadcast(bits_df))
+    cond = F.lit(True)
+    for j in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(j), F.col("fp")), F.lit(m))
+        word = F.element_at(F.col("bits"), (pos / 64).cast("int") + 1)
+        cond = cond & (F.bit_get(word, F.pmod(pos, F.lit(64))) == 1)
+    survivors = passed.where(cond).select(id_col, "fp")
+    out = (
+        survivors.join(bench_fps, "fp")  # exact verify: kills bloom FPs
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return out
+
+
+def _to_i64(w: int) -> int:
+    """Python unbounded int -> two's-complement int64 (bigint literal)."""
+    return w - (1 << 64) if w >= (1 << 63) else w
+
+
 def dedupe_keep_best(
     df: DataFrame,
     id_col: str,

@@ -121,6 +121,7 @@ AUDITED = [
     "s_ivfpq_rerank",
     "s_ivfpq_residual_topk",
     "x_frames_mjpeg",
+    "x_decontaminate_bloom",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -165,6 +166,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_tfidf_top_terms",    # full-corpus explode
     "x_vocab",              # full-corpus explode
     "x_decontaminate",      # doc_id % 50 is a derived predicate, not scan-level
+    "x_decontaminate_bloom",  # same derived predicate; bloom prune is map-side
     "t_asof_tolerance",     # keep symmetric with t_asof_join
     "d_span_dup",           # full-corpus span fingerprinting
     "x_strat_sample",       # md5-bucket predicate is derived, not scan-level

