@@ -377,6 +377,23 @@ def q_g_gremlin_loop(spark, sf_dir):
     )
 
 
+def q_g_gremlin_except(spark, sf_dir):
+    """Gremlin side-effect collections (aggregate + except): the classic
+    co-purchase-minus-self walk — customers of nation 7 snapshot as a
+    named set, walk orders→parts→other orders→their customers, and the
+    original set anti-joins out.  Declaratively the collection is just a
+    subplan; except is one left_anti join on element id."""
+    from fluxgraph_spark.operators import gremlin as GL
+
+    _, v, e = _graph(spark, sf_dir)
+    return GL.run(
+        "g.V.has('kind','customer').has('nationkey', 7L).aggregate('orig')"
+        ".in('placed_by').out('contains').in('contains').out('placed_by')"
+        ".except('orig').dedup.id",
+        v, e,
+    )
+
+
 def q_g_gremlin_groupcount(spark, sf_dir):
     """Gremlin-2 side-effect pipe: hop then groupCount — suppliers per
     nation via `g.V.has('kind','supplier').out('located_in')
@@ -2979,6 +2996,7 @@ _R5_PRIORITY = [
     "g_gremlin_loop",
     "t_scd2_travel",
     "x_decontaminate_bloom",
+    "g_gremlin_except",
 ]
 
 _NON_GATED_TAIL: list[str] = []
@@ -3013,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_gremlin_groupcount": q_g_gremlin_groupcount,
         "g_gremlin_path": q_g_gremlin_path,
         "g_gremlin_loop": q_g_gremlin_loop,
+        "g_gremlin_except": q_g_gremlin_except,
         "g_bfs_levels": q_g_bfs_levels,
         "g_lpa_communities": q_g_lpa_communities,
         "g_sssp_weighted": q_g_sssp_weighted,
@@ -4017,6 +4036,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT v.id, v.totalprice
         FROM ge e JOIN gv v ON v.id = e.src
         WHERE e.label = 'contains' AND e.quantity >= 49.0
+        """,
+        "g_gremlin_except": GRAPH_CTES
+        + """
+        , orig AS MATERIALIZED (
+          SELECT id FROM gv WHERE kind = 'customer' AND nationkey = 7)
+        SELECT DISTINCT c2.dst AS id
+        FROM orig
+        JOIN ge o1 ON o1.label = 'placed_by' AND o1.dst = orig.id
+        JOIN ge l1 ON l1.label = 'contains' AND l1.src = o1.src
+        JOIN ge l2 ON l2.label = 'contains' AND l2.dst = l1.dst
+        JOIN ge c2 ON c2.label = 'placed_by' AND c2.src = l2.src
+        WHERE c2.dst NOT IN (SELECT id FROM orig)
         """,
         "g_gremlin_loop": GRAPH_CTES
         + """

@@ -34,6 +34,12 @@ engine's surface covers — everything SURVEY §2.3/§2.4 maps to):
                 (bounded while-closures only — the literal bound lets
                 the section unroll statically into the join tree; see
                 ``_unroll_loops``)
+    collections aggregate('x')  store('x')  except('x')  retain('x')
+                (side-effect element collections: aggregate/store
+                snapshot the frontier as a named set — declaratively, a
+                subplan — and except/retain anti-/semi-join the current
+                frontier against it by element id: the classic
+                friends-of-friends-minus-friends shape as two joins)
     aggregation groupCount(k?)  sum  mean  max  min  (over a projected
                 single value; groupCount over a key, or visit counts
                 per element id without one)
@@ -354,6 +360,7 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
     )
     cur: Any = Traversal(vertices, edges, track_paths=track)
     ordered = False  # an explicit `order` makes later offset paging deterministic
+    collections: dict[str, DataFrame] = {}  # aggregate/store snapshots (id sets)
     for step in steps:
         name, args = step.name, step.args
         if name == "order":
@@ -508,6 +515,21 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
             if args:
                 raise GremlinSyntaxError("simplePath takes no args")
             cur = cur.simple_path()
+        elif name in ("aggregate", "store"):
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise GremlinSyntaxError(f"{name}('x') takes one string")
+            collections[args[0]] = cur.df().select(M.ID).distinct()
+        elif name in ("except", "retain"):
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise GremlinSyntaxError(f"{name}('x') takes one named set")
+            if args[0] not in collections:
+                raise GremlinSyntaxError(
+                    f"no collection named {args[0]!r}; aggregate/store it first"
+                )
+            how = "left_anti" if name == "except" else "left_semi"
+            cur = cur._derived(
+                cur.df().join(collections[args[0]], M.ID, how), cur._kind
+            )
         elif name in _NOOPS:
             pass
         else:

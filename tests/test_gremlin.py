@@ -337,3 +337,27 @@ def test_loop_unrolls_bounded_sections(toy_graph):
         GL.run("g.V.out.loop(1)", v_df, e_df)  # no closure
     with pytest.raises(GL.GremlinSyntaxError):
         GL.run("g.V.out.loop('nope'){it.loops < 3}", v_df, e_df)
+
+
+def test_aggregate_except_retain(toy_graph):
+    """Side-effect collections: aggregate snapshots the frontier,
+    except/retain anti-/semi-join against it — co-creators of marko's
+    projects excluding marko himself."""
+    g, vs, _ = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+    m = vs["marko"].id
+
+    got = sorted(
+        r["name"] for r in
+        GL.run(f"g.v({m}).aggregate('me').out('created').in('created')"
+               ".except('me').dedup.values('name')", v_df, e_df).collect()
+    )
+    assert got == ["josh", "peter"]
+    kept = sorted(
+        r["name"] for r in
+        GL.run(f"g.v({m}).aggregate('me').out('created').in('created')"
+               ".retain('me').dedup.values('name')", v_df, e_df).collect()
+    )
+    assert kept == ["marko"]
+    with pytest.raises(GL.GremlinSyntaxError, match="no collection"):
+        GL.run("g.V.except('nope')", v_df, e_df)
