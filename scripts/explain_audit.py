@@ -122,6 +122,8 @@ AUDITED = [
     "s_ivfpq_residual_topk",
     "x_frames_mjpeg",
     "x_decontaminate_bloom",
+    "g_gremlin_loop",
+    "g_gremlin_except",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -195,6 +197,8 @@ NO_PUSHDOWN_EXPECTED = {
     "s_ivfpq_topk",         # same: PartitionFilters on the codes scan
     "s_ivf_kmeans_topk",    # full-embeddings scan + iterative centroid refine
     "g_gremlin_path",       # kind predicates fold into union-branch pruning
+    "g_gremlin_loop",       # kind/date predicates fold into union branches
+    "g_gremlin_except",     # kind predicates fold into union branches
     "s_ivfpq_rerank",       # PartitionFilters on codes AND vectors scans
     "s_ivfpq_residual_topk",  # PartitionFilters on the codes scan
     "x_frames_mjpeg",       # full-corpus synthetic MJPEG decode (mapInPandas)
@@ -263,6 +267,8 @@ NO_BROADCAST_EXPECTED = {
     "x_frames",             # narrow mapInPandas decode, no joins
     "s_ivf_kmeans_topk",    # probe joins: AQE decides
     "g_gremlin_path",       # hop equi-joins: AQE decides
+    "g_gremlin_loop",       # hop equi-joins: AQE decides
+    "g_gremlin_except",     # hop + anti joins: AQE decides
     "x_frames_mjpeg",       # narrow mapInPandas decode, no joins
 }
 
