@@ -64,6 +64,41 @@ def auto_n_centroids(n_rows: int) -> int:
     return int(min(max(16, int(n_rows) ** 0.5), 65_536))
 
 
+def _compact_partitioned(spark: SparkSession, path: str) -> None:
+    """Rewrite a centroid_id-partitioned parquet dir with ONE file per
+    partition (appends accumulate a file per batch per touched list).
+    Crash-safe sibling rewrite: the copy lands in ``__compact`` first
+    (row count audited), then swaps in via two renames — a failure
+    mid-write leaves the live dir untouched, and a failure between the
+    renames leaves the complete copy recoverable under a sibling name."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    tmp = path + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    if spark.read.parquet(tmp).count() != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"compact audit failed for {path}: row count changed")
+    old = path + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    try:
+        os.rename(path, old)
+        os.rename(tmp, path)
+    except OSError as ex:
+        raise RuntimeError(
+            f"compact swap interrupted for {path}; recover by renaming "
+            f"{tmp} (complete copy) or {old} (original) back into place"
+        ) from ex
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class IvfIndex:
     """A directory holding ``centroids/`` (centroid_id, cvec) and
     ``lists/`` (vec_id, cvec, partitioned by centroid_id)."""
@@ -120,6 +155,12 @@ class IvfIndex:
         """Assign new vectors against the frozen centroid set and append
         into their list partitions."""
         self._write_lists(batch, id_col, vec_col, mode="append")
+
+    def compact(self) -> None:
+        """Merge the small files per-batch appends accumulate — one file
+        per inverted-list partition afterward; probe pruning and results
+        are unchanged (same layout, fewer files)."""
+        _compact_partitioned(self.spark, self.lists_dir)
 
     # -- readers --------------------------------------------------------
 
@@ -305,6 +346,13 @@ class IvfPqIndex:
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self.centroids_dir)
+
+    def compact(self) -> None:
+        """Merge per-batch small files in the codes (and, if stored,
+        raw-vector) partitions — layout and results unchanged."""
+        _compact_partitioned(self.spark, self.codes_dir)
+        if os.path.isdir(self.vectors_dir):
+            _compact_partitioned(self.spark, self.vectors_dir)
 
     def _load_codebooks(self):
         """(codebooks, residual) — reads both the current dict layout

@@ -253,3 +253,24 @@ def test_ivfpq_residual_encoding(spark, emb, tmp_path):
         for r in res.topk_rerank(queries, k=k, n_probe=4, rerank=3).collect()
     }
     assert len(rr & truth) >= len(res_set & truth)
+
+
+def test_ivf_compact_merges_append_files(spark, emb, tmp_path):
+    """After appends each touched list holds one file per batch;
+    compact() rewrites to one file per partition with identical rows
+    and identical query results."""
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    idx = IvfIndex.build(base, str(tmp_path / "c"), n_centroids=8)
+    for mod in (0,):
+        idx.append(emb.where(F.col("vec_id") % 3 == mod))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before_rows = idx.lists().count()
+    before_files = len(idx.lists().inputFiles())
+    before_topk = sorted(map(tuple, idx.topk(queries, k=5, n_probe=2).collect()))
+    idx.compact()
+    assert idx.lists().count() == before_rows
+    assert len(idx.lists().inputFiles()) < before_files
+    after_topk = sorted(map(tuple, idx.topk(queries, k=5, n_probe=2).collect()))
+    assert after_topk == before_topk

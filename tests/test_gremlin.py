@@ -361,3 +361,19 @@ def test_aggregate_except_retain(toy_graph):
     assert kept == ["marko"]
     with pytest.raises(GL.GremlinSyntaxError, match="no collection"):
         GL.run("g.V.except('nope')", v_df, e_df)
+
+
+def test_parser_fuzz_raises_only_syntax_errors():
+    """Fuzz: arbitrary script strings must either parse or raise
+    GremlinSyntaxError — never IndexError/KeyError/etc."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="gVE.outinhas()'\",0123456789[]{}<Tlops_ ", max_size=40))
+    def check(script):
+        try:
+            GL._unroll_loops(GL.parse(script))
+        except GL.GremlinSyntaxError:
+            pass
+
+    check()

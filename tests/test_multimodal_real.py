@@ -332,3 +332,43 @@ def test_jpeg_restart_markers_and_420_subsampling():
     odd = rng.randint(0, 256, (9, 21, 3), dtype=np.uint8)
     out = codecs.decode_jpeg(codecs.encode_jpeg(odd, subsampling="420"))
     assert out.shape == (9, 21, 3)
+
+
+def test_jpeg_roundtrip_property():
+    """Property test: any small uint8 image round-trips the baseline
+    codec within the documented tolerance, at every (subsampling,
+    restart) combination and both gray/RGB."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        ncomp=st.sampled_from([1, 3]),
+        sub=st.sampled_from(["444", "420"]),
+        ri=st.sampled_from([0, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ncomp, sub, ri, seed):
+        rng = np.random.RandomState(seed)
+        if ncomp == 1 and sub == "420":
+            sub = "444"  # chroma subsampling needs chroma
+        if sub == "420":
+            # arbitrary chroma + 2x2 averaging legitimately moves pixels
+            # (and recomputed-luma checks break under gamut clipping), so
+            # the property uses neutral-chroma images: full-res Y is what
+            # 4:2:0 preserves, and it must round-trip tight
+            g = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            img = np.stack([g, g, g], axis=-1)
+            tol = 3
+        else:
+            shape = (h, w) if ncomp == 1 else (h, w, 3)
+            img = rng.randint(0, 256, shape, dtype=np.uint8)
+            tol = 2 if ncomp == 1 else 4
+        out = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, subsampling=sub, restart_interval=ri)
+        )
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+
+    check()
