@@ -917,10 +917,9 @@ def contamination_hits_bloom(
     oracle applies.  False-positive rate at the defaults:
     (1 - e^(-kn/m))^k, ~0.2% for 10^5 fingerprints in 2^20 bits.
 
-    The bitmap builds driver-side from the collected benchmark
-    fingerprints — a bounded probe (eval suites, not corpora); at 10^8+
-    benchmark fingerprints build it distributed via bit-position
-    aggregation instead."""
+    The bitmap folds DISTRIBUTED (a bit_or aggregation per 64-bit word),
+    so the driver collects at most 2^``n_bits_pow2``/64 word rows — the
+    bitmap's own size — regardless of benchmark fingerprint count."""
     from .text import rolling_hashes
 
     grams = lambda df: F.explode(  # noqa: E731 — local shorthand
@@ -929,8 +928,11 @@ def contamination_hits_bloom(
     m = 1 << n_bits_pow2
     bench_fps = benchmark.select(grams(benchmark)).distinct().persist()
     # bit positions computed by SPARK's own xxhash64 — bit-for-bit the
-    # same family the membership test below probes, no reimplementation
-    pos_rows = bench_fps.select(
+    # same family the membership test below probes, no reimplementation —
+    # and the bitmap FOLDS DISTRIBUTED (bit_or per 64-bit word), so the
+    # driver collects at most m/64 word rows no matter how many
+    # fingerprints the benchmark has
+    pos_df = bench_fps.select(
         F.explode(
             F.array(
                 *[
@@ -939,11 +941,19 @@ def contamination_hits_bloom(
                 ]
             )
         ).alias("pos")
-    ).distinct().collect()
+    )
+    word_rows = (
+        pos_df.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) AS int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .collect()
+    )
     words = [0] * (m // 64)
-    for r in pos_rows:
-        pos = int(r["pos"])
-        words[pos // 64] |= 1 << (pos % 64)
+    for r in word_rows:
+        words[int(r["w"])] = int(r["word"])
     spark = probe.sparkSession
     bits_df = spark.createDataFrame(
         [([_to_i64(w) for w in words],)], "bits array<bigint>"

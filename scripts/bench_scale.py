@@ -57,6 +57,9 @@ QUERIES = [
     # 10x (VERDICT r4 item 8) — and the IVFPQ exact-rerank tier
     "t_state_diff",
     "s_ivfpq_rerank",
+    # round 5 late: residual-PQ IVFADC and the bloom-pruned decontaminate
+    "s_ivfpq_residual_topk",
+    "x_decontaminate_bloom",
 ]
 
 
