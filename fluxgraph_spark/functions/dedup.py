@@ -899,7 +899,7 @@ def contamination_hits_bloom(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 13,
-    n_bits_pow2: int = 20,
+    n_bits_pow2: "int | None" = None,
     k: int = 4,
 ) -> DataFrame:
     """:func:`contamination_hits` with a BLOOM-FILTER prune tier — the
@@ -914,8 +914,15 @@ def contamination_hits_bloom(
     plus the bloom's false positives) then verify against the exact
     fingerprint set, so the RESULT is decision-identical to the exact
     operator — the bloom can only prune, never alter — and the same SQL
-    oracle applies.  False-positive rate at the defaults:
-    (1 - e^(-kn/m))^k, ~0.2% for 10^5 fingerprints in 2^20 bits.
+    oracle applies.
+
+    ``n_bits_pow2=None`` (default) SIZES THE BITMAP FROM THE BENCHMARK:
+    ~16 bits per fingerprint, i.e. 2^ceil(log2(16n)) bits (FP rate
+    (1 - e^(-kn/m))^k ≈ 0.2% at k=4), floor 2^16, cap 2^30 (128 MB —
+    past that, shard the filter).  A FIXED bitmap silently saturates as
+    the benchmark grows (fill → 1, the prune stops pruning — measured:
+    a 2^20 bitmap at 10x benchmark passed ~everything), which is why
+    the default scales instead.
 
     The bitmap folds DISTRIBUTED (a bit_or aggregation per 64-bit word),
     so the driver collects at most 2^``n_bits_pow2``/64 word rows — the
@@ -925,8 +932,11 @@ def contamination_hits_bloom(
     grams = lambda df: F.explode(  # noqa: E731 — local shorthand
         F.array_distinct(rolling_hashes(F.col(text_col), window))
     ).alias("fp")
-    m = 1 << n_bits_pow2
     bench_fps = benchmark.select(grams(benchmark)).distinct().persist()
+    if n_bits_pow2 is None:
+        n_fp = bench_fps.count()  # also materializes the persist
+        n_bits_pow2 = max(16, min(30, (16 * max(n_fp, 1) - 1).bit_length()))
+    m = 1 << n_bits_pow2
     # bit positions computed by SPARK's own xxhash64 — bit-for-bit the
     # same family the membership test below probes, no reimplementation —
     # and the bitmap FOLDS DISTRIBUTED (bit_or per 64-bit word), so the
