@@ -893,6 +893,19 @@ def contamination_hits(
     )
 
 
+def bloom_bits_pow2(n_fp: int) -> int:
+    """Bitmap size (as a power of two) for ``n_fp`` benchmark
+    fingerprints: ~16 bits per fingerprint => FP rate
+    (1 - e^(-kn/m))^k ≈ 0.2% at k=4.  Floor 2^16 (8 KB — below that
+    the bitmap costs less than its bookkeeping), cap 2^30 (128 MB of
+    broadcast — past that, shard the filter across several blooms).
+
+    Sizing at scale: 10^6 fingerprints -> 2^24 (2 MB), 10^9 -> capped
+    2^30 (fill ~0.78 per word, FP ~7% — still prunes 93% of a clean
+    corpus), 10^12 -> shard (the cap alone would saturate)."""
+    return max(16, min(30, (16 * max(n_fp, 1) - 1).bit_length()))
+
+
 def contamination_hits_bloom(
     probe: DataFrame,
     benchmark: DataFrame,
@@ -935,7 +948,7 @@ def contamination_hits_bloom(
     bench_fps = benchmark.select(grams(benchmark)).distinct().persist()
     if n_bits_pow2 is None:
         n_fp = bench_fps.count()  # also materializes the persist
-        n_bits_pow2 = max(16, min(30, (16 * max(n_fp, 1) - 1).bit_length()))
+        n_bits_pow2 = bloom_bits_pow2(n_fp)
     m = 1 << n_bits_pow2
     # bit positions computed by SPARK's own xxhash64 — bit-for-bit the
     # same family the membership test below probes, no reimplementation —

@@ -764,3 +764,23 @@ def test_contamination_bloom_matches_exact(spark):
     small = sorted(map(tuple, dedup.contamination_hits_bloom(
         probe, bench, window=4, n_bits_pow2=10, k=2).collect()))
     assert small == exact
+
+
+def test_bloom_autosize_formula():
+    """Default bitmap sizing: ~16 bits/fingerprint, floor 2^16, cap
+    2^30 — a fixed bitmap saturates as the benchmark grows, so the
+    default must scale with fingerprint count (pure function, no
+    Spark)."""
+    from fluxgraph_spark.functions.dedup import bloom_bits_pow2
+
+    assert bloom_bits_pow2(0) == 16 and bloom_bits_pow2(1) == 16
+    assert bloom_bits_pow2(10**3) == 16       # floor still binds at 8 KB
+    assert bloom_bits_pow2(10**6) == 24       # 2 MB for a 1M-fp suite
+    assert bloom_bits_pow2(10**9) == 30       # cap: 128 MB broadcast
+    assert bloom_bits_pow2(10**12) == 30      # past the cap: shard
+    # monotone non-decreasing, and never under 16x undersized below cap
+    prev = 0
+    for n in (1, 10, 10**2, 10**4, 10**5, 10**7, 10**8):
+        b = bloom_bits_pow2(n)
+        assert b >= prev and (b == 30 or (1 << b) >= 16 * n)
+        prev = b
