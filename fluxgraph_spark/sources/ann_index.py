@@ -248,27 +248,27 @@ class IvfPqIndex:
         self.vectors_dir = os.path.join(index_dir, "vectors")
 
     @staticmethod
-    def _centroid_vec_map(centroids: DataFrame):
-        """centroid_id -> literal cvec array as one map expression, so a
-        residual subtraction is a NARROW map over the vector frame (the
-        centroid table is ~sqrt(corpus) by construction — the same
-        bounded driver collect ivf_assign already does)."""
-        entries = []
-        for r in centroids.select("centroid_id", "cvec").collect():
-            entries.append(F.lit(r["centroid_id"]))
-            entries.append(F.array(*[F.lit(float(x)) for x in r["cvec"]]))
-        return F.create_map(*entries)
+    def _residuals(v: DataFrame, assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+        """(vec_id, centroid_id, rvec = vec - assigned centroid).
 
-    @classmethod
-    def _residuals(cls, v: DataFrame, assigned: DataFrame, centroids: DataFrame) -> DataFrame:
-        """(vec_id, centroid_id, rvec = vec - assigned centroid)."""
-        cmap = cls._centroid_vec_map(centroids)
-        return v.join(assigned, "vec_id").select(
-            "vec_id",
-            "centroid_id",
-            F.zip_with(
-                F.col("cvec"), cmap[F.col("centroid_id")], lambda a, b: a - b
-            ).alias("rvec"),
+        The centroid table joins BROADCAST (~sqrt(corpus) rows by
+        construction), keeping the subtraction map-side with no shuffle
+        of the vector frame.  A literal centroid->vector map expression
+        would do the same arithmetic but puts n_centroids x dim literal
+        nodes into the Catalyst plan — at auto-sized scale (31k lists x
+        wide vectors) that alone overwhelms the driver, so: join, don't
+        inline."""
+        cvecs = centroids.select("centroid_id", F.col("cvec").alias("__centvec"))
+        return (
+            v.join(assigned, "vec_id")
+            .join(F.broadcast(cvecs), "centroid_id")
+            .select(
+                "vec_id",
+                "centroid_id",
+                F.zip_with(
+                    F.col("cvec"), F.col("__centvec"), lambda a, b: a - b
+                ).alias("rvec"),
+            )
         )
 
     @classmethod
@@ -419,13 +419,14 @@ class IvfPqIndex:
             return scored, probe_ids
         qc = F.concat_ws("#", F.col("query_id").cast("string"),
                          F.col("centroid_id").cast("string"))
-        cmap = self._centroid_vec_map(cents)
+        cvecs = cents.select("centroid_id", F.col("cvec").alias("__centvec"))
         qres = (
             q_buckets.join(q, "query_id")
+            .join(F.broadcast(cvecs), "centroid_id")
             .select(
                 qc.alias("qc"),
                 F.zip_with(
-                    F.col("qvec"), cmap[F.col("centroid_id")], lambda a, b: a - b
+                    F.col("qvec"), F.col("__centvec"), lambda a, b: a - b
                 ).alias("rvec"),
             )
         )
