@@ -2201,6 +2201,51 @@ def q_st_dedup_ingest(spark, sf_dir):
     return surv.select("doc_id", "source", "n_chars")
 
 
+def q_st_ann_ingest(spark, sf_dir):
+    """Streaming embedding ingest into a persisted IVF index
+    (streaming/ann_ingest.py + sources/ann_index.py DeltaIvfIndex):
+    the index is seed-built (frozen centroids), the rest of the corpus
+    streams in as two microbatches that land in the replay-safe
+    batch_id-partitioned delta area, and the probe unions base + delta
+    scans (both pruned to the probed lists).  Frozen centroids make the
+    result bit-identical to one index over all rows, so the SQL oracle
+    is s_ivf_topk's with the centroid sample restricted to the seed."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from fluxgraph_spark.sources.ann_index import DeltaIvfIndex
+    from fluxgraph_spark.streaming.ann_ingest import ann_streaming_sink
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="ann_ingest_")
+    idx = DeltaIvfIndex.build(seed, os.path.join(root, "idx"), n_centroids=16)
+
+    src = os.path.join(root, "stream_src")
+    os.makedirs(src)
+    for name, mod, age in (("a", 0, 200), ("b", 5, 0)):
+        stage = os.path.join(root, f"stage_{name}")
+        emb.where(F.col("vec_id") % 10 == mod).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(stage + "/part-*.parquet")
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst)
+        t = time.time() - age
+        os.utime(dst, (t, t))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ann_streaming_sink(stream, idx, os.path.join(root, "ckpt")).awaitTermination()
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return idx.topk(queries, k=10, n_probe=4)
+
+
 def q_st_stream_join(spark, sf_dir):
     """Watermarked stream-stream interval join (click attribution):
     each purchase pairs with the same user's clicks from the previous
@@ -2988,6 +3033,7 @@ def _interleave_families(qs: dict) -> dict:
 # the registry family-interleaved.  Every entry now carries a full SQL
 # oracle; the round-4 rows-only tail is gone.
 _R5_PRIORITY = [
+    "st_ann_ingest",
     "d_lsh_fast_pairs",
     "s_ivfpq_rerank",
     "g_gremlin_path",
@@ -3099,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_running_stats": q_st_running_stats,
         "st_scd2_ingest": q_st_scd2_ingest,
         "st_dedup_ingest": q_st_dedup_ingest,
+        "st_ann_ingest": q_st_ann_ingest,
         "t_time_buckets": q_t_time_buckets,
         "t_resample": q_t_resample,
         "x_rolling": q_x_rolling,
@@ -5308,6 +5355,14 @@ def oracle_sql() -> dict[str, str]:
     # persisted-index twins are decision-identical to their in-memory
     # counterparts (same hash family / centroid sample) — same oracle
     sqls["s_ivf_indexed_topk"] = sqls["s_ivf_topk"]
+    # streaming ANN ingest: frozen centroids come from the SEED sample
+    # (vec_id % 5 <> 0) but assignment covers every row — identical SQL
+    # with the centroid CTE restricted to the seed
+    assert sqls["s_ivf_topk"].count("FROM base ORDER BY md5") == 1
+    sqls["st_ann_ingest"] = sqls["s_ivf_topk"].replace(
+        "FROM base ORDER BY md5",
+        "FROM base WHERE vec_id % 5 <> 0 ORDER BY md5",
+    )
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
     # bloom tier only PRUNES; the exact verify makes the decision
     # identical to the exact operator — same oracle

@@ -216,6 +216,101 @@ class IvfIndex:
         return _topk_per_query(scored, k)
 
 
+class DeltaIvfIndex(IvfIndex):
+    """:class:`IvfIndex` plus a REPLAY-SAFE delta area for streaming
+    appends — the base+delta layout every production vector store
+    converges on (and the ANN twin of the dedup tier's streaming
+    ingest, streaming/dedup_ingest.py):
+
+    * ``lists/`` — the seed build, partitioned by ``centroid_id``
+      (unchanged; every existing probe/compact path still applies).
+    * ``delta_lists/batch_id=N/centroid_id=C/`` — one subtree per
+      streamed microbatch, written with OVERWRITE of the batch's own
+      subtree, so an at-least-once foreachBatch replay rewrites its
+      partition instead of double-appending (``IvfIndex.append`` is
+      append-mode and NOT replay-idempotent — duplicate rows there
+      would surface as duplicate candidates in top-k).
+
+    Probes union both scans; each prunes to the probed ``centroid_id``
+    values (directory-level for the base, second-level partition prune
+    for the delta), so query cost stays proportional to the probed
+    lists.  Centroids stay FROZEN at their seed-build values — both
+    sides assign against the same table, results are bit-identical to
+    one :class:`IvfIndex` holding seed+delta rows, and the same SQL
+    oracle replays them.  ``merge_delta`` folds the delta into the base
+    partitions offline (stop the stream first)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        super().__init__(spark, index_dir)
+        self.delta_dir = os.path.join(index_dir, "delta_lists")
+
+    def _delta_frames(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.delta_dir) or not any(
+            e.is_dir() for e in os.scandir(self.delta_dir)
+        ):
+            return None
+        return self.spark.read.option("basePath", self.delta_dir).parquet(
+            self.delta_dir
+        )
+
+    def lists(self, centroid_ids: Optional[list] = None) -> DataFrame:
+        base = super().lists(centroid_ids)
+        delta = self._delta_frames()
+        if delta is None:
+            return base
+        if centroid_ids is not None:
+            delta = delta.where(F.col("centroid_id").isin(centroid_ids))
+        return base.unionByName(
+            delta.select("vec_id", "cvec", "centroid_id"),
+            allowMissingColumns=False,
+        )
+
+    def append_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Assign ``batch`` against the frozen centroids and land it
+        under ``delta_lists/batch_id=<batch_id>`` — overwriting that
+        subtree, so replaying the same batch id is idempotent."""
+        v = batch.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double_vec(F.col(vec_col)).alias("cvec"),
+        )
+        assigned = (
+            ivf_assign(v, self.centroids(), 1, "vec_id", "cvec")
+            .withColumnRenamed("id", "vec_id")
+            .join(v, "vec_id")
+        )
+        (
+            assigned.select("centroid_id", "vec_id", "cvec")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(os.path.join(self.delta_dir, f"batch_id={int(batch_id)}"))
+        )
+
+    def merge_delta(self) -> None:
+        """Fold the delta subtrees into the base ``lists/`` partitions
+        (then :meth:`compact` to merge small files).  OFFLINE
+        maintenance: run with the stream stopped; a crash between the
+        base append and the delta removal leaves both copies visible —
+        recover by rebuilding from the source vectors (one ``build``)."""
+        import shutil
+
+        delta = self._delta_frames()
+        if delta is None:
+            return
+        (
+            delta.select("centroid_id", "vec_id", "cvec")
+            .write.partitionBy("centroid_id")
+            .mode("append")
+            .parquet(self.lists_dir)
+        )
+        shutil.rmtree(self.delta_dir)
+
+
 class IvfPqIndex:
     """IVF + PQ combined index — the classic production ANN layout
     (FAISS's IVFADC, Jégou et al., "Product Quantization for Nearest

@@ -10,7 +10,9 @@ operators so state management, late data, and exactly-once sinks come
 from Spark, not custom code.
 """
 
+from .ann_ingest import ann_streaming_sink
 from .changefeed import tx_log_stream, element_change_counts
+from .dedup_ingest import dedup_streaming_sink, seed_corpus
 from .events import (
     read_event_stream,
     windowed_event_counts,
@@ -22,6 +24,9 @@ from .scd2_ingest import scd2_streaming_sink
 from .stateful import running_user_stats
 
 __all__ = [
+    "ann_streaming_sink",
+    "dedup_streaming_sink",
+    "seed_corpus",
     "running_user_stats",
     "scd2_streaming_sink",
     "tx_log_stream",

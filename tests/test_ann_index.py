@@ -274,3 +274,78 @@ def test_ivf_compact_merges_append_files(spark, emb, tmp_path):
     assert len(idx.lists().inputFiles()) < before_files
     after_topk = sorted(map(tuple, idx.topk(queries, k=5, n_probe=2).collect()))
     assert after_topk == before_topk
+
+
+def test_delta_ivf_streaming_ingest(spark, emb, tmp_path):
+    """Streaming embedding ingest (streaming/ann_ingest.py +
+    DeltaIvfIndex): two microbatches land in the replay-safe delta
+    area; top-k over base+delta is bit-identical to one frozen-centroid
+    index holding every vector, a replayed batch id changes nothing
+    (overwrite-own-partition idempotence), and merge_delta folds the
+    delta into the base partitions with identical results."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from fluxgraph_spark.sources.ann_index import DeltaIvfIndex
+    from fluxgraph_spark.streaming.ann_ingest import ann_streaming_sink
+
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    batch_a = emb.where(F.col("vec_id") % 10 == 0)
+    batch_b = emb.where(F.col("vec_id") % 10 == 5)
+
+    idx = DeltaIvfIndex.build(seed, str(tmp_path / "didx"), n_centroids=16)
+
+    # stage the stream: one file per batch, mtimes force A before B
+    src = str(tmp_path / "vec_stream")
+    os.makedirs(src)
+    for name, b, age in (("a", batch_a, 200), ("b", batch_b, 0)):
+        d = str(tmp_path / f"stage_{name}")
+        b.coalesce(1).write.parquet(d)
+        (part,) = glob.glob(d + "/part-*.parquet")
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst)
+        t = time.time() - age
+        os.utime(dst, (t, t))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ann_streaming_sink(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _rows(idx.topk(queries, k=10, n_probe=4))
+
+    # reference: one index with the same frozen centroids over ALL rows
+    full = IvfIndex(spark, str(tmp_path / "full"))
+    idx.centroids().coalesce(1).write.parquet(full.centroids_dir)
+    full._write_lists(emb, "vec_id", "embedding", mode="overwrite")
+    want = _rows(full.topk(queries, k=10, n_probe=4))
+    assert got == want and len(got) == 50
+
+    # replaying a batch id rewrites its partition — rows don't double
+    n_rows = idx.lists().count()
+    idx.append_batch(batch_b, 1)  # batch ids from the drained stream: 0, 1
+    assert idx.lists().count() == n_rows
+    assert _rows(idx.topk(queries, k=10, n_probe=4)) == want
+
+    # offline fold into the base layout: same rows, same results, no delta
+    idx.merge_delta()
+    assert not os.path.isdir(idx.delta_dir)
+    assert idx.lists().count() == n_rows
+    assert _rows(idx.topk(queries, k=10, n_probe=4)) == want
+
+
+def test_ann_ingest_rejects_reserved_columns(spark, emb, tmp_path):
+    from fluxgraph_spark.streaming.ann_ingest import _reject_reserved_columns
+
+    for col in ("batch_id", "centroid_id"):
+        bad = emb.withColumn(col, F.lit(1))
+        with pytest.raises(ValueError, match=col):
+            _reject_reserved_columns(bad)
