@@ -329,6 +329,28 @@ def test_delta_ivf_streaming_ingest(spark, emb, tmp_path):
     want = _rows(full.topk(queries, k=10, n_probe=4))
     assert got == want and len(got) == 50
 
+    # BOTH union branches prune to the probed centroid dirs (the delta's
+    # centroid_id is a second-level partition column — still prunes)
+    probe_ids = [
+        r["centroid_id"]
+        for r in similarity.ivf_assign(
+            queries.select(
+                "query_id",
+                similarity._as_double_vec(F.col("embedding")).alias("qvec"),
+            ),
+            idx.centroids(), 4, "query_id", "qvec",
+        ).select("centroid_id").distinct().collect()
+    ]
+    pruned = {
+        r[0]
+        for r in idx.lists(probe_ids)
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert pruned and all(
+        any(f"centroid_id={i}/" in p for i in probe_ids) for p in pruned
+    )
+    assert any("delta_lists" in p for p in pruned)  # delta branch is read
+
     # replaying a batch id rewrites its partition — rows don't double
     n_rows = idx.lists().count()
     idx.append_batch(batch_b, 1)  # batch ids from the drained stream: 0, 1
