@@ -285,6 +285,12 @@ def sniff_avi(data: bytes) -> bool:
 
 
 _MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+# real-world MJPEG files also appear with the lowercase fourcc and with
+# OpenDML's 'dmb1' (motion-JPEG with an APP0 extension the baseline
+# decoder skips like any APPn segment) — all frame-independent JPEGs
+_MJPEG_FOURCCS = {
+    struct.unpack("<I", f)[0] for f in (b"MJPG", b"mjpg", b"dmb1", b"DMB1")
+}
 
 
 def decode_avi(data: bytes):
@@ -334,7 +340,7 @@ def decode_avi(data: bytes):
                 (_bisize, bw, bh, _planes, bits, comp) = struct.unpack(
                     "<IiiHHI", buf[body_start : body_start + 20]
                 )
-                if comp == _MJPG_FOURCC:
+                if comp in _MJPEG_FOURCCS:
                     mjpeg = True
                 elif bits != 24 or comp != 0:
                     raise ValueError(

@@ -221,6 +221,19 @@ def test_mjpeg_avi_roundtrip():
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 4
 
 
+def test_mjpeg_fourcc_variants_decode():
+    """Real-world MJPEG files carry lowercase 'mjpg' or OpenDML 'dmb1'
+    in biCompression — all decode identically (frame chunks are the
+    same standalone baseline JPEGs)."""
+    consts = [np.full((2, 8), b, dtype=np.uint8) for b in (7, 99)]
+    data = codecs.encode_avi(consts, fps=1.0, codec="mjpeg")
+    for fourcc in (b"mjpg", b"dmb1"):
+        _fps, got = codecs.decode_avi(data.replace(b"MJPG", fourcc))
+        assert len(got) == 2 and all(
+            (f == b).all() for f, b in zip(got, (7, 99))
+        )
+
+
 def test_sample_frames_real_decodes_container(spark):
     """sample_frames(decoder='real') container-decodes synthesized AVIs:
     per-frame mean equals the digest-byte mean the construction planted,
