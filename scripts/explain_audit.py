@@ -124,6 +124,7 @@ AUDITED = [
     "x_decontaminate_bloom",
     "g_gremlin_loop",
     "g_gremlin_except",
+    "st_ann_ingest",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -202,6 +203,8 @@ NO_PUSHDOWN_EXPECTED = {
     "s_ivfpq_rerank",       # PartitionFilters on codes AND vectors scans
     "s_ivfpq_residual_topk",  # PartitionFilters on the codes scan
     "x_frames_mjpeg",       # full-corpus synthetic MJPEG decode (mapInPandas)
+    "st_ann_ingest",        # PartitionFilters on BOTH union branches of the
+                            # base+delta probe (directory-level prune)
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
