@@ -2246,6 +2246,37 @@ def q_st_ann_ingest(spark, sf_dir):
     return idx.topk(queries, k=10, n_probe=4)
 
 
+def q_st_annpq_ingest(spark, sf_dir):
+    """Streaming embedding ingest into the COMPRESSED IVFPQ index
+    (DeltaIvfPqIndex): the seed build freezes centroids AND PQ
+    codebooks; the streamed remainder is encoded against them and lands
+    in the replay-safe delta_codes subtrees; probes union base+delta
+    compressed scans, both pruned to the probed lists.  Frozen tables
+    make the result bit-identical to one index over all rows, so the
+    oracle is s_ivfpq_topk's with BOTH md5 sample CTEs (centroids,
+    codebooks) restricted to the seed."""
+    import tempfile
+
+    from fluxgraph_spark.sources.ann_index import DeltaIvfPqIndex
+    from fluxgraph_spark.streaming.ann_ingest import ann_streaming_sink
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="annpq_ingest_")
+    idx = DeltaIvfPqIndex.build(
+        seed, os.path.join(root, "idx"), n_centroids=16, m=4, ksub=16
+    )
+    src = os.path.join(root, "stream_src")
+    emb.where(F.col("vec_id") % 5 == 0).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    ann_streaming_sink(stream, idx, os.path.join(root, "ckpt")).awaitTermination()
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return idx.topk(queries, k=10, n_probe=4)
+
+
 def q_st_stream_join(spark, sf_dir):
     """Watermarked stream-stream interval join (click attribution):
     each purchase pairs with the same user's clicks from the previous
@@ -3034,6 +3065,7 @@ def _interleave_families(qs: dict) -> dict:
 # oracle; the round-4 rows-only tail is gone.
 _R5_PRIORITY = [
     "st_ann_ingest",
+    "st_annpq_ingest",
     "d_lsh_fast_pairs",
     "s_ivfpq_rerank",
     "g_gremlin_path",
@@ -3146,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_scd2_ingest": q_st_scd2_ingest,
         "st_dedup_ingest": q_st_dedup_ingest,
         "st_ann_ingest": q_st_ann_ingest,
+        "st_annpq_ingest": q_st_annpq_ingest,
         "t_time_buckets": q_t_time_buckets,
         "t_resample": q_t_resample,
         "x_rolling": q_x_rolling,
@@ -5360,6 +5393,13 @@ def oracle_sql() -> dict[str, str]:
     # with the centroid CTE restricted to the seed
     assert sqls["s_ivf_topk"].count("FROM base ORDER BY md5") == 1
     sqls["st_ann_ingest"] = sqls["s_ivf_topk"].replace(
+        "FROM base ORDER BY md5",
+        "FROM base WHERE vec_id % 5 <> 0 ORDER BY md5",
+    )
+    # compressed twin: BOTH md5 samples (cents + samp/codebooks) are
+    # seed-trained in the index build, so both CTEs get the seed filter
+    assert sqls["s_ivfpq_topk"].count("FROM base ORDER BY md5") == 2
+    sqls["st_annpq_ingest"] = sqls["s_ivfpq_topk"].replace(
         "FROM base ORDER BY md5",
         "FROM base WHERE vec_id % 5 <> 0 ORDER BY md5",
     )

@@ -99,6 +99,18 @@ def _compact_partitioned(spark: SparkSession, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _read_delta(spark: SparkSession, delta_dir: str) -> Optional[DataFrame]:
+    """Partition-discover a ``delta_dir/batch_id=N/centroid_id=C/``
+    streaming-append area; None when empty/absent.  ``centroid_id`` is a
+    second-level partition column, so probe filters still prune to the
+    probed directories."""
+    if not os.path.isdir(delta_dir) or not any(
+        e.is_dir() for e in os.scandir(delta_dir)
+    ):
+        return None
+    return spark.read.option("basePath", delta_dir).parquet(delta_dir)
+
+
 class IvfIndex:
     """A directory holding ``centroids/`` (centroid_id, cvec) and
     ``lists/`` (vec_id, cvec, partitioned by centroid_id)."""
@@ -245,13 +257,7 @@ class DeltaIvfIndex(IvfIndex):
         self.delta_dir = os.path.join(index_dir, "delta_lists")
 
     def _delta_frames(self) -> Optional[DataFrame]:
-        if not os.path.isdir(self.delta_dir) or not any(
-            e.is_dir() for e in os.scandir(self.delta_dir)
-        ):
-            return None
-        return self.spark.read.option("basePath", self.delta_dir).parquet(
-            self.delta_dir
-        )
+        return _read_delta(self.spark, self.delta_dir)
 
     def lists(self, centroid_ids: Optional[list] = None) -> DataFrame:
         base = super().lists(centroid_ids)
@@ -469,6 +475,20 @@ class IvfPqIndex:
             df = df.where(F.col("centroid_id").isin(centroid_ids))
         return df
 
+    def vectors(self, centroid_ids: Optional[list] = None) -> DataFrame:
+        """The raw-vector sidecar (rerank tier); raises clearly when the
+        index was built with ``store_vectors=False``."""
+        if not os.path.isdir(self.vectors_dir):
+            raise ValueError(
+                f"{self.index_dir} stores no raw vectors "
+                "(built with store_vectors=False) — rerank is unavailable; "
+                "rebuild with store_vectors=True"
+            )
+        df = self.spark.read.parquet(self.vectors_dir)
+        if centroid_ids is not None:
+            df = df.where(F.col("centroid_id").isin(centroid_ids))
+        return df
+
     def _adc_scored(
         self,
         queries: DataFrame,
@@ -576,9 +596,7 @@ class IvfPqIndex:
         shape as the brute-force baseline."""
         scored, probe_ids = self._adc_scored(queries, n_probe, query_id_col, vec_col)
         shortlist = topk_asc(scored, k * rerank).select("query_id", "vec_id")
-        vecs = self.spark.read.parquet(self.vectors_dir).where(
-            F.col("centroid_id").isin(probe_ids)
-        )
+        vecs = self.vectors(probe_ids)
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             _as_double_vec(F.col(vec_col)).alias("qvec"),
@@ -597,3 +615,128 @@ class IvfPqIndex:
             )
         )
         return _topk_per_query(exact, k)
+
+
+class DeltaIvfPqIndex(IvfPqIndex):
+    """:class:`IvfPqIndex` with the same replay-safe streaming delta
+    layout as :class:`DeltaIvfIndex` — base ``codes/`` (and, if stored,
+    ``vectors/``) from the seed build, plus
+    ``delta_codes/batch_id=N/centroid_id=C/`` (and ``delta_vectors/...``)
+    subtrees per streamed microbatch, each written with OVERWRITE of its
+    own batch subtree so an at-least-once foreachBatch replay is
+    idempotent.  Centroids AND PQ codebooks stay frozen at their
+    seed-build values (appending vectors never retrains either — the
+    standard production contract; retrain = one ``build``), so probes
+    are bit-identical to one index holding every row, and the residual
+    flag applies to appended batches exactly as to the seed.  Readers
+    union base + delta with the same probed-centroid prune on both
+    branches."""
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        super().__init__(spark, index_dir)
+        self.delta_codes_dir = os.path.join(index_dir, "delta_codes")
+        self.delta_vectors_dir = os.path.join(index_dir, "delta_vectors")
+
+    @staticmethod
+    def _union_delta(
+        base: DataFrame,
+        delta: Optional[DataFrame],
+        cols: list,
+        centroid_ids: Optional[list],
+    ) -> DataFrame:
+        if delta is None:
+            return base
+        if centroid_ids is not None:
+            delta = delta.where(F.col("centroid_id").isin(centroid_ids))
+        return base.unionByName(delta.select(*cols))
+
+    def codes(self, centroid_ids: Optional[list] = None) -> DataFrame:
+        return self._union_delta(
+            super().codes(centroid_ids),
+            _read_delta(self.spark, self.delta_codes_dir),
+            ["vec_id", "codes", "centroid_id"],
+            centroid_ids,
+        )
+
+    def vectors(self, centroid_ids: Optional[list] = None) -> DataFrame:
+        return self._union_delta(
+            super().vectors(centroid_ids),
+            _read_delta(self.spark, self.delta_vectors_dir),
+            ["vec_id", "cvec", "centroid_id"],
+            centroid_ids,
+        )
+
+    def append_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Assign ``batch`` to the frozen centroids, PQ-encode with the
+        frozen codebooks (residual-aware), and land codes (and raw
+        vectors, if the seed build stored them) under the batch's own
+        delta subtrees — overwriting them, so replays are idempotent."""
+        codebooks, residual = self._load_codebooks()
+        cents = self.centroids()
+        v = batch.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double_vec(F.col(vec_col)).alias("cvec"),
+        )
+        assigned = (
+            ivf_assign(v, cents, 1, "vec_id", "cvec")
+            .withColumnRenamed("id", "vec_id")
+            .persist()
+        )
+        if residual:
+            res = self._residuals(v, assigned, cents)
+            codes = pq_encode(res, codebooks, id_col="vec_id", vec_col="rvec")
+        else:
+            codes = pq_encode(batch, codebooks, id_col=id_col, vec_col=vec_col)
+        (
+            assigned.join(codes, "vec_id")
+            .select("centroid_id", "vec_id", "codes")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(os.path.join(self.delta_codes_dir, f"batch_id={int(batch_id)}"))
+        )
+        if os.path.isdir(self.vectors_dir):
+            (
+                assigned.join(v, "vec_id")
+                .select("centroid_id", "vec_id", "cvec")
+                .write.partitionBy("centroid_id")
+                .mode("overwrite")
+                .parquet(
+                    os.path.join(
+                        self.delta_vectors_dir, f"batch_id={int(batch_id)}"
+                    )
+                )
+            )
+        assigned.unpersist()
+
+    def merge_delta(self) -> None:
+        """Fold the delta subtrees into the base partitions (then
+        :meth:`compact`).  OFFLINE maintenance — same contract as
+        :meth:`DeltaIvfIndex.merge_delta`: stream stopped; a crash
+        between an append and its delta removal leaves both copies
+        visible — recover with one ``build``."""
+        import shutil
+
+        for delta_dir, base_dir, cols in (
+            (self.delta_codes_dir, self.codes_dir, ["centroid_id", "vec_id", "codes"]),
+            (
+                self.delta_vectors_dir,
+                self.vectors_dir,
+                ["centroid_id", "vec_id", "cvec"],
+            ),
+        ):
+            delta = _read_delta(self.spark, delta_dir)
+            if delta is None:
+                continue
+            (
+                delta.select(*cols)
+                .write.partitionBy("centroid_id")
+                .mode("append")
+                .parquet(base_dir)
+            )
+            shutil.rmtree(delta_dir)

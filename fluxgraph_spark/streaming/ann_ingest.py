@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..sources.ann_index import DeltaIvfIndex
+from ..sources.ann_index import DeltaIvfIndex, DeltaIvfPqIndex
 
 
 def _reject_reserved_columns(df: DataFrame) -> None:
@@ -43,14 +43,16 @@ def _reject_reserved_columns(df: DataFrame) -> None:
 
 def ann_streaming_sink(
     vec_stream: DataFrame,
-    index: DeltaIvfIndex,
+    index: "DeltaIvfIndex | DeltaIvfPqIndex",
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
     """Start an available-now ``foreachBatch`` query that appends each
     microbatch of ``vec_stream`` into ``index``'s delta area
-    (replay-idempotent per batch id).  Returns the StreamingQuery;
+    (replay-idempotent per batch id).  Works for both the raw-vector
+    :class:`DeltaIvfIndex` and the compressed :class:`DeltaIvfPqIndex`
+    (frozen codebooks encode each batch).  Returns the StreamingQuery;
     callers ``awaitTermination()`` and then query ``index.topk`` as
     usual — probes union the base and delta scans, both pruned to the
     probed lists."""

@@ -371,3 +371,90 @@ def test_ann_ingest_rejects_reserved_columns(spark, emb, tmp_path):
         bad = emb.withColumn(col, F.lit(1))
         with pytest.raises(ValueError, match=col):
             _reject_reserved_columns(bad)
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_delta_ivfpq_streaming_ingest(spark, emb, tmp_path, residual):
+    """Streaming ingest into the compressed IVFPQ index: microbatches
+    PQ-encode against the FROZEN seed codebooks (residual-aware) and
+    land in delta_codes/delta_vectors subtrees; topk and the exact
+    rerank tier over base+delta are bit-identical to one index built
+    over all rows with the same frozen centroids+codebooks, and a
+    replayed batch id changes nothing."""
+    import os
+
+    from fluxgraph_spark.sources.ann_index import DeltaIvfPqIndex, IvfPqIndex
+    from fluxgraph_spark.streaming.ann_ingest import ann_streaming_sink
+
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    rest = emb.where(F.col("vec_id") % 5 == 0)
+    d = str(tmp_path / f"dpq_{int(residual)}")
+    idx = DeltaIvfPqIndex.build(
+        seed, d, n_centroids=16, m=4, ksub=16, residual=residual
+    )
+
+    src = str(tmp_path / f"src_{int(residual)}")
+    rest.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = ann_streaming_sink(
+        stream, idx, str(tmp_path / f"ckpt_{int(residual)}")
+    )
+    q.awaitTermination()
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = idx.topk(queries, k=10, n_probe=4)
+    rows = got.collect()
+    got = sorted(map(tuple, rows))
+    got_rr = _rows(idx.topk_rerank(queries, k=10, n_probe=4, rerank=3))
+    assert len(got) == 50
+    # every query (vec_id 0 streamed in; 1-4 in the seed) finds ITSELF
+    # at the MINIMAL ADC distance — streamed rows are probe-visible and
+    # correctly encoded (a vector's own PQ code is its LUT argmin; other
+    # rows may TIE by landing on identical codes, so assert on distance,
+    # not on the id the tie-break surfaces)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in range(5):
+        per = by_q[q]
+        self_d = [r["adc_micro"] for r in per if r["vec_id"] == q]
+        assert self_d, f"query {q} did not retrieve itself"
+        assert self_d[0] == min(r["adc_micro"] for r in per)
+
+    # reference: identical seed build (deterministic md5 sample -> same
+    # frozen centroids+codebooks) + ONE direct append_batch call — pins
+    # the streaming plumbing (checkpointed batch ids, schema flow)
+    ref = DeltaIvfPqIndex.build(
+        seed, str(tmp_path / f"refpq_{int(residual)}"),
+        n_centroids=16, m=4, ksub=16, residual=residual,
+    )
+    ref.append_batch(rest, 0)
+    want = _rows(ref.topk(queries, k=10, n_probe=4))
+    want_rr = _rows(ref.topk_rerank(queries, k=10, n_probe=4, rerank=3))
+    assert got == want
+    assert got_rr == want_rr
+
+    # replaying the single drained batch id rewrites, never doubles
+    n_codes = idx.codes().count()
+    idx.append_batch(rest, 0)
+    assert idx.codes().count() == n_codes
+    assert _rows(idx.topk(queries, k=10, n_probe=4)) == want
+
+    # offline fold: same results, deltas gone
+    idx.merge_delta()
+    assert not os.path.isdir(idx.delta_codes_dir)
+    assert not os.path.isdir(idx.delta_vectors_dir)
+    assert _rows(idx.topk(queries, k=10, n_probe=4)) == want
+    assert _rows(idx.topk_rerank(queries, k=10, n_probe=4, rerank=3)) == want_rr
+
+
+def test_vectors_accessor_raises_without_sidecar(spark, emb, tmp_path):
+    from fluxgraph_spark.sources.ann_index import IvfPqIndex
+
+    idx = IvfPqIndex.build(
+        emb, str(tmp_path / "novec"), n_centroids=8, store_vectors=False
+    )
+    with pytest.raises(ValueError, match="store_vectors"):
+        idx.vectors()
