@@ -125,6 +125,7 @@ AUDITED = [
     "g_gremlin_loop",
     "g_gremlin_except",
     "st_ann_ingest",
+    "st_annpq_ingest",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -205,6 +206,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_frames_mjpeg",       # full-corpus synthetic MJPEG decode (mapInPandas)
     "st_ann_ingest",        # PartitionFilters on BOTH union branches of the
                             # base+delta probe (directory-level prune)
+    "st_annpq_ingest",      # same, on the compressed base+delta code scans
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
