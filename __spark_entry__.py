@@ -2577,8 +2577,8 @@ def q_d_lsh_verified_pairs(spark, sf_dir):
     """MinHash+LSH with the md5-derived hash family, end to end:
     shingles -> 8 minhash components -> 4-band LSH bucket join ->
     exact-Jaccard verify of the candidates.  Fully SQL-replayable (the
-    reproducible twin of d_minhash_lsh_pairs, whose xxhash64 fast path
-    carries only a rows-only check): proves the banding equi-join and
+    reproducible twin of the xxhash64 fast path, which is itself gated
+    by the d_lsh_fast_pairs recall audit): proves the banding equi-join and
     candidate-verify logic produce exactly the replayed pair set.  The
     only corpus-wide shuffle is the band-bucket join carrying
     (id, band, bucket); Jaccard is computed per candidate pair only."""
