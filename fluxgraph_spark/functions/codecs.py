@@ -786,11 +786,24 @@ def decode_jpeg(data: bytes):
                 return sym
         raise ValueError("invalid Huffman code in JPEG scan")
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = data[pos + 1]
+        # length-less cases resolve BEFORE any segment length is read:
+        # 0xFF here is a legal fill byte preceding the real marker
+        # (B.1.1.2), and TEM/RSTn are standalone markers with no length
+        # field — reading a "length" from the following bytes would skip
+        # arbitrary data
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            pos += 2
+            continue
+        if pos + 4 > len(data):
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
@@ -938,9 +951,6 @@ def decode_jpeg(data: bytes):
                 ).astype(np.uint8)
         elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
             pass  # APPn / COM
-        elif marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            pos -= len(body) + 2  # standalone markers have no length
-            pos += 2
         else:
             pass  # unknown segment: skipped by its declared length
     if rgb_out is None:

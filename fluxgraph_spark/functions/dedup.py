@@ -902,7 +902,9 @@ def bloom_bits_pow2(n_fp: int) -> int:
 
     Sizing at scale: 10^6 fingerprints -> 2^24 (2 MB), 10^9 -> capped
     2^30 (fill ~0.78 per word, FP ~7% — still prunes 93% of a clean
-    corpus), 10^12 -> shard (the cap alone would saturate)."""
+    corpus), 10^12 -> shard (the cap alone would saturate; pass
+    ``n_shards`` to :func:`contamination_hits_bloom`, which sizes each
+    shard's bitmap for its share and tests per-shard)."""
     return max(16, min(30, (16 * max(n_fp, 1) - 1).bit_length()))
 
 
@@ -914,6 +916,7 @@ def contamination_hits_bloom(
     window: int = 13,
     n_bits_pow2: "int | None" = None,
     k: int = 4,
+    n_shards: int = 1,
 ) -> DataFrame:
     """:func:`contamination_hits` with a BLOOM-FILTER prune tier — the
     classic 100 TB decontamination layout: the benchmark fingerprint
@@ -939,23 +942,45 @@ def contamination_hits_bloom(
 
     The bitmap folds DISTRIBUTED (a bit_or aggregation per 64-bit word),
     so the driver collects at most 2^``n_bits_pow2``/64 word rows — the
-    bitmap's own size — regardless of benchmark fingerprint count."""
+    bitmap's own size — regardless of benchmark fingerprint count.
+    Driver-side the words accumulate in ONE numpy int64 buffer and hand
+    Arrow that buffer, so the 2^30-bit cap costs the advertised m/8
+    bytes (128 MB), not a boxed-int list's PyObject overhead.
+
+    ``n_shards > 1`` splits the filter ACROSS several blooms — the
+    documented path past the per-bitmap 2^30 cap (10^12 fingerprints):
+    each fingerprint belongs to exactly one shard
+    (``xxhash64 % n_shards``), the auto-sizer sizes each shard's bitmap
+    for its ``n_fp / n_shards`` share, the corpus tests each
+    fingerprint against ITS shard's bitmap only (a broadcast equi-join
+    on the shard id — still map-side), and the exact verify is
+    unchanged — so results are identical to the unsharded filter at any
+    shard count."""
+    import numpy as np
+    import pyarrow as pa
+
     from .text import rolling_hashes
 
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     grams = lambda df: F.explode(  # noqa: E731 — local shorthand
         F.array_distinct(rolling_hashes(F.col(text_col), window))
     ).alias("fp")
     bench_fps = benchmark.select(grams(benchmark)).distinct().persist()
+    n_fp = bench_fps.count()  # materializes the persist for the fold
     if n_bits_pow2 is None:
-        n_fp = bench_fps.count()  # also materializes the persist
-        n_bits_pow2 = bloom_bits_pow2(n_fp)
+        n_bits_pow2 = bloom_bits_pow2(max(1, n_fp // n_shards))
     m = 1 << n_bits_pow2
+    # fingerprint -> shard by Spark's own xxhash64 (seed -1 keeps the
+    # shard hash independent of the k position hashes at seeds 0..k-1)
+    shard = F.pmod(F.xxhash64(F.lit(-1), F.col("fp")), F.lit(n_shards))
     # bit positions computed by SPARK's own xxhash64 — bit-for-bit the
     # same family the membership test below probes, no reimplementation —
     # and the bitmap FOLDS DISTRIBUTED (bit_or per 64-bit word), so the
-    # driver collects at most m/64 word rows no matter how many
-    # fingerprints the benchmark has
+    # driver collects at most n_shards x m/64 word rows no matter how
+    # many fingerprints the benchmark has
     pos_df = bench_fps.select(
+        shard.alias("shard"),
         F.explode(
             F.array(
                 *[
@@ -963,43 +988,76 @@ def contamination_hits_bloom(
                     for j in range(k)
                 ]
             )
-        ).alias("pos")
+        ).alias("pos"),
     )
     word_rows = (
         pos_df.select(
+            "shard",
             (F.col("pos") / 64).cast("int").alias("w"),
             F.expr("shiftleft(1L, cast(pmod(pos, 64) AS int))").alias("bit"),
         )
-        .groupBy("w")
+        .groupBy("shard", "w")
         .agg(F.expr("bit_or(bit)").alias("word"))
         .collect()
     )
-    words = [0] * (m // 64)
-    for r in word_rows:
-        words[int(r["w"])] = int(r["word"])
+    words = _bloom_words(word_rows, n_shards, m)
     spark = probe.sparkSession
-    bits_df = spark.createDataFrame(
-        [([_to_i64(w) for w in words],)], "bits array<bigint>"
+    # hand Spark the buffer THROUGH ARROW (pa.Table is accepted natively
+    # by createDataFrame in Spark 4 regardless of the pandas-arrow
+    # conf): no per-element boxing on the way out either
+    n_words = m // 64
+    bits_arr = pa.ListArray.from_arrays(
+        pa.array(
+            np.arange(0, (n_shards + 1) * n_words, n_words, dtype=np.int32)
+        ),
+        pa.array(words.ravel()),
     )
-    corpus_fps = probe.select(F.col(id_col), grams(probe))
-    passed = corpus_fps.crossJoin(F.broadcast(bits_df))
+    bits_df = spark.createDataFrame(
+        pa.table(
+            {"shard": pa.array(np.arange(n_shards, dtype=np.int64)),
+             "bits": bits_arr}
+        )
+    )
+    # the cached fingerprint set has served the count + the bitmap fold;
+    # drop the pin so repeated calls don't accumulate executor storage —
+    # the exact-verify join below recomputes the (benchmark-sized,
+    # cheap) fingerprints from source
+    bench_fps.unpersist()
+    corpus_fps = probe.select(F.col(id_col), grams(probe)).withColumn(
+        "shard", shard
+    )
+    passed = corpus_fps.join(F.broadcast(bits_df), "shard")
     cond = F.lit(True)
     for j in range(k):
         pos = F.pmod(F.xxhash64(F.lit(j), F.col("fp")), F.lit(m))
         word = F.element_at(F.col("bits"), (pos / 64).cast("int") + 1)
         cond = cond & (F.bit_get(word, F.pmod(pos, F.lit(64))) == 1)
     survivors = passed.where(cond).select(id_col, "fp")
+    # exact verify: kills bloom FPs.  DELIBERATELY un-hinted: at
+    # eval-benchmark scale AQE broadcasts this anyway, and at 10^9
+    # fingerprints (where the bloom tier earns its keep) a plain
+    # shuffle join is the CORRECT physical choice — don't "fix" this
+    # with F.broadcast
     out = (
-        survivors.join(bench_fps, "fp")  # exact verify: kills bloom FPs
+        survivors.join(bench_fps, "fp")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
     return out
 
 
-def _to_i64(w: int) -> int:
-    """Python unbounded int -> two's-complement int64 (bigint literal)."""
-    return w - (1 << 64) if w >= (1 << 63) else w
+def _bloom_words(word_rows, n_shards: int, m: int):
+    """Fold collected (shard, w, word) rows into ONE contiguous numpy
+    int64 buffer of shape (n_shards, m/64) — exactly m/8 bytes per
+    shard, so the 2^30-bit cap costs the advertised 128 MB on the
+    driver instead of a boxed-int list's ~30x PyObject overhead.  Arrow
+    hands Spark the buffer without per-element boxing."""
+    import numpy as np
+
+    words = np.zeros((n_shards, m // 64), dtype=np.int64)
+    for r in word_rows:
+        words[int(r["shard"]), int(r["w"])] = r["word"]
+    return words
 
 
 def dedupe_keep_best(

@@ -422,9 +422,25 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
                 cur = cur.dropDuplicates()
         elif name == "order":
             df = cur.df() if isinstance(cur, Traversal) else cur
-            cols = [M.ID] if (isinstance(cur, Traversal) and M.ID in df.columns) \
-                else list(df.columns)
-            df = df.orderBy(*cols)
+            if args:
+                key = _resolve_key(df.columns, args[0])
+                if not key:
+                    raise GremlinSyntaxError(f"unknown property key {args[0]!r}")
+                cols = [key]
+            elif isinstance(cur, Traversal) and M.ID in df.columns:
+                cols = [M.ID]
+            else:
+                cols = list(df.columns)
+            # the sort must be TOTAL before it can license offset paging:
+            # a non-unique key (order('kind')) leaves ties in
+            # shuffle-dependent relative order, so append the element id
+            # when present, else every remaining column, as a tiebreaker
+            tie = (
+                [M.ID]
+                if M.ID in df.columns
+                else [c for c in df.columns if c not in cols]
+            )
+            df = df.orderBy(*cols, *[c for c in tie if c not in cols])
             cur = cur._derived(df, cur._kind) if isinstance(cur, Traversal) else df
             ordered = True
         elif name in ("range", "limit"):

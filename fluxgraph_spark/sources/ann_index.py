@@ -23,6 +23,16 @@ much as the data does, and a rebuild is one ``build`` call.
 Same md5-deterministic centroid sample as the in-memory path, so index
 results are bit-identical to cosine_topk_ivf and replay in the same SQL
 oracle.
+
+PATH CONTRACT: the parquet reads/writes themselves go through Spark and
+work on any Hadoop-compatible filesystem, but the index MAINTENANCE
+paths (compact's sibling swap, the delta-area discovery and the
+merge/rebuild manifest publish) use local-filesystem primitives
+(os.rename / os.replace / os.scandir / shutil.rmtree) — so
+``index_dir`` must be a local or NFS path visible to the driver.  On
+HDFS/object stores, route the same sequence through the Hadoop
+FileSystem API (the manifest-publish pattern itself is the portable
+part — it is the Iceberg/Delta commit shape).
 """
 
 from __future__ import annotations

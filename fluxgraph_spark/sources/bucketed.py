@@ -131,11 +131,20 @@ class DedupIndex:
         self.bands = bands
         self.hashes_table = f"{prefix}_hashes"
         self.bands_table = f"{prefix}_bands"
-        if n_buckets is None and spark.catalog.tableExists(self.hashes_table):
-            # opening an existing index: the layout owns the bucket
-            # count — read it back from the catalog rather than trusting
-            # a caller default that may not match the files on disk
-            n_buckets = self._catalog_n_buckets()
+        if n_buckets is None:
+            if spark.catalog.tableExists(self.hashes_table):
+                # opening an existing index: the layout owns the bucket
+                # count — read it back from the catalog rather than
+                # trusting a caller default that may not match the files
+                n_buckets = self._catalog_n_buckets()
+            else:
+                # fail at the misuse site, not in a later bucketBy(None)
+                raise ValueError(
+                    f"no DedupIndex tables exist at prefix {prefix!r} and "
+                    "no n_buckets was given — create one with "
+                    "DedupIndex.build(...), or pass n_buckets explicitly "
+                    "to lay out a new index"
+                )
         self.n_buckets = n_buckets
 
     def _catalog_n_buckets(self) -> int:

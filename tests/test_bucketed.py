@@ -195,3 +195,13 @@ def test_auto_bucket_sizing(spark, docs, warehouse):
     # reopening with no explicit n_buckets resolves from the catalog
     reopened = bucketed.DedupIndex(spark, f"{warehouse}.auto")
     assert reopened.n_buckets == idx.n_buckets
+
+
+def test_open_missing_index_without_buckets_raises(spark):
+    """Opening a DedupIndex at a prefix whose tables don't exist and
+    without n_buckets fails AT CONSTRUCTION with a pointer to build(),
+    not later inside bucketBy(None, ...) (ADVICE r5)."""
+    from fluxgraph_spark.sources.bucketed import DedupIndex
+
+    with pytest.raises(ValueError, match="DedupIndex.build"):
+        DedupIndex(spark, "no_such_prefix_xyz")

@@ -784,3 +784,38 @@ def test_bloom_autosize_formula():
         b = bloom_bits_pow2(n)
         assert b >= prev and (b == 30 or (1 << b) >= 16 * n)
         prev = b
+
+
+def test_bloom_words_buffer_and_sharding(spark):
+    """The driver-side bitmap is ONE contiguous int64 buffer (m/8 bytes
+    per shard, no boxed-int list), and sharding the filter (the path
+    past the 2^30 per-bitmap cap) leaves results identical to the
+    unsharded filter."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.functions import dedup
+    from fluxgraph_spark.functions.dedup import _bloom_words
+    from fluxgraph_spark.sources.tpch import read_tables
+
+    # buffer shape/cost: nbytes is exactly shards x m/8, bits land where
+    # the fold put them
+    class R(dict):
+        __getitem__ = dict.get
+
+    m = 1 << 18
+    rows = [R(shard=0, w=5, word=3), R(shard=3, w=4095, word=-1)]
+    words = _bloom_words(rows, 4, m)
+    assert words.dtype == np.int64 and words.nbytes == 4 * m // 8
+    assert words[0, 5] == 3 and words[3, 4095] == -1 and words.sum() == 2
+
+    docs = read_tables(spark, "/root/testdata/sf0.001")["documents"]
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    probe = docs.where(F.col("doc_id") % 50 != 0)
+    unsharded = sorted(map(tuple, dedup.contamination_hits_bloom(
+        probe, bench, window=4, n_bits_pow2=18).collect()))
+    sharded = sorted(map(tuple, dedup.contamination_hits_bloom(
+        probe, bench, window=4, n_bits_pow2=18, n_shards=4).collect()))
+    assert sharded == unsharded and len(unsharded) > 0
+    with pytest.raises(ValueError, match="n_shards"):
+        dedup.contamination_hits_bloom(probe, bench, n_shards=0)

@@ -377,3 +377,26 @@ def test_parser_fuzz_raises_only_syntax_errors():
             pass
 
     check()
+
+
+def test_order_key_total_tiebreak(toy_graph):
+    """order('key') on a NON-unique key must still page
+    deterministically: the sort gets the element id appended as a
+    tiebreaker, so range() after it returns the same rows every run
+    (ADVICE r5: a non-unique sort key alone leaves tie order
+    shuffle-dependent)."""
+    g, vs, _ = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+    # 'lang' is non-null only for lop/ripple ('java' twice => all-tie);
+    # with the id tiebreaker page [0..0] is always the lower id
+    base = GL.run(
+        "g.V.has('lang','java').order('lang').id", v_df, e_df
+    ).collect()
+    assert [r[0] for r in base] == sorted(r[0] for r in base)
+    for _ in range(3):
+        page = GL.run(
+            "g.V.has('lang','java').order('lang').range(1, 1).id", v_df, e_df
+        ).collect()
+        assert [r[0] for r in page] == [base[1][0]]
+    with pytest.raises(GL.GremlinSyntaxError, match="unknown property key"):
+        GL.run("g.V.order('nope').id", v_df, e_df)

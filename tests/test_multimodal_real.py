@@ -385,3 +385,24 @@ def test_jpeg_roundtrip_property():
         assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
 
     check()
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """Length-less cases in the marker stream decode correctly: 0xFF
+    fill bytes before a marker (T.81 B.1.1.2) and standalone TEM/stray
+    RSTn markers between segments carry NO length field — the parser
+    must advance past them without reading a bogus segment length
+    (ADVICE r5: the old compensation resumed 2 bytes off and could
+    over-run on a garbage length)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = codecs.encode_jpeg(img)
+    ref = codecs.decode_jpeg(data)
+
+    # inject fill bytes + TEM + a stray RST4 right after SOI — all legal
+    # inter-segment padding/markers a real encoder may emit
+    patched = data[:2] + b"\xff\xff\xff\x01\xff\xd4" + data[2:]
+    assert (codecs.decode_jpeg(patched) == ref).all()
+    # and between two later segments (before the DQT marker)
+    dqt = data.find(b"\xff\xdb", 2)
+    patched = data[:dqt] + b"\xff\xff\xff\x01" + data[dqt:]
+    assert (codecs.decode_jpeg(patched) == ref).all()
