@@ -377,6 +377,44 @@ def q_g_gremlin_loop(spark, sf_dir):
     )
 
 
+def q_g_gremlin_loop_while(spark, sf_dir):
+    """UNBOUNDED Gremlin ``loop`` with a data-dependent while closure
+    (VERDICT r5 item 1): walk outward from early-1995 orders until each
+    traverser reaches a region vertex — the round count depends on the
+    PATH (3 hops via customer→nation, 4 via part→supplier→nation), so
+    the section can't statically unroll; operators/gremlin._run_fixpoint
+    runs it as a driver-side superstep fixpoint (the analytics
+    operators' pattern: localCheckpoint per round, bounded empty-probe,
+    per-traverser exit on closure failure).  The walk is a fixed-depth
+    DAG here, so the SQL oracle replays the recurrence as 4 chained
+    CTE rounds — exits are exactly the region arrivals of each round."""
+    from fluxgraph_spark.operators import gremlin as GL
+
+    _, v, e = _graph(spark, sf_dir)
+    return GL.run(
+        "g.V.has('kind','order').has('orderdate', T.lt, '1995-02-01')"
+        ".out.loop(1){it.object.kind != 'region'}.groupCount('name')",
+        v, e,
+    )
+
+
+def q_g_gremlin_loop_emit(spark, sf_dir):
+    """The EMIT-closure loop form (``loop(1){while}{true}``): every
+    arrival emits to the next step while the walk continues — Gremlin
+    2's LoopPipe contract (emission decided solely by the emit closure
+    when present).  Visit counts per kind over every vertex the
+    region-bound walk touches; the oracle unions the 4 fixed rounds'
+    frontiers."""
+    from fluxgraph_spark.operators import gremlin as GL
+
+    _, v, e = _graph(spark, sf_dir)
+    return GL.run(
+        "g.V.has('kind','order').has('orderdate', T.lt, '1995-02-01')"
+        ".out.loop(1){it.object.kind != 'region'}{true}.groupCount('kind')",
+        v, e,
+    )
+
+
 def q_g_gremlin_except(spark, sf_dir):
     """Gremlin side-effect collections (aggregate + except): the classic
     co-purchase-minus-self walk — customers of nation 7 snapshot as a
@@ -3109,6 +3147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_gremlin_groupcount": q_g_gremlin_groupcount,
         "g_gremlin_path": q_g_gremlin_path,
         "g_gremlin_loop": q_g_gremlin_loop,
+        "g_gremlin_loop_while": q_g_gremlin_loop_while,
+        "g_gremlin_loop_emit": q_g_gremlin_loop_emit,
         "g_gremlin_except": q_g_gremlin_except,
         "g_bfs_levels": q_g_bfs_levels,
         "g_lpa_communities": q_g_lpa_communities,
@@ -4139,6 +4179,69 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.dst AS id FROM ge e JOIN hop1 h ON e.src = h.id)
         SELECT v.kind AS kind, CAST(count(*) AS BIGINT) AS count
         FROM hop2 JOIN gv v ON v.id = hop2.id
+        GROUP BY v.kind
+        """,
+        # the data-dependent fixpoint loop replays as FIXED chained-CTE
+        # rounds because the region-bound walk is a fixed-depth DAG
+        # (3 hops via customer, 4 via supplier): round frontier h_i,
+        # continue-set c_i = non-region arrivals, exits = region
+        # arrivals of every round
+        "g_gremlin_loop_while": GRAPH_CTES
+        + """
+        , sel AS MATERIALIZED (
+          SELECT id FROM gv WHERE kind = 'order' AND orderdate < '1995-02-01'),
+        h1 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN sel s ON e.src = s.id),
+        c1 AS MATERIALIZED (
+          SELECT h1.id FROM h1 JOIN gv v ON v.id = h1.id
+          WHERE v.kind <> 'region'),
+        h2 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN c1 ON e.src = c1.id),
+        c2 AS MATERIALIZED (
+          SELECT h2.id FROM h2 JOIN gv v ON v.id = h2.id
+          WHERE v.kind <> 'region'),
+        h3 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN c2 ON e.src = c2.id),
+        c3 AS MATERIALIZED (
+          SELECT h3.id FROM h3 JOIN gv v ON v.id = h3.id
+          WHERE v.kind <> 'region'),
+        h4 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN c3 ON e.src = c3.id),
+        exits AS MATERIALIZED (
+          SELECT h.id FROM (
+            SELECT id FROM h1 UNION ALL SELECT id FROM h2
+            UNION ALL SELECT id FROM h3 UNION ALL SELECT id FROM h4
+          ) h JOIN gv v ON v.id = h.id WHERE v.kind = 'region')
+        SELECT v.name AS name, CAST(count(*) AS BIGINT) AS count
+        FROM exits JOIN gv v ON v.id = exits.id
+        GROUP BY v.name
+        """,
+        "g_gremlin_loop_emit": GRAPH_CTES
+        + """
+        , sel AS MATERIALIZED (
+          SELECT id FROM gv WHERE kind = 'order' AND orderdate < '1995-02-01'),
+        h1 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN sel s ON e.src = s.id),
+        c1 AS MATERIALIZED (
+          SELECT h1.id FROM h1 JOIN gv v ON v.id = h1.id
+          WHERE v.kind <> 'region'),
+        h2 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN c1 ON e.src = c1.id),
+        c2 AS MATERIALIZED (
+          SELECT h2.id FROM h2 JOIN gv v ON v.id = h2.id
+          WHERE v.kind <> 'region'),
+        h3 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN c2 ON e.src = c2.id),
+        c3 AS MATERIALIZED (
+          SELECT h3.id FROM h3 JOIN gv v ON v.id = h3.id
+          WHERE v.kind <> 'region'),
+        h4 AS MATERIALIZED (
+          SELECT e.dst AS id FROM ge e JOIN c3 ON e.src = c3.id),
+        visited AS MATERIALIZED (
+          SELECT id FROM h1 UNION ALL SELECT id FROM h2
+          UNION ALL SELECT id FROM h3 UNION ALL SELECT id FROM h4)
+        SELECT v.kind AS kind, CAST(count(*) AS BIGINT) AS count
+        FROM visited JOIN gv v ON v.id = visited.id
         GROUP BY v.kind
         """,
         "g_gremlin_path": GRAPH_CTES

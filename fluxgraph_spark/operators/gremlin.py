@@ -30,10 +30,15 @@ engine's surface covers — everything SURVEY §2.3/§2.4 maps to):
                 ``v[1]->e[7]->v[2]`` string, ``select`` the element ids
                 at the named steps.  Enabled automatically when the
                 pipeline uses any history step.)
-    loops       loop(k){it.loops < N}  loop('name'){it.loops < N}
-                (bounded while-closures only — the literal bound lets
-                the section unroll statically into the join tree; see
-                ``_unroll_loops``)
+    loops       loop(k){while}  loop('name'){while}  loop(k){while}{emit}
+                Bounded ``{it.loops < N}`` closures unroll STATICALLY
+                into the join tree (one Catalyst plan; see
+                ``_unroll_loops``).  Data-dependent closures —
+                ``{it.object.kind != 'region'}``, ``{true}``,
+                conjunctions with ``&&``, and emit closures — run as a
+                DRIVER-SIDE SUPERSTEP FIXPOINT (``_run_fixpoint``: the
+                analytics operators' iteration pattern), bounded by
+                ``run(..., max_loops=32)``.
     collections aggregate('x')  store('x')  except('x')  retain('x')
                 (side-effect element collections: aggregate/store
                 snapshot the frontier as a named set — declaratively, a
@@ -45,9 +50,10 @@ engine's surface covers — everything SURVEY §2.3/§2.4 maps to):
                 per element id without one)
     terminals   count()  toList()/iterate() (no-ops — evaluation is lazy)
 
-Unbounded ``loop`` (a data-dependent while-closure or emit-closure)
-remains absent: that is a driver-side fixpoint (the analytics
-operators' superstep pattern), not a static join tree.
+A fixpoint section may contain hops, filters, dedup, simplePath and
+except/retain; side-effect steps (as_/aggregate/store) and shaping
+steps whose meaning is round-relative (order/range/limit) are rejected
+inside one with a clear error.
 
 `T` comparison tokens: T.eq T.neq T.gt T.gte T.lt T.lte (Tokens.T of
 Gremlin 2; FluxVertex's VertexQuery accepts the same set through
@@ -91,7 +97,7 @@ _TOKEN_RE = re.compile(
     | (?P<number>-?\d+\.\d+[fFdD]?|-?\d+[lL]?)
     | (?P<tcmp>T\.(?:neq|eq|gte|gt|lte|lt))
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<punct>\.\.|[().,\[\]{}<])
+    | (?P<punct>\.\.|&&|==|!=|<=|>=|[().,\[\]{}<>])
     )
     """,
     re.VERBOSE,
@@ -199,17 +205,11 @@ def _parse(script: str) -> list[Step]:
                         i += 1
                 i += 1
             if name == "loop" and i < len(toks) and toks[i] == ("punct", "{"):
-                # the canonical bounded while-closure: {it.loops < N}
-                want = [("punct", "{"), ("name", "it"), ("punct", "."),
-                        ("name", "loops"), ("punct", "<")]
-                if toks[i : i + 5] != want or i + 6 >= len(toks) \
-                        or toks[i + 5][0] != "lit" \
-                        or toks[i + 6] != ("punct", "}"):
-                    raise GremlinSyntaxError(
-                        "loop closures support exactly {it.loops < N}"
-                    )
-                args.append(toks[i + 5][1])
-                i += 7
+                while_conds, i = _parse_closure(toks, i)
+                args.append(tuple(while_conds))
+                if i < len(toks) and toks[i] == ("punct", "{"):
+                    emit_conds, i = _parse_closure(toks, i)
+                    args.append(tuple(emit_conds))
             steps.append(Step(name, tuple(args)))
         elif (kind, val) == ("punct", "["):
             # Groovy range suffix [i..j] (inclusive) — also [i] single index
@@ -241,45 +241,157 @@ class Cmp:
     op: str
 
 
+_CLOSURE_OPS = ("<", "<=", ">", ">=", "==", "!=")
+
+
+def _parse_closure(toks, i):
+    """Parse one ``{...}`` loop closure starting at the ``{`` token.
+    Grammar: a conjunction of conditions joined by ``&&``, each
+    condition one of
+
+        it.loops OP <int>        (the loop counter)
+        it.object.<key> OP <lit> (a property of the current element)
+        true | false             (constant)
+
+    with OP in < <= > >= == !=.  Returns (conds, next_index), each cond
+    a tuple ``('loops', op, n)`` / ``('prop', key, op, value)`` /
+    ``('const', bool)``."""
+    conds = []
+    i += 1  # past '{'
+    while True:
+        if i >= len(toks):
+            raise GremlinSyntaxError("unterminated loop closure")
+        kind, val = toks[i]
+        if (kind, val) == ("name", "it"):
+            if toks[i + 1] != ("punct", ".") or toks[i + 2][0] != "name":
+                raise GremlinSyntaxError("expected it.loops or it.object.<key>")
+            what = toks[i + 2][1]
+            if what == "loops":
+                op_t, lit_t = toks[i + 3], toks[i + 4]
+                if op_t[0] != "punct" or op_t[1] not in _CLOSURE_OPS \
+                        or lit_t[0] != "lit" or not isinstance(lit_t[1], int):
+                    raise GremlinSyntaxError(
+                        "it.loops comparison needs an operator and an int"
+                    )
+                conds.append(("loops", op_t[1], lit_t[1]))
+                i += 5
+            elif what == "object":
+                if toks[i + 3] != ("punct", ".") or toks[i + 4][0] != "name":
+                    raise GremlinSyntaxError("expected it.object.<key>")
+                key = toks[i + 4][1]
+                op_t, lit_t = toks[i + 5], toks[i + 6]
+                if op_t[0] != "punct" or op_t[1] not in _CLOSURE_OPS \
+                        or lit_t[0] != "lit":
+                    raise GremlinSyntaxError(
+                        "it.object.<key> comparison needs an operator and a "
+                        "literal"
+                    )
+                conds.append(("prop", key, op_t[1], lit_t[1]))
+                i += 7
+            else:
+                raise GremlinSyntaxError(
+                    f"unsupported closure subject it.{what} (use it.loops "
+                    "or it.object.<key>)"
+                )
+        elif kind == "lit" and isinstance(val, bool):
+            conds.append(("const", val))
+            i += 1
+        else:
+            raise GremlinSyntaxError(
+                f"unsupported loop-closure token {val!r}"
+            )
+        if i < len(toks) and toks[i] == ("punct", "&&"):
+            i += 1
+            continue
+        if i < len(toks) and toks[i] == ("punct", "}"):
+            return conds, i + 1
+        raise GremlinSyntaxError("expected && or } in loop closure")
+
+
+def _loop_section(out: list[Step], anchor) -> list[Step]:
+    """The steps a ``loop`` re-runs: the previous ``anchor`` steps, or
+    everything after ``as('name')`` for a named anchor."""
+    if isinstance(anchor, str):
+        marks = [
+            i for i, s in enumerate(out)
+            if s.name == "as" and s.args == (anchor,)
+        ]
+        if not marks:
+            raise GremlinSyntaxError(f"loop anchor {anchor!r} not named")
+        return out[marks[-1] + 1 :]
+    if not isinstance(anchor, int) or anchor < 1 or anchor > len(out):
+        raise GremlinSyntaxError(f"loop({anchor}) out of range")
+    return out[len(out) - anchor :]
+
+
+# steps a fixpoint section may contain: anything that maps a frontier to
+# a frontier without driver-visible side effects or shaping that would
+# differ per round.  aggregate/store (mutate collections), as_ (mutates
+# the history column set per round), order/range/limit (round-relative),
+# terminals, and nested loops are rejected with a clear error.
+_SECTION_OK = {
+    "has", "hasNot", "interval", "out", "in", "both", "outE", "inE",
+    "bothE", "outV", "inV", "bothV", "dedup", "simplePath", "except",
+    "retain",
+}
+
+
 def _unroll_loops(steps: list[Step]) -> list[Step]:
-    """Statically unroll ``loop`` steps: the loop bound is a literal, so
-    the looped section just repeats in the step list — the evaluator
-    stays a single pass and Catalyst still sees ONE join tree (the
-    unrolled hops are chained equi-joins, exactly what multi_hop
-    plans).  ``loop(k){it.loops < N}`` re-runs the previous ``k`` steps
-    (or the section after ``as('name')`` for a named anchor) until the
-    counter — which starts at 1 and increments per arrival — fails the
-    bound: N-1 total executions, matching GremlinDocs' classic example
-    (``g.v(1).out.loop(1){it.loops < 3}`` = the 2-hop frontier).
-    Unbounded/emit-closure loops stay unsupported: a data-dependent
-    fixpoint needs the driver-side superstep pattern of the analytics
-    operators, not a static pipeline."""
+    """Lower ``loop`` steps into one of two executable forms.
+
+    **Static unroll** — ``loop(k){it.loops < N}`` with a literal bound
+    and no emit closure: the looped section simply repeats in the step
+    list, so the evaluator stays a single pass and Catalyst still sees
+    ONE join tree (the unrolled hops are chained equi-joins, exactly
+    what multi_hop plans).  The counter starts at 1 and increments per
+    arrival, so the bound N means N-1 total executions — GremlinDocs'
+    classic ``g.v(1).out.loop(1){it.loops < 3}`` = the 2-hop frontier.
+
+    **Driver-side fixpoint** — any data-dependent while closure
+    (``{it.object.kind != 'region'}``, ``{true}``), a conjunction, or
+    an emit closure: the section can't statically repeat because the
+    round count depends on the data, so the step lowers to an internal
+    ``loop_fix`` step the evaluator runs as a superstep iteration (the
+    analytics operators' pattern: materialize + lineage-truncate each
+    round, driver-probe the continue-frontier, stop at fixpoint or the
+    loops budget).  Matches Gremlin 2's LoopPipe semantics: the while
+    closure decides re-entry, the emit closure (when present) alone
+    decides emission; without one, elements emit when the while closure
+    fails."""
     out: list[Step] = []
     for st in steps:
         if st.name != "loop":
             out.append(st)
             continue
-        if len(st.args) != 2:
+        if len(st.args) not in (2, 3):
             raise GremlinSyntaxError(
-                "loop takes (stepsBack|'name') and a {it.loops < N} closure"
+                "loop takes (stepsBack|'name') and 1-2 {...} closures"
             )
-        anchor, bound = st.args
-        if not isinstance(bound, int) or bound < 2:
-            raise GremlinSyntaxError("loop bound must be an int >= 2")
-        if isinstance(anchor, str):
-            marks = [
-                i for i, s in enumerate(out)
-                if s.name == "as" and s.args == (anchor,)
-            ]
-            if not marks:
-                raise GremlinSyntaxError(f"loop anchor {anchor!r} not named")
-            section = out[marks[-1] + 1 :]
-        else:
-            if anchor < 1 or anchor > len(out):
-                raise GremlinSyntaxError(f"loop({anchor}) out of range")
-            section = out[len(out) - anchor :]
-        for _ in range(bound - 2):  # the section already ran once
-            out.extend(section)
+        anchor, while_conds = st.args[0], st.args[1]
+        emit_conds = st.args[2] if len(st.args) == 3 else None
+        if not isinstance(while_conds, tuple) or not while_conds:
+            raise GremlinSyntaxError("loop needs a {...} while closure")
+        section = _loop_section(out, anchor)
+        if (
+            emit_conds is None
+            and len(while_conds) == 1
+            and while_conds[0][0] == "loops"
+            and while_conds[0][1] == "<"
+        ):
+            bound = while_conds[0][2]
+            if bound < 2:
+                raise GremlinSyntaxError("loop bound must be an int >= 2")
+            for _ in range(bound - 2):  # the section already ran once
+                out.extend(section)
+            continue
+        bad = [s.name for s in section if s.name not in _SECTION_OK]
+        if bad:
+            raise GremlinSyntaxError(
+                f"step(s) {bad} cannot appear in a data-dependent loop "
+                "section (allowed: hops, filters, dedup, simplePath, "
+                "except/retain)"
+            )
+        out.append(Step("loop_fix", (tuple(section), while_conds, emit_conds)))
     return out
 
 
@@ -346,11 +458,132 @@ _ENDPOINTS = {"outV": "out_v", "inV": "in_v", "bothV": "both_v"}
 _NOOPS = {"toList", "iterate", "next"}
 
 
-def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
+class _EvalState:
+    """Mutable evaluation state threaded through step application, so
+    the fixpoint loop can re-run its section steps through the SAME
+    dispatch as the main pass."""
+
+    def __init__(self, max_loops: int) -> None:
+        self.ordered = False   # explicit `order` licenses offset paging
+        self.collections: dict[str, DataFrame] = {}  # aggregate/store id sets
+        self.max_loops = max_loops
+
+
+_PY_CMP = {
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+}
+
+
+def _closure_col(columns: Sequence[str], conds, loops: int):
+    """Column predicate for a loop-closure conjunction evaluated at
+    loop counter ``loops``.  ``it.loops`` and constant conjuncts fold
+    driver-side (the counter is uniform across the round's frontier —
+    exit is permanent, so every looping traverser has gone around the
+    same number of times); property conjuncts compile to column
+    comparisons.  Null handling follows the filter steps' contract
+    (Groovy truthiness, the same split ``has``/``hasNot`` use): ``!=``
+    is satisfied by a NULL or ABSENT property (null != lit is true in
+    Groovy), every other comparison fails on NULL — and the whole
+    conjunction coalesces to FALSE so each traverser lands in exactly
+    one of the exit/continue branches (bare SQL three-valued logic
+    would silently drop NULL-predicate rows from BOTH)."""
+    col = None
+    for c in conds:
+        if c[0] == "const":
+            if not c[1]:
+                return F.lit(False)
+        elif c[0] == "loops":
+            if not _PY_CMP[c[1]](loops, c[2]):
+                return F.lit(False)
+        else:
+            _, key, op, value = c
+            k = _resolve_key(columns, key, value)
+            if not k:
+                if op == "!=":
+                    continue  # absent key: null != lit — always true
+                return F.lit(False)
+            cc = F.col(k)
+            x = {
+                "<": cc < F.lit(value), "<=": cc <= F.lit(value),
+                ">": cc > F.lit(value), ">=": cc >= F.lit(value),
+                "==": cc == F.lit(value),
+                "!=": cc.isNull() | (cc != F.lit(value)),
+            }[op]
+            col = x if col is None else (col & x)
+    return F.lit(True) if col is None else F.coalesce(col, F.lit(False))
+
+
+def _run_fixpoint(cur, section, while_conds, emit_conds, st: "_EvalState"):
+    """Driver-side superstep fixpoint for a data-dependent ``loop`` —
+    the analytics operators' iteration pattern (operators/analytics.py:
+    eager materialize + localCheckpoint per round, bounded driver probe
+    for convergence) applied to a traversal frontier:
+
+    each round the looping frontier MATERIALIZES (localCheckpoint —
+    truncating lineage so the per-round plan stays constant-size
+    instead of nesting one join tree per round), the while closure
+    splits it into re-entering vs exiting traversers (one column
+    predicate — no extra shuffle), the section re-runs on the
+    re-entering subset through the ordinary step dispatch, and the
+    only driver-side data is the per-round empty-check.  Stops at
+    fixpoint (no traverser re-enters) or raises at ``max_loops``
+    (Gremlin's unbounded ``loop(1){true}`` is an infinite walk on a
+    cyclic graph — the budget is the engine's termination contract).
+
+    Counter semantics match the static unroll: at arrival, ``it.loops``
+    = sections-run + 1, so ``{it.loops < N}`` means N-1 executions.
+    Emission per Gremlin 2's LoopPipe: no emit closure — traversers
+    emit exactly when the while closure fails; with one — the emit
+    closure alone decides emission (evaluated at every arrival), and
+    traversers failing both are discarded."""
+    if not isinstance(cur, Traversal):
+        raise GremlinSyntaxError("loop after a projection/terminal step")
+    loops = 2  # first arrival: the section has run once
+    parts: list[DataFrame] = []
+    looping = cur
+    while True:
+        df = looping.df().localCheckpoint()  # eager: materialize + truncate
+        w = _closure_col(df.columns, while_conds, loops)
+        if emit_conds is None:
+            parts.append(df.where(~w))
+        else:
+            parts.append(df.where(_closure_col(df.columns, emit_conds, loops)))
+        cont = df.where(w)
+        if cont.isEmpty():  # bounded driver probe per round
+            break
+        if loops > st.max_loops:
+            raise RuntimeError(
+                f"loop exceeded max_loops={st.max_loops} without "
+                "converging; raise max_loops or bound the closure with "
+                "it.loops"
+            )
+        looping = _eval_steps(
+            list(section), looping._derived(cont, looping._kind), st
+        )
+        if not isinstance(looping, Traversal):
+            raise GremlinSyntaxError("loop section must keep an element frontier")
+        loops += 1
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return cur._derived(out, cur._kind)
+
+
+def run(
+    script: str,
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_loops: int = 32,
+) -> DataFrame:
     """Evaluate a Gremlin pipeline string against (vertices, edges).
 
     Always returns a DataFrame (count() becomes a one-row ``count``
-    frame) — evaluation stays lazy/declarative end to end.
+    frame)).  Evaluation stays lazy/declarative end to end EXCEPT for
+    data-dependent ``loop`` closures, which run as driver-side
+    superstep fixpoints bounded by ``max_loops`` (see
+    :func:`_run_fixpoint`).
     """
     steps = _unroll_loops(parse(script))
     if not steps:
@@ -359,199 +592,213 @@ def run(script: str, vertices: DataFrame, edges: DataFrame) -> DataFrame:
         s.name in ("path", "select", "as", "back", "simplePath") for s in steps
     )
     cur: Any = Traversal(vertices, edges, track_paths=track)
-    ordered = False  # an explicit `order` makes later offset paging deterministic
-    collections: dict[str, DataFrame] = {}  # aggregate/store snapshots (id sets)
-    for step in steps:
-        name, args = step.name, step.args
-        if name == "order":
-            pass
-        elif name not in ("range", "limit", *_NOOPS):
-            # conservative: only steps that provably keep row order leave
-            # the ordered flag up — anything else (hops, filters, dedup,
-            # projections) may re-plan/re-shuffle and lose it
-            ordered = False
-        if not isinstance(cur, Traversal) and name not in (
-            "order", "dedup", "range", "limit", "count",
-            "groupCount", "sum", "mean", "max", "min", *_NOOPS,
-        ):
-            raise GremlinSyntaxError(
-                f".{name} after a projection/terminal step"
-            )
-        if name in ("V", "E"):
-            cur = getattr(cur, name)(*args)
-        elif name in ("v", "e"):
-            if not args:
-                raise GremlinSyntaxError(f"g.{name}() needs at least one id")
-            cur = getattr(cur, name.upper())(*args)
-        elif name == "has":
-            if len(args) == 1:
-                cur = _key_filter(cur, args[0], "notnull", None)
-            elif len(args) == 2 and not isinstance(args[1], Cmp):
-                cur = _key_filter(cur, args[0], "eq", args[1])
-            elif len(args) == 3 and isinstance(args[1], Cmp):
-                cur = _key_filter(cur, args[0], args[1].op, args[2])
-            else:
-                raise GremlinSyntaxError("has() takes (k), (k,v) or (k,T.cmp,v)")
-        elif name == "hasNot":
-            if len(args) == 1:
-                cur = _key_filter(cur, args[0], "isnull", None)
-            elif len(args) == 2:
-                cur = _key_filter(cur, args[0], "neq_or_null", args[1])
-            else:
-                raise GremlinSyntaxError("hasNot() takes (k) or (k,v)")
-        elif name == "interval":
-            if len(args) != 3:
-                raise GremlinSyntaxError("interval(k, start, end)")
-            col = _resolve_key(cur.df().columns, args[0], args[1])
-            if not col:
-                cur = cur.where(F.lit(False))
-            else:
-                cur = cur.interval(col, args[1], args[2])
-        elif name in _HOPS:
-            cur = getattr(cur, _HOPS[name])(*args)
-        elif name in _EDGE_STEPS:
-            cur = getattr(cur, _EDGE_STEPS[name])(*args)
-        elif name in _ENDPOINTS:
-            if args:
-                raise GremlinSyntaxError(f"{name} takes no args")
-            cur = getattr(cur, _ENDPOINTS[name])()
-        elif name == "dedup":
-            if isinstance(cur, Traversal):
-                cur = cur.dedup()
-            else:
-                cur = cur.dropDuplicates()
-        elif name == "order":
-            df = cur.df() if isinstance(cur, Traversal) else cur
-            if args:
-                key = _resolve_key(df.columns, args[0])
-                if not key:
-                    raise GremlinSyntaxError(f"unknown property key {args[0]!r}")
-                cols = [key]
-            elif isinstance(cur, Traversal) and M.ID in df.columns:
-                cols = [M.ID]
-            else:
-                cols = list(df.columns)
-            # the sort must be TOTAL before it can license offset paging:
-            # a non-unique key (order('kind')) leaves ties in
-            # shuffle-dependent relative order, so append the element id
-            # when present, else every remaining column, as a tiebreaker
-            tie = (
-                [M.ID]
-                if M.ID in df.columns
-                else [c for c in df.columns if c not in cols]
-            )
-            df = df.orderBy(*cols, *[c for c in tie if c not in cols])
-            cur = cur._derived(df, cur._kind) if isinstance(cur, Traversal) else df
-            ordered = True
-        elif name in ("range", "limit"):
-            if name == "limit":
-                lo, hi = 0, args[0] - 1
-            else:
-                lo, hi = args
-            if lo != 0:
-                if not ordered:
-                    raise GremlinSyntaxError(
-                        "range/[i..j] with a non-zero start needs an "
-                        "explicit `order` first (offset paging of an "
-                        "unordered distributed frontier is "
-                        "nondeterministic; use rexster.offset paging on "
-                        "the REST surface instead)"
-                    )
-                # a sorted frontier pages deterministically
-                df = cur.df() if isinstance(cur, Traversal) else cur
-                df = df.offset(lo).limit(hi - lo + 1)
-                cur = cur._derived(df, cur._kind) if isinstance(cur, Traversal) else df
-            else:
-                cur = cur.limit(hi + 1)
-        elif name in ("values", "property"):
-            if name == "property" and len(args) != 1:
-                raise GremlinSyntaxError("property(k) takes one key")
-            if not args:
-                raise GremlinSyntaxError("values() needs at least one key")
-            cols = []
-            for k in args:
-                col = _resolve_key(cur.df().columns, k)
-                if not col:
-                    raise GremlinSyntaxError(f"unknown property key {k!r}")
-                cols.append(F.col(col).alias(k))
-            cur = cur.df().select(*cols)
-        elif name == "id":
-            cur = cur.ids()
-        elif name == "label":
-            cur = cur.df().select(M.LABEL)
-        elif name == "count":
-            df = cur.df() if isinstance(cur, Traversal) else cur
-            cur = df.agg(F.count(F.lit(1)).alias("count"))
-        elif name == "groupCount":
-            df = cur.df() if isinstance(cur, Traversal) else cur
-            if args:
-                col = _resolve_key(df.columns, args[0])
-                if not col:
-                    raise GremlinSyntaxError(f"unknown property key {args[0]!r}")
-                keys = [F.col(col).alias(args[0])]
-            elif isinstance(cur, Traversal):
-                keys = [F.col(M.ID)]  # traverser visit counts per element
-            else:
-                keys = [F.col(c) for c in df.columns]
-            cur = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
-        elif name in ("sum", "mean", "max", "min"):
-            if isinstance(cur, Traversal) or len(cur.columns) != 1:
-                raise GremlinSyntaxError(
-                    f".{name} aggregates a single projected value — "
-                    f"use .values(key) / .property(key) first"
-                )
-            agg = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[
-                name
-            ](F.col(cur.columns[0]))
-            cur = cur.agg(agg.alias(name))
-        elif name == "as":
-            if len(args) != 1 or not isinstance(args[0], str):
-                raise GremlinSyntaxError("as('name') takes one string")
-            cur = cur.as_(args[0])
-        elif name == "back":
-            if len(args) != 1 or not isinstance(args[0], str):
-                raise GremlinSyntaxError(
-                    "back('name') takes one named step (numeric back(n) "
-                    "is not supported — name the step with as())"
-                )
-            try:
-                cur = cur.back(args[0])
-            except ValueError as ex:
-                raise GremlinSyntaxError(str(ex)) from None
-        elif name == "select":
-            try:
-                cur = cur.select_steps(*args)
-            except ValueError as ex:
-                raise GremlinSyntaxError(str(ex)) from None
-        elif name == "path":
-            if args:
-                raise GremlinSyntaxError("path takes no args")
-            cur = cur.path_df()
-        elif name == "simplePath":
-            if args:
-                raise GremlinSyntaxError("simplePath takes no args")
-            cur = cur.simple_path()
-        elif name in ("aggregate", "store"):
-            if len(args) != 1 or not isinstance(args[0], str):
-                raise GremlinSyntaxError(f"{name}('x') takes one string")
-            collections[args[0]] = cur.df().select(M.ID).distinct()
-        elif name in ("except", "retain"):
-            if len(args) != 1 or not isinstance(args[0], str):
-                raise GremlinSyntaxError(f"{name}('x') takes one named set")
-            if args[0] not in collections:
-                raise GremlinSyntaxError(
-                    f"no collection named {args[0]!r}; aggregate/store it first"
-                )
-            how = "left_anti" if name == "except" else "left_semi"
-            cur = cur._derived(
-                cur.df().join(collections[args[0]], M.ID, how), cur._kind
-            )
-        elif name in _NOOPS:
-            pass
-        else:
-            raise GremlinSyntaxError(f"unsupported step .{name}")
+    return _finalize(_eval_steps(steps, cur, _EvalState(max_loops)))
+
+
+def _finalize(cur) -> DataFrame:
     if isinstance(cur, Traversal):
         return cur.df()
+    return cur
+
+
+def _eval_steps(steps: list[Step], cur, st: "_EvalState"):
+    for step in steps:
+        cur = _apply_step(step, cur, st)
+    return cur
+
+
+def _apply_step(step: Step, cur, st: "_EvalState"):
+    name, args = step.name, step.args
+    ordered, collections = st.ordered, st.collections
+    if name == "order":
+        pass
+    elif name not in ("range", "limit", *_NOOPS):
+        # conservative: only steps that provably keep row order leave
+        # the ordered flag up — anything else (hops, filters, dedup,
+        # projections) may re-plan/re-shuffle and lose it
+        st.ordered = ordered = False
+    if not isinstance(cur, Traversal) and name not in (
+        "order", "dedup", "range", "limit", "count",
+        "groupCount", "sum", "mean", "max", "min", *_NOOPS,
+    ):
+        raise GremlinSyntaxError(
+            f".{name} after a projection/terminal step"
+        )
+    if name in ("V", "E"):
+        cur = getattr(cur, name)(*args)
+    elif name in ("v", "e"):
+        if not args:
+            raise GremlinSyntaxError(f"g.{name}() needs at least one id")
+        cur = getattr(cur, name.upper())(*args)
+    elif name == "has":
+        if len(args) == 1:
+            cur = _key_filter(cur, args[0], "notnull", None)
+        elif len(args) == 2 and not isinstance(args[1], Cmp):
+            cur = _key_filter(cur, args[0], "eq", args[1])
+        elif len(args) == 3 and isinstance(args[1], Cmp):
+            cur = _key_filter(cur, args[0], args[1].op, args[2])
+        else:
+            raise GremlinSyntaxError("has() takes (k), (k,v) or (k,T.cmp,v)")
+    elif name == "hasNot":
+        if len(args) == 1:
+            cur = _key_filter(cur, args[0], "isnull", None)
+        elif len(args) == 2:
+            cur = _key_filter(cur, args[0], "neq_or_null", args[1])
+        else:
+            raise GremlinSyntaxError("hasNot() takes (k) or (k,v)")
+    elif name == "interval":
+        if len(args) != 3:
+            raise GremlinSyntaxError("interval(k, start, end)")
+        col = _resolve_key(cur.df().columns, args[0], args[1])
+        if not col:
+            cur = cur.where(F.lit(False))
+        else:
+            cur = cur.interval(col, args[1], args[2])
+    elif name in _HOPS:
+        cur = getattr(cur, _HOPS[name])(*args)
+    elif name in _EDGE_STEPS:
+        cur = getattr(cur, _EDGE_STEPS[name])(*args)
+    elif name in _ENDPOINTS:
+        if args:
+            raise GremlinSyntaxError(f"{name} takes no args")
+        cur = getattr(cur, _ENDPOINTS[name])()
+    elif name == "dedup":
+        if isinstance(cur, Traversal):
+            cur = cur.dedup()
+        else:
+            cur = cur.dropDuplicates()
+    elif name == "order":
+        df = cur.df() if isinstance(cur, Traversal) else cur
+        if args:
+            key = _resolve_key(df.columns, args[0])
+            if not key:
+                raise GremlinSyntaxError(f"unknown property key {args[0]!r}")
+            cols = [key]
+        elif isinstance(cur, Traversal) and M.ID in df.columns:
+            cols = [M.ID]
+        else:
+            cols = list(df.columns)
+        # the sort must be TOTAL before it can license offset paging:
+        # a non-unique key (order('kind')) leaves ties in
+        # shuffle-dependent relative order, so append the element id
+        # when present, else every remaining column, as a tiebreaker
+        tie = (
+            [M.ID]
+            if M.ID in df.columns
+            else [c for c in df.columns if c not in cols]
+        )
+        df = df.orderBy(*cols, *[c for c in tie if c not in cols])
+        cur = cur._derived(df, cur._kind) if isinstance(cur, Traversal) else df
+        st.ordered = True
+    elif name in ("range", "limit"):
+        if name == "limit":
+            lo, hi = 0, args[0] - 1
+        else:
+            lo, hi = args
+        if lo != 0:
+            if not ordered:
+                raise GremlinSyntaxError(
+                    "range/[i..j] with a non-zero start needs an "
+                    "explicit `order` first (offset paging of an "
+                    "unordered distributed frontier is "
+                    "nondeterministic; use rexster.offset paging on "
+                    "the REST surface instead)"
+                )
+            # a sorted frontier pages deterministically
+            df = cur.df() if isinstance(cur, Traversal) else cur
+            df = df.offset(lo).limit(hi - lo + 1)
+            cur = cur._derived(df, cur._kind) if isinstance(cur, Traversal) else df
+        else:
+            cur = cur.limit(hi + 1)
+    elif name in ("values", "property"):
+        if name == "property" and len(args) != 1:
+            raise GremlinSyntaxError("property(k) takes one key")
+        if not args:
+            raise GremlinSyntaxError("values() needs at least one key")
+        cols = []
+        for k in args:
+            col = _resolve_key(cur.df().columns, k)
+            if not col:
+                raise GremlinSyntaxError(f"unknown property key {k!r}")
+            cols.append(F.col(col).alias(k))
+        cur = cur.df().select(*cols)
+    elif name == "id":
+        cur = cur.ids()
+    elif name == "label":
+        cur = cur.df().select(M.LABEL)
+    elif name == "count":
+        df = cur.df() if isinstance(cur, Traversal) else cur
+        cur = df.agg(F.count(F.lit(1)).alias("count"))
+    elif name == "groupCount":
+        df = cur.df() if isinstance(cur, Traversal) else cur
+        if args:
+            col = _resolve_key(df.columns, args[0])
+            if not col:
+                raise GremlinSyntaxError(f"unknown property key {args[0]!r}")
+            keys = [F.col(col).alias(args[0])]
+        elif isinstance(cur, Traversal):
+            keys = [F.col(M.ID)]  # traverser visit counts per element
+        else:
+            keys = [F.col(c) for c in df.columns]
+        cur = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+    elif name in ("sum", "mean", "max", "min"):
+        if isinstance(cur, Traversal) or len(cur.columns) != 1:
+            raise GremlinSyntaxError(
+                f".{name} aggregates a single projected value — "
+                f"use .values(key) / .property(key) first"
+            )
+        agg = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[
+            name
+        ](F.col(cur.columns[0]))
+        cur = cur.agg(agg.alias(name))
+    elif name == "as":
+        if len(args) != 1 or not isinstance(args[0], str):
+            raise GremlinSyntaxError("as('name') takes one string")
+        cur = cur.as_(args[0])
+    elif name == "back":
+        if len(args) != 1 or not isinstance(args[0], str):
+            raise GremlinSyntaxError(
+                "back('name') takes one named step (numeric back(n) "
+                "is not supported — name the step with as())"
+            )
+        try:
+            cur = cur.back(args[0])
+        except ValueError as ex:
+            raise GremlinSyntaxError(str(ex)) from None
+    elif name == "select":
+        try:
+            cur = cur.select_steps(*args)
+        except ValueError as ex:
+            raise GremlinSyntaxError(str(ex)) from None
+    elif name == "path":
+        if args:
+            raise GremlinSyntaxError("path takes no args")
+        cur = cur.path_df()
+    elif name == "simplePath":
+        if args:
+            raise GremlinSyntaxError("simplePath takes no args")
+        cur = cur.simple_path()
+    elif name in ("aggregate", "store"):
+        if len(args) != 1 or not isinstance(args[0], str):
+            raise GremlinSyntaxError(f"{name}('x') takes one string")
+        collections[args[0]] = cur.df().select(M.ID).distinct()
+    elif name in ("except", "retain"):
+        if len(args) != 1 or not isinstance(args[0], str):
+            raise GremlinSyntaxError(f"{name}('x') takes one named set")
+        if args[0] not in collections:
+            raise GremlinSyntaxError(
+                f"no collection named {args[0]!r}; aggregate/store it first"
+            )
+        how = "left_anti" if name == "except" else "left_semi"
+        cur = cur._derived(
+            cur.df().join(collections[args[0]], M.ID, how), cur._kind
+        )
+    elif name == "loop_fix":
+        cur = _run_fixpoint(cur, args[0], args[1], args[2], st)
+    elif name in _NOOPS:
+        pass
+    else:
+        raise GremlinSyntaxError(f"unsupported step .{name}")
     return cur
 
 

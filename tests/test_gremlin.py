@@ -331,12 +331,91 @@ def test_loop_unrolls_bounded_sections(toy_graph):
     )
     assert one == ["josh", "lop", "vadas"]
 
-    with pytest.raises(GL.GremlinSyntaxError):
-        GL.run("g.V.out.loop(1){it.loops > 3}", v_df, e_df)  # not a bound
+    # {it.loops > 3} is no longer rejected: it routes through the
+    # driver fixpoint, where it is false at first arrival (loops=2) —
+    # identical to the single execution
+    gt = sorted(
+        r["name"] for r in
+        GL.run(f"g.v({m}).out.loop(1){{it.loops > 3}}.values('name')",
+               v_df, e_df).collect()
+    )
+    assert gt == one
     with pytest.raises(GL.GremlinSyntaxError):
         GL.run("g.V.out.loop(1)", v_df, e_df)  # no closure
     with pytest.raises(GL.GremlinSyntaxError):
         GL.run("g.V.out.loop('nope'){it.loops < 3}", v_df, e_df)
+
+
+def test_loop_fixpoint_data_dependent(toy_graph):
+    """Data-dependent loop closures run as a driver-side superstep
+    fixpoint (VERDICT r5 item 1): traversers re-enter the section while
+    the closure holds and exit to the next step when it fails —
+    per-traverser, not per-frontier."""
+    g, vs, _ = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+    m = vs["marko"].id
+
+    # walk outward until reaching a java project: lop exits at 1 hop,
+    # vadas dies (no out-edges), josh continues to ripple+lop (2 hops)
+    got = sorted(
+        r["name"] for r in
+        GL.run(
+            f"g.v({m}).out.loop(1){{it.object.lang != 'java'}}"
+            ".values('name')", v_df, e_df
+        ).collect()
+    )
+    assert got == ["lop", "lop", "ripple"]  # bag semantics: lop twice
+
+    # conjunction with a loops budget inside the closure
+    bounded = sorted(
+        r["name"] for r in
+        GL.run(
+            f"g.v({m}).out.loop(1)"
+            "{it.loops < 3 && it.object.lang != 'java'}.values('name')",
+            v_df, e_df,
+        ).collect()
+    )
+    assert bounded == got  # converges in 2 rounds anyway
+
+    # fixpoint agrees with the static unroll on a bounded closure when
+    # forced down the fixpoint path via a (vacuous) conjunction
+    unrolled = sorted(
+        r["name"] for r in
+        GL.run(f"g.v({m}).out.loop(1){{it.loops < 3}}.values('name')",
+               v_df, e_df).collect()
+    )
+    fixpoint = sorted(
+        r["name"] for r in
+        GL.run(f"g.v({m}).out.loop(1){{it.loops < 3 && true}}.values('name')",
+               v_df, e_df).collect()
+    )
+    assert fixpoint == unrolled
+
+    # emit closure: every arrival emits; while keeps looping to 2 hops
+    emitted = sorted(
+        r["name"] for r in
+        GL.run(f"g.v({m}).out.loop(1){{it.loops < 3}}{{true}}.values('name')",
+               v_df, e_df).collect()
+    )
+    assert emitted == ["josh", "lop", "lop", "ripple", "vadas"]
+
+    # while{true} on a DAG: every traverser walks off the graph and
+    # nothing ever exits the loop
+    assert GL.run(
+        f"g.v({m}).out.loop(1){{true}}.count()", v_df, e_df
+    ).collect()[0][0] == 0
+
+    # while{true} on a cyclic walk raises at the loops budget
+    with pytest.raises(RuntimeError, match="max_loops"):
+        GL.run(f"g.v({m}).both.loop(1){{true}}{{true}}.count()",
+               v_df, e_df, max_loops=4)
+
+    # side-effect steps can't appear in a fixpoint section
+    with pytest.raises(GL.GremlinSyntaxError, match="cannot appear"):
+        GL.run(
+            f"g.v({m}).as('a').out.aggregate('s').loop('a')"
+            "{it.object.lang != 'java'}", v_df, e_df
+        )
 
 
 def test_aggregate_except_retain(toy_graph):
