@@ -2284,6 +2284,30 @@ def q_st_ann_ingest(spark, sf_dir):
     return idx.topk(queries, k=10, n_probe=4)
 
 
+def q_st_ann_drift(spark, sf_dir):
+    """Centroid-drift monitor for the streaming ANN index (VERDICT r5
+    item 5): frozen centroids keep st_ann_ingest bit-replayable, but a
+    drifting stream decays recall silently — DeltaIvfIndex.drift_stats
+    surfaces per-centroid delta occupancy and mean residual distance to
+    the seed centroid per side (integer-micro quantized means, so the
+    whole monitor replays EXACTLY in SQL: the seed-restricted md5
+    centroid CTE + argmax assignment + an integer sum and one IEEE
+    division).  Here the 'stream' is the vec_id%5==0 slice — same
+    distribution as the seed, so the monitor's baseline reading; the
+    pytest twin (test_ann_index) pins the drifted-stream signal and the
+    rebuild_centroids recovery."""
+    import tempfile
+
+    from fluxgraph_spark.sources.ann_index import DeltaIvfIndex
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="ann_drift_")
+    idx = DeltaIvfIndex.build(seed, os.path.join(root, "idx"), n_centroids=16)
+    idx.append_batch(emb.where(F.col("vec_id") % 5 == 0), 0)
+    return idx.drift_stats()
+
+
 def q_st_annpq_ingest(spark, sf_dir):
     """Streaming embedding ingest into the COMPRESSED IVFPQ index
     (DeltaIvfPqIndex): the seed build freezes centroids AND PQ
@@ -3218,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_scd2_ingest": q_st_scd2_ingest,
         "st_dedup_ingest": q_st_dedup_ingest,
         "st_ann_ingest": q_st_ann_ingest,
+        "st_ann_drift": q_st_ann_drift,
         "st_annpq_ingest": q_st_annpq_ingest,
         "t_time_buckets": q_t_time_buckets,
         "t_resample": q_t_resample,
@@ -5506,6 +5531,47 @@ def oracle_sql() -> dict[str, str]:
         "FROM base ORDER BY md5",
         "FROM base WHERE vec_id % 5 <> 0 ORDER BY md5",
     )
+    # drift monitor: seed-restricted centroid CTE + full-corpus argmax
+    # assignment; means are integer-micro sums + one IEEE division, so
+    # the doubles compare bit-for-bit
+    sqls["st_ann_drift"] = """
+        WITH base AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        cents AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id,
+                 vec AS cvec
+          FROM base WHERE vec_id % 5 <> 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        scored AS MATERIALIZED (
+          SELECT b.vec_id, c.centroid_id,
+                 list_dot_product(b.vec, c.cvec)
+                   / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+          FROM base b CROSS JOIN cents c),
+        assign1 AS MATERIALIZED (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM scored) WHERE rn = 1),
+        res AS MATERIALIZED (
+          SELECT a.centroid_id,
+                 CASE WHEN b.vec_id % 5 = 0 THEN 1 ELSE 0 END AS is_delta,
+                 CAST(floor(sqrt(list_sum(list_transform(
+                   list_zip(b.vec, c.cvec), x -> (x[1]-x[2])*(x[1]-x[2]))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS res_micro
+          FROM assign1 a
+          JOIN base b ON b.vec_id = a.vec_id
+          JOIN cents c ON c.centroid_id = a.centroid_id)
+        SELECT centroid_id,
+               CAST(sum(CASE WHEN is_delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+               CAST(sum(is_delta) AS BIGINT) AS n_delta,
+               CAST(sum(CASE WHEN is_delta = 0 THEN res_micro END) AS DOUBLE)
+                 / sum(CASE WHEN is_delta = 0 THEN 1 ELSE 0 END) / 1000000.0 AS mean_res_base,
+               CAST(sum(CASE WHEN is_delta = 1 THEN res_micro END) AS DOUBLE)
+                 / sum(is_delta) / 1000000.0 AS mean_res_delta,
+               CAST(sum(is_delta) AS DOUBLE)
+                 / count(*) AS delta_share
+        FROM res GROUP BY centroid_id
+        """
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
     # bloom tier only PRUNES; the exact verify makes the decision
     # identical to the exact operator — same oracle

@@ -50,6 +50,7 @@ from ..functions.similarity import (
     _topk_per_query,
     ivf_assign,
     ivf_centroids,
+    ivf_centroids_refined,
     pq_adc_column,
     pq_codebooks,
     pq_encode,
@@ -109,27 +110,89 @@ def _compact_partitioned(spark: SparkSession, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def _read_delta(spark: SparkSession, delta_dir: str) -> Optional[DataFrame]:
+def _read_delta(
+    spark: SparkSession, delta_dir: str, folded: Optional[list] = None
+) -> Optional[DataFrame]:
     """Partition-discover a ``delta_dir/batch_id=N/centroid_id=C/``
     streaming-append area; None when empty/absent.  ``centroid_id`` is a
     second-level partition column, so probe filters still prune to the
-    probed directories."""
+    probed directories.  ``folded`` batch ids are EXCLUDED (a
+    batch_id partition filter — pruned, not scanned): those subtrees'
+    rows already live in the manifest-current base, and a replayed sink
+    recreating a folded subtree must stay invisible to readers."""
     if not os.path.isdir(delta_dir) or not any(
         e.is_dir() for e in os.scandir(delta_dir)
     ):
         return None
-    return spark.read.option("basePath", delta_dir).parquet(delta_dir)
+    df = spark.read.option("basePath", delta_dir).parquet(delta_dir)
+    if folded:
+        df = df.where(~F.col("batch_id").isin([int(b) for b in folded]))
+    return df
+
+
+_DELTA_MANIFEST = "_delta_manifest.json"
+
+
+def _read_index_manifest(index_dir: str) -> Optional[dict]:
+    try:
+        with open(os.path.join(index_dir, _DELTA_MANIFEST)) as f:
+            import json
+
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _publish_index_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic manifest swap — the Scd2ParquetTable publish pattern
+    (scd2_table.py `_publish_manifest`): stage to a sibling tmp file,
+    ``os.replace`` into place.  Readers resolve base-directory names
+    and folded batch ids through the manifest, so a merge becomes
+    visible EXACTLY at this rename — never a torn half-state."""
+    import json
+
+    path = os.path.join(index_dir, _DELTA_MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+
+
+def _reset_index_manifest(index_dir: str) -> None:
+    """A fresh ``build`` owns the layout: drop any manifest left by a
+    previous generation so the default directory names apply again."""
+    try:
+        os.remove(os.path.join(index_dir, _DELTA_MANIFEST))
+    except FileNotFoundError:
+        pass
 
 
 class IvfIndex:
     """A directory holding ``centroids/`` (centroid_id, cvec) and
-    ``lists/`` (vec_id, cvec, partitioned by centroid_id)."""
+    ``lists/`` (vec_id, cvec, partitioned by centroid_id).
+
+    Directory names resolve through the index's ``_delta_manifest.json``
+    when one exists (written by the delta subclasses' atomic
+    ``merge_delta`` / ``rebuild_centroids``): maintenance operations
+    stage a NEW versioned directory, audit it, then publish the
+    manifest atomically — readers never see a half-merged layout."""
 
     def __init__(self, spark: SparkSession, index_dir: str) -> None:
         self.spark = spark
         self.index_dir = index_dir
-        self.centroids_dir = os.path.join(index_dir, "centroids")
-        self.lists_dir = os.path.join(index_dir, "lists")
+
+    def _base_dir(self, key: str, default: str) -> str:
+        m = _read_index_manifest(self.index_dir)
+        name = ((m or {}).get("base") or {}).get(key, default)
+        return os.path.join(self.index_dir, name)
+
+    @property
+    def centroids_dir(self) -> str:
+        return self._base_dir("centroids", "centroids")
+
+    @property
+    def lists_dir(self) -> str:
+        return self._base_dir("lists", "lists")
 
     # -- construction ---------------------------------------------------
 
@@ -145,6 +208,7 @@ class IvfIndex:
         """``n_centroids=None`` (default) sizes the list count from the
         corpus via :func:`auto_n_centroids` (one count at build time)."""
         idx = cls(corpus.sparkSession, index_dir)
+        _reset_index_manifest(index_dir)  # a rebuild owns the layout
         if n_centroids is None:
             n_centroids = auto_n_centroids(corpus.count())
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
@@ -266,8 +330,12 @@ class DeltaIvfIndex(IvfIndex):
         super().__init__(spark, index_dir)
         self.delta_dir = os.path.join(index_dir, "delta_lists")
 
+    def _folded(self) -> list:
+        m = _read_index_manifest(self.index_dir)
+        return list((m or {}).get("folded_batches") or [])
+
     def _delta_frames(self) -> Optional[DataFrame]:
-        return _read_delta(self.spark, self.delta_dir)
+        return _read_delta(self.spark, self.delta_dir, self._folded())
 
     def lists(self, centroid_ids: Optional[list] = None) -> DataFrame:
         base = super().lists(centroid_ids)
@@ -307,24 +375,248 @@ class DeltaIvfIndex(IvfIndex):
             .parquet(os.path.join(self.delta_dir, f"batch_id={int(batch_id)}"))
         )
 
+    def _gc_after_publish(self, old_dirs: list, batch_ids: list) -> None:
+        """Post-publish garbage collection.  Everything removed here is
+        already unreferenced by the freshly published manifest, so a
+        crash at any point leaves only orphan directories (reclaimed by
+        the next merge/rebuild), never duplicate or missing rows."""
+        import shutil
+
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        for b in batch_ids:
+            shutil.rmtree(
+                os.path.join(self.delta_dir, f"batch_id={int(b)}"),
+                ignore_errors=True,
+            )
+        try:  # drop the delta root once every subtree is folded
+            os.rmdir(self.delta_dir)
+        except OSError:
+            pass
+
     def merge_delta(self) -> None:
-        """Fold the delta subtrees into the base ``lists/`` partitions
-        (then :meth:`compact` to merge small files).  OFFLINE
-        maintenance: run with the stream stopped; a crash between the
-        base append and the delta removal leaves both copies visible —
-        recover by rebuilding from the source vectors (one ``build``)."""
+        """Fold the delta subtrees into a NEW versioned base directory
+        and publish ATOMICALLY — the Scd2ParquetTable write-audit-publish
+        commit pattern (scd2_table.py) instead of the append-then-rmtree
+        it replaced (whose crash window left base AND delta visible =
+        duplicate top-k candidates):
+
+        1. WRITE: stage base ∪ delta under ``lists__m<v>``.
+        2. AUDIT: staged row count must equal base + delta exactly.
+        3. PUBLISH: one ``os.replace`` of ``_delta_manifest.json``
+           repoints readers at the new base and marks the folded batch
+           ids excluded from delta reads.
+        4. GC: drop the old base dir and folded subtrees (see
+           :meth:`_gc_after_publish` — crash-safe by construction).
+
+        A crash before step 3 leaves the manifest (and every reader) on
+        base+delta; a crash after it leaves the new base live with the
+        folded subtrees invisible — EXACTLY-ONCE rows either way
+        (crash-injection pinned in tests/test_ann_index.py).  OFFLINE
+        maintenance: run with the stream stopped (a batch landing
+        between the distinct-batch probe and the publish would be
+        marked folded without its rows)."""
         import shutil
 
         delta = self._delta_frames()
         if delta is None:
             return
-        (
-            delta.select("centroid_id", "vec_id", "cvec")
-            .write.partitionBy("centroid_id")
-            .mode("append")
-            .parquet(self.lists_dir)
+        batch_ids = sorted(
+            int(r["batch_id"])
+            for r in delta.select("batch_id").distinct().collect()
         )
-        shutil.rmtree(self.delta_dir)
+        if not batch_ids:
+            return
+        m = _read_index_manifest(self.index_dir) or {
+            "version": 0, "base": {}, "folded_batches": [],
+        }
+        v = int(m["version"]) + 1
+        old_lists = self.lists_dir
+        base = self.spark.read.parquet(old_lists)
+        n_base, n_delta = base.count(), delta.count()
+        new_name = f"lists__m{v}"
+        staged = os.path.join(self.index_dir, new_name)
+        shutil.rmtree(staged, ignore_errors=True)  # crashed-attempt orphan
+        (
+            base.select("centroid_id", "vec_id", "cvec")
+            .unionByName(delta.select("centroid_id", "vec_id", "cvec"))
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        n_staged = self.spark.read.parquet(staged).count()
+        if n_staged != n_base + n_delta:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise RuntimeError(
+                f"merge audit failed for {self.index_dir}: staged "
+                f"{n_staged} rows, expected {n_base} + {n_delta}"
+            )
+        _publish_index_manifest(
+            self.index_dir,
+            {
+                "version": v,
+                "base": {**(m.get("base") or {}), "lists": new_name},
+                "folded_batches": sorted(
+                    set(m.get("folded_batches") or []) | set(batch_ids)
+                ),
+            },
+        )
+        self._gc_after_publish([old_lists], batch_ids)
+
+    def drift_stats(self) -> DataFrame:
+        """Per-centroid stream-drift monitor.  Frozen centroids are what
+        keep the streaming ingest bit-replayable (class docstring), but
+        a real stream drifts and recall decays SILENTLY — new vectors
+        pile into lists whose centroid no longer represents them, so
+        probes read the wrong lists.  One row per centroid:
+
+        * ``n_base`` / ``n_delta`` — list occupancy per side (a hot
+          delta share means the stream no longer looks like the seed),
+        * ``delta_share`` = n_delta / (n_base + n_delta),
+        * ``mean_res_base`` / ``mean_res_delta`` — mean L2 distance to
+          the SEED centroid per side: the delta mean pulling away from
+          the base mean is the drift signal itself.  Residuals quantize
+          to integer micro units before the mean (the label_centroids
+          determinism trick), so the aggregation is an exact integer
+          sum + one IEEE division — bit-identical in any engine, which
+          is what lets the st_ann_drift oracle replay it in SQL.
+
+        One broadcast join + one aggregation over base ∪ delta; no
+        collect.  When the signal fires, :meth:`rebuild_centroids` is
+        the recovery path."""
+        cents = self.centroids().select(
+            "centroid_id", F.col("cvec").alias("__centvec")
+        )
+        base = IvfIndex.lists(self).select("centroid_id", "cvec").withColumn(
+            "is_delta", F.lit(0)
+        )
+        delta = self._delta_frames()
+        rows = base if delta is None else base.unionByName(
+            delta.select("centroid_id", "cvec").withColumn("is_delta", F.lit(1))
+        )
+        res = rows.join(F.broadcast(cents), "centroid_id").select(
+            "centroid_id",
+            "is_delta",
+            F.floor(
+                _norm(
+                    F.zip_with(
+                        F.col("cvec"), F.col("__centvec"), lambda a, b: a - b
+                    )
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("res_micro"),
+        )
+        d0 = F.col("is_delta") == 0
+
+        def _mean(cond):
+            return (
+                F.sum(F.when(cond, F.col("res_micro"))).cast("double")
+                / F.count(F.when(cond, 1))
+                / F.lit(1_000_000.0)
+            )
+
+        return (
+            res.groupBy("centroid_id")
+            .agg(
+                F.count(F.when(d0, 1)).alias("n_base"),
+                F.count(F.when(~d0, 1)).alias("n_delta"),
+                _mean(d0).alias("mean_res_base"),
+                _mean(~d0).alias("mean_res_delta"),
+            )
+            .withColumn(
+                "delta_share",
+                F.col("n_delta").cast("double")
+                / (F.col("n_base") + F.col("n_delta")),
+            )
+        )
+
+    def rebuild_centroids(
+        self, n_centroids: Optional[int] = None, refine_iters: int = 2
+    ) -> None:
+        """OFFLINE recovery for a drifted stream: re-derive the centroid
+        set from base + delta (the same md5-deterministic sample as
+        ``build``), re-assign EVERY vector, and publish the new
+        (centroids, lists) generation atomically through the manifest —
+        the same write-audit-publish swap as :meth:`merge_delta`, so
+        readers flip generations in one rename and a crash at any point
+        leaves the previous generation fully live.  Folds the delta as
+        a side effect (the new lists hold every vector; all current
+        batch ids are marked folded).  ``refine_iters`` Lloyd/k-means
+        iterations (similarity.ivf_centroids_refined — the integer-micro
+        deterministic step) move the refreshed centroids onto the
+        DRIFTED distribution's actual cluster means; 0 falls back to
+        the plain md5 sample.  NOTE: the new centroids are a
+        DIFFERENT frozen set — probe results change (that is the point:
+        recall recovers), and the stream's sink keeps working because
+        ``append_batch`` assigns against :meth:`centroids`, which
+        resolves through the manifest."""
+        import shutil
+
+        delta = self._delta_frames()
+        batch_ids = [] if delta is None else sorted(
+            int(r["batch_id"])
+            for r in delta.select("batch_id").distinct().collect()
+        )
+        rows = self.lists()  # base + unfolded delta
+        n = rows.count()
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(n)
+        m = _read_index_manifest(self.index_dir) or {
+            "version": 0, "base": {}, "folded_batches": [],
+        }
+        v = int(m["version"]) + 1
+        old_cents, old_lists = self.centroids_dir, self.lists_dir
+        if refine_iters > 0:
+            cents = ivf_centroids_refined(
+                rows, n_centroids, iters=refine_iters,
+                id_col="vec_id", vec_col="cvec",
+            )
+        else:
+            cents = ivf_centroids(rows, n_centroids, "vec_id", "cvec")
+        cents_name, lists_name = f"centroids__m{v}", f"lists__m{v}"
+        staged_c = os.path.join(self.index_dir, cents_name)
+        staged_l = os.path.join(self.index_dir, lists_name)
+        shutil.rmtree(staged_c, ignore_errors=True)
+        shutil.rmtree(staged_l, ignore_errors=True)
+        cents.coalesce(1).write.mode("overwrite").parquet(staged_c)
+        v_rows = rows.select("vec_id", "cvec")
+        assigned = (
+            ivf_assign(
+                v_rows, self.spark.read.parquet(staged_c), 1, "vec_id", "cvec"
+            )
+            .withColumnRenamed("id", "vec_id")
+            .join(v_rows, "vec_id")
+        )
+        (
+            assigned.select("centroid_id", "vec_id", "cvec")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(staged_l)
+        )
+        n_staged = self.spark.read.parquet(staged_l).count()
+        if n_staged != n:
+            shutil.rmtree(staged_c, ignore_errors=True)
+            shutil.rmtree(staged_l, ignore_errors=True)
+            raise RuntimeError(
+                f"rebuild audit failed for {self.index_dir}: staged "
+                f"{n_staged} rows, expected {n}"
+            )
+        _publish_index_manifest(
+            self.index_dir,
+            {
+                "version": v,
+                "base": {
+                    **(m.get("base") or {}),
+                    "centroids": cents_name,
+                    "lists": lists_name,
+                },
+                "folded_batches": sorted(
+                    set(m.get("folded_batches") or []) | set(batch_ids)
+                ),
+            },
+        )
+        self._gc_after_publish([old_cents, old_lists], batch_ids)
 
 
 class IvfPqIndex:
@@ -353,10 +645,24 @@ class IvfPqIndex:
     def __init__(self, spark: SparkSession, index_dir: str) -> None:
         self.spark = spark
         self.index_dir = index_dir
-        self.centroids_dir = os.path.join(index_dir, "centroids")
         self.codebooks_path = os.path.join(index_dir, "codebooks.json")
-        self.codes_dir = os.path.join(index_dir, "codes")
-        self.vectors_dir = os.path.join(index_dir, "vectors")
+
+    def _base_dir(self, key: str, default: str) -> str:
+        m = _read_index_manifest(self.index_dir)
+        name = ((m or {}).get("base") or {}).get(key, default)
+        return os.path.join(self.index_dir, name)
+
+    @property
+    def centroids_dir(self) -> str:
+        return self._base_dir("centroids", "centroids")
+
+    @property
+    def codes_dir(self) -> str:
+        return self._base_dir("codes", "codes")
+
+    @property
+    def vectors_dir(self) -> str:
+        return self._base_dir("vectors", "vectors")
 
     @staticmethod
     def _residuals(v: DataFrame, assigned: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -416,6 +722,7 @@ class IvfPqIndex:
         import json
 
         idx = cls(corpus.sparkSession, index_dir)
+        _reset_index_manifest(index_dir)  # a rebuild owns the layout
         if n_centroids is None:
             n_centroids = auto_n_centroids(corpus.count())
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
@@ -660,10 +967,14 @@ class DeltaIvfPqIndex(IvfPqIndex):
             delta = delta.where(F.col("centroid_id").isin(centroid_ids))
         return base.unionByName(delta.select(*cols))
 
+    def _folded(self) -> list:
+        m = _read_index_manifest(self.index_dir)
+        return list((m or {}).get("folded_batches") or [])
+
     def codes(self, centroid_ids: Optional[list] = None) -> DataFrame:
         return self._union_delta(
             super().codes(centroid_ids),
-            _read_delta(self.spark, self.delta_codes_dir),
+            _read_delta(self.spark, self.delta_codes_dir, self._folded()),
             ["vec_id", "codes", "centroid_id"],
             centroid_ids,
         )
@@ -671,7 +982,7 @@ class DeltaIvfPqIndex(IvfPqIndex):
     def vectors(self, centroid_ids: Optional[list] = None) -> DataFrame:
         return self._union_delta(
             super().vectors(centroid_ids),
-            _read_delta(self.spark, self.delta_vectors_dir),
+            _read_delta(self.spark, self.delta_vectors_dir, self._folded()),
             ["vec_id", "cvec", "centroid_id"],
             centroid_ids,
         )
@@ -725,28 +1036,87 @@ class DeltaIvfPqIndex(IvfPqIndex):
         assigned.unpersist()
 
     def merge_delta(self) -> None:
-        """Fold the delta subtrees into the base partitions (then
-        :meth:`compact`).  OFFLINE maintenance — same contract as
-        :meth:`DeltaIvfIndex.merge_delta`: stream stopped; a crash
-        between an append and its delta removal leaves both copies
-        visible — recover with one ``build``."""
+        """Fold the delta subtrees into NEW versioned base directories
+        and publish ATOMICALLY — same write-audit-publish contract as
+        :meth:`DeltaIvfIndex.merge_delta`, with ONE manifest swap
+        covering BOTH the codes and (when stored) the raw-vector
+        sidecar, so the two layouts can never disagree about which
+        batches are folded.  OFFLINE maintenance: stream stopped."""
         import shutil
 
-        for delta_dir, base_dir, cols in (
-            (self.delta_codes_dir, self.codes_dir, ["centroid_id", "vec_id", "codes"]),
+        folded = self._folded()
+        delta_codes = _read_delta(self.spark, self.delta_codes_dir, folded)
+        if delta_codes is None:
+            return
+        batch_ids = sorted(
+            int(r["batch_id"])
+            for r in delta_codes.select("batch_id").distinct().collect()
+        )
+        if not batch_ids:
+            return
+        m = _read_index_manifest(self.index_dir) or {
+            "version": 0, "base": {}, "folded_batches": [],
+        }
+        v = int(m["version"]) + 1
+        new_base = dict(m.get("base") or {})
+        staged_dirs, old_dirs = [], []
+
+        def _stage(delta_df, old_dir, key, cols):
+            base = self.spark.read.parquet(old_dir)
+            n_base, n_delta = base.count(), delta_df.count()
+            name = f"{key}__m{v}"
+            staged = os.path.join(self.index_dir, name)
+            shutil.rmtree(staged, ignore_errors=True)
             (
-                self.delta_vectors_dir,
-                self.vectors_dir,
-                ["centroid_id", "vec_id", "cvec"],
-            ),
-        ):
-            delta = _read_delta(self.spark, delta_dir)
-            if delta is None:
-                continue
-            (
-                delta.select(*cols)
+                base.select(*cols)
+                .unionByName(delta_df.select(*cols))
                 .write.partitionBy("centroid_id")
-                .mode("append")
-                .parquet(base_dir)
+                .mode("overwrite")
+                .parquet(staged)
             )
-            shutil.rmtree(delta_dir)
+            n_staged = self.spark.read.parquet(staged).count()
+            if n_staged != n_base + n_delta:
+                for d in staged_dirs + [staged]:
+                    shutil.rmtree(d, ignore_errors=True)
+                raise RuntimeError(
+                    f"merge audit failed for {old_dir}: staged {n_staged} "
+                    f"rows, expected {n_base} + {n_delta}"
+                )
+            staged_dirs.append(staged)
+            old_dirs.append(old_dir)
+            new_base[key] = name
+
+        _stage(
+            delta_codes, self.codes_dir, "codes",
+            ["centroid_id", "vec_id", "codes"],
+        )
+        delta_vecs = _read_delta(self.spark, self.delta_vectors_dir, folded)
+        if delta_vecs is not None and os.path.isdir(self.vectors_dir):
+            _stage(
+                delta_vecs, self.vectors_dir, "vectors",
+                ["centroid_id", "vec_id", "cvec"],
+            )
+        _publish_index_manifest(
+            self.index_dir,
+            {
+                "version": v,
+                "base": new_base,
+                "folded_batches": sorted(
+                    set(m.get("folded_batches") or []) | set(batch_ids)
+                ),
+            },
+        )
+        # post-publish GC: everything here is unreferenced by the new
+        # manifest — a crash leaves orphans, never duplicates
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        for delta_dir in (self.delta_codes_dir, self.delta_vectors_dir):
+            for b in batch_ids:
+                shutil.rmtree(
+                    os.path.join(delta_dir, f"batch_id={int(b)}"),
+                    ignore_errors=True,
+                )
+            try:  # drop the delta root once every subtree is folded
+                os.rmdir(delta_dir)
+            except OSError:
+                pass

@@ -458,3 +458,169 @@ def test_vectors_accessor_raises_without_sidecar(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="store_vectors"):
         idx.vectors()
+
+
+def test_merge_delta_crash_atomicity(spark, emb, tmp_path, monkeypatch):
+    """merge_delta is write-audit-publish (VERDICT r5 item 2): a crash
+    BEFORE the manifest swap leaves readers on base+delta, a crash
+    AFTER it leaves them on the folded base with delta subtrees
+    excluded — exactly-once rows either way, and a retry converges."""
+    import os
+
+    from fluxgraph_spark.sources import ann_index as AI
+    from fluxgraph_spark.sources.ann_index import DeltaIvfIndex, IvfIndex
+
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    d = str(tmp_path / "didx")
+    IvfIndex.build(seed, d, n_centroids=16)
+    idx = DeltaIvfIndex(spark, d)
+    idx.append_batch(batch, 0)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = _rows(idx.topk(queries, k=10, n_probe=4))
+    n_total = idx.lists().count()
+
+    # crash 1: after staging, BEFORE the manifest publish
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before publish")
+
+    monkeypatch.setattr(AI, "_publish_index_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        idx.merge_delta()
+    monkeypatch.undo()
+    assert idx.lists().count() == n_total          # exactly-once
+    assert _rows(idx.topk(queries, k=10, n_probe=4)) == want
+    assert os.path.isdir(os.path.join(d, "delta_lists"))  # delta still live
+
+    # crash 2: after the publish, BEFORE garbage collection
+    monkeypatch.setattr(
+        DeltaIvfIndex, "_gc_after_publish",
+        lambda self, old, ids: (_ for _ in ()).throw(
+            RuntimeError("injected crash after publish")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        idx.merge_delta()
+    monkeypatch.undo()
+    # old base + delta subtree still on disk, but the manifest excludes
+    # both: readers see the folded base only — exactly-once
+    assert os.path.isdir(os.path.join(d, "lists"))
+    assert os.path.isdir(os.path.join(d, "delta_lists"))
+    assert idx.lists().count() == n_total
+    assert _rows(idx.topk(queries, k=10, n_probe=4)) == want
+
+    # a replayed sink rewrite of the folded batch stays invisible
+    idx.append_batch(batch, 0)
+    assert idx.lists().count() == n_total
+    # retry converges (nothing unfolded left; orphans get reclaimed on
+    # the next successful maintenance pass)
+    idx.merge_delta()
+    assert _rows(idx.topk(queries, k=10, n_probe=4)) == want
+
+
+def test_merge_delta_pq_atomic_and_consistent(spark, emb, tmp_path):
+    """The PQ twin folds codes AND the raw-vector sidecar under ONE
+    manifest swap; results (ADC and exact-rerank tiers) are unchanged
+    by the fold."""
+    from fluxgraph_spark.sources.ann_index import DeltaIvfPqIndex, IvfPqIndex
+
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    d = str(tmp_path / "dpq")
+    IvfPqIndex.build(seed, d, n_centroids=16, store_vectors=True)
+    idx = DeltaIvfPqIndex(spark, d)
+    idx.append_batch(batch, 0)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want_adc = _rows(idx.topk(queries, k=10, n_probe=4))
+    want_rr = _rows(idx.topk_rerank(queries, k=5, n_probe=4))
+    n_codes = idx.codes().count()
+    idx.merge_delta()
+    assert idx.codes().count() == n_codes
+    assert idx.vectors().count() == n_codes  # sidecar folded in step
+    assert _rows(idx.topk(queries, k=10, n_probe=4)) == want_adc
+    assert _rows(idx.topk_rerank(queries, k=5, n_probe=4)) == want_rr
+    # idempotent: nothing left to fold
+    idx.merge_delta()
+    assert _rows(idx.topk(queries, k=10, n_probe=4)) == want_adc
+
+
+def test_drift_stats_and_rebuild_recovers_recall(spark, tmp_path):
+    """Centroid-drift monitor + offline rebuild (VERDICT r5 item 5):
+    frozen centroids keep the streaming ingest replayable, but a
+    DRIFTED stream lands far from every seed centroid — drift_stats
+    shows the delta residuals blowing past the base residuals, and
+    rebuild_centroids (atomic manifest swap, same machinery as
+    merge_delta) restores probe recall over the drifted vectors."""
+    import numpy as np
+
+    from fluxgraph_spark.sources.ann_index import DeltaIvfIndex, IvfIndex
+
+    rng = np.random.RandomState(42)
+    dim = 8
+    # seed: 2 tight clusters on axes 0 and 1
+    seed_rows = []
+    for i in range(120):
+        c = i % 2
+        v = rng.normal(0, 0.05, dim)
+        v[c] += 1.0
+        seed_rows.append((i, [float(x) for x in v]))
+    # drifted stream: a NEW tight cluster at the (e0+e1) diagonal —
+    # equidistant from both seed centroids, so its members SPLIT across
+    # the two frozen lists and an n_probe=1 query finds only its half
+    drift_rows = []
+    for i in range(120, 180):
+        v = rng.normal(0, 0.05, dim)
+        v[0] += 0.707
+        v[1] += 0.707
+        drift_rows.append((i, [float(x) for x in v]))
+    schema = "vec_id long, embedding array<double>"
+    seed = spark.createDataFrame(seed_rows, schema)
+    drift = spark.createDataFrame(drift_rows, schema)
+
+    d = str(tmp_path / "driftidx")
+    IvfIndex.build(seed, d, n_centroids=2)
+    idx = DeltaIvfIndex(spark, d)
+    # put the seed centroids ON the seed cluster means (k-means refine)
+    # so the monitor measures stream drift, not sample-centroid noise —
+    # this also exercises rebuild_centroids on a quiescent index
+    idx.rebuild_centroids(n_centroids=2, refine_iters=3)
+    idx.append_batch(drift, 0)
+
+    stats = {r["centroid_id"]: r for r in idx.drift_stats().collect()}
+    assert sum(r["n_base"] for r in stats.values()) == 120
+    assert sum(r["n_delta"] for r in stats.values()) == 60
+    # the drifted members split across the frozen lists, far from both
+    # seed centroids
+    hot = [r for r in stats.values() if r["n_delta"] > 0]
+    assert len(hot) == 2 and all(
+        r["mean_res_delta"] > 2 * r["mean_res_base"] for r in hot
+    )
+    assert all(0.2 < r["delta_share"] < 0.5 for r in hot)
+
+    # recall of drifted queries before vs after rebuild at n_probe=1
+    queries = drift.where(F.col("vec_id") < 130).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = seed.unionByName(drift)
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & want) / len(want)
+
+    before = recall(idx.topk(queries, k=5, n_probe=1))
+    assert before < 0.9  # the split halves the neighbor lists
+    idx.rebuild_centroids(n_centroids=3, refine_iters=4)
+    after = recall(idx.topk(queries, k=5, n_probe=1))
+    assert after > before, (before, after)
+    assert after >= 0.9
+    # the rebuild folded the delta and the index stays appendable
+    assert idx.lists().count() == 180
+    idx.append_batch(drift.limit(0), 1)  # empty batch against new centroids
