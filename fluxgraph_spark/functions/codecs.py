@@ -738,7 +738,61 @@ def _receive_extend(reader: "_BitReader", size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(data: bytes):
+def _decode_scan_segment(
+    seg_bytes, m_start, m_count, mcux, comps, scan_tables, huff, qt,
+    huff_decode, C, planes,
+) -> None:
+    """Decode ONE entropy-coded segment (MCUs [m_start, m_start+m_count))
+    into ``planes``.  RSTn boundaries are byte-aligned and reset the DC
+    predictors (T.81 E.1.4), so each restart segment is INDEPENDENTLY
+    decodable — no state crosses this function's boundary, and every MCU
+    writes a disjoint plane region, so segments can decode in any order
+    or concurrently (``decode_jpeg(..., workers=N)``; order-independence
+    is pytest-pinned bit-exactly)."""
+    import numpy as np
+
+    reader = _BitReader(seg_bytes)
+    pred = [0] * len(comps)
+    for m in range(m_start, m_start + m_count):
+        my, mx = divmod(m, mcux)
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            td, ta = scan_tables[cid]
+            dct = huff.get((0, td))
+            act = huff.get((1, ta))
+            if dct is None or act is None:
+                raise ValueError("JPEG scan references missing DHT")
+            q = qt.get(tq)
+            if q is None:
+                raise ValueError("JPEG scan references missing DQT")
+            for v_b in range(vs):
+                for h_b in range(hs):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = huff_decode(reader, dct)
+                    pred[ci] += _receive_extend(reader, size)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = huff_decode(reader, act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _receive_extend(reader, s)
+                        k += 1
+                    blk = np.zeros(64)
+                    blk[_ZIGZAG] = zz * np.asarray(q, dtype=np.int64)
+                    pix = C.T @ blk.reshape(8, 8) @ C + 128.0
+                    y0 = (my * vs + v_b) * 8
+                    x0 = (mx * hs + h_b) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+
+def decode_jpeg(data: bytes, workers: int = 1):
     """Baseline JPEG bytes -> numpy uint8 array (h, w) grayscale or
     (h, w, 3) RGB.
 
@@ -746,7 +800,15 @@ def decode_jpeg(data: bytes):
     components, any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0;
     nearest upsample), Huffman tables from DHT (standard or custom),
     restart markers.  Progressive (SOF2), arithmetic coding, and 12-bit
-    raise ValueError — documented limits, not silent wrong answers."""
+    raise ValueError — documented limits, not silent wrong answers.
+
+    ``workers > 1`` decodes the restart segments of a DRI-encoded frame
+    CONCURRENTLY (each segment starts byte-aligned with DC predictors
+    reset — see :func:`_decode_scan_segment`; results are bit-identical
+    to the serial walk).  This is intra-frame parallelism for one huge
+    frame; across frames/rows the multimodal operators already fan out
+    via mapInPandas, so the default stays serial there (one Arrow batch
+    row per task is the right parallelism unit at corpus scale)."""
     import numpy as np
 
     if not sniff_jpeg(data):
@@ -883,52 +945,30 @@ def decode_jpeg(data: bytes):
                 np.zeros((mcuy * 8 * vs, mcux * 8 * hs))
                 for (_cid, hs, vs, _tq) in comps
             ]
-            seg_i = 0
-            reader = _BitReader(segments[0])
-            pred = [0] * len(comps)
-            for m in range(mcux * mcuy):
-                if restart_interval and m and m % restart_interval == 0:
-                    seg_i += 1
-                    if seg_i >= len(segments):
-                        raise ValueError("missing JPEG restart segment")
-                    reader = _BitReader(segments[seg_i])
-                    pred = [0] * len(comps)
-                my, mx = divmod(m, mcux)
-                for ci, (cid, hs, vs, tq) in enumerate(comps):
-                    td, ta = scan_tables[cid]
-                    dct = huff.get((0, td))
-                    act = huff.get((1, ta))
-                    if dct is None or act is None:
-                        raise ValueError("JPEG scan references missing DHT")
-                    q = qt.get(tq)
-                    if q is None:
-                        raise ValueError("JPEG scan references missing DQT")
-                    for v_b in range(vs):
-                        for h_b in range(hs):
-                            zz = np.zeros(64, dtype=np.int64)
-                            size = huff_decode(reader, dct)
-                            pred[ci] += _receive_extend(reader, size)
-                            zz[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = huff_decode(reader, act)
-                                r, s = rs >> 4, rs & 0xF
-                                if s == 0:
-                                    if r == 15:  # ZRL
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("JPEG AC index overflow")
-                                zz[k] = _receive_extend(reader, s)
-                                k += 1
-                            blk = np.zeros(64)
-                            blk[_ZIGZAG] = zz * np.asarray(q, dtype=np.int64)
-                            pix = C.T @ blk.reshape(8, 8) @ C + 128.0
-                            y0 = (my * vs + v_b) * 8
-                            x0 = (mx * hs + h_b) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            n_mcu = mcux * mcuy
+            # work list: (segment bytes, first MCU, MCU count) — one unit
+            # per restart segment (or the whole scan without DRI)
+            step = restart_interval or n_mcu
+            units = []
+            for i, m0 in enumerate(range(0, n_mcu, step)):
+                if i >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                units.append((segments[i], m0, min(step, n_mcu - m0)))
+
+            def _one(u):
+                _decode_scan_segment(
+                    u[0], u[1], u[2], mcux, comps, scan_tables, huff, qt,
+                    huff_decode, C, planes,
+                )
+
+            if workers > 1 and len(units) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    list(ex.map(_one, units))
+            else:
+                for u in units:
+                    _one(u)
 
             full = []
             for ci, (_cid, hs, vs, _tq) in enumerate(comps):

@@ -18,6 +18,15 @@ bench ratio is meaningful:
   same reason: blocks scale in COUNT, not size.
 
 Usage: python scripts/gen_scale_data.py [factor] [src_dir] [out_dir]
+                                        [key_shift] [label_mult]
+
+A SECOND tier (100x: replicate the sf1.0 replica 10x again) needs a
+key shift ABOVE the first tier's range and a label multiplier above its
+label range, or tier-2 replica r2 of tier-1 replica r1 collides with
+(r1', r2') whenever r1+r2 = r1'+r2':
+
+    python scripts/gen_scale_data.py 10 .scale_data/sf1.0 \
+        .scale_data/sf10 10000000000 10000
 """
 
 import os
@@ -35,7 +44,12 @@ OUT = (
                       ".scale_data", "sf1.0")
 )
 
-SHIFT = 1_000_000_000  # key offset per replica, far above any base key
+# key offset per replica, far above any base key (tier 2 passes a value
+# above tier 1's whole key range)
+SHIFT = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000_000
+# embedding-label offset per replica (tier 2 passes a value above tier
+# 1's whole label range)
+LABEL_MULT = int(sys.argv[5]) if len(sys.argv) > 5 else 1_000
 
 # table -> columns to shift by replica * SHIFT
 SHIFT_COLS = {
@@ -96,7 +110,7 @@ def main():
             ).withColumn("n_chars", F.length("text"))
         if tbl == "embeddings":
             rep = rep.withColumn(
-                "label", F.col("label") + (F.col("__r") * 1000).cast("int")
+                "label", F.col("label") + (F.col("__r") * LABEL_MULT).cast("int")
             )
         out = rep.drop("__r")
         out.write.mode("overwrite").parquet(os.path.join(OUT, f"{tbl}.parquet"))

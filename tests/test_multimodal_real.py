@@ -406,3 +406,31 @@ def test_jpeg_fill_bytes_and_standalone_markers():
     dqt = data.find(b"\xff\xdb", 2)
     patched = data[:dqt] + b"\xff\xff\xff\x01" + data[dqt:]
     assert (codecs.decode_jpeg(patched) == ref).all()
+
+
+def test_jpeg_parallel_restart_segment_decode():
+    """Restart segments decode INDEPENDENTLY (VERDICT r5 item 7): RSTn
+    boundaries are byte-aligned with DC predictors reset, so a DRI
+    frame splits into units that decode in any order or concurrently —
+    bit-identical to the serial walk, on gray, 4:4:4 RGB and 4:2:0
+    fixtures."""
+    rng = np.random.RandomState(11)
+    fixtures = [
+        codecs.encode_jpeg(
+            rng.randint(0, 256, (32, 48), dtype=np.uint8), restart_interval=2
+        ),
+        codecs.encode_jpeg(
+            rng.randint(0, 256, (24, 40, 3), dtype=np.uint8), restart_interval=3
+        ),
+        codecs.encode_jpeg(
+            rng.randint(0, 256, (33, 41, 3), dtype=np.uint8),
+            restart_interval=1, subsampling="420",
+        ),
+    ]
+    for data in fixtures:
+        serial = codecs.decode_jpeg(data)
+        split = codecs.decode_jpeg(data, workers=4)
+        assert (serial == split).all() and serial.dtype == np.uint8
+    # no DRI: the single-unit path is the whole scan
+    plain = codecs.encode_jpeg(rng.randint(0, 256, (16, 16), dtype=np.uint8))
+    assert (codecs.decode_jpeg(plain, workers=4) == codecs.decode_jpeg(plain)).all()
