@@ -3120,30 +3120,72 @@ def _interleave_families(qs: dict) -> dict:
     return {k: qs[k] for k in order}
 
 
-# Round-5 rotation: new/changed entries lead (they need fresh driver
-# rows — d_lsh_fast_pairs is newly GATED via its recall bounds audit,
-# closing the last rows-only registry entry), followed by the rest of
-# the registry family-interleaved.  Every entry now carries a full SQL
-# oracle; the round-4 rows-only tail is gone.
-_R5_PRIORITY = [
-    "st_ann_ingest",
-    "st_annpq_ingest",
-    "d_lsh_fast_pairs",
-    "s_ivfpq_rerank",
-    "g_gremlin_path",
-    "x_frames_mjpeg",
-    "s_ivfpq_residual_topk",
-    "g_gremlin_loop",
-    "t_scd2_travel",
-    "x_decontaminate_bloom",
-    "g_gremlin_except",
+# Round-6 rotation (VERDICT r5 item 4): the 3 NEW entries lead
+# (st_ann_drift + the two fixpoint-loop queries need their first driver
+# rows), then the ~47 STALEST entries — every r2-latest entry and the
+# oldest r3 ones, since the code under them (materialized bench graph,
+# asof struct carry, timeutil, gremlin evaluator restructure) has
+# changed since they were last hash-checked.  The driver's ~50-entry
+# prefix therefore re-verifies exactly the rows whose evidence is
+# oldest; the rest follow family-interleaved.
+_R6_PRIORITY = [
+    "st_ann_drift",
+    "g_gremlin_loop_while",
+    "g_gremlin_loop_emit",
+    "d_jaccard_near_dups",
+    "g_customer_parts_2hop",
+    "g_orders_per_customer",
+    "m_resized_meta",
+    "r_disjunctive_rev",
+    "r_rollup_revenue",
+    "s_ivf_topk",
+    "t_asof_join",
+    "t_asof_tolerance",
+    "x_decontaminate",
+    "x_vocab",
+    "d_simhash",
+    "d_span_dup",
+    "d_winnow_pairs",
+    "g_bfs_levels",
+    "g_components",
+    "g_components_star",
+    "g_copurchase_top",
+    "g_lpa_communities",
+    "g_pagerank_top10",
+    "g_ppr_top10",
+    "g_revenue_by_region",
+    "g_sssp_weighted",
+    "g_touch_count_3hop",
+    "r_important_parts",
+    "r_market_share",
+    "r_min_cost_supplier",
+    "r_nation_volume",
+    "r_product_profit",
+    "r_returned_top_customers",
+    "r_setops",
+    "r_small_quantity_rev",
+    "r_sole_late_supplier",
+    "r_top_supplier",
+    "s_pq_topk",
+    "t_asof_join_fwd",
+    "t_asof_nearest",
+    "t_compact",
+    "t_funnel",
+    "t_range_join",
+    "t_retention",
+    "t_sessionize",
+    "t_state_diff",
+    "t_time_buckets",
+    "t_versions_at",
+    "x_json_extract",
+    "x_pack",
 ]
 
 _NON_GATED_TAIL: list[str] = []
 
 
-def _order_round5(qs: dict) -> dict:
-    head = {k: qs[k] for k in _R5_PRIORITY if k in qs}
+def _order_round6(qs: dict) -> dict:
+    head = {k: qs[k] for k in _R6_PRIORITY if k in qs}
     tail = {k: qs[k] for k in _NON_GATED_TAIL if k in qs}
     mid = {k: v for k, v in qs.items() if k not in head and k not in tail}
     out = head
@@ -3153,7 +3195,7 @@ def _order_round5(qs: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _order_round5({
+    return _order_round6({
         # graph surface
         "g_vertices_by_kind": q_g_vertices_by_kind,
         "g_edges_by_label": q_g_edges_by_label,

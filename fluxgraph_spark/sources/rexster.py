@@ -111,12 +111,48 @@ def _edge_json(e) -> dict:
     return out
 
 
-class RexsterShim:
-    """Read-only Rexster-shaped routes over one named TemporalGraph."""
+_RESERVED_PARAMS = {"script", "key", "value", "_outV", "_inV", "_label"}
 
-    def __init__(self, graph, name: str = "fluxgraph") -> None:
+
+def _property_params(params: dict) -> dict:
+    """Non-reserved query/body params -> typed property assignments
+    (TinkerPop 2.x ``(i,5)`` typing via :func:`_typed_param`)."""
+    return {
+        k: _typed_param(v)
+        for k, v in params.items()
+        if k not in _RESERVED_PARAMS and not k.startswith("rexster.")
+    }
+
+
+class RexsterShim:
+    """Rexster-shaped routes over one named TemporalGraph.
+
+    READ-ONLY by default.  ``allow_writes=True`` additionally serves
+    Rexster 2.x's mutation routes (the reference's Rexster exposed the
+    full Blueprints mutation surface) wired straight to the CRUD path —
+    auto-commit per request, exactly the Python API's transaction
+    semantics (SURVEY §2.2 C1-C7):
+
+        POST   /graphs/{g}/vertices[?k=v...]       create (+properties)
+        POST   /graphs/{g}/vertices/{id}?k=v       set properties
+            (an absent {id} CREATES a vertex with an ENGINE id —
+            Blueprints ignoreSuppliedIds, C1)
+        POST   /graphs/{g}/edges?_outV=&_label=&_inV=[&k=v] create edge
+        POST   /graphs/{g}/edges/{id}?k=v          set properties
+        DELETE /graphs/{g}/vertices/{id}           remove (cascades, C4)
+        DELETE /graphs/{g}/vertices/{id}?k&k2      remove properties
+        DELETE /graphs/{g}/edges/{id}[?k...]       remove edge / props
+
+    The §2.10 error contract maps onto HTTP: engine ``ValueError``
+    (empty key, 'id'/'label' keys, historical/deleted mutation) -> 400
+    envelope; absent elements/endpoints -> 404."""
+
+    def __init__(
+        self, graph, name: str = "fluxgraph", allow_writes: bool = False
+    ) -> None:
         self.graph = graph
         self.name = name
+        self.allow_writes = allow_writes
 
     # -- pure routing --------------------------------------------------
 
@@ -127,19 +163,34 @@ class RexsterShim:
         t0 = time.time()
         params = params or {}
         parts = [p for p in path.split("/") if p]
-        # POST is allowed ONLY on the Gremlin extension route (Rexster
-        # clients POST their scripts; the scripts themselves are still
-        # read-only pipelines).  Every other mutating verb stays 405:
-        # writes belong to the transactional Python API.
-        if method.upper() != "GET" and not (
-            method.upper() == "POST" and parts[2:4] == ["tp", "gremlin"]
-        ):
-            return 405, {
-                "message": "this shim is read-only; use the Python API to mutate",
-                "version": _VERSION,
-            }
+        up = method.upper()
+        # without allow_writes, POST is allowed ONLY on the Gremlin
+        # extension route (Rexster clients POST their scripts; the
+        # scripts themselves are read-only pipelines) and every other
+        # mutating verb stays 405.  With it, POST/DELETE on the
+        # vertices/edges routes dispatch to the CRUD write path.
+        if up != "GET":
+            gremlin_post = up == "POST" and parts[2:4] == ["tp", "gremlin"]
+            write_route = (
+                up in ("POST", "DELETE")
+                and len(parts) >= 3
+                and parts[0] == "graphs"
+                and parts[2] in ("vertices", "edges")
+            )
+            if not gremlin_post and not (write_route and self.allow_writes):
+                return 405, {
+                    "message": (
+                        "this shim is read-only; construct RexsterShim with "
+                        "allow_writes=True to enable the mutation routes, or "
+                        "use the Python API"
+                    ),
+                    "version": _VERSION,
+                }
         try:
-            status, body = self._route(parts, params)
+            if up != "GET" and parts[2:4] != ["tp", "gremlin"]:
+                status, body = self._write(up, parts, params)
+            else:
+                status, body = self._route(parts, params)
         except KeyError:
             status, body = 404, {"message": f"Graph [{parts[1]}] could not be found"}
         except ValueError as ex:
@@ -164,7 +215,7 @@ class RexsterShim:
                 "name": self.name,
                 "graph": f"fluxgraph_spark[{self.name}]",
                 "type": "fluxgraph_spark.TemporalGraph",
-                "readOnly": True,
+                "readOnly": not self.allow_writes,
                 "features": dict(getattr(self.graph, "features", {})),
             }
         if parts[2] == "vertices":
@@ -274,6 +325,81 @@ class RexsterShim:
         if e is None or e.is_deleted():
             return 404, {"message": f"Edge with [{eid}] cannot be found."}
         return 200, {"results": _edge_json(e)}
+
+    # -- writes (allow_writes=True only; see class docstring) ----------
+
+    def _write(self, method: str, parts: list[str], params: dict):
+        if parts[1] != self.name:
+            return 404, {"message": f"Graph [{parts[1]}] could not be found"}
+        g = self.graph
+        kind, rest = parts[2], parts[3:]
+        props = _property_params(params)
+
+        def _get(elem_kind: str, raw_id: str):
+            try:
+                eid = int(raw_id)
+            except ValueError:
+                return None
+            el = g.get_vertex(eid) if elem_kind == "v" else g.get_edge(eid)
+            return None if el is None or el.is_deleted() else el
+
+        if kind == "vertices":
+            if method == "POST":
+                v = _get("v", rest[0]) if rest else None
+                if v is None:
+                    # create: a supplied id is IGNORED (Blueprints
+                    # ignoreSuppliedIds — reference C1); the engine
+                    # assigns the id, auto-committing the transaction
+                    v = g.add_vertex()
+                for k, val in props.items():
+                    v.set_property(k, val)
+                return 200, {"results": _vertex_json(v)}
+            if not rest:
+                return 400, {"message": "DELETE needs a vertex id"}
+            v = _get("v", rest[0])
+            if v is None:
+                return 404, {"message": f"Vertex with [{rest[0]}] cannot be found."}
+            if props:  # Rexster: DELETE with params removes those keys
+                for k in props:
+                    v.remove_property(k)
+                return 200, {"results": _vertex_json(v)}
+            g.remove_vertex(v)  # cascades incident edges (C4)
+            return 200, {"results": None}
+
+        # edges
+        if method == "POST":
+            if rest:
+                e = _get("e", rest[0])
+                if e is None:
+                    return 404, {"message": f"Edge with [{rest[0]}] cannot be found."}
+                for k, val in props.items():
+                    e.set_property(k, val)
+                return 200, {"results": _edge_json(e)}
+            missing = [k for k in ("_outV", "_label", "_inV") if not params.get(k)]
+            if missing:
+                return 400, {"message": f"edge creation needs {missing}"}
+            out_v = _get("v", params["_outV"])
+            in_v = _get("v", params["_inV"])
+            if out_v is None or in_v is None:
+                # the reference's addEdge throws on a null endpoint
+                # (§2.10); over HTTP that's the absent-element envelope
+                bad = params["_outV"] if out_v is None else params["_inV"]
+                return 404, {"message": f"Vertex with [{bad}] cannot be found."}
+            e = g.add_edge(None, out_v, in_v, params["_label"])
+            for k, val in props.items():
+                e.set_property(k, val)
+            return 200, {"results": _edge_json(e)}
+        if not rest:
+            return 400, {"message": "DELETE needs an edge id"}
+        e = _get("e", rest[0])
+        if e is None:
+            return 404, {"message": f"Edge with [{rest[0]}] cannot be found."}
+        if props:
+            for k in props:
+                e.remove_property(k)
+            return 200, {"results": _edge_json(e)}
+        g.remove_edge(e)
+        return 200, {"results": None}
 
     # -- stdlib HTTP wrapper -------------------------------------------
 

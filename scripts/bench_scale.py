@@ -25,6 +25,7 @@ import __spark_entry__ as entrymod
 
 SMALL = "/root/testdata/sf0.1"
 BIG = os.path.join(ROOT, ".scale_data", "sf1.0")
+HUGE = os.path.join(ROOT, ".scale_data", "sf10")  # 100x sf0.1 (2nd tier)
 DATA_RATIO = 10.0
 
 # the families the sf0.1 bench cannot scale-prove: LSH/dedup shuffles,
@@ -62,11 +63,21 @@ QUERIES = [
     "x_decontaminate_bloom",
 ]
 
+# the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data
+# (VERDICT r5 item 6) to separate "linear in total input" from "a
+# quadratic tail starting" — one run each (the sf10 wall-times dominate
+# the suite; min-of-2 matters less at minute scale)
+SF10_QUERIES = [
+    "x_decontaminate_bloom",
+    "d_semantic_dedupe",
+    "d_containment",
+]
 
-def run_suite(spark, sf_dir, runs):
+
+def run_suite(spark, sf_dir, runs, names=None):
     qs = entrymod.queries()
     timings, errors = {}, {}
-    for name in QUERIES:
+    for name in names or QUERIES:
         per_run = []
         try:
             for _ in range(runs):
@@ -108,10 +119,23 @@ def main():
     print(f"== sf1.0 ({BIG})", file=sys.stderr)
     big_t, big_e = run_suite(spark, BIG, runs)
 
+    huge_t, huge_e = {}, {}
+    if os.path.isdir(HUGE):
+        spark.read.parquet(os.path.join(HUGE, "lineitem.parquet")).count()
+        print(f"== sf10 ({HUGE})", file=sys.stderr)
+        huge_t, huge_e = run_suite(spark, HUGE, 1, names=SF10_QUERIES)
+    else:
+        print(f"== sf10 skipped ({HUGE} missing)", file=sys.stderr)
+
     ratios = {
         q: round(big_t[q] / small_t[q], 2)
         for q in QUERIES
         if q in small_t and q in big_t and small_t[q] > 0
+    }
+    ratios_100x = {
+        q: round(huge_t[q] / big_t[q], 2)
+        for q in SF10_QUERIES
+        if q in big_t and q in huge_t and big_t[q] > 0
     }
     out = {
         "data_ratio": DATA_RATIO,
@@ -124,8 +148,15 @@ def main():
             q: r for q, r in ratios.items() if r > 2 * DATA_RATIO
         },
     }
-    if small_e or big_e:
-        out["errors"] = {"sf0.1": small_e, "sf1.0": big_e}
+    if huge_t:
+        out["sf10"] = huge_t
+        # sf1.0 -> sf10 is itself a 10x step; same sub-linear bar
+        out["time_ratio_sf1_to_sf10"] = ratios_100x
+        out["super_linear_sf10"] = {
+            q: r for q, r in ratios_100x.items() if r > 2 * DATA_RATIO
+        }
+    if small_e or big_e or huge_e:
+        out["errors"] = {"sf0.1": small_e, "sf1.0": big_e, "sf10": huge_e}
     with open(os.path.join(ROOT, "SCALE_BENCH.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -262,3 +262,97 @@ def test_malformed_content_length_returns_400(shim):
         conn.close()
     finally:
         srv.shutdown()
+
+
+def test_write_routes_gated_and_live(spark):
+    """Rexster 2.x mutation routes (VERDICT r5 item 9): OFF by default
+    (405), behind allow_writes=True they wire to the CRUD path with
+    auto-commit semantics and the §2.10 error contract's 4xx mapping —
+    including one real HTTP round trip."""
+    g = TemporalGraph.create(spark)
+    ro = RexsterShim(g, name="flux")
+    status, body = ro.handle("POST", "/graphs/flux/vertices", {"name": "x"})
+    assert status == 405 and "allow_writes" in body["message"]
+
+    s = RexsterShim(g, name="flux", allow_writes=True)
+    assert s.handle("GET", "/graphs/flux")[1]["readOnly"] is False
+
+    # create two vertices (typed property), then an edge between them
+    status, body = s.handle(
+        "POST", "/graphs/flux/vertices", {"name": "alice", "age": "(i,30)"}
+    )
+    assert status == 200 and body["results"]["name"] == "alice"
+    a_id = body["results"]["_id"]
+    assert body["results"]["age"] == 30
+    b_id = s.handle("POST", "/graphs/flux/vertices", {"name": "bob"})[1][
+        "results"
+    ]["_id"]
+    status, body = s.handle(
+        "POST", "/graphs/flux/edges",
+        {"_outV": str(a_id), "_inV": str(b_id), "_label": "knows",
+         "weight": "(d,0.5)"},
+    )
+    assert status == 200
+    e_id = body["results"]["_id"]
+    assert body["results"]["_label"] == "knows"
+    assert body["results"]["weight"] == 0.5
+    # the engine's auto-commit made it readable immediately
+    assert g.get_edge(e_id).get_property("weight") == 0.5
+
+    # property update on existing vertex; supplied-id create is ignored
+    status, body = s.handle(
+        "POST", f"/graphs/flux/vertices/{a_id}", {"age": "(i,31)"}
+    )
+    assert status == 200 and body["results"]["age"] == 31
+    status, body = s.handle("POST", "/graphs/flux/vertices/424242", {"name": "z"})
+    assert status == 200 and body["results"]["_id"] != 424242  # C1: id ignored
+
+    # error contract: empty/reserved keys are engine ValueErrors -> 400
+    status, body = s.handle("POST", f"/graphs/flux/vertices/{a_id}", {"id": "7"})
+    assert status == 400 and "malformed request" in body["message"]
+    # missing endpoint -> 404; missing required edge params -> 400
+    status, _ = s.handle(
+        "POST", "/graphs/flux/edges",
+        {"_outV": "999999", "_inV": str(b_id), "_label": "x"},
+    )
+    assert status == 404
+    status, _ = s.handle("POST", "/graphs/flux/edges", {"_outV": str(a_id)})
+    assert status == 400
+
+    # DELETE with params removes properties; bare DELETE removes element
+    status, body = s.handle("DELETE", f"/graphs/flux/vertices/{a_id}", {"age": ""})
+    assert status == 200 and "age" not in body["results"]
+    status, _ = s.handle("DELETE", f"/graphs/flux/edges/{e_id}")
+    assert status == 200 and g.get_edge(e_id) is None
+    status, _ = s.handle("DELETE", f"/graphs/flux/vertices/{b_id}")
+    assert status == 200 and g.get_vertex(b_id) is None
+    status, _ = s.handle("DELETE", "/graphs/flux/vertices/424242")
+    assert status == 404
+
+    # live HTTP: POST a vertex through the stdlib server
+    srv = s.serve(port=0)
+    try:
+        port = srv.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphs/flux/vertices?name=carol",
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body["results"]["name"] == "carol"
+        assert g.get_vertex(body["results"]["_id"]).get_property("name") == "carol"
+        # writes stay gated on a read-only server
+        ro_srv = RexsterShim(g, name="flux").serve(port=0)
+        try:
+            ro_port = ro_srv.server_address[1]
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{ro_port}/graphs/flux/vertices?name=mallory",
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ex:
+                urllib.request.urlopen(req)
+            assert ex.value.code == 405
+        finally:
+            ro_srv.shutdown()
+    finally:
+        srv.shutdown()
