@@ -53,6 +53,9 @@ HEADLINE = [
     "d_semantic_dedupe",        # embedding pairs -> components -> survivors
     "d_lsh_verified_pairs",     # md5 minhash LSH + exact-Jaccard verify
     "x_pack",                   # context-window sequence packing
+    "g_gremlin_loop_while",     # driver-fixpoint loop: region-bound walk
+                                # (r6 — superstep rounds, localCheckpoint
+                                # per round, data-dependent exit)
 ]
 
 

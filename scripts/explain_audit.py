@@ -126,6 +126,10 @@ AUDITED = [
     "g_gremlin_except",
     "st_ann_ingest",
     "st_annpq_ingest",
+    # round 6: driver-fixpoint loops and the ANN drift monitor
+    "g_gremlin_loop_while",
+    "g_gremlin_loop_emit",
+    "st_ann_drift",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -207,6 +211,12 @@ NO_PUSHDOWN_EXPECTED = {
     "st_ann_ingest",        # PartitionFilters on BOTH union branches of the
                             # base+delta probe (directory-level prune)
     "st_annpq_ingest",      # same, on the compressed base+delta code scans
+    "g_gremlin_loop_while",  # fixpoint: the final plan aggregates the
+                             # union of per-round localCheckpoint scans —
+                             # upstream pruning happened in earlier jobs
+    "g_gremlin_loop_emit",   # same
+    "st_ann_drift",          # full-index aggregation by design (the
+                             # monitor reads every list once)
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -275,6 +285,16 @@ NO_BROADCAST_EXPECTED = {
     "g_gremlin_loop",       # hop equi-joins: AQE decides
     "g_gremlin_except",     # hop + anti joins: AQE decides
     "x_frames_mjpeg",       # narrow mapInPandas decode, no joins
+    "g_gremlin_loop_while",  # exit-split filters over checkpointed rounds
+    "g_gremlin_loop_emit",   # same
+}
+# queries whose FINAL plan legitimately contains no file scan at all:
+# the driver-side fixpoint materializes each round via localCheckpoint,
+# so the returned DataFrame unions checkpointed RDD scans — the pruned
+# parquet scans ran (and were audited) in the per-round jobs upstream.
+NO_SCAN_EXPECTED = {
+    "g_gremlin_loop_while",
+    "g_gremlin_loop_emit",
 }
 
 
@@ -342,7 +362,7 @@ def main():
             failures.append(f"{name}: expected PushedFilters, none found")
         if not ok_bcast:
             failures.append(f"{name}: expected a broadcast join, none found")
-        if not a["read_schema_pruned"]:
+        if not a["read_schema_pruned"] and name not in NO_SCAN_EXPECTED:
             failures.append(f"{name}: no ReadSchema (scan not pruned?)")
         if not a["codegen"]:
             failures.append(f"{name}: no WholeStageCodegen span")

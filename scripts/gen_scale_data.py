@@ -112,7 +112,22 @@ def main():
             rep = rep.withColumn(
                 "label", F.col("label") + (F.col("__r") * LABEL_MULT).cast("int")
             )
-        out = rep.drop("__r")
+        # keep PER-FILE size constant as data scales (file count grows
+        # FACTOR-fold per tier): a replicate of a single-file source
+        # otherwise lands as ONE parquet file, and a file under
+        # maxPartitionBytes is ONE split — at 100x that made the whole
+        # 6M-doc explode a single straggler task (observed: 25+ min on
+        # one core).  Real lakehouse data arrives in many
+        # constant-sized files; the replica tiers should look the same
+        # so scan parallelism scales with the data, as it would in
+        # production.
+        src_path = os.path.join(SRC, f"{tbl}.parquet")
+        n_src_files = (
+            len([f for f in os.listdir(src_path) if f.startswith("part-")])
+            if os.path.isdir(src_path)
+            else 1  # the driver testdata ships single-file tables
+        )
+        out = rep.drop("__r").repartition(FACTOR * max(1, n_src_files))
         out.write.mode("overwrite").parquet(os.path.join(OUT, f"{tbl}.parquet"))
         print(f"{tbl}: {df.count()} -> {out.count()} rows")
 
