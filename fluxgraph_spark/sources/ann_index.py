@@ -24,15 +24,17 @@ Same md5-deterministic centroid sample as the in-memory path, so index
 results are bit-identical to cosine_topk_ivf and replay in the same SQL
 oracle.
 
-PATH CONTRACT: the parquet reads/writes themselves go through Spark and
-work on any Hadoop-compatible filesystem, but the index MAINTENANCE
-paths (compact's sibling swap, the delta-area discovery and the
-merge/rebuild manifest publish) use local-filesystem primitives
-(os.rename / os.replace / os.scandir / shutil.rmtree) — so
-``index_dir`` must be a local or NFS path visible to the driver.  On
-HDFS/object stores, route the same sequence through the Hadoop
-FileSystem API (the manifest-publish pattern itself is the portable
-part — it is the Iceberg/Delta commit shape).
+PATH CONTRACT: the parquet reads/writes go through Spark and the index
+MAINTENANCE paths (compact's sibling swap, the delta-area discovery,
+the merge/rebuild manifest publish and post-publish GC) go through
+:mod:`.fsutil`, which dispatches on the path's scheme — POSIX
+primitives for plain local paths (``os.replace`` atomicity), the
+Hadoop FileSystem API for scheme-qualified paths (``hdfs://…``,
+``file://…``, ``s3a://…``).  So ``index_dir`` may live on any
+Hadoop-compatible filesystem; the manifest publish is atomic wherever
+the store's rename is (HDFS yes, object stores with the usual
+manifest-swap caveat — see fsutil.replace_file).  The manifest-publish
+pattern itself is the Iceberg/Delta commit shape.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsutil
 from ..functions.similarity import (
     _as_double_vec,
     _dot,
@@ -82,12 +85,10 @@ def _compact_partitioned(spark: SparkSession, path: str) -> None:
     (row count audited), then swaps in via two renames — a failure
     mid-write leaves the live dir untouched, and a failure between the
     renames leaves the complete copy recoverable under a sibling name."""
-    import shutil
-
     df = spark.read.parquet(path)
     n_before = df.count()
     tmp = path + "__compact"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fsutil.delete(spark, tmp)
     (
         df.repartition(F.col("centroid_id"))
         .write.partitionBy("centroid_id")
@@ -95,19 +96,19 @@ def _compact_partitioned(spark: SparkSession, path: str) -> None:
         .parquet(tmp)
     )
     if spark.read.parquet(tmp).count() != n_before:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fsutil.delete(spark, tmp)
         raise RuntimeError(f"compact audit failed for {path}: row count changed")
     old = path + "__old"
-    shutil.rmtree(old, ignore_errors=True)
+    fsutil.delete(spark, old)
     try:
-        os.rename(path, old)
-        os.rename(tmp, path)
+        fsutil.rename(spark, path, old)
+        fsutil.rename(spark, tmp, path)
     except OSError as ex:
         raise RuntimeError(
             f"compact swap interrupted for {path}; recover by renaming "
             f"{tmp} (complete copy) or {old} (original) back into place"
         ) from ex
-    shutil.rmtree(old, ignore_errors=True)
+    fsutil.delete(spark, old)
 
 
 def _read_delta(
@@ -120,9 +121,7 @@ def _read_delta(
     batch_id partition filter — pruned, not scanned): those subtrees'
     rows already live in the manifest-current base, and a replayed sink
     recreating a folded subtree must stay invisible to readers."""
-    if not os.path.isdir(delta_dir) or not any(
-        e.is_dir() for e in os.scandir(delta_dir)
-    ):
+    if not fsutil.has_subdirs(spark, delta_dir):
         return None
     df = spark.read.option("basePath", delta_dir).parquet(delta_dir)
     if folded:
@@ -133,38 +132,39 @@ def _read_delta(
 _DELTA_MANIFEST = "_delta_manifest.json"
 
 
-def _read_index_manifest(index_dir: str) -> Optional[dict]:
+def _read_index_manifest(spark: SparkSession, index_dir: str) -> Optional[dict]:
     try:
-        with open(os.path.join(index_dir, _DELTA_MANIFEST)) as f:
-            import json
+        import json
 
-            return json.load(f)
+        return json.loads(
+            fsutil.read_text(spark, os.path.join(index_dir, _DELTA_MANIFEST))
+        )
     except FileNotFoundError:
         return None
 
 
-def _publish_index_manifest(index_dir: str, manifest: dict) -> None:
+def _publish_index_manifest(
+    spark: SparkSession, index_dir: str, manifest: dict
+) -> None:
     """Atomic manifest swap — the Scd2ParquetTable publish pattern
     (scd2_table.py `_publish_manifest`): stage to a sibling tmp file,
-    ``os.replace`` into place.  Readers resolve base-directory names
-    and folded batch ids through the manifest, so a merge becomes
-    visible EXACTLY at this rename — never a torn half-state."""
+    atomically replace into place (``os.replace`` locally,
+    FileContext rename-OVERWRITE on Hadoop paths — fsutil.replace_file).
+    Readers resolve base-directory names and folded batch ids through
+    the manifest, so a merge becomes visible EXACTLY at this rename —
+    never a torn half-state."""
     import json
 
     path = os.path.join(index_dir, _DELTA_MANIFEST)
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)
+    fsutil.write_text(spark, tmp, json.dumps(manifest))
+    fsutil.replace_file(spark, tmp, path)
 
 
-def _reset_index_manifest(index_dir: str) -> None:
+def _reset_index_manifest(spark: SparkSession, index_dir: str) -> None:
     """A fresh ``build`` owns the layout: drop any manifest left by a
     previous generation so the default directory names apply again."""
-    try:
-        os.remove(os.path.join(index_dir, _DELTA_MANIFEST))
-    except FileNotFoundError:
-        pass
+    fsutil.remove_file(spark, os.path.join(index_dir, _DELTA_MANIFEST))
 
 
 class IvfIndex:
@@ -182,7 +182,7 @@ class IvfIndex:
         self.index_dir = index_dir
 
     def _base_dir(self, key: str, default: str) -> str:
-        m = _read_index_manifest(self.index_dir)
+        m = _read_index_manifest(self.spark, self.index_dir)
         name = ((m or {}).get("base") or {}).get(key, default)
         return os.path.join(self.index_dir, name)
 
@@ -208,7 +208,7 @@ class IvfIndex:
         """``n_centroids=None`` (default) sizes the list count from the
         corpus via :func:`auto_n_centroids` (one count at build time)."""
         idx = cls(corpus.sparkSession, index_dir)
-        _reset_index_manifest(index_dir)  # a rebuild owns the layout
+        _reset_index_manifest(idx.spark, index_dir)  # a rebuild owns the layout
         if n_centroids is None:
             n_centroids = auto_n_centroids(corpus.count())
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
@@ -331,7 +331,7 @@ class DeltaIvfIndex(IvfIndex):
         self.delta_dir = os.path.join(index_dir, "delta_lists")
 
     def _folded(self) -> list:
-        m = _read_index_manifest(self.index_dir)
+        m = _read_index_manifest(self.spark, self.index_dir)
         return list((m or {}).get("folded_batches") or [])
 
     def _delta_frames(self) -> Optional[DataFrame]:
@@ -380,19 +380,14 @@ class DeltaIvfIndex(IvfIndex):
         already unreferenced by the freshly published manifest, so a
         crash at any point leaves only orphan directories (reclaimed by
         the next merge/rebuild), never duplicate or missing rows."""
-        import shutil
-
         for d in old_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+            fsutil.delete(self.spark, d)
         for b in batch_ids:
-            shutil.rmtree(
-                os.path.join(self.delta_dir, f"batch_id={int(b)}"),
-                ignore_errors=True,
+            fsutil.delete(
+                self.spark, os.path.join(self.delta_dir, f"batch_id={int(b)}")
             )
-        try:  # drop the delta root once every subtree is folded
-            os.rmdir(self.delta_dir)
-        except OSError:
-            pass
+        # drop the delta root once every subtree is folded
+        fsutil.rmdir_if_empty(self.spark, self.delta_dir)
 
     def merge_delta(self) -> None:
         """Fold the delta subtrees into a NEW versioned base directory
@@ -416,8 +411,6 @@ class DeltaIvfIndex(IvfIndex):
         maintenance: run with the stream stopped (a batch landing
         between the distinct-batch probe and the publish would be
         marked folded without its rows)."""
-        import shutil
-
         delta = self._delta_frames()
         if delta is None:
             return
@@ -427,7 +420,7 @@ class DeltaIvfIndex(IvfIndex):
         )
         if not batch_ids:
             return
-        m = _read_index_manifest(self.index_dir) or {
+        m = _read_index_manifest(self.spark, self.index_dir) or {
             "version": 0, "base": {}, "folded_batches": [],
         }
         v = int(m["version"]) + 1
@@ -436,7 +429,7 @@ class DeltaIvfIndex(IvfIndex):
         n_base, n_delta = base.count(), delta.count()
         new_name = f"lists__m{v}"
         staged = os.path.join(self.index_dir, new_name)
-        shutil.rmtree(staged, ignore_errors=True)  # crashed-attempt orphan
+        fsutil.delete(self.spark, staged)  # crashed-attempt orphan
         (
             base.select("centroid_id", "vec_id", "cvec")
             .unionByName(delta.select("centroid_id", "vec_id", "cvec"))
@@ -446,12 +439,13 @@ class DeltaIvfIndex(IvfIndex):
         )
         n_staged = self.spark.read.parquet(staged).count()
         if n_staged != n_base + n_delta:
-            shutil.rmtree(staged, ignore_errors=True)
+            fsutil.delete(self.spark, staged)
             raise RuntimeError(
                 f"merge audit failed for {self.index_dir}: staged "
                 f"{n_staged} rows, expected {n_base} + {n_delta}"
             )
         _publish_index_manifest(
+            self.spark,
             self.index_dir,
             {
                 "version": v,
@@ -551,8 +545,6 @@ class DeltaIvfIndex(IvfIndex):
         recall recovers), and the stream's sink keeps working because
         ``append_batch`` assigns against :meth:`centroids`, which
         resolves through the manifest."""
-        import shutil
-
         delta = self._delta_frames()
         batch_ids = [] if delta is None else sorted(
             int(r["batch_id"])
@@ -562,7 +554,7 @@ class DeltaIvfIndex(IvfIndex):
         n = rows.count()
         if n_centroids is None:
             n_centroids = auto_n_centroids(n)
-        m = _read_index_manifest(self.index_dir) or {
+        m = _read_index_manifest(self.spark, self.index_dir) or {
             "version": 0, "base": {}, "folded_batches": [],
         }
         v = int(m["version"]) + 1
@@ -577,8 +569,8 @@ class DeltaIvfIndex(IvfIndex):
         cents_name, lists_name = f"centroids__m{v}", f"lists__m{v}"
         staged_c = os.path.join(self.index_dir, cents_name)
         staged_l = os.path.join(self.index_dir, lists_name)
-        shutil.rmtree(staged_c, ignore_errors=True)
-        shutil.rmtree(staged_l, ignore_errors=True)
+        fsutil.delete(self.spark, staged_c)
+        fsutil.delete(self.spark, staged_l)
         cents.coalesce(1).write.mode("overwrite").parquet(staged_c)
         v_rows = rows.select("vec_id", "cvec")
         assigned = (
@@ -596,13 +588,14 @@ class DeltaIvfIndex(IvfIndex):
         )
         n_staged = self.spark.read.parquet(staged_l).count()
         if n_staged != n:
-            shutil.rmtree(staged_c, ignore_errors=True)
-            shutil.rmtree(staged_l, ignore_errors=True)
+            fsutil.delete(self.spark, staged_c)
+            fsutil.delete(self.spark, staged_l)
             raise RuntimeError(
                 f"rebuild audit failed for {self.index_dir}: staged "
                 f"{n_staged} rows, expected {n}"
             )
         _publish_index_manifest(
+            self.spark,
             self.index_dir,
             {
                 "version": v,
@@ -648,7 +641,7 @@ class IvfPqIndex:
         self.codebooks_path = os.path.join(index_dir, "codebooks.json")
 
     def _base_dir(self, key: str, default: str) -> str:
-        m = _read_index_manifest(self.index_dir)
+        m = _read_index_manifest(self.spark, self.index_dir)
         name = ((m or {}).get("base") or {}).get(key, default)
         return os.path.join(self.index_dir, name)
 
@@ -722,7 +715,7 @@ class IvfPqIndex:
         import json
 
         idx = cls(corpus.sparkSession, index_dir)
-        _reset_index_manifest(index_dir)  # a rebuild owns the layout
+        _reset_index_manifest(idx.spark, index_dir)  # a rebuild owns the layout
         if n_centroids is None:
             n_centroids = auto_n_centroids(corpus.count())
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
@@ -741,9 +734,12 @@ class IvfPqIndex:
         else:
             codebooks = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
             codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-        os.makedirs(index_dir, exist_ok=True)
-        with open(idx.codebooks_path, "w") as f:
-            json.dump({"residual": residual, "codebooks": codebooks}, f)
+        fsutil.makedirs(idx.spark, index_dir)
+        fsutil.write_text(
+            idx.spark,
+            idx.codebooks_path,
+            json.dumps({"residual": residual, "codebooks": codebooks}),
+        )
         (
             assigned.join(codes, "vec_id")
             .select("centroid_id", "vec_id", "codes")
@@ -769,7 +765,7 @@ class IvfPqIndex:
         """Merge per-batch small files in the codes (and, if stored,
         raw-vector) partitions — layout and results unchanged."""
         _compact_partitioned(self.spark, self.codes_dir)
-        if os.path.isdir(self.vectors_dir):
+        if fsutil.is_dir(self.spark, self.vectors_dir):
             _compact_partitioned(self.spark, self.vectors_dir)
 
     def _load_codebooks(self):
@@ -777,8 +773,7 @@ class IvfPqIndex:
         and the round-4 bare-list layout (implicitly non-residual)."""
         import json
 
-        with open(self.codebooks_path) as f:
-            data = json.load(f)
+        data = json.loads(fsutil.read_text(self.spark, self.codebooks_path))
         if isinstance(data, dict):
             return data["codebooks"], bool(data.get("residual"))
         return data, False
@@ -795,7 +790,7 @@ class IvfPqIndex:
     def vectors(self, centroid_ids: Optional[list] = None) -> DataFrame:
         """The raw-vector sidecar (rerank tier); raises clearly when the
         index was built with ``store_vectors=False``."""
-        if not os.path.isdir(self.vectors_dir):
+        if not fsutil.is_dir(self.spark, self.vectors_dir):
             raise ValueError(
                 f"{self.index_dir} stores no raw vectors "
                 "(built with store_vectors=False) — rerank is unavailable; "
@@ -968,7 +963,7 @@ class DeltaIvfPqIndex(IvfPqIndex):
         return base.unionByName(delta.select(*cols))
 
     def _folded(self) -> list:
-        m = _read_index_manifest(self.index_dir)
+        m = _read_index_manifest(self.spark, self.index_dir)
         return list((m or {}).get("folded_batches") or [])
 
     def codes(self, centroid_ids: Optional[list] = None) -> DataFrame:
@@ -1021,7 +1016,7 @@ class DeltaIvfPqIndex(IvfPqIndex):
             .mode("overwrite")
             .parquet(os.path.join(self.delta_codes_dir, f"batch_id={int(batch_id)}"))
         )
-        if os.path.isdir(self.vectors_dir):
+        if fsutil.is_dir(self.spark, self.vectors_dir):
             (
                 assigned.join(v, "vec_id")
                 .select("centroid_id", "vec_id", "cvec")
@@ -1042,8 +1037,6 @@ class DeltaIvfPqIndex(IvfPqIndex):
         covering BOTH the codes and (when stored) the raw-vector
         sidecar, so the two layouts can never disagree about which
         batches are folded.  OFFLINE maintenance: stream stopped."""
-        import shutil
-
         folded = self._folded()
         delta_codes = _read_delta(self.spark, self.delta_codes_dir, folded)
         if delta_codes is None:
@@ -1054,7 +1047,7 @@ class DeltaIvfPqIndex(IvfPqIndex):
         )
         if not batch_ids:
             return
-        m = _read_index_manifest(self.index_dir) or {
+        m = _read_index_manifest(self.spark, self.index_dir) or {
             "version": 0, "base": {}, "folded_batches": [],
         }
         v = int(m["version"]) + 1
@@ -1066,7 +1059,7 @@ class DeltaIvfPqIndex(IvfPqIndex):
             n_base, n_delta = base.count(), delta_df.count()
             name = f"{key}__m{v}"
             staged = os.path.join(self.index_dir, name)
-            shutil.rmtree(staged, ignore_errors=True)
+            fsutil.delete(self.spark, staged)
             (
                 base.select(*cols)
                 .unionByName(delta_df.select(*cols))
@@ -1077,7 +1070,7 @@ class DeltaIvfPqIndex(IvfPqIndex):
             n_staged = self.spark.read.parquet(staged).count()
             if n_staged != n_base + n_delta:
                 for d in staged_dirs + [staged]:
-                    shutil.rmtree(d, ignore_errors=True)
+                    fsutil.delete(self.spark, d)
                 raise RuntimeError(
                     f"merge audit failed for {old_dir}: staged {n_staged} "
                     f"rows, expected {n_base} + {n_delta}"
@@ -1091,12 +1084,13 @@ class DeltaIvfPqIndex(IvfPqIndex):
             ["centroid_id", "vec_id", "codes"],
         )
         delta_vecs = _read_delta(self.spark, self.delta_vectors_dir, folded)
-        if delta_vecs is not None and os.path.isdir(self.vectors_dir):
+        if delta_vecs is not None and fsutil.is_dir(self.spark, self.vectors_dir):
             _stage(
                 delta_vecs, self.vectors_dir, "vectors",
                 ["centroid_id", "vec_id", "cvec"],
             )
         _publish_index_manifest(
+            self.spark,
             self.index_dir,
             {
                 "version": v,
@@ -1109,14 +1103,11 @@ class DeltaIvfPqIndex(IvfPqIndex):
         # post-publish GC: everything here is unreferenced by the new
         # manifest — a crash leaves orphans, never duplicates
         for d in old_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+            fsutil.delete(self.spark, d)
         for delta_dir in (self.delta_codes_dir, self.delta_vectors_dir):
             for b in batch_ids:
-                shutil.rmtree(
-                    os.path.join(delta_dir, f"batch_id={int(b)}"),
-                    ignore_errors=True,
+                fsutil.delete(
+                    self.spark, os.path.join(delta_dir, f"batch_id={int(b)}")
                 )
-            try:  # drop the delta root once every subtree is folded
-                os.rmdir(delta_dir)
-            except OSError:
-                pass
+            # drop the delta root once every subtree is folded
+            fsutil.rmdir_if_empty(self.spark, delta_dir)

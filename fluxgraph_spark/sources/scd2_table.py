@@ -15,7 +15,7 @@ item 3) with a committed table format that needs nothing but parquet:
   ``_staging/``, audited (row-count reconciliation: SCD2 merge output
   must equal existing-affected + change rows, plus a schema check), and
   only then published by atomically replacing the root manifest
-  (``os.replace`` of a JSON file).  Readers resolve the manifest to one
+  (one atomic JSON-file replace — fsutil.replace_file).  Readers resolve the manifest to one
   committed ``b=<bucket>/v=<version>`` directory per bucket — a torn
   write is invisible because an unpublished version is never referenced.
 * **Append-only commit log.**  Each publish appends one row under
@@ -24,10 +24,12 @@ item 3) with a committed table format that needs nothing but parquet:
 
 Nothing in the data path collects to the driver: the only driver probe
 is the distinct affected-bucket id list, bounded by ``n_buckets``.
-Directory publication uses local-filesystem renames; on an object store
-the same layout publishes via the store's atomic manifest swap
-(write-audit-publish is the Iceberg/Delta commit pattern, minus the
-format dependency).
+Directory publication and manifest bookkeeping go through
+:mod:`.fsutil` (POSIX primitives for plain local paths, the Hadoop
+FileSystem API for scheme-qualified ``hdfs://…``/``file://…`` paths),
+so ``path`` may live on any Hadoop-compatible filesystem; the manifest
+publish is atomic wherever the store's rename is (write-audit-publish
+is the Iceberg/Delta commit pattern, minus the format dependency).
 """
 
 from __future__ import annotations
@@ -35,12 +37,13 @@ from __future__ import annotations
 import datetime
 import json
 import os
-import shutil
 import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fsutil
 
 _MANIFEST = "_manifest.json"
 _BUCKET_COL = "__bucket"
@@ -82,22 +85,21 @@ class Scd2ParquetTable:
 
     def _read_manifest(self) -> Optional[dict]:
         try:
-            with open(self._manifest_path()) as f:
-                return json.load(f)
+            return json.loads(fsutil.read_text(self.spark, self._manifest_path()))
         except FileNotFoundError:
             return None
 
     def _publish_manifest(self, manifest: dict) -> None:
-        os.makedirs(self.path, exist_ok=True)
+        fsutil.makedirs(self.spark, self.path)
         # retained per-version copy (time travel / vacuum bookkeeping)
-        with open(
-            os.path.join(self.path, f"_manifest.v{manifest['version']}.json"), "w"
-        ) as f:
-            json.dump(manifest, f)
+        fsutil.write_text(
+            self.spark,
+            os.path.join(self.path, f"_manifest.v{manifest['version']}.json"),
+            json.dumps(manifest),
+        )
         tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path())  # atomic publish
+        fsutil.write_text(self.spark, tmp, json.dumps(manifest))
+        fsutil.replace_file(self.spark, tmp, self._manifest_path())  # atomic publish
 
     @property
     def exists(self) -> bool:
@@ -193,8 +195,7 @@ class Scd2ParquetTable:
         vacuuming, exactly Delta/Iceberg's retention contract)."""
         vpath = os.path.join(self.path, f"_manifest.v{version}.json")
         try:
-            with open(vpath) as f:
-                m = json.load(f)
+            m = json.loads(fsutil.read_text(self.spark, vpath))
         except FileNotFoundError:
             raise ValueError(
                 f"no committed version {version} at {self.path}"
@@ -203,7 +204,7 @@ class Scd2ParquetTable:
             self._bucket_dir(int(b), v)
             for b, v in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
         ]
-        missing = [p for p in paths if not os.path.isdir(p)]
+        missing = [p for p in paths if not fsutil.is_dir(self.spark, p)]
         if missing:
             raise ValueError(
                 f"version {version} is no longer readable: {len(missing)} "
@@ -354,7 +355,7 @@ class Scd2ParquetTable:
                 )
             staged_buckets = sorted(
                 int(d.split("=", 1)[1])
-                for d in os.listdir(staging)
+                for d in fsutil.list_names(self.spark, staging)
                 if d.startswith(_BUCKET_COL + "=")
             )
             if staged_buckets != affected:
@@ -382,19 +383,18 @@ class Scd2ParquetTable:
             # of wedging on ENOTEMPTY.
             for b in affected:
                 dst = self._bucket_dir(b, vid)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                os.rename(os.path.join(staging, f"{_BUCKET_COL}={b}"), dst)
+                fsutil.makedirs(self.spark, os.path.dirname(dst))
+                if fsutil.is_dir(self.spark, dst):
+                    fsutil.delete(self.spark, dst)
+                fsutil.rename(
+                    self.spark, os.path.join(staging, f"{_BUCKET_COL}={b}"), dst
+                )
         finally:
             # scope the cleanup to THIS attempt's staging subdirectory — a
             # concurrent ingest's staged buckets (a different uuid) survive;
             # drop the shared _staging/ root only once it is empty
-            shutil.rmtree(staging, ignore_errors=True)
-            try:
-                os.rmdir(os.path.join(self.path, "_staging"))
-            except OSError:
-                pass
+            fsutil.delete(self.spark, staging)
+            fsutil.rmdir_if_empty(self.spark, os.path.join(self.path, "_staging"))
 
         buckets = dict(m["buckets"]) if m else {}
         buckets.update({str(b): vid for b in affected})
@@ -448,14 +448,16 @@ class Scd2ParquetTable:
         if m is None:
             return 0
         removed = 0
-        for bdir in os.listdir(self.path):
+        for bdir in fsutil.list_names(self.spark, self.path):
             if not bdir.startswith("b="):
                 continue
             b = bdir.split("=", 1)[1]
             live = m["buckets"].get(b)
-            for vdir in os.listdir(os.path.join(self.path, bdir)):
+            for vdir in fsutil.list_names(
+                self.spark, os.path.join(self.path, bdir)
+            ):
                 v = int(vdir.split("=", 1)[1])
                 if v != live:
-                    shutil.rmtree(os.path.join(self.path, bdir, vdir))
+                    fsutil.delete(self.spark, os.path.join(self.path, bdir, vdir))
                     removed += 1
         return removed

@@ -17,13 +17,11 @@ container supports; on a lakehouse table format (Delta/Iceberg) the same
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.temporal import scd2_from_change_events, scd2_upsert
+from ..sources import fsutil
 
 
 def scd2_streaming_sink(
@@ -49,7 +47,7 @@ def scd2_streaming_sink(
             *key_cols, F.col(ts_col).alias("valid_from"), *value_cols
         )
         staging = target_dir + ".staging"
-        if os.path.isdir(target_dir):
+        if fsutil.is_dir(spark, target_dir):
             current = spark.read.parquet(target_dir)
             merged = scd2_upsert(current, changes, key_cols, "valid_from")
         else:
@@ -61,9 +59,9 @@ def scd2_streaming_sink(
         # the poor-man's atomic commit; MERGE INTO on Delta/Iceberg
         # replaces this dance
         merged.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(target_dir):
-            shutil.rmtree(target_dir)
-        os.rename(staging, target_dir)
+        if fsutil.is_dir(spark, target_dir):
+            fsutil.delete(spark, target_dir)
+        fsutil.rename(spark, staging, target_dir)
 
     return (
         stream.writeStream.foreachBatch(_merge_batch)
