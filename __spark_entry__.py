@@ -3081,6 +3081,30 @@ def q_x_frames_mjpeg(spark, sf_dir):
     )
 
 
+def q_x_frames_msv1(spark, sf_dir):
+    """REAL INTER-FRAME video decode (VERDICT r5 "missing" #2): every
+    11th document becomes an MS Video 1 ('CRAM', 16 bpp) AVI whose
+    frames split into a varying left half and a STATIC right half — the
+    encoder keyframes frame 0 and skip-codes the unchanged right-half
+    blocks of every later frame, so sample_frames' sequential decode
+    (codecs.decode_msvideo1_frame) must reconstruct each frame from its
+    predecessor.  Colors sit on the RGB555 lattice, which the 1-color
+    block mode round-trips bit-exactly, so the oracle replays per-frame
+    means from digest arithmetic — a broken temporal path produces a
+    wrong mean and a hash mismatch."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    vids = multimodal.msvideo1_video_table_from_documents(docs)
+    fr = multimodal.sample_frames(vids, every_ms=1000, decoder="real")
+    return fr.select(
+        "media_id",
+        "frame_idx",
+        F.round(F.col("frame_feature")[0], 6).alias("f0"),
+        F.col("frame_feature")[4].cast("int").alias("width"),
+        F.col("frame_feature")[5].cast("int").alias("height"),
+        F.col("frame_feature")[6].cast("long").alias("n_frames"),
+    )
+
+
 def q_m_media_meta(spark, sf_dir):
     """Multimodal metadata scan (no decode): typed metadata + blob sizes
     — the column-pruned path a 100 TB media lake query takes when it
@@ -3132,6 +3156,17 @@ _R6_PRIORITY = [
     "st_ann_drift",
     "g_gremlin_loop_while",
     "g_gremlin_loop_emit",
+    "x_frames_msv1",  # new in r6: inter-frame (MS Video 1) decode
+    # fsutil landed late in r6 under the ANN-index and SCD2-table
+    # maintenance paths — re-hash every query over that code this round
+    "st_ann_ingest",
+    "st_annpq_ingest",
+    "s_ivf_indexed_topk",
+    "s_ivfpq_topk",
+    "s_ivfpq_rerank",
+    "s_ivfpq_residual_topk",
+    "t_scd2_travel",
+    "st_scd2_ingest",
     "d_jaccard_near_dups",
     "g_customer_parts_2hop",
     "g_orders_per_customer",
@@ -3173,12 +3208,9 @@ _R6_PRIORITY = [
     "t_funnel",
     "t_range_join",
     "t_retention",
-    "t_sessionize",
-    "t_state_diff",
-    "t_time_buckets",
-    "t_versions_at",
-    "x_json_extract",
-    "x_pack",
+    # (t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
+    # x_json_extract, x_pack rotated out to make room for the
+    # fsutil-affected block above — they re-enter in r7)
 ]
 
 _NON_GATED_TAIL: list[str] = []
@@ -3326,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": q_x_fingerprint,
         "x_frames": q_x_frames,
         "x_frames_mjpeg": q_x_frames_mjpeg,
+        "x_frames_msv1": q_x_frames_msv1,
         "s_cosine_topk": q_s_cosine_topk,
         "s_label_centroids": q_s_label_centroids,
         "s_embedding_near_dups": q_s_embedding_near_dups,
@@ -5525,6 +5558,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
                CAST(greatest(duration_ms // 1000, 1) AS BIGINT) AS n_frames
         FROM vids, UNNEST(generate_series(0, greatest(CAST(duration_ms // 1000 AS BIGINT), 1) - 1)) AS g(i)
+        """,
+        "x_frames_msv1": """
+        WITH vids AS (
+          SELECT doc_id, text,
+                 strlen(text) * 17 % 5000 + 1000 AS duration_ms
+          FROM documents WHERE doc_id % 11 = 0),
+        fr AS (
+          SELECT doc_id, text, CAST(i AS INTEGER) AS frame_idx,
+                 greatest(CAST(duration_ms // 1000 AS BIGINT), 1) AS n_frames
+          FROM vids, UNNEST(generate_series(0, greatest(CAST(duration_ms // 1000 AS BIGINT), 1) - 1)) AS g(i)),
+        -- digest bytes 0..2 of the varying left half and the static
+        -- right half, each snapped to the RGB555 lattice the 16 bpp
+        -- codec stores: q = b // 8 expands back as q*8 + q//4
+        b AS (
+          SELECT doc_id, frame_idx, n_frames,
+                 ('0x' || substring(md5(text || chr(frame_idx)), 1, 2))::UBIGINT // 8 AS l0,
+                 ('0x' || substring(md5(text || chr(frame_idx)), 3, 2))::UBIGINT // 8 AS l1,
+                 ('0x' || substring(md5(text || chr(frame_idx)), 5, 2))::UBIGINT // 8 AS l2,
+                 ('0x' || substring(md5(text || 'R'), 1, 2))::UBIGINT // 8 AS r0,
+                 ('0x' || substring(md5(text || 'R'), 3, 2))::UBIGINT // 8 AS r1,
+                 ('0x' || substring(md5(text || 'R'), 5, 2))::UBIGINT // 8 AS r2
+          FROM fr)
+        SELECT doc_id AS media_id, frame_idx,
+               round(CAST((l0*8 + l0//4) + (l1*8 + l1//4) + (l2*8 + l2//4)
+                        + (r0*8 + r0//4) + (r1*8 + r1//4) + (r2*8 + r2//4)
+                     AS BIGINT) / 6.0 / 255, 6) AS f0,
+               CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST(n_frames AS BIGINT) AS n_frames
+        FROM b
         """,
         "m_frame_samples": """
         WITH vids AS (

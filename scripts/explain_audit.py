@@ -130,6 +130,7 @@ AUDITED = [
     "g_gremlin_loop_while",
     "g_gremlin_loop_emit",
     "st_ann_drift",
+    "x_frames_msv1",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -217,6 +218,9 @@ NO_PUSHDOWN_EXPECTED = {
     "g_gremlin_loop_emit",   # same
     "st_ann_drift",          # full-index aggregation by design (the
                              # monitor reads every list once)
+    "x_frames_msv1",         # full-corpus synthetic CRAM decode
+                             # (mapInPandas; doc_id % 11 is not a
+                             # pushable predicate)
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -287,6 +291,7 @@ NO_BROADCAST_EXPECTED = {
     "x_frames_mjpeg",       # narrow mapInPandas decode, no joins
     "g_gremlin_loop_while",  # exit-split filters over checkpointed rounds
     "g_gremlin_loop_emit",   # same
+    "x_frames_msv1",         # narrow mapInPandas decode, no joins
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,
