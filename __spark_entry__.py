@@ -2308,6 +2308,27 @@ def q_st_ann_drift(spark, sf_dir):
     return idx.drift_stats()
 
 
+def q_st_annpq_drift(spark, sf_dir):
+    """Centroid-drift monitor for the COMPRESSED streaming index: the
+    PQ twin computes the same per-centroid occupancy + integer-micro
+    residual means over its raw-vector sidecar (codes can't measure
+    distance), so its output is bit-identical to DeltaIvfIndex's over
+    the same rows and SHARES st_ann_drift's SQL oracle — which is
+    itself the point being verified: the two monitors must agree."""
+    import tempfile
+
+    from fluxgraph_spark.sources.ann_index import DeltaIvfPqIndex
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="annpq_drift_")
+    idx = DeltaIvfPqIndex.build(
+        seed, os.path.join(root, "idx"), n_centroids=16, m=4, ksub=16
+    )
+    idx.append_batch(emb.where(F.col("vec_id") % 5 == 0), 0)
+    return idx.drift_stats()
+
+
 def q_st_annpq_ingest(spark, sf_dir):
     """Streaming embedding ingest into the COMPRESSED IVFPQ index
     (DeltaIvfPqIndex): the seed build freezes centroids AND PQ
@@ -3157,6 +3178,7 @@ _R6_PRIORITY = [
     "g_gremlin_loop_while",
     "g_gremlin_loop_emit",
     "x_frames_msv1",  # new in r6: inter-frame (MS Video 1) decode
+    "st_annpq_drift",  # new in r6: PQ-twin drift monitor
     # fsutil landed late in r6 under the ANN-index and SCD2-table
     # maintenance paths — re-hash every query over that code this round
     "st_ann_ingest",
@@ -3317,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup_ingest": q_st_dedup_ingest,
         "st_ann_ingest": q_st_ann_ingest,
         "st_ann_drift": q_st_ann_drift,
+        "st_annpq_drift": q_st_annpq_drift,
         "st_annpq_ingest": q_st_annpq_ingest,
         "t_time_buckets": q_t_time_buckets,
         "t_resample": q_t_resample,
@@ -5676,6 +5699,10 @@ def oracle_sql() -> dict[str, str]:
                  / count(*) AS delta_share
         FROM res GROUP BY centroid_id
         """
+    # the PQ twin's monitor is bit-identical over the same rows (same
+    # seed centroids, same argmax assignment, vectors sidecar) — one
+    # oracle serves both
+    sqls["st_annpq_drift"] = sqls["st_ann_drift"]
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
     # bloom tier only PRUNES; the exact verify makes the decision
     # identical to the exact operator — same oracle

@@ -167,6 +167,49 @@ def _reset_index_manifest(spark: SparkSession, index_dir: str) -> None:
     fsutil.remove_file(spark, os.path.join(index_dir, _DELTA_MANIFEST))
 
 
+def _drift_stats(centroids: DataFrame, rows: DataFrame) -> DataFrame:
+    """Per-centroid drift aggregation shared by the two delta indexes:
+    ``rows`` = (centroid_id, cvec, is_delta) over base ∪ delta.  One
+    broadcast join + one aggregation; residuals quantize to integer
+    micro units before the mean (an exact integer sum + one IEEE
+    division), so the monitor replays bit-identically in SQL."""
+    cents = centroids.select("centroid_id", F.col("cvec").alias("__centvec"))
+    res = rows.join(F.broadcast(cents), "centroid_id").select(
+        "centroid_id",
+        "is_delta",
+        F.floor(
+            _norm(
+                F.zip_with(F.col("cvec"), F.col("__centvec"), lambda a, b: a - b)
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("res_micro"),
+    )
+    d0 = F.col("is_delta") == 0
+
+    def _mean(cond):
+        return (
+            F.sum(F.when(cond, F.col("res_micro"))).cast("double")
+            / F.count(F.when(cond, 1))
+            / F.lit(1_000_000.0)
+        )
+
+    return (
+        res.groupBy("centroid_id")
+        .agg(
+            F.count(F.when(d0, 1)).alias("n_base"),
+            F.count(F.when(~d0, 1)).alias("n_delta"),
+            _mean(d0).alias("mean_res_base"),
+            _mean(~d0).alias("mean_res_delta"),
+        )
+        .withColumn(
+            "delta_share",
+            F.col("n_delta").cast("double")
+            / (F.col("n_base") + F.col("n_delta")),
+        )
+    )
+
+
 class IvfIndex:
     """A directory holding ``centroids/`` (centroid_id, cvec) and
     ``lists/`` (vec_id, cvec, partitioned by centroid_id).
@@ -478,9 +521,6 @@ class DeltaIvfIndex(IvfIndex):
         One broadcast join + one aggregation over base ∪ delta; no
         collect.  When the signal fires, :meth:`rebuild_centroids` is
         the recovery path."""
-        cents = self.centroids().select(
-            "centroid_id", F.col("cvec").alias("__centvec")
-        )
         base = IvfIndex.lists(self).select("centroid_id", "cvec").withColumn(
             "is_delta", F.lit(0)
         )
@@ -488,42 +528,7 @@ class DeltaIvfIndex(IvfIndex):
         rows = base if delta is None else base.unionByName(
             delta.select("centroid_id", "cvec").withColumn("is_delta", F.lit(1))
         )
-        res = rows.join(F.broadcast(cents), "centroid_id").select(
-            "centroid_id",
-            "is_delta",
-            F.floor(
-                _norm(
-                    F.zip_with(
-                        F.col("cvec"), F.col("__centvec"), lambda a, b: a - b
-                    )
-                )
-                * F.lit(1_000_000.0)
-                + F.lit(0.5)
-            ).cast("long").alias("res_micro"),
-        )
-        d0 = F.col("is_delta") == 0
-
-        def _mean(cond):
-            return (
-                F.sum(F.when(cond, F.col("res_micro"))).cast("double")
-                / F.count(F.when(cond, 1))
-                / F.lit(1_000_000.0)
-            )
-
-        return (
-            res.groupBy("centroid_id")
-            .agg(
-                F.count(F.when(d0, 1)).alias("n_base"),
-                F.count(F.when(~d0, 1)).alias("n_delta"),
-                _mean(d0).alias("mean_res_base"),
-                _mean(~d0).alias("mean_res_delta"),
-            )
-            .withColumn(
-                "delta_share",
-                F.col("n_delta").cast("double")
-                / (F.col("n_base") + F.col("n_delta")),
-            )
-        )
+        return _drift_stats(self.centroids(), rows)
 
     def rebuild_centroids(
         self, n_centroids: Optional[int] = None, refine_iters: int = 2
@@ -1029,6 +1034,28 @@ class DeltaIvfPqIndex(IvfPqIndex):
                 )
             )
         assigned.unpersist()
+
+    def drift_stats(self) -> DataFrame:
+        """The PQ twin of :meth:`DeltaIvfIndex.drift_stats`, computed
+        over the raw-vector sidecar (codes alone can't measure residual
+        distance): per-centroid base/delta occupancy, integer-micro mean
+        residual distance to the seed centroid per side, delta share.
+        Output is bit-identical to a :class:`DeltaIvfIndex` over the
+        same rows (same seed centroids, same argmax assignment), so the
+        two monitors share one SQL oracle.  Requires
+        ``store_vectors=True`` (raises like :meth:`vectors` otherwise).
+        Recovery for a fired signal is a full :meth:`build` — unlike
+        the plain delta index, refreshed centroids invalidate the PQ
+        codebooks too (residual codebooks are trained per-centroid),
+        so there is no cheaper rebuild_centroids tier here."""
+        base = IvfPqIndex.vectors(self).select("centroid_id", "cvec").withColumn(
+            "is_delta", F.lit(0)
+        )
+        delta = _read_delta(self.spark, self.delta_vectors_dir, self._folded())
+        rows = base if delta is None else base.unionByName(
+            delta.select("centroid_id", "cvec").withColumn("is_delta", F.lit(1))
+        )
+        return _drift_stats(self.centroids(), rows)
 
     def merge_delta(self) -> None:
         """Fold the delta subtrees into NEW versioned base directories

@@ -131,6 +131,7 @@ AUDITED = [
     "g_gremlin_loop_emit",
     "st_ann_drift",
     "x_frames_msv1",
+    "st_annpq_drift",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -218,6 +219,7 @@ NO_PUSHDOWN_EXPECTED = {
     "g_gremlin_loop_emit",   # same
     "st_ann_drift",          # full-index aggregation by design (the
                              # monitor reads every list once)
+    "st_annpq_drift",        # same (over the raw-vector sidecar)
     "x_frames_msv1",         # full-corpus synthetic CRAM decode
                              # (mapInPandas; doc_id % 11 is not a
                              # pushable predicate)

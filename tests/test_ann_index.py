@@ -624,3 +624,30 @@ def test_drift_stats_and_rebuild_recovers_recall(spark, tmp_path):
     # the rebuild folded the delta and the index stays appendable
     assert idx.lists().count() == 180
     idx.append_batch(drift.limit(0), 1)  # empty batch against new centroids
+
+
+def test_pq_drift_stats_matches_ivf_twin(spark, emb, tmp_path):
+    """DeltaIvfPqIndex.drift_stats (over the raw-vector sidecar) is
+    bit-identical to DeltaIvfIndex.drift_stats on the same seed+stream:
+    same seed centroids, same argmax assignment, same integer-micro
+    means — which is why the two monitors share one SQL oracle.
+    Without the sidecar the PQ monitor raises like vectors()."""
+    from fluxgraph_spark.sources.ann_index import DeltaIvfIndex, DeltaIvfPqIndex
+
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+
+    ivf = DeltaIvfIndex.build(seed, str(tmp_path / "ivf"), n_centroids=16)
+    ivf.append_batch(batch, 0)
+    pq = DeltaIvfPqIndex.build(
+        seed, str(tmp_path / "pq"), n_centroids=16, m=4, ksub=16
+    )
+    pq.append_batch(batch, 0)
+    assert _rows(ivf.drift_stats()) == _rows(pq.drift_stats())
+
+    bare = DeltaIvfPqIndex.build(
+        seed, str(tmp_path / "bare"), n_centroids=16, m=4, ksub=16,
+        store_vectors=False,
+    )
+    with pytest.raises(ValueError, match="store_vectors"):
+        bare.drift_stats()
