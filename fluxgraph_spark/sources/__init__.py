@@ -4,7 +4,7 @@ from .gml import load_gml
 from .parquet_io import DataFrameGraph, load_graph_parquet, save_graph_parquet
 from .tpch import tpch_graph
 from .bucketed import DedupIndex
-from .ann_index import IvfIndex, IvfPqIndex
+from .ann_index import DeltaIvfIndex, DeltaIvfPqIndex, IvfIndex, IvfPqIndex
 from .scd2_table import Scd2ParquetTable
 from .rexster import RexsterShim
 
@@ -21,6 +21,8 @@ __all__ = [
     "DedupIndex",
     "IvfIndex",
     "IvfPqIndex",
+    "DeltaIvfIndex",
+    "DeltaIvfPqIndex",
     "Scd2ParquetTable",
     "RexsterShim",
 ]

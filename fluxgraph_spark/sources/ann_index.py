@@ -643,7 +643,13 @@ class IvfPqIndex:
     def __init__(self, spark: SparkSession, index_dir: str) -> None:
         self.spark = spark
         self.index_dir = index_dir
-        self.codebooks_path = os.path.join(index_dir, "codebooks.json")
+
+    @property
+    def codebooks_path(self) -> str:
+        """Manifest-resolved like the data directories, so a rebuild can
+        swap the codebooks in the SAME atomic publish as the codes they
+        encode (pre-manifest indexes keep the fixed file name)."""
+        return self._base_dir("codebooks", "codebooks.json")
 
     def _base_dir(self, key: str, default: str) -> str:
         m = _read_index_manifest(self.spark, self.index_dir)
@@ -1044,10 +1050,10 @@ class DeltaIvfPqIndex(IvfPqIndex):
         same rows (same seed centroids, same argmax assignment), so the
         two monitors share one SQL oracle.  Requires
         ``store_vectors=True`` (raises like :meth:`vectors` otherwise).
-        Recovery for a fired signal is a full :meth:`build` — unlike
-        the plain delta index, refreshed centroids invalidate the PQ
-        codebooks too (residual codebooks are trained per-centroid),
-        so there is no cheaper rebuild_centroids tier here."""
+        Recovery for a fired signal is :meth:`rebuild` — unlike the
+        plain delta index there is no centroids-only tier, because
+        refreshed centroids invalidate the PQ codebooks too (residual
+        codebooks are trained against the assigned centroid)."""
         base = IvfPqIndex.vectors(self).select("centroid_id", "cvec").withColumn(
             "is_delta", F.lit(0)
         )
@@ -1056,6 +1062,140 @@ class DeltaIvfPqIndex(IvfPqIndex):
             delta.select("centroid_id", "cvec").withColumn("is_delta", F.lit(1))
         )
         return _drift_stats(self.centroids(), rows)
+
+    def rebuild(
+        self,
+        n_centroids: Optional[int] = None,
+        m: Optional[int] = None,
+        ksub: Optional[int] = None,
+        refine_iters: int = 2,
+    ) -> None:
+        """OFFLINE recovery for a drifted stream — the PQ analog of
+        :meth:`DeltaIvfIndex.rebuild_centroids`.  Refreshed centroids
+        invalidate the PQ codebooks too (residual codebooks are trained
+        against the assigned centroid, and even raw-vector codebooks
+        model the old distribution), so the recovery retrains BOTH
+        tiers from the raw-vector sidecar over base + unfolded delta
+        and publishes the whole new generation — centroids, codebooks,
+        codes, vectors — through ONE atomic manifest swap: a crash at
+        any point leaves the previous generation fully live, and the
+        codes can never be read against codebooks from a different
+        generation.  Requires ``store_vectors=True`` (raises like
+        :meth:`vectors` otherwise — a pure-ADC index has nothing to
+        retrain from).  ``m``/``ksub`` default to the current
+        codebooks' shape; the residual flag is preserved.  Folds all
+        current delta batches as a side effect; the stream's sink keeps
+        working because ``append_batch`` re-reads centroids and
+        codebooks through the manifest."""
+        import json
+
+        folded = self._folded()
+        delta_codes = _read_delta(self.spark, self.delta_codes_dir, folded)
+        batch_ids = [] if delta_codes is None else sorted(
+            int(r["batch_id"])
+            for r in delta_codes.select("batch_id").distinct().collect()
+        )
+        rows = self.vectors().select("vec_id", "cvec").persist()
+        n = rows.count()
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(n)
+        old_books, residual = self._load_codebooks()
+        if m is None:
+            m = len(old_books)
+        if ksub is None:
+            ksub = len(old_books[0])
+        man = _read_index_manifest(self.spark, self.index_dir) or {
+            "version": 0, "base": {}, "folded_batches": [],
+        }
+        v = int(man["version"]) + 1
+        old_dirs = [self.centroids_dir, self.codes_dir, self.vectors_dir]
+        old_books_path = self.codebooks_path
+        if refine_iters > 0:
+            cents = ivf_centroids_refined(
+                rows, n_centroids, iters=refine_iters,
+                id_col="vec_id", vec_col="cvec",
+            )
+        else:
+            cents = ivf_centroids(rows, n_centroids, "vec_id", "cvec")
+        names = {
+            "centroids": f"centroids__m{v}",
+            "codes": f"codes__m{v}",
+            "vectors": f"vectors__m{v}",
+            "codebooks": f"codebooks__m{v}.json",
+        }
+        staged = {k: os.path.join(self.index_dir, nm) for k, nm in names.items()}
+        for p in staged.values():
+            fsutil.delete(self.spark, p)
+        cents.coalesce(1).write.mode("overwrite").parquet(staged["centroids"])
+        cents = self.spark.read.parquet(staged["centroids"])
+        assigned = (
+            ivf_assign(rows, cents, 1, "vec_id", "cvec")
+            .withColumnRenamed("id", "vec_id")
+            .persist()
+        )
+        if residual:
+            res = self._residuals(rows, assigned, cents)
+            codebooks = pq_codebooks(
+                res, m=m, ksub=ksub, id_col="vec_id", vec_col="rvec"
+            )
+            codes = pq_encode(res, codebooks, id_col="vec_id", vec_col="rvec")
+        else:
+            codebooks = pq_codebooks(
+                rows, m=m, ksub=ksub, id_col="vec_id", vec_col="cvec"
+            )
+            codes = pq_encode(rows, codebooks, id_col="vec_id", vec_col="cvec")
+        fsutil.write_text(
+            self.spark,
+            staged["codebooks"],
+            json.dumps({"residual": residual, "codebooks": codebooks}),
+        )
+        (
+            assigned.join(codes, "vec_id")
+            .select("centroid_id", "vec_id", "codes")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(staged["codes"])
+        )
+        (
+            assigned.join(rows, "vec_id")
+            .select("centroid_id", "vec_id", "cvec")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(staged["vectors"])
+        )
+        n_codes = self.spark.read.parquet(staged["codes"]).count()
+        n_vecs = self.spark.read.parquet(staged["vectors"]).count()
+        assigned.unpersist()
+        rows.unpersist()
+        if n_codes != n or n_vecs != n:
+            for p in staged.values():
+                fsutil.delete(self.spark, p)
+            raise RuntimeError(
+                f"rebuild audit failed for {self.index_dir}: staged "
+                f"{n_codes} codes / {n_vecs} vectors, expected {n} of each"
+            )
+        _publish_index_manifest(
+            self.spark,
+            self.index_dir,
+            {
+                "version": v,
+                "base": {**(man.get("base") or {}), **names},
+                "folded_batches": sorted(
+                    set(man.get("folded_batches") or []) | set(batch_ids)
+                ),
+            },
+        )
+        # post-publish GC: everything here is unreferenced by the new
+        # manifest — a crash leaves orphans, never duplicates
+        for d in old_dirs:
+            fsutil.delete(self.spark, d)
+        fsutil.remove_file(self.spark, old_books_path)
+        for delta_dir in (self.delta_codes_dir, self.delta_vectors_dir):
+            for b in batch_ids:
+                fsutil.delete(
+                    self.spark, os.path.join(delta_dir, f"batch_id={int(b)}")
+                )
+            fsutil.rmdir_if_empty(self.spark, delta_dir)
 
     def merge_delta(self) -> None:
         """Fold the delta subtrees into NEW versioned base directories

@@ -651,3 +651,106 @@ def test_pq_drift_stats_matches_ivf_twin(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="store_vectors"):
         bare.drift_stats()
+
+
+def test_pq_rebuild_recovers_recall_and_is_atomic(
+    spark, tmp_path, monkeypatch
+):
+    """DeltaIvfPqIndex.rebuild retrains centroids AND codebooks from the
+    raw-vector sidecar and publishes the whole generation (centroids,
+    codebooks, codes, vectors) through ONE manifest swap: recall of a
+    drifted stream recovers, a crash before the publish leaves the old
+    generation fully live (codes never read against foreign codebooks),
+    the delta folds, and the index stays appendable."""
+    import os
+
+    import numpy as np
+
+    from fluxgraph_spark.sources import ann_index as AI
+    from fluxgraph_spark.sources.ann_index import DeltaIvfPqIndex, IvfPqIndex
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    seed_rows = []
+    for i in range(120):
+        c = i % 2
+        v = rng.normal(0, 0.05, dim)
+        v[c] += 1.0
+        seed_rows.append((i, [float(x) for x in v]))
+    drift_rows = []
+    for i in range(120, 180):
+        v = rng.normal(0, 0.05, dim)
+        v[0] += 0.707
+        v[1] += 0.707
+        drift_rows.append((i, [float(x) for x in v]))
+    schema = "vec_id long, embedding array<double>"
+    seed = spark.createDataFrame(seed_rows, schema)
+    drift = spark.createDataFrame(drift_rows, schema)
+
+    d = str(tmp_path / "pqdrift")
+    IvfPqIndex.build(seed, d, n_centroids=2, m=4, ksub=16, residual=True)
+    idx = DeltaIvfPqIndex(spark, d)
+    # put the seed centroids ON the cluster means (also exercises
+    # rebuild on a quiescent, delta-free index)
+    idx.rebuild(n_centroids=2, refine_iters=3)
+    assert idx.codes().count() == 120
+    idx.append_batch(drift, 0)
+
+    queries = drift.where(F.col("vec_id") < 130).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = seed.unionByName(drift)
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & want) / len(want)
+
+    before = recall(idx.topk_rerank(queries, k=5, n_probe=1))
+    assert before < 0.9  # drifted members split across the frozen lists
+
+    # crash BEFORE the publish: the old generation stays fully live
+    pre_codes = _rows(idx.codes().select("vec_id"))
+    monkeypatch.setattr(
+        AI, "_publish_index_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected crash before publish")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        idx.rebuild(n_centroids=3, refine_iters=4)
+    monkeypatch.undo()
+    assert _rows(idx.codes().select("vec_id")) == pre_codes
+    assert recall(idx.topk_rerank(queries, k=5, n_probe=1)) == before
+    assert os.path.isdir(os.path.join(d, "delta_codes"))  # delta still live
+
+    idx.rebuild(n_centroids=3, refine_iters=4)
+    after = recall(idx.topk_rerank(queries, k=5, n_probe=1))
+    assert after > before, (before, after)
+    assert after >= 0.9
+    # the rebuild folded the delta, kept the residual flag, and a fresh
+    # handle resolves the same generation through the manifest
+    assert idx.codes().count() == 180
+    assert idx.vectors().count() == 180
+    assert idx._load_codebooks()[1] is True
+    reopened = DeltaIvfPqIndex(spark, d)
+    assert recall(reopened.topk_rerank(queries, k=5, n_probe=1)) == after
+    # replayed sink rewrite of the folded batch stays invisible; a NEW
+    # batch lands against the refreshed centroids+codebooks
+    idx.append_batch(drift, 0)
+    assert idx.codes().count() == 180
+    idx.append_batch(drift.limit(0), 1)
+
+
+def test_pq_rebuild_requires_vector_sidecar(spark, emb, tmp_path):
+    from fluxgraph_spark.sources.ann_index import DeltaIvfPqIndex, IvfPqIndex
+
+    IvfPqIndex.build(
+        emb, str(tmp_path / "novec"), n_centroids=8, store_vectors=False
+    )
+    idx = DeltaIvfPqIndex(spark, str(tmp_path / "novec"))
+    with pytest.raises(ValueError, match="store_vectors"):
+        idx.rebuild()
