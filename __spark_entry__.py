@@ -3126,6 +3126,20 @@ def q_x_frames_msv1(spark, sf_dir):
     )
 
 
+def q_x_audio_adpcm(spark, sf_dir):
+    """REAL compressed-audio decode (the audio analog of x_frames_msv1):
+    every 13th document becomes a stereo IMA-ADPCM WAV of per-block
+    CONSTANT amplitudes drawn from digest arithmetic.  Constant blocks
+    round-trip the 4-bit adaptive codec BIT-EXACTLY (per-block header
+    carries the first sample + step index 0; step 7 >> 3 == 0), so the
+    oracle replays every block's channel means from md5 alone — while
+    the decoder genuinely parses fmt/fact chunks, per-block headers,
+    nibble streams, and the stereo 4-byte interleave."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    au = multimodal.adpcm_audio_table_from_documents(docs)
+    return multimodal.audio_block_means(au, samples_per_block=65)
+
+
 def q_m_media_meta(spark, sf_dir):
     """Multimodal metadata scan (no decode): typed metadata + blob sizes
     — the column-pruned path a 100 TB media lake query takes when it
@@ -3179,6 +3193,7 @@ _R6_PRIORITY = [
     "g_gremlin_loop_emit",
     "x_frames_msv1",  # new in r6: inter-frame (MS Video 1) decode
     "st_annpq_drift",  # new in r6: PQ-twin drift monitor
+    "x_audio_adpcm",  # new in r6: IMA-ADPCM compressed-audio decode
     # fsutil landed late in r6 under the ANN-index and SCD2-table
     # maintenance paths — re-hash every query over that code this round
     "st_ann_ingest",
@@ -3382,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frames": q_x_frames,
         "x_frames_mjpeg": q_x_frames_mjpeg,
         "x_frames_msv1": q_x_frames_msv1,
+        "x_audio_adpcm": q_x_audio_adpcm,
         "s_cosine_topk": q_s_cosine_topk,
         "s_label_centroids": q_s_label_centroids,
         "s_embedding_near_dups": q_s_embedding_near_dups,
@@ -5610,6 +5626,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
                CAST(n_frames AS BIGINT) AS n_frames
         FROM b
+        """,
+        "x_audio_adpcm": """
+        -- block j of channel L/R holds the constant int16 amplitude
+        -- (first two md5 bytes, big-endian) - 32768; constant blocks
+        -- round-trip IMA ADPCM bit-exactly (see q_x_audio_adpcm), so
+        -- the decoded block means ARE the digest amplitudes
+        WITH au AS (
+          SELECT doc_id, text, strlen(text) % 7 + 2 AS n_blocks
+          FROM documents WHERE doc_id % 13 = 0)
+        SELECT doc_id AS media_id, CAST(j AS INTEGER) AS block_idx,
+               CAST(('0x' || substring(md5(text || 'L' || chr(CAST(j AS INTEGER))), 1, 4))::UBIGINT AS BIGINT) - 32768 AS amp_l,
+               CAST(('0x' || substring(md5(text || 'R' || chr(CAST(j AS INTEGER))), 1, 4))::UBIGINT AS BIGINT) - 32768 AS amp_r
+        FROM au, UNNEST(generate_series(0, n_blocks - 1)) AS g(j)
         """,
         "m_frame_samples": """
         WITH vids AS (

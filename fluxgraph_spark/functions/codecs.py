@@ -8,7 +8,12 @@ specification is decodable with the standard library alone:
   filters (None/Sub/Up/Average/Paeth), 8-bit gray / gray+alpha / RGB /
   RGBA.  Interlaced, paletted and 16-bit images raise ``ValueError`` —
   documented limits, not silent wrong answers.
-* **WAV** (RIFF PCM): fmt/data chunk walk, 8/16-bit integer PCM.
+* **WAV** (RIFF): fmt/data chunk walk, 8/16-bit integer PCM, plus the
+  IMA/DVI ADPCM compressed format (wFormatTag 0x0011): 4-bit adaptive
+  differential coding with per-block headers, the step/index tables of
+  the IMA reference algorithm, stereo 4-byte interleave, and
+  fact-chunk trimming — a REAL inter-sample-prediction audio codec
+  (the audio analog of the MS Video 1 temporal path).
 
 These kernels are *correctness references*: pure Python per-scanline
 unfiltering is not a 100 TB hot path — in a real deployment the decode
@@ -202,9 +207,11 @@ def resize_nearest(arr, width: int, height: int):
 
 def decode_wav(data: bytes):
     """WAV bytes -> (sample_rate, n_channels, numpy int16 array of shape
-    (n_frames, n_channels)).  Integer PCM, 8- or 16-bit; 8-bit samples
+    (n_frames, n_channels)).  Integer PCM (8- or 16-bit; 8-bit samples
     are rescaled to int16 full scale (x256) so downstream amplitude
-    normalization (/32768) is bit-depth-independent."""
+    normalization (/32768) is bit-depth-independent) or IMA/DVI ADPCM
+    (wFormatTag 0x0011) decoded through :func:`_ima_decode_blocks` and
+    trimmed to the ``fact`` chunk's sample count when present."""
     import numpy as np
 
     if data[:4] != _WAV_MAGIC or data[8:12] != b"WAVE":
@@ -212,25 +219,49 @@ def decode_wav(data: bytes):
     pos = 12
     fmt = None
     frames = None
+    fact_frames = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + clen]
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
-            audio_fmt, n_ch, rate, _byte_rate, _align, bits = struct.unpack(
+            audio_fmt, n_ch, rate, _byte_rate, align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if audio_fmt != 1:
-                raise ValueError(f"unsupported WAV format {audio_fmt} (only PCM)")
-            if bits not in (8, 16):
-                raise ValueError(f"unsupported WAV bit depth {bits}")
-            fmt = (n_ch, rate, bits)
+            if audio_fmt == 1:
+                if bits not in (8, 16):
+                    raise ValueError(f"unsupported WAV bit depth {bits}")
+                fmt = (1, n_ch, rate, bits, align, None)
+            elif audio_fmt == 0x0011:  # IMA/DVI ADPCM
+                if bits != 4:
+                    raise ValueError(
+                        f"IMA ADPCM requires 4 bits per sample, got {bits}"
+                    )
+                spb = None
+                if len(body) >= 20:  # cbSize + wSamplesPerBlock extension
+                    (cb,) = struct.unpack("<H", body[16:18])
+                    if cb >= 2:
+                        (spb,) = struct.unpack("<H", body[18:20])
+                if spb is None:  # derive from the block layout
+                    spb = (align // n_ch - 4) * 2 + 1
+                fmt = (0x0011, n_ch, rate, bits, align, spb)
+            else:
+                raise ValueError(
+                    f"unsupported WAV format {audio_fmt} (PCM or IMA ADPCM)"
+                )
         elif cid == b"data":
             frames = body
+        elif cid == b"fact":
+            (fact_frames,) = struct.unpack("<I", body[:4])
     if fmt is None or frames is None:
         raise ValueError("WAV missing fmt/data chunk")
-    n_ch, rate, bits = fmt
+    audio_fmt, n_ch, rate, bits, align, spb = fmt
+    if audio_fmt == 0x0011:
+        samples = _ima_decode_blocks(frames, n_ch, align, spb)
+        if fact_frames is not None:
+            samples = samples[:fact_frames]
+        return rate, n_ch, samples
     dtype = np.uint8 if bits == 8 else np.dtype("<i2")
     samples = np.frombuffer(frames, dtype=dtype)
     if bits == 8:  # unsigned, center at 0, rescale to int16 full range
@@ -239,8 +270,27 @@ def decode_wav(data: bytes):
     return rate, n_ch, samples[: n_frames * n_ch].reshape(n_frames, n_ch)
 
 
-def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
-    """numpy int16 array (n_frames,) or (n_frames, n_channels) -> WAV."""
+def encode_wav(
+    samples,
+    sample_rate: int,
+    n_channels: int = 1,
+    codec: str = "pcm16",
+    block_align: int | None = None,
+) -> bytes:
+    """numpy int16 array (n_frames,) or (n_frames, n_channels) -> WAV.
+
+    ``codec='pcm16'`` (default) writes plain 16-bit PCM.
+    ``codec='adpcm'`` writes IMA/DVI ADPCM (wFormatTag 0x0011, ~4x
+    compression): per-block headers carry the first sample verbatim
+    plus a step index seeded from the block's own delta scale (0 for a
+    constant block, so constant blocks round-trip bit-exactly), the
+    remaining samples encode as 4-bit adaptive deltas, stereo data
+    interleaves 4-byte nibble groups per channel, a ``fact`` chunk
+    records the true frame count (the final block pads by repeating
+    the last sample), and a ``block_align``
+    of ``(db + 4) * n_channels`` gives ``db * 2 + 1`` samples per
+    block per channel (default db=252 -> 505, the canonical mono-256
+    layout)."""
     import numpy as np
 
     a = np.asarray(samples, dtype="<i2")
@@ -248,12 +298,197 @@ def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
         a = a[:, None]
     if a.shape[1] != n_channels:
         raise ValueError("n_channels does not match sample array")
+    if codec == "adpcm":
+        return _ima_encode_wav(a, sample_rate, block_align)
+    if codec != "pcm16":
+        raise ValueError(f"unsupported WAV codec {codec!r} (pcm16|adpcm)")
     payload = a.tobytes()
     byte_rate = sample_rate * n_channels * 2
     fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
     riff = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV wFormatTag 0x0011)
+# ---------------------------------------------------------------------------
+#
+# The IMA reference algorithm (IMA Digital Audio Focus Group, 1992; the
+# same tables ship in every mainstream decoder): a 4-bit code per sample
+# holds a sign bit and three magnitude bits measured against an adaptive
+# step size.  Reconstruction accumulates diff = step>>3 (+ step if bit2,
+# + step>>1 if bit1, + step>>2 if bit0) onto the running predictor, then
+# moves the step index by _IMA_INDEX_TABLE[magnitude].  Every block is
+# self-contained — its header stores the initial predictor and step
+# index — which is exactly what makes both directions vectorizable
+# ACROSS blocks below: the sequential prediction chain is only spb-1
+# steps long, and each step applies to all (block, channel) lanes at
+# once.  That is also the Spark story: blocks never share state, so a
+# 100 TB audio lake decodes embarrassingly parallel.
+
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_reconstruct_step(pred, index, nibble, np):
+    """One IMA update, vectorized over any array shape: returns the new
+    (predictor, step index) for 4-bit ``nibble`` lanes."""
+    step_tab = np.asarray(_IMA_STEP_TABLE, dtype=np.int32)
+    idx_tab = np.asarray(_IMA_INDEX_TABLE, dtype=np.int32)
+    step = step_tab[index]
+    mag = nibble & 7
+    diff = (
+        (step >> 3)
+        + np.where(mag & 4, step, 0)
+        + np.where(mag & 2, step >> 1, 0)
+        + np.where(mag & 1, step >> 2, 0)
+    )
+    pred = np.clip(
+        pred + np.where(nibble & 8, -diff, diff), -32768, 32767
+    )
+    index = np.clip(index + idx_tab[mag], 0, 88)
+    return pred, index
+
+
+def _ima_decode_blocks(payload: bytes, n_ch: int, block_align: int, spb: int):
+    """ADPCM data chunk -> int16 samples (n_frames, n_ch), vectorized
+    across blocks (see the section comment): per step, one table lookup
+    and a few adds over every (block, channel) lane."""
+    import numpy as np
+
+    if block_align <= 0 or block_align % n_ch:
+        raise ValueError(f"bad ADPCM block align {block_align} for {n_ch}ch")
+    db = block_align // n_ch - 4  # data bytes per channel per block
+    if db <= 0 or (n_ch > 1 and db % 4):
+        raise ValueError(f"bad ADPCM block layout (db={db}, n_ch={n_ch})")
+    if spb != db * 2 + 1:
+        raise ValueError(
+            f"samples_per_block {spb} does not match block layout {db * 2 + 1}"
+        )
+    n_blocks = len(payload) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, n_ch), dtype=np.int16)
+    raw = np.frombuffer(
+        payload[: n_blocks * block_align], dtype=np.uint8
+    ).reshape(n_blocks, block_align)
+    # headers: n_ch x (int16 predictor, uint8 index, reserved)
+    hdr = raw[:, : 4 * n_ch].reshape(n_blocks, n_ch, 4)
+    pred = (
+        hdr[:, :, 0].astype(np.int32) | (hdr[:, :, 1].astype(np.int32) << 8)
+    )
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = raw[:, 4 * n_ch :]
+    if n_ch == 1:
+        per_ch = body[:, :, None]  # (n_blocks, db, 1)
+    else:
+        # stereo+ interleave: consecutive 4-byte groups rotate channels
+        per_ch = (
+            body.reshape(n_blocks, db // 4, n_ch, 4)
+            .transpose(0, 1, 3, 2)
+            .reshape(n_blocks, db, n_ch)
+        )
+    nibbles = np.empty((n_blocks, db * 2, n_ch), dtype=np.uint8)
+    nibbles[:, 0::2] = per_ch & 0x0F  # low nibble first
+    nibbles[:, 1::2] = per_ch >> 4
+    out = np.empty((n_blocks, spb, n_ch), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    for t in range(db * 2):
+        pred, index = _ima_reconstruct_step(pred, index, nibbles[:, t], np)
+        out[:, t + 1] = pred.astype(np.int16)
+    return out.reshape(n_blocks * spb, n_ch)
+
+
+def _ima_encode_wav(a, sample_rate: int, block_align: int | None) -> bytes:
+    """int16 (n_frames, n_ch) -> complete ADPCM WAV bytes.  The encoder
+    is the decoder run in reverse with bit-serial quantization, the
+    same loop vectorized over (block, channel) lanes; every block
+    header stores (first sample, seeded step index), keeping blocks
+    independent of each other."""
+    import numpy as np
+
+    n_frames, n_ch = a.shape
+    if n_frames == 0:
+        raise ValueError("cannot ADPCM-encode an empty sample array")
+    if block_align is None:
+        block_align = 256 * n_ch
+    if block_align % n_ch:
+        raise ValueError(f"block_align {block_align} not divisible by {n_ch}")
+    db = block_align // n_ch - 4
+    if db <= 0 or (n_ch > 1 and db % 4):
+        raise ValueError(f"bad ADPCM block layout (db={db}, n_ch={n_ch})")
+    spb = db * 2 + 1
+    n_blocks = -(-n_frames // spb)
+    # pad the tail block by repeating the last sample (fact trims it)
+    padded = np.empty((n_blocks * spb, n_ch), dtype=np.int32)
+    padded[:n_frames] = a
+    padded[n_frames:] = a[-1]
+    blocks = padded.reshape(n_blocks, spb, n_ch)
+    step_tab = np.asarray(_IMA_STEP_TABLE, dtype=np.int32)
+    pred = blocks[:, 0].copy()  # (n_blocks, n_ch) — stored verbatim
+    # seed each block's step index near the block's own delta scale —
+    # the header carries it, so this is free quality: a cold index of 0
+    # undertracks steep signal for the first dozen samples of every
+    # block.  A constant block has mean |delta| 0 -> index 0 -> step 7
+    # -> diff 0, preserving the bit-exact constant round-trip.
+    mean_delta = np.abs(np.diff(blocks, axis=1)).mean(axis=1)
+    index0 = np.clip(
+        np.searchsorted(step_tab, mean_delta), 0, 88
+    ).astype(np.int32)
+    index = index0.copy()
+    nibbles = np.empty((n_blocks, spb - 1, n_ch), dtype=np.uint8)
+    for t in range(1, spb):
+        step = step_tab[index]
+        d = blocks[:, t] - pred
+        sign = (d < 0).astype(np.uint8)
+        d = np.abs(d)
+        mag = np.zeros_like(sign)
+        for bit, frac in ((4, 0), (2, 1), (1, 2)):
+            thresh = step >> frac
+            take = d >= thresh
+            mag |= np.where(take, bit, 0).astype(np.uint8)
+            d = np.where(take, d - thresh, d)
+        nib = mag | (sign << 3)
+        nibbles[:, t - 1] = nib
+        pred, index = _ima_reconstruct_step(pred, index, nib, np)
+    packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
+    if n_ch == 1:
+        body = packed[:, :, 0]
+    else:
+        body = (
+            packed.transpose(0, 2, 1)  # (n_blocks, n_ch, db)
+            .reshape(n_blocks, n_ch, db // 4, 4)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_blocks, db * n_ch)
+        )
+    first = blocks[:, 0].astype("<i2").view(np.uint8).reshape(n_blocks, n_ch, 2)
+    hdr = np.zeros((n_blocks, n_ch, 4), dtype=np.uint8)
+    hdr[:, :, :2] = first
+    hdr[:, :, 2] = index0.astype(np.uint8)  # per-block seeded step index
+    payload = np.concatenate(
+        [hdr.reshape(n_blocks, 4 * n_ch), body], axis=1
+    ).tobytes()
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x0011, n_ch, sample_rate, byte_rate, block_align, 4,
+        2, spb,
+    )
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
         + b"data" + struct.pack("<I", len(payload)) + payload
     )
     return b"RIFF" + struct.pack("<I", len(riff)) + riff

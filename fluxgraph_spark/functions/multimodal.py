@@ -428,6 +428,123 @@ def msvideo1_video_table_from_documents(
     )
 
 
+def adpcm_audio_table_from_documents(
+    docs: DataFrame, db: int = 32, n_channels: int = 2
+) -> DataFrame:
+    """Synthesize a media table of REAL **IMA-ADPCM** WAVs (the audio
+    analog of the MS Video 1 temporal path): every 13th document
+    becomes a stereo 8 kHz ADPCM stream of ``strlen(text) % 7 + 2``
+    blocks, where block ``j`` of channel L/R holds the CONSTANT int16
+    amplitude ``(md5(text + 'L'|'R' + byte(j))[0] << 8 | [1]) - 32768``.
+    A constant block ADPCM-encodes as (header sample, step index 0,
+    all-zero nibbles) and decodes bit-exactly (step 7 >> 3 == 0), so
+    the SQL oracle replays every block mean from digest arithmetic
+    alone — while the decoder genuinely walks per-block headers, the
+    4-bit nibble stream, and the stereo 4-byte channel interleave (a
+    broken interleave mixes L/R amplitudes and fails the hash)."""
+    encode_wav = codecs.encode_wav
+    out_schema = MEDIA_SCHEMA
+    spb = db * 2 + 1
+    block_align = (db + 4) * n_channels
+    markers = [b"L", b"R", b"C2", b"C3"][:n_channels]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            ids, types, contents, metas = [], [], [], []
+            for _, row in pdf.iterrows():
+                text = row["text"] or ""
+                raw = text.encode("utf-8")
+                n_blocks = len(text) % 7 + 2
+                sig = np.empty((n_blocks * spb, n_channels), dtype=np.int16)
+                for j in range(n_blocks):
+                    for c, mark in enumerate(markers):
+                        d = _hashlib.md5(raw + mark + bytes([j])).digest()
+                        amp = ((d[0] << 8) | d[1]) - 32768
+                        sig[j * spb : (j + 1) * spb, c] = amp
+                ids.append(row["doc_id"])
+                types.append("audio")
+                contents.append(
+                    encode_wav(
+                        sig, 8000, n_channels,
+                        codec="adpcm", block_align=block_align,
+                    )
+                )
+                metas.append(
+                    {
+                        "width": None,
+                        "height": None,
+                        "duration_ms": len(sig) * 1000 // 8000,
+                        "mime": "audio/wav",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return (
+        docs.where(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema=out_schema)
+    )
+
+
+def audio_block_means(media: DataFrame, samples_per_block: int) -> DataFrame:
+    """Per-(media, block) channel-mean amplitudes over decoded audio —
+    one output row per ADPCM block, columns ``amp_l``/``amp_r`` =
+    round(mean(int16 samples)) per channel.  Arrow-batched mapInPandas;
+    the decode is :func:`codecs.decode_wav`'s real ADPCM path (PCM rows
+    work too — any WAV whose frame count is a multiple of
+    ``samples_per_block``)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("block_idx", T.IntegerType(), False),
+            T.StructField("amp_l", T.LongType(), False),
+            T.StructField("amp_r", T.LongType(), False),
+        ]
+    )
+    decode_wav = codecs.decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, ls, rs = [], [], [], []
+            for _, row in pdf.iterrows():
+                _rate, n_ch, samples = decode_wav(row["content"])
+                n_frames = samples.shape[0]
+                if n_frames % samples_per_block:
+                    raise ValueError(
+                        f"media {row['media_id']}: {n_frames} frames is "
+                        f"not a multiple of {samples_per_block}"
+                    )
+                blocks = samples.reshape(-1, samples_per_block, n_ch)
+                means = np.floor(
+                    blocks.astype(np.float64).mean(axis=1) + 0.5
+                ).astype(np.int64)
+                for j in range(blocks.shape[0]):
+                    ids.append(row["media_id"])
+                    idxs.append(j)
+                    ls.append(int(means[j, 0]))
+                    rs.append(int(means[j, 1] if n_ch > 1 else means[j, 0]))
+            yield pd.DataFrame(
+                {"media_id": ids, "block_idx": idxs, "amp_l": ls, "amp_r": rs}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> DataFrame:
     """Frame-sampling for video rows: one output row per sampled frame.
 

@@ -132,6 +132,7 @@ AUDITED = [
     "st_ann_drift",
     "x_frames_msv1",
     "st_annpq_drift",
+    "x_audio_adpcm",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -223,6 +224,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_frames_msv1",         # full-corpus synthetic CRAM decode
                              # (mapInPandas; doc_id % 11 is not a
                              # pushable predicate)
+    "x_audio_adpcm",         # same (ADPCM decode; doc_id % 13)
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -294,6 +296,7 @@ NO_BROADCAST_EXPECTED = {
     "g_gremlin_loop_while",  # exit-split filters over checkpointed rounds
     "g_gremlin_loop_emit",   # same
     "x_frames_msv1",         # narrow mapInPandas decode, no joins
+    "x_audio_adpcm",         # narrow mapInPandas decode, no joins
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,

@@ -590,3 +590,127 @@ def test_msvideo1_sample_frames_real(spark):
         want = (sum(left) + sum(right)) / 6.0 / 255.0
         assert r["frame_feature"][0] == pytest.approx(want, abs=1e-12)
         assert (r["frame_feature"][4], r["frame_feature"][5]) == (8.0, 8.0)
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV wFormatTag 0x0011)
+# ---------------------------------------------------------------------------
+
+def test_adpcm_constant_blocks_roundtrip_exact():
+    """Per-block constant signals round-trip BIT-EXACTLY: the header
+    stores the first sample verbatim with step index 0, and nibble 0 at
+    step 7 reconstructs diff = 7 >> 3 = 0 — the property the
+    x_audio_adpcm oracle is built on, in both mono and stereo."""
+    rng = np.random.default_rng(3)
+    for n_ch in (1, 2):
+        db = 32
+        spb = db * 2 + 1
+        amps = rng.integers(-32768, 32768, size=(6, n_ch))
+        sig = np.repeat(amps, spb, axis=0).astype(np.int16)
+        wav = codecs.encode_wav(
+            sig, 8000, n_ch, codec="adpcm", block_align=(db + 4) * n_ch
+        )
+        rate, ch, out = codecs.decode_wav(wav)
+        assert (rate, ch) == (8000, n_ch)
+        assert np.array_equal(out, sig)
+
+
+def test_adpcm_matches_scalar_reference_decoder():
+    """The block-vectorized decode equals a straight scalar transcription
+    of the IMA reference algorithm, nibble by nibble (incl. the seeded
+    per-block step index the encoder writes)."""
+    import struct
+
+    rng = np.random.default_rng(7)
+    sig = rng.integers(-9000, 9000, size=407).astype(np.int16)
+    ba = 36  # db=32, spb=65 -> final block padded, fact trims
+    wav = codecs.encode_wav(sig, 8000, 1, codec="adpcm", block_align=ba)
+    _, _, fast = codecs.decode_wav(wav)
+    assert fast.shape == (407, 1)
+
+    pos, data = 12, None
+    while pos + 8 <= len(wav):
+        cid = wav[pos:pos + 4]
+        (clen,) = struct.unpack("<I", wav[pos + 4:pos + 8])
+        if cid == b"data":
+            data = wav[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    ST, IT = codecs._IMA_STEP_TABLE, codecs._IMA_INDEX_TABLE
+    ref = []
+    for b0 in range(0, len(data), ba):
+        blk = data[b0:b0 + ba]
+        pred, idx = struct.unpack("<h", blk[:2])[0], blk[2]
+        ref.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                step, mag = ST[idx], nib & 7
+                diff = (step >> 3) + (step if mag & 4 else 0) \
+                    + ((step >> 1) if mag & 2 else 0) \
+                    + ((step >> 2) if mag & 1 else 0)
+                pred += -diff if nib & 8 else diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + IT[mag]))
+                ref.append(pred)
+    assert np.array_equal(fast[:, 0], np.array(ref[:407], dtype=np.int16))
+
+
+def test_adpcm_sine_quality_and_fact_trim():
+    """Varying signal: ~4x compression with >30 dB SNR at several
+    amplitudes; a frame count that is not a multiple of the block size
+    pads the tail block and the fact chunk trims it back."""
+    t = np.arange(1234)
+    for amp in (300, 8000, 30000):
+        sine = (amp * np.sin(2 * np.pi * t / 50)).astype(np.int16)
+        wav = codecs.encode_wav(sine, 16000, 1, codec="adpcm")
+        _, _, out = codecs.decode_wav(wav)
+        assert out.shape == (1234, 1)
+        err = out[:, 0].astype(float) - sine.astype(float)
+        snr = 10 * np.log10((sine.astype(float) ** 2).mean() / (err ** 2).mean())
+        assert snr > 30, (amp, snr)
+        assert len(wav) < 2 * sine.nbytes // 3  # genuinely compressed
+
+
+def test_adpcm_stereo_interleave_not_mixed():
+    """L and R carry different constants; a broken 4-byte-group
+    interleave would mix them across channels."""
+    db, spb = 4, 9
+    sig = np.empty((spb * 3, 2), dtype=np.int16)
+    for j, (l, r) in enumerate([(-5000, 7000), (11111, -1), (0, -32768)]):
+        sig[j * spb:(j + 1) * spb] = (l, r)
+    wav = codecs.encode_wav(sig, 8000, 2, codec="adpcm", block_align=(db + 4) * 2)
+    _, _, out = codecs.decode_wav(wav)
+    assert np.array_equal(out, sig)
+
+
+def test_adpcm_rejects_bad_layouts():
+    stereo = np.zeros((10, 2), dtype=np.int16)
+    with pytest.raises(ValueError, match="block_align"):
+        codecs.encode_wav(stereo, 8000, 2, codec="adpcm", block_align=33)
+    with pytest.raises(ValueError, match="block layout"):
+        codecs.encode_wav(stereo, 8000, 2, codec="adpcm", block_align=14)
+    with pytest.raises(ValueError, match="codec"):
+        codecs.encode_wav(np.zeros(10, dtype=np.int16), 8000, 1, codec="mp3")
+    with pytest.raises(ValueError, match="empty"):
+        codecs.encode_wav(np.zeros(0, dtype=np.int16), 8000, 1, codec="adpcm")
+
+
+def test_adpcm_audio_block_means_spark(spark):
+    """End-to-end through the Spark operators: the synthesized ADPCM
+    table decodes via audio_block_means, every block's channel means
+    equal the digest amplitudes (the x_audio_adpcm contract)."""
+    import hashlib
+
+    texts = {13: "compressed audio codec test doc", 26: "another text!"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    au = multimodal.adpcm_audio_table_from_documents(docs)
+    rows = multimodal.audio_block_means(au, samples_per_block=65).collect()
+    assert rows
+    seen = {}
+    for r in rows:
+        raw = texts[r["media_id"]].encode()
+        for mark, col in ((b"L", "amp_l"), (b"R", "amp_r")):
+            d = hashlib.md5(raw + mark + bytes([r["block_idx"]])).digest()
+            assert r[col] == ((d[0] << 8) | d[1]) - 32768
+        seen.setdefault(r["media_id"], set()).add(r["block_idx"])
+    for doc_id, text in texts.items():
+        assert seen[doc_id] == set(range(len(text) % 7 + 2))
