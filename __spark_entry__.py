@@ -3240,15 +3240,14 @@ _R6_PRIORITY = [
     "r_top_supplier",
     "s_pq_topk",
     "t_asof_join_fwd",
-    "t_asof_nearest",
-    "t_compact",
-    "t_funnel",
-    "t_range_join",
-    "t_retention",
-    # (t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
+    # (t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
+    # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack rotated out to make room for the
-    # fsutil-affected block above — they re-enter in r7)
+    # fsutil-affected block and the three new r6 queries above — they
+    # re-enter in r7; the driver hashes a ~50-entry prefix, so the list
+    # is kept at exactly 50)
 ]
+assert len(_R6_PRIORITY) == 50
 
 _NON_GATED_TAIL: list[str] = []
 

@@ -966,9 +966,15 @@ def contamination_hits_bloom(
     grams = lambda df: F.explode(  # noqa: E731 — local shorthand
         F.array_distinct(rolling_hashes(F.col(text_col), window))
     ).alias("fp")
-    bench_fps = benchmark.select(grams(benchmark)).distinct().persist()
-    n_fp = bench_fps.count()  # materializes the persist for the fold
-    if n_bits_pow2 is None:
+    bench_fps = benchmark.select(grams(benchmark)).distinct()
+    pinned = n_bits_pow2 is None
+    if pinned:
+        # auto-sizing needs a cardinality pass; persist so the fold
+        # below reuses it instead of re-shingling the benchmark.  With
+        # an explicit n_bits_pow2 there is exactly ONE pass (the fold),
+        # so a persist would be pure bookkeeping overhead.
+        bench_fps = bench_fps.persist()
+        n_fp = bench_fps.count()
         n_bits_pow2 = bloom_bits_pow2(max(1, n_fp // n_shards))
     m = 1 << n_bits_pow2
     # fingerprint -> shard by Spark's own xxhash64 (seed -1 keeps the
@@ -1006,9 +1012,13 @@ def contamination_hits_bloom(
     # by createDataFrame in Spark 4 regardless of the pandas-arrow
     # conf): no per-element boxing on the way out either
     n_words = m // 64
-    bits_arr = pa.ListArray.from_arrays(
+    # int64 offsets (LargeListArray): n_shards x n_words can pass 2^31
+    # exactly in the sharded regime this parameter exists for (128
+    # shards at the 2^30-bit cap = 2.2e9 words) — int32 list offsets
+    # would wrap and silently mis-slice the per-shard bitmaps
+    bits_arr = pa.LargeListArray.from_arrays(
         pa.array(
-            np.arange(0, (n_shards + 1) * n_words, n_words, dtype=np.int32)
+            np.arange(0, (n_shards + 1) * n_words, n_words, dtype=np.int64)
         ),
         pa.array(words.ravel()),
     )
@@ -1022,7 +1032,8 @@ def contamination_hits_bloom(
     # drop the pin so repeated calls don't accumulate executor storage —
     # the exact-verify join below recomputes the (benchmark-sized,
     # cheap) fingerprints from source
-    bench_fps.unpersist()
+    if pinned:
+        bench_fps.unpersist()
     corpus_fps = probe.select(F.col(id_col), grams(probe)).withColumn(
         "shard", shard
     )

@@ -680,10 +680,13 @@ def _apply_step(step: Step, cur, st: "_EvalState"):
             cols = list(df.columns)
         # the sort must be TOTAL before it can license offset paging:
         # a non-unique key (order('kind')) leaves ties in
-        # shuffle-dependent relative order, so append the element id
-        # when present, else every remaining column, as a tiebreaker
+        # shuffle-dependent relative order, so append the element id —
+        # PLUS any walk-history columns (__path / __as_*): a
+        # path-tracked frontier carries one row per TRAVERSER, so the
+        # id alone is not unique there — when present, else every
+        # remaining column, as a tiebreaker
         tie = (
-            [M.ID]
+            [M.ID] + [c for c in df.columns if c.startswith("__")]
             if M.ID in df.columns
             else [c for c in df.columns if c not in cols]
         )

@@ -129,6 +129,32 @@ def _read_delta(
     return df
 
 
+def _sweep_folded_subtrees(
+    spark: SparkSession, delta_dir: str, folded
+) -> None:
+    """Reclaim on-disk ``batch_id=N`` subtrees whose ids are already in
+    the manifest's folded set — leftovers of a crash between publish
+    and GC, or of an at-least-once sink replaying (rewriting) a folded
+    batch after the fold.  Readers never see these rows (folded ids are
+    partition-filtered out of every delta read), so removal is safe
+    whenever maintenance runs; without the sweep they would accumulate
+    forever, since later merges see only UNFOLDED batches and their GC
+    would never name them."""
+    folded = {int(b) for b in (folded or [])}
+    if not folded:
+        return
+    for name in fsutil.list_names(spark, delta_dir):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b in folded:
+            fsutil.delete(spark, os.path.join(delta_dir, name))
+    fsutil.rmdir_if_empty(spark, delta_dir)
+
+
 _DELTA_MANIFEST = "_delta_manifest.json"
 
 
@@ -210,24 +236,59 @@ def _drift_stats(centroids: DataFrame, rows: DataFrame) -> DataFrame:
     )
 
 
-class IvfIndex:
-    """A directory holding ``centroids/`` (centroid_id, cvec) and
-    ``lists/`` (vec_id, cvec, partitioned by centroid_id).
+_MANIFEST_UNREAD = object()  # "not read yet" sentinel (None = no manifest)
 
-    Directory names resolve through the index's ``_delta_manifest.json``
-    when one exists (written by the delta subclasses' atomic
-    ``merge_delta`` / ``rebuild_centroids``): maintenance operations
-    stage a NEW versioned directory, audit it, then publish the
-    manifest atomically — readers never see a half-merged layout."""
+
+class _ManifestedIndex:
+    """Shared manifest plumbing for the persisted index layouts:
+    directory/file names resolve through ``_delta_manifest.json`` when
+    one exists (written by the delta subclasses' atomic maintenance
+    operations — stage a NEW versioned directory, audit, publish the
+    manifest in one rename, so readers never see a half-merged layout).
+
+    The parsed manifest is CACHED per handle: one query resolves
+    several names, and on an object store every uncached resolve would
+    be its own GET.  A handle invalidates after its OWN publishes;
+    maintenance is single-writer by contract, so after ANOTHER handle
+    (or process) runs maintenance on the same directory, open a fresh
+    handle or call :meth:`refresh`."""
 
     def __init__(self, spark: SparkSession, index_dir: str) -> None:
         self.spark = spark
         self.index_dir = index_dir
+        self._man_cache = _MANIFEST_UNREAD
+
+    def _manifest(self) -> Optional[dict]:
+        if self._man_cache is _MANIFEST_UNREAD:
+            self._man_cache = _read_index_manifest(self.spark, self.index_dir)
+        return self._man_cache
+
+    def refresh(self) -> None:
+        """Drop the cached manifest — call after another handle (or
+        process) ran maintenance on the same index directory."""
+        self._man_cache = _MANIFEST_UNREAD
+
+    def _publish(self, manifest: dict) -> None:
+        """Publish + drop this handle's cached manifest in one step —
+        every post-publish read must resolve the NEW generation."""
+        _publish_index_manifest(self.spark, self.index_dir, manifest)
+        self.refresh()
 
     def _base_dir(self, key: str, default: str) -> str:
-        m = _read_index_manifest(self.spark, self.index_dir)
-        name = ((m or {}).get("base") or {}).get(key, default)
+        name = ((self._manifest() or {}).get("base") or {}).get(key, default)
         return os.path.join(self.index_dir, name)
+
+    def _folded(self) -> list:
+        return list((self._manifest() or {}).get("folded_batches") or [])
+
+
+class IvfIndex(_ManifestedIndex):
+    """A directory holding ``centroids/`` (centroid_id, cvec) and
+    ``lists/`` (vec_id, cvec, partitioned by centroid_id).
+
+    Directory names resolve through the index's ``_delta_manifest.json``
+    when one exists — see :class:`_ManifestedIndex` for the resolution
+    and handle-caching contract."""
 
     @property
     def centroids_dir(self) -> str:
@@ -373,10 +434,6 @@ class DeltaIvfIndex(IvfIndex):
         super().__init__(spark, index_dir)
         self.delta_dir = os.path.join(index_dir, "delta_lists")
 
-    def _folded(self) -> list:
-        m = _read_index_manifest(self.spark, self.index_dir)
-        return list((m or {}).get("folded_batches") or [])
-
     def _delta_frames(self) -> Optional[DataFrame]:
         return _read_delta(self.spark, self.delta_dir, self._folded())
 
@@ -422,15 +479,19 @@ class DeltaIvfIndex(IvfIndex):
         """Post-publish garbage collection.  Everything removed here is
         already unreferenced by the freshly published manifest, so a
         crash at any point leaves only orphan directories (reclaimed by
-        the next merge/rebuild), never duplicate or missing rows."""
+        the next merge/rebuild), never duplicate or missing rows.
+        Sweeps EVERY folded batch subtree on disk (manifest set ∪ this
+        fold), not just this fold's — a crashed earlier GC or a sink
+        replay of an already-folded batch leaves subtrees no later
+        fold's own batch list would name."""
         for d in old_dirs:
             fsutil.delete(self.spark, d)
-        for b in batch_ids:
-            fsutil.delete(
-                self.spark, os.path.join(self.delta_dir, f"batch_id={int(b)}")
-            )
-        # drop the delta root once every subtree is folded
-        fsutil.rmdir_if_empty(self.spark, self.delta_dir)
+        m = self._manifest() or {}
+        _sweep_folded_subtrees(
+            self.spark,
+            self.delta_dir,
+            set(m.get("folded_batches") or []) | {int(b) for b in batch_ids},
+        )
 
     def merge_delta(self) -> None:
         """Fold the delta subtrees into a NEW versioned base directory
@@ -456,14 +517,21 @@ class DeltaIvfIndex(IvfIndex):
         marked folded without its rows)."""
         delta = self._delta_frames()
         if delta is None:
+            # nothing unfolded — still reclaim folded leftovers (a
+            # crashed earlier GC, or a replayed rewrite of a folded
+            # batch) that no later fold would otherwise ever name
+            _sweep_folded_subtrees(self.spark, self.delta_dir, self._folded())
             return
         batch_ids = sorted(
             int(r["batch_id"])
             for r in delta.select("batch_id").distinct().collect()
         )
         if not batch_ids:
+            # only folded leftovers on disk (the read filtered them all
+            # out) — reclaim them and stop
+            _sweep_folded_subtrees(self.spark, self.delta_dir, self._folded())
             return
-        m = _read_index_manifest(self.spark, self.index_dir) or {
+        m = self._manifest() or {
             "version": 0, "base": {}, "folded_batches": [],
         }
         v = int(m["version"]) + 1
@@ -487,9 +555,7 @@ class DeltaIvfIndex(IvfIndex):
                 f"merge audit failed for {self.index_dir}: staged "
                 f"{n_staged} rows, expected {n_base} + {n_delta}"
             )
-        _publish_index_manifest(
-            self.spark,
-            self.index_dir,
+        self._publish(
             {
                 "version": v,
                 "base": {**(m.get("base") or {}), "lists": new_name},
@@ -559,7 +625,7 @@ class DeltaIvfIndex(IvfIndex):
         n = rows.count()
         if n_centroids is None:
             n_centroids = auto_n_centroids(n)
-        m = _read_index_manifest(self.spark, self.index_dir) or {
+        m = self._manifest() or {
             "version": 0, "base": {}, "folded_batches": [],
         }
         v = int(m["version"]) + 1
@@ -599,9 +665,7 @@ class DeltaIvfIndex(IvfIndex):
                 f"rebuild audit failed for {self.index_dir}: staged "
                 f"{n_staged} rows, expected {n}"
             )
-        _publish_index_manifest(
-            self.spark,
-            self.index_dir,
+        self._publish(
             {
                 "version": v,
                 "base": {
@@ -617,7 +681,7 @@ class DeltaIvfIndex(IvfIndex):
         self._gc_after_publish([old_cents, old_lists], batch_ids)
 
 
-class IvfPqIndex:
+class IvfPqIndex(_ManifestedIndex):
     """IVF + PQ combined index — the classic production ANN layout
     (FAISS's IVFADC, Jégou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI 2011): corpus vectors are assigned to
@@ -640,21 +704,12 @@ class IvfPqIndex:
     partitioned by ``centroid_id`` holding (vec_id, codes).
     """
 
-    def __init__(self, spark: SparkSession, index_dir: str) -> None:
-        self.spark = spark
-        self.index_dir = index_dir
-
     @property
     def codebooks_path(self) -> str:
         """Manifest-resolved like the data directories, so a rebuild can
         swap the codebooks in the SAME atomic publish as the codes they
         encode (pre-manifest indexes keep the fixed file name)."""
         return self._base_dir("codebooks", "codebooks.json")
-
-    def _base_dir(self, key: str, default: str) -> str:
-        m = _read_index_manifest(self.spark, self.index_dir)
-        name = ((m or {}).get("base") or {}).get(key, default)
-        return os.path.join(self.index_dir, name)
 
     @property
     def centroids_dir(self) -> str:
@@ -973,10 +1028,6 @@ class DeltaIvfPqIndex(IvfPqIndex):
             delta = delta.where(F.col("centroid_id").isin(centroid_ids))
         return base.unionByName(delta.select(*cols))
 
-    def _folded(self) -> list:
-        m = _read_index_manifest(self.spark, self.index_dir)
-        return list((m or {}).get("folded_batches") or [])
-
     def codes(self, centroid_ids: Optional[list] = None) -> DataFrame:
         return self._union_delta(
             super().codes(centroid_ids),
@@ -1104,7 +1155,7 @@ class DeltaIvfPqIndex(IvfPqIndex):
             m = len(old_books)
         if ksub is None:
             ksub = len(old_books[0])
-        man = _read_index_manifest(self.spark, self.index_dir) or {
+        man = self._manifest() or {
             "version": 0, "base": {}, "folded_batches": [],
         }
         v = int(man["version"]) + 1
@@ -1174,9 +1225,7 @@ class DeltaIvfPqIndex(IvfPqIndex):
                 f"rebuild audit failed for {self.index_dir}: staged "
                 f"{n_codes} codes / {n_vecs} vectors, expected {n} of each"
             )
-        _publish_index_manifest(
-            self.spark,
-            self.index_dir,
+        self._publish(
             {
                 "version": v,
                 "base": {**(man.get("base") or {}), **names},
@@ -1186,16 +1235,15 @@ class DeltaIvfPqIndex(IvfPqIndex):
             },
         )
         # post-publish GC: everything here is unreferenced by the new
-        # manifest — a crash leaves orphans, never duplicates
+        # manifest — a crash leaves orphans, never duplicates.  Sweep
+        # by the manifest's FULL folded set so leftovers of earlier
+        # crashed GCs / replayed folded batches are reclaimed too.
         for d in old_dirs:
             fsutil.delete(self.spark, d)
         fsutil.remove_file(self.spark, old_books_path)
+        all_folded = set(self._folded()) | set(batch_ids)
         for delta_dir in (self.delta_codes_dir, self.delta_vectors_dir):
-            for b in batch_ids:
-                fsutil.delete(
-                    self.spark, os.path.join(delta_dir, f"batch_id={int(b)}")
-                )
-            fsutil.rmdir_if_empty(self.spark, delta_dir)
+            _sweep_folded_subtrees(self.spark, delta_dir, all_folded)
 
     def merge_delta(self) -> None:
         """Fold the delta subtrees into NEW versioned base directories
@@ -1206,15 +1254,18 @@ class DeltaIvfPqIndex(IvfPqIndex):
         batches are folded.  OFFLINE maintenance: stream stopped."""
         folded = self._folded()
         delta_codes = _read_delta(self.spark, self.delta_codes_dir, folded)
-        if delta_codes is None:
+        if delta_codes is None or not (
+            batch_ids := sorted(
+                int(r["batch_id"])
+                for r in delta_codes.select("batch_id").distinct().collect()
+            )
+        ):
+            # nothing unfolded — still reclaim folded leftovers (crashed
+            # earlier GC / replayed rewrite of a folded batch)
+            for delta_dir in (self.delta_codes_dir, self.delta_vectors_dir):
+                _sweep_folded_subtrees(self.spark, delta_dir, folded)
             return
-        batch_ids = sorted(
-            int(r["batch_id"])
-            for r in delta_codes.select("batch_id").distinct().collect()
-        )
-        if not batch_ids:
-            return
-        m = _read_index_manifest(self.spark, self.index_dir) or {
+        m = self._manifest() or {
             "version": 0, "base": {}, "folded_batches": [],
         }
         v = int(m["version"]) + 1
@@ -1256,9 +1307,7 @@ class DeltaIvfPqIndex(IvfPqIndex):
                 delta_vecs, self.vectors_dir, "vectors",
                 ["centroid_id", "vec_id", "cvec"],
             )
-        _publish_index_manifest(
-            self.spark,
-            self.index_dir,
+        self._publish(
             {
                 "version": v,
                 "base": new_base,
@@ -1268,13 +1317,11 @@ class DeltaIvfPqIndex(IvfPqIndex):
             },
         )
         # post-publish GC: everything here is unreferenced by the new
-        # manifest — a crash leaves orphans, never duplicates
+        # manifest — a crash leaves orphans, never duplicates.  Sweep
+        # by the manifest's FULL folded set so leftovers of earlier
+        # crashed GCs / replayed folded batches are reclaimed too.
         for d in old_dirs:
             fsutil.delete(self.spark, d)
+        all_folded = set(self._folded()) | set(batch_ids)
         for delta_dir in (self.delta_codes_dir, self.delta_vectors_dir):
-            for b in batch_ids:
-                fsutil.delete(
-                    self.spark, os.path.join(delta_dir, f"batch_id={int(b)}")
-                )
-            # drop the delta root once every subtree is folded
-            fsutil.rmdir_if_empty(self.spark, delta_dir)
+            _sweep_folded_subtrees(self.spark, delta_dir, all_folded)

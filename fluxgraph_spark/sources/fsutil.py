@@ -88,9 +88,18 @@ def list_names(spark: SparkSession, path: str) -> list:
 
 
 def delete(spark: SparkSession, path: str) -> None:
-    """Recursive delete, missing-ok (``shutil.rmtree(ignore_errors)``)."""
+    """Recursive delete, missing-ok — directories AND plain files (the
+    Hadoop ``fs.delete(recursive=True)`` contract; the POSIX branch
+    must match it, since callers pass staged FILES such as versioned
+    codebooks JSONs through the same primitive)."""
     if not has_scheme(path):
-        shutil.rmtree(path, ignore_errors=True)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
         return
     _, fs, p = _jfs(spark, path)
     fs.delete(p, True)  # False on missing — same contract

@@ -754,3 +754,55 @@ def test_pq_rebuild_requires_vector_sidecar(spark, emb, tmp_path):
     idx = DeltaIvfPqIndex(spark, str(tmp_path / "novec"))
     with pytest.raises(ValueError, match="store_vectors"):
         idx.rebuild()
+
+
+def test_folded_leftovers_are_swept_and_invisible(spark, emb, tmp_path):
+    """A folded batch subtree recreated AFTER the fold (an at-least-once
+    sink replay, or a crash between publish and GC) stays invisible to
+    readers and is RECLAIMED by the next maintenance pass — without the
+    sweep, later merges only ever name unfolded batches and the orphan
+    would accumulate forever."""
+    import os
+
+    from fluxgraph_spark.sources.ann_index import DeltaIvfIndex, IvfIndex
+
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    d = str(tmp_path / "didx")
+    IvfIndex.build(seed, d, n_centroids=16)
+    idx = DeltaIvfIndex(spark, d)
+    idx.append_batch(batch, 0)
+    idx.merge_delta()
+    n_total = idx.lists().count()
+    assert not os.path.isdir(os.path.join(d, "delta_lists"))
+
+    # replayed sink rewrites the already-folded batch
+    idx.append_batch(batch, 0)
+    assert os.path.isdir(os.path.join(d, "delta_lists", "batch_id=0"))
+    assert idx.lists().count() == n_total  # invisible to readers
+    # next maintenance pass has nothing to fold but reclaims the orphan
+    idx.merge_delta()
+    assert not os.path.isdir(os.path.join(d, "delta_lists"))
+    assert idx.lists().count() == n_total
+
+
+def test_manifest_cache_refresh_across_handles(spark, emb, tmp_path):
+    """Handles cache the manifest (one read per handle, not per name
+    resolution); after ANOTHER handle runs maintenance, refresh() picks
+    up the new generation."""
+    from fluxgraph_spark.sources.ann_index import DeltaIvfIndex, IvfIndex
+
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    d = str(tmp_path / "didx")
+    IvfIndex.build(seed, d, n_centroids=16)
+    reader = DeltaIvfIndex(spark, d)
+    assert reader.lists_dir.endswith("lists")  # primes the cache
+
+    writer = DeltaIvfIndex(spark, d)
+    writer.append_batch(batch, 0)
+    writer.merge_delta()
+    assert writer.lists_dir.endswith("lists__m1")  # own publish refreshed
+    reader.refresh()
+    assert reader.lists_dir.endswith("lists__m1")
+    assert reader.lists().count() == emb.count()

@@ -196,3 +196,20 @@ def test_scd2_table_on_hadoop_path(spark, tmp_path):
     assert sorted(
         map(tuple, tbl2.read().select("user_id", "state", "is_current").collect())
     ) == got
+
+
+def test_delete_handles_plain_files_on_both_branches(spark, tmp_path):
+    """fsutil.delete must remove FILES as well as directories on the
+    POSIX branch — the Hadoop branch always did (fs.delete recursive),
+    and callers pass staged files (versioned codebooks JSONs) through
+    the same primitive."""
+    for prefix in ("", "file://"):
+        f = tmp_path / f"plain_{bool(prefix)}.json"
+        f.write_text("{}")
+        fsutil.delete(spark, prefix + str(f))
+        assert not f.exists()
+        d = tmp_path / f"dir_{bool(prefix)}"
+        (d / "sub").mkdir(parents=True)
+        fsutil.delete(spark, prefix + str(d))
+        assert not d.exists()
+        fsutil.delete(spark, prefix + str(tmp_path / "missing"))  # no-op
