@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import io
 from contextlib import redirect_stdout
+from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import model as M
@@ -73,6 +74,81 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     with redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
+
+
+def morton_col(scaled: list, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of pre-scaled integer columns: bit
+    ``i`` of dimension ``j`` lands at position ``i * k + j``.  Pure
+    bitwise Catalyst expressions (``bits x k`` shift/mask terms — 32-64
+    nodes, constant plan size), no UDF."""
+    k = len(scaled)
+    out = F.lit(0).cast("long")
+    for j, c in enumerate(scaled):
+        for i in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return out
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    bits: int = 16,
+    n_files: Optional[int] = None,
+) -> None:
+    """Multi-dimensional clustering for scan skipping: write ``df``
+    range-partitioned and sorted by the Morton (Z-order) interleave of
+    ``cols`` (numeric).  Each output file then covers a contiguous
+    Z-range, which is a small BOX in the original dimensions — so
+    parquet footer/row-group min-max stats become tight on EVERY
+    clustered column and a multi-column box predicate skips most files.
+    A single-column sort gives this for one column only; at 100 TB the
+    difference is reading ~sqrt(selectivity) of the files instead of
+    all of them for 2-D point/range lookups.  This is the layout trick
+    behind Delta OSS ``OPTIMIZE ZORDER BY`` and the classic UB-tree.
+
+    Columns scale LINEARLY between their min and max into ``bits``-bit
+    lattice coordinates (one bounded min/max probe at write time) —
+    heavy value skew clusters less evenly than a rank-based scaling
+    would; pre-transform (log, bucketed rank) skewed columns before
+    passing them in.  Reads need no helper: plain ``spark.read.parquet``
+    + the box predicate, pushed down as usual."""
+    if not cols:
+        raise ValueError("zorder_write needs at least one column")
+    spark = df.sparkSession
+    if n_files is None:
+        n_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{j}") for j, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"hi_{j}") for j, c in enumerate(cols)],
+    ).collect()[0]  # bounded driver probe: 2 x len(cols) scalars
+    scaled = []
+    top = (1 << bits) - 1
+    for j, c in enumerate(cols):
+        lo, hi = stats[f"lo_{j}"], stats[f"hi_{j}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo))
+                        * F.lit(top / span)
+                    ).cast("long"),
+                ),
+            )
+        )
+    (
+        df.withColumn("__z", morton_col(scaled, bits))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def materialize_graph_bucketed(
