@@ -1036,6 +1036,52 @@ def q_r_promo_share(spark, sf_dir):
     )
 
 
+def q_r_zorder_box(spark, sf_dir):
+    """Multi-dimensional clustering (plans/layout.zorder_write — the
+    Delta-OPTIMIZE-ZORDER / UB-tree layout): events rewritten
+    range-partitioned + sorted by the Morton interleave of
+    (user_id, ts_us), then a 2-D box predicate (user band x middle
+    time quartile) aggregated per event type.  Results are layout-
+    independent BY CONSTRUCTION — that is exactly what the oracle
+    checks (the clustered copy returns the same rows as a plain filter
+    over the source table); the skipping property (per-file min-max
+    boxes tight on BOTH clustered columns) is pinned in
+    tests/test_layout_zorder.py via parquet footer stats."""
+    import tempfile
+
+    from fluxgraph_spark.plans.layout import zorder_write
+
+    events = tpch.read_tables(spark, sf_dir)["events"]
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        TU.ts_us(F.col("ts")).alias("ts_us"),
+    )
+    root = tempfile.mkdtemp(prefix="zorder_")
+    path = os.path.join(root, "events_z")
+    zorder_write(ev, path, ["user_id", "ts_us"], n_files=8)
+    z = spark.read.parquet(path)
+    b = ev.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    return (
+        z.join(F.broadcast(b))
+        .where(
+            F.col("user_id").between(3, 7)
+            & (F.col("ts_us") >= F.col("lo") + F.floor(span / F.lit(4)))
+            & (F.col("ts_us") < F.col("lo") + F.floor(span * 2 / F.lit(4)))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents"),
+        )
+    )
+
+
 def q_r_big_orders(spark, sf_dir):
     """TPC-H Q18 shape: orders whose total quantity exceeds 200 (HAVING
     over a groupBy), joined back to orders + customer; deterministic top
@@ -3239,8 +3285,8 @@ _R6_PRIORITY = [
     "r_sole_late_supplier",
     "r_top_supplier",
     "s_pq_topk",
-    "t_asof_join_fwd",
-    # (t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
+    "r_zorder_box",  # new in r6: Z-order clustered layout
+    # (t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack rotated out to make room for the
     # fsutil-affected block and the three new r6 queries above — they
@@ -3314,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_order_priority": q_r_order_priority,
         "r_inactive_customers": q_r_inactive_customers,
         "r_promo_share": q_r_promo_share,
+        "r_zorder_box": q_r_zorder_box,
         "r_big_orders": q_r_big_orders,
         "r_disjunctive_rev": q_r_disjunctive_rev,
         "r_rollup_revenue": q_r_rollup_revenue,
@@ -4676,6 +4723,20 @@ def oracle_sql() -> dict[str, str]:
           WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
             AND l.l_shipdate < TIMESTAMP '1997-01-01'
         )
+        """,
+        "r_zorder_box": """
+        -- the clustered copy is layout-independent: the oracle is a
+        -- plain filter over the source table (epoch_us == timeutil.ts_us)
+        WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                   FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events, b
+        WHERE user_id BETWEEN 3 AND 7
+          AND epoch_us(ts) >= lo + (hi - lo) // 4
+          AND epoch_us(ts) <  lo + (hi - lo) * 2 // 4
+        GROUP BY event_type
         """,
         "r_big_orders": """
         SELECT o_orderkey, c_name, totalprice_cents, sum_qty, rank FROM (

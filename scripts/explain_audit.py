@@ -133,6 +133,7 @@ AUDITED = [
     "x_frames_msv1",
     "st_annpq_drift",
     "x_audio_adpcm",
+    "r_zorder_box",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or

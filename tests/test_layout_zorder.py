@@ -1,0 +1,84 @@
+"""Z-order clustered writes (plans/layout.zorder_write): the skipping
+property — per-file parquet min-max stats form tight boxes on EVERY
+clustered column, so multi-column box predicates skip most files —
+plus Morton-key correctness and result layout-independence."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from fluxgraph_spark.plans.layout import morton_col, zorder_write
+
+
+def _files_intersecting(path, box):
+    """(n_intersecting, n_files) by parquet footer stats: a file can be
+    SKIPPED when any predicate column's [min, max] misses its range —
+    exactly the reasoning Spark's parquet reader applies per row group
+    (each file here holds one row group at these sizes)."""
+    hit, total = 0, 0
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        lo, hi = {}, {}
+        for rg in range(md.num_row_groups):
+            for i, name in enumerate(names):
+                st = md.row_group(rg).column(i).statistics
+                lo[name] = min(lo.get(name, st.min), st.min)
+                hi[name] = max(hi.get(name, st.max), st.max)
+        total += 1
+        if all(lo[c] <= b_hi and hi[c] >= b_lo for c, (b_lo, b_hi) in box.items()):
+            hit += 1
+    return hit, total
+
+
+def test_morton_interleave_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    z = df.select(morton_col([F.col("a"), F.col("b")], bits=3).alias("z"))
+    # a-bits at even positions, b-bits at odd: a=101, b=011
+    # -> z = b2 a2 b1 a1 b0 a0 = 0 1 1 0 1 1 = 0b011011
+    assert z.collect()[0]["z"] == 0b011011
+
+
+def test_zorder_write_skips_multi_column_boxes(spark, tmp_path):
+    """On a 64x64 grid split into 16 files: a one-column sort only
+    skips for ITS column, the Z-order layout skips for both."""
+    rows = [(u, s, u * 64 + s) for u in range(64) for s in range(64)]
+    df = spark.createDataFrame(rows, "u long, s long, v long")
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    zorder_write(df, zdir, ["u", "s"], bits=8, n_files=16)
+    (
+        df.repartitionByRange(16, F.col("s"))
+        .sortWithinPartitions("s")
+        .write.parquet(ldir)
+    )
+
+    # u-band, s unrestricted: the s-sorted layout cannot skip at all
+    z_hit, z_total = _files_intersecting(zdir, {"u": (8, 15)})
+    l_hit, l_total = _files_intersecting(ldir, {"u": (8, 15)})
+    assert l_hit == l_total == 16  # every file spans all of u
+    assert z_total == 16 and z_hit <= 6, z_hit
+
+    # 2-D box: z-files are boxes in (u, s), so few intersect
+    z2, _ = _files_intersecting(zdir, {"u": (8, 15), "s": (8, 15)})
+    assert z2 <= 3, z2
+
+    # layout independence: same rows back through the box predicate
+    want = sorted(
+        r["v"] for r in df.where(
+            F.col("u").between(8, 15) & F.col("s").between(8, 15)
+        ).collect()
+    )
+    got = sorted(
+        r["v"] for r in spark.read.parquet(zdir).where(
+            F.col("u").between(8, 15) & F.col("s").between(8, 15)
+        ).collect()
+    )
+    assert got == want and len(want) == 64
+
+
+def test_zorder_write_rejects_empty_cols(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_write(df, str(tmp_path / "x"), [])
