@@ -2864,6 +2864,26 @@ def q_s_label_centroids(spark, sf_dir):
     return similarity.label_centroids(emb, "label", "embedding")
 
 
+def q_g_triangles_local(spark, sf_dir):
+    """Per-vertex (LOCAL) triangle counts (analytics.triangle_counts —
+    degree-ordered compact-forward, O(m^1.5) wedge work) over the
+    embedding near-dup pair graph: near-dup clusters are clique-ish, so
+    triangle density is the natural cluster-quality signal on exactly
+    the graph a dedup pipeline already has.  The oracle replays the
+    orientation and both joins over the same label-blocked cosine
+    pairs as s_embedding_near_dups."""
+    from fluxgraph_spark.operators.analytics import triangle_counts
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, block_col="label", threshold=0.35
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return triangle_counts(edges)
+
+
 def q_s_embedding_near_dups(spark, sf_dir):
     """Embedding similar pairs (cosine >= 0.35) blocked by label.
     (The synthetic embeddings are near-orthogonal random vectors — 0.35 is
@@ -3284,9 +3304,9 @@ _R6_PRIORITY = [
     "r_small_quantity_rev",
     "r_sole_late_supplier",
     "r_top_supplier",
-    "s_pq_topk",
+    "g_triangles_local",  # new in r6: per-vertex degree-ordered triangles
     "r_zorder_box",  # new in r6: Z-order clustered layout
-    # (t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
+    # (s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack rotated out to make room for the
     # fsutil-affected block and the three new r6 queries above — they
@@ -3446,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_audio_adpcm": q_x_audio_adpcm,
         "s_cosine_topk": q_s_cosine_topk,
         "s_label_centroids": q_s_label_centroids,
+        "g_triangles_local": q_g_triangles_local,
         "s_embedding_near_dups": q_s_embedding_near_dups,
         "s_lsh_topk": q_s_lsh_topk,
         "s_ivf_topk": q_s_ivf_topk,
@@ -5708,6 +5729,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
                round(('0x' || substring(md5(text || chr(CAST(i AS INTEGER))), 1, 2))::UBIGINT::DOUBLE / 255, 6) AS f0
         FROM vids, UNNEST(generate_series(0, greatest(CAST(duration_ms // 1000 AS BIGINT), 1) - 1)) AS g(i)
+        """,
+        "g_triangles_local": """
+        -- degree-ordered compact-forward replayed join-for-join over
+        -- the same label-blocked cosine pairs as s_embedding_near_dups
+        WITH canon AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35),
+        verts AS (
+          SELECT a AS v FROM canon UNION ALL SELECT b FROM canon),
+        deg AS (
+          SELECT v, count(*) AS d FROM verts GROUP BY v),
+        o AS (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                      THEN c.a ELSE c.b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                      THEN c.b ELSE c.a END AS v,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                      THEN db.d ELSE da.d END AS dv
+          FROM canon c
+          JOIN deg da ON da.v = c.a
+          JOIN deg db ON db.v = c.b),
+        w AS (
+          SELECT o1.u, o1.v AS v1, o2.v AS v2
+          FROM o o1 JOIN o o2 ON o1.u = o2.u
+          WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+        t AS (
+          SELECT w.u, w.v1, w.v2
+          FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2),
+        cnt AS (
+          SELECT v, count(*) AS n
+          FROM (SELECT u AS v FROM t
+                UNION ALL SELECT v1 FROM t
+                UNION ALL SELECT v2 FROM t)
+          GROUP BY v)
+        SELECT dv.v AS vertex_id,
+               CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+        FROM (SELECT DISTINCT v FROM verts) dv
+        LEFT JOIN cnt ON cnt.v = dv.v
         """,
         "s_embedding_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -496,3 +496,71 @@ def common_neighbor_scores(
     return scores.join(canon, ["a", "b"], "left_anti").where(
         F.col("n_common") >= min_common
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over the UNDIRECTED simple graph of
+    ``edges`` (self-loops dropped, both orientations unified).
+
+    Degree-ordered orientation — the compact-forward algorithm (Schank
+    & Wagner, WEA 2005; Latapy, TCS 2008): orient every edge from its
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    at each triangle's unique two-out-edges vertex, and close them
+    against the oriented edge set.  The orientation caps every
+    vertex's out-degree at O(sqrt(m)), so wedge work is O(m^1.5)
+    REGARDLESS of hub degree — the property that keeps the enumeration
+    alive at 100 TB, where an unoriented wedge join is quadratic in
+    the hottest vertex.  Three joins total, all equi-joins AQE can
+    plan; every triangle is emitted exactly once.
+
+    Returns (vertex_id, n_triangles) for EVERY vertex of the edge set
+    (0 for triangle-free vertices) — deterministic, so a SQL oracle
+    replays it join-for-join."""
+    e = edges.select(M.SRC, M.DST).where(F.col(M.SRC) != F.col(M.DST))
+    canon = e.select(
+        F.least(M.SRC, M.DST).alias("a"),
+        F.greatest(M.SRC, M.DST).alias("b"),
+    ).distinct()
+    verts = canon.select(F.col("a").alias("v")).unionByName(
+        canon.select(F.col("b").alias("v"))
+    )
+    deg = verts.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    ab = (
+        canon.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ab.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    # the closing edge (v1, v2) is oriented v1 -> v2 exactly when the
+    # wedge condition holds, so one equi-join closes every triangle once
+    tri = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select("u", "v1", "v2")
+    per_vertex = (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        verts.distinct()
+        .join(per_vertex, "v", "left")
+        .select(
+            F.col("v").alias("vertex_id"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

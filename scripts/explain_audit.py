@@ -134,6 +134,7 @@ AUDITED = [
     "st_annpq_drift",
     "x_audio_adpcm",
     "r_zorder_box",
+    "g_triangles_local",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -250,6 +251,7 @@ NO_BROADCAST_EXPECTED = {
     "x_percentiles", "x_rolling", "x_scrub", "x_repetition", "x_split",
     "k_sketches",
     "g_copurchase_top",     # order-keyed self-join: AQE decides
+    "g_triangles_local",    # wedge/close equi-joins on vertex ids: AQE decides
     "t_versions_at",        # no joins
     "t_asof_join_fwd",      # union + window, no joins
     "x_range_frame", "x_json_extract",

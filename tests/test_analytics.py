@@ -250,3 +250,37 @@ def test_common_neighbor_scores(spark):
     out2 = {(r["a"], r["b"]): r["n_common"]
             for r in common_neighbor_scores(tri, min_common=1).collect()}
     assert (1, 2) not in out2 and out2[(3, 4)] == 2
+
+
+def test_triangle_counts_exact(spark):
+    """Degree-ordered compact-forward triangle counting: hand-pinned
+    K4 + pendant + separate triangle, then a random graph against a
+    brute-force itertools enumeration (every triangle exactly once,
+    zero rows for triangle-free vertices, duplicate/reversed/self-loop
+    edges normalized away)."""
+    from itertools import combinations
+
+    from fluxgraph_spark.operators.analytics import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+             (6, 7), (7, 8), (8, 6), (6, 8), (8, 8), (2, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["vertex_id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 1, 7: 1, 8: 1}
+
+    import random
+
+    rng = random.Random(9)
+    rand = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(160)})
+    rand = [(a, b) for a, b in rand if a != b]
+    adj = {tuple(sorted(e)) for e in rand}
+    verts = sorted({v for e in adj for v in e})
+    want = {v: 0 for v in verts}
+    for a, b, c in combinations(verts, 3):
+        if {(a, b), (a, c), (b, c)} <= adj:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    df2 = spark.createDataFrame(rand, ["src", "dst"])
+    got2 = {r["vertex_id"]: r["n_triangles"] for r in triangle_counts(df2).collect()}
+    assert got2 == want

