@@ -3061,6 +3061,21 @@ def q_s_ivfpq_residual_topk(spark, sf_dir):
     return idx.topk(queries, k=10, n_probe=4)
 
 
+def q_s_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN (similarity.sq_topk — the FAISS SQ8
+    idea): the scan touches only 8x-compressed code arrays, the score
+    is the integer cosine of the code vectors (per-vector scales
+    cancel) quantized to micro-units — exact integer arithmetic end to
+    end, so the compressed ranking replays bit-for-bit in SQL.  The
+    middle rung between raw cosine (8x the bytes) and PQ/ADC (finer
+    compression, coarser scores)."""
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.sq_topk(emb, queries, k=10)
+
+
 def q_s_pq_topk(spark, sf_dir):
     """Product-quantization ANN: corpus compressed to m=4 one-byte codes
     per vector (64x), queries score via asymmetric-distance lookup-table
@@ -3279,7 +3294,6 @@ _R6_PRIORITY = [
     "s_ivf_topk",
     "t_asof_join",
     "t_asof_tolerance",
-    "x_decontaminate",
     "x_vocab",
     "d_simhash",
     "d_span_dup",
@@ -3305,8 +3319,9 @@ _R6_PRIORITY = [
     "r_sole_late_supplier",
     "r_top_supplier",
     "g_triangles_local",  # new in r6: per-vertex degree-ordered triangles
+    "s_sq_topk",  # new in r6: int8 scalar-quantized ANN
     "r_zorder_box",  # new in r6: Z-order clustered layout
-    # (s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
+    # (x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack rotated out to make room for the
     # fsutil-affected block and the three new r6 queries above — they
@@ -3475,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ivfpq_rerank": q_s_ivfpq_rerank,
         "s_ivfpq_residual_topk": q_s_ivfpq_residual_topk,
         "s_ivf_kmeans_topk": q_s_ivf_kmeans_topk,
+        "s_sq_topk": q_s_sq_topk,
         "s_pq_topk": q_s_pq_topk,
         "pipeline_corpus": q_pipeline_corpus,
         "m_media_features": q_m_media_features,
@@ -5769,6 +5785,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
         FROM (SELECT DISTINCT v FROM verts) dv
         LEFT JOIN cnt ON cnt.v = dv.v
+        """,
+        "s_sq_topk": """
+        -- int8 scalar quantization: codes = floor(v/maxabs*127 + 0.5);
+        -- cosine of the CODE vectors is scale-free, micro-quantized —
+        -- exact integer arithmetic end to end
+        WITH sq AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                   x -> CASE WHEN s = 0 THEN 0
+                             ELSE CAST(floor(x / s * 127 + 0.5) AS BIGINT) END
+                 ) AS codes
+          FROM (SELECT vec_id, embedding,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+                FROM embeddings)),
+        n AS (
+          SELECT vec_id, codes,
+                 CAST(list_aggregate(list_transform(codes, x -> x * x), 'sum') AS BIGINT) AS n2
+          FROM sq),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 CAST(floor(list_dot_product(c.codes, q.codes)
+                            / sqrt(CAST(c.n2 * q.n2 AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT) AS score_micro
+          FROM n c, n q
+          WHERE q.vec_id < 5 AND c.n2 > 0 AND q.n2 > 0),
+        ranked AS (
+          SELECT query_id, vec_id, score_micro,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score_micro DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT * FROM ranked WHERE rank <= 10
         """,
         "s_embedding_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

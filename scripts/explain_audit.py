@@ -135,6 +135,7 @@ AUDITED = [
     "x_audio_adpcm",
     "r_zorder_box",
     "g_triangles_local",
+    "s_sq_topk",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -198,6 +199,7 @@ NO_PUSHDOWN_EXPECTED = {
     "t_asof_nearest",       # full-events union + window
     "s_ivf_topk",           # full-embeddings scan + centroid sample
     "s_pq_topk",            # full-embeddings narrow encode + LUT broadcast
+    "s_sq_topk",            # full-embeddings narrow int8 encode
     "s_lsh_topk",           # full-embeddings bucketing
     "g_gremlin_pipe",       # kind/label predicates fold into union-branch pruning
     "g_gremlin_heavy",      # label/quantity predicates fold into union branches

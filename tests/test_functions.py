@@ -819,3 +819,46 @@ def test_bloom_words_buffer_and_sharding(spark):
     assert sharded == unsharded and len(unsharded) > 0
     with pytest.raises(ValueError, match="n_shards"):
         dedup.contamination_hits_bloom(probe, bench, n_shards=0)
+
+
+def test_sq_topk_recall_and_code_range(spark):
+    """Int8 scalar quantization: codes stay in [-127, 127], every vector
+    with max|v| > 0 hits ±127 somewhere (full-scale use), and the
+    compressed ranking recovers the exact top-10 on the test corpus
+    (SQ8 keeps ~7 significant bits per component — near-exact by
+    design).  All-zero vectors are excluded from ranking, not NaN'd."""
+    from fluxgraph_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        sq_encode,
+        sq_topk,
+    )
+
+    emb = read_tables(spark, SF_DIR)["embeddings"]
+    enc = sq_encode(emb).collect()
+    for r in enc:
+        assert all(-127 <= x <= 127 for x in r["sq_codes"])
+        assert max(abs(x) for x in r["sq_codes"]) == 127  # full-scale
+        assert r["sq_norm2"] == sum(x * x for x in r["sq_codes"])
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    have = {
+        (r["query_id"], r["vec_id"])
+        for r in sq_topk(emb, queries, k=10).collect()
+    }
+    assert len(want & have) / len(want) >= 0.95
+
+    # zero vectors: coded to zeros, excluded from scoring
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    q = z.where(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = sq_topk(z, q, k=5).collect()
+    assert {r["vec_id"] for r in rows} == {2}
