@@ -3221,6 +3221,31 @@ def q_x_audio_adpcm(spark, sf_dir):
     return multimodal.audio_block_means(au, samples_per_block=65)
 
 
+def q_x_warc_ingest(spark, sf_dir):
+    """Web-archive ingestion (sources/warc.py — the Common Crawl
+    container): every 17th document becomes a crawled page in
+    per-record-gzip ``.warc.gz`` files; the distributed reader parses
+    records executor-side (binaryFile + mapInPandas), splits the HTTP
+    response, strips HTML to visible text, and the oracle replays the
+    extracted text from the source documents (title node + body node:
+    'doc <id>' || text) by digest arithmetic — a broken record walk,
+    gzip-member split, HTTP split, or entity-unescape all hash-fail."""
+    import tempfile
+
+    from fluxgraph_spark.sources import warc
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    root = tempfile.mkdtemp(prefix="warc_")
+    warc.warc_files_from_documents(docs, root, every=17, per_file=16)
+    recs = warc.read_warc(spark, os.path.join(root, "*.warc.gz"))
+    txt = warc.extract_text(recs, collapse=False)
+    return txt.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_m_media_meta(spark, sf_dir):
     """Multimodal metadata scan (no decode): typed metadata + blob sizes
     — the column-pruned path a 100 TB media lake query takes when it
@@ -3294,7 +3319,6 @@ _R6_PRIORITY = [
     "s_ivf_topk",
     "t_asof_join",
     "t_asof_tolerance",
-    "x_vocab",
     "d_simhash",
     "d_span_dup",
     "d_winnow_pairs",
@@ -3320,8 +3344,9 @@ _R6_PRIORITY = [
     "r_top_supplier",
     "g_triangles_local",  # new in r6: per-vertex degree-ordered triangles
     "s_sq_topk",  # new in r6: int8 scalar-quantized ANN
+    "x_warc_ingest",  # new in r6: Common Crawl WARC ingestion
     "r_zorder_box",  # new in r6: Z-order clustered layout
-    # (x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
+    # (x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack rotated out to make room for the
     # fsutil-affected block and the three new r6 queries above — they
@@ -3478,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frames": q_x_frames,
         "x_frames_mjpeg": q_x_frames_mjpeg,
         "x_frames_msv1": q_x_frames_msv1,
+        "x_warc_ingest": q_x_warc_ingest,
         "x_audio_adpcm": q_x_audio_adpcm,
         "s_cosine_topk": q_s_cosine_topk,
         "s_label_centroids": q_s_label_centroids,
@@ -5723,6 +5749,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
                CAST(n_frames AS BIGINT) AS n_frames
         FROM b
+        """,
+        "x_warc_ingest": """
+        -- extracted visible text = title node || body node =
+        -- 'doc <id>' || text (no whitespace between adjacent tags)
+        SELECT doc_id,
+               CAST(length('doc ' || CAST(doc_id AS VARCHAR) || text) AS BIGINT) AS n_chars,
+               md5('doc ' || CAST(doc_id AS VARCHAR) || text) AS text_md5
+        FROM documents WHERE doc_id % 17 = 0
         """,
         "x_audio_adpcm": """
         -- block j of channel L/R holds the constant int16 amplitude

@@ -7,6 +7,7 @@ from .bucketed import DedupIndex
 from .ann_index import DeltaIvfIndex, DeltaIvfPqIndex, IvfIndex, IvfPqIndex
 from .scd2_table import Scd2ParquetTable
 from .rexster import RexsterShim
+from .warc import extract_text, html_to_text, read_warc, write_warc
 
 __all__ = [
     "load_graphml",
@@ -25,4 +26,8 @@ __all__ = [
     "DeltaIvfPqIndex",
     "Scd2ParquetTable",
     "RexsterShim",
+    "read_warc",
+    "write_warc",
+    "extract_text",
+    "html_to_text",
 ]

@@ -136,6 +136,7 @@ AUDITED = [
     "r_zorder_box",
     "g_triangles_local",
     "s_sq_topk",
+    "x_warc_ingest",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -229,6 +230,7 @@ NO_PUSHDOWN_EXPECTED = {
                              # (mapInPandas; doc_id % 11 is not a
                              # pushable predicate)
     "x_audio_adpcm",         # same (ADPCM decode; doc_id % 13)
+    "x_warc_ingest",         # binaryFile scan + executor-side parse
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -302,6 +304,7 @@ NO_BROADCAST_EXPECTED = {
     "g_gremlin_loop_emit",   # same
     "x_frames_msv1",         # narrow mapInPandas decode, no joins
     "x_audio_adpcm",         # narrow mapInPandas decode, no joins
+    "x_warc_ingest",         # narrow mapInPandas parse, no joins
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,
