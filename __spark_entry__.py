@@ -98,6 +98,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # graph queries (SURVEY §2.3, §2.4)
 # ---------------------------------------------------------------------------
 
+def q_g_motif_open_paths(spark, sf_dir):
+    """Motif finding (operators/motif.py — the GraphFrames ``find()``
+    pattern surface compiled to one join tree): open 2-paths
+    ``(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)`` — two hops with NO
+    shortcut edge (the negated term is a left-anti join) — counted per
+    endpoint-kind pair.  The oracle replays the two joins + NOT EXISTS
+    over the graph CTEs."""
+    from fluxgraph_spark.operators.motif import find
+
+    _, v, e = _graph(spark, sf_dir)
+    m = find(v, e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    return m.groupBy(
+        F.col("a.kind").alias("kind_a"), F.col("c.kind").alias("kind_c")
+    ).agg(F.count(F.lit(1)).alias("n_paths"))
+
+
 def q_g_vertices_by_kind(spark, sf_dir):
     """R3 set-at-a-time: all-vertices scan + count by kind."""
     _, v, _ = _graph(spark, sf_dir)
@@ -3319,7 +3335,6 @@ _R6_PRIORITY = [
     "s_ivf_topk",
     "t_asof_join",
     "t_asof_tolerance",
-    "d_simhash",
     "d_span_dup",
     "d_winnow_pairs",
     "g_bfs_levels",
@@ -3345,8 +3360,9 @@ _R6_PRIORITY = [
     "g_triangles_local",  # new in r6: per-vertex degree-ordered triangles
     "s_sq_topk",  # new in r6: int8 scalar-quantized ANN
     "x_warc_ingest",  # new in r6: Common Crawl WARC ingestion
+    "g_motif_open_paths",  # new in r6: GraphFrames-style motif finding
     "r_zorder_box",  # new in r6: Z-order clustered layout
-    # (x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
+    # (d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack rotated out to make room for the
     # fsutil-affected block and the three new r6 queries above — they
@@ -3507,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_audio_adpcm": q_x_audio_adpcm,
         "s_cosine_topk": q_s_cosine_topk,
         "s_label_centroids": q_s_label_centroids,
+        "g_motif_open_paths": q_g_motif_open_paths,
         "g_triangles_local": q_g_triangles_local,
         "s_embedding_near_dups": q_s_embedding_near_dups,
         "s_lsh_topk": q_s_lsh_topk,
@@ -4367,6 +4384,18 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.label = 'placed_by' AND v.kind = 'customer' AND v.nationkey = 3) p
         JOIN ge c ON c.src = p.order_id AND c.label = 'contains'
         GROUP BY p.customer_id
+        """,
+        "g_motif_open_paths": GRAPH_CTES
+        + """
+        SELECT va.kind AS kind_a, vc.kind AS kind_c,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM ge e1
+        JOIN ge e2 ON e2.src = e1.dst
+        JOIN gv va ON va.id = e1.src
+        JOIN gv vc ON vc.id = e2.dst
+        WHERE NOT EXISTS (SELECT 1 FROM ge e3
+                          WHERE e3.src = e1.src AND e3.dst = e2.dst)
+        GROUP BY 1, 2
         """,
         "g_revenue_by_region": GRAPH_CTES
         + """

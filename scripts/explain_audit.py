@@ -137,6 +137,7 @@ AUDITED = [
     "g_triangles_local",
     "s_sq_topk",
     "x_warc_ingest",
+    "g_motif_open_paths",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -145,6 +146,7 @@ AUDITED = [
 # pushed filter)
 NO_PUSHDOWN_EXPECTED = {
     "g_orders_per_customer",
+    "g_motif_open_paths",   # pattern over ALL edges/kinds — nothing to push
     "g_out_degree_top20",   # degree over ALL edges
     "pricing_summary",      # predicate on derived date arithmetic
     "d_minhash_lsh_pairs",  # full-corpus shingling
@@ -256,6 +258,7 @@ NO_BROADCAST_EXPECTED = {
     "k_sketches",
     "g_copurchase_top",     # order-keyed self-join: AQE decides
     "g_triangles_local",    # wedge/close equi-joins on vertex ids: AQE decides
+    "g_motif_open_paths",   # pattern equi-joins on vertex ids: AQE decides
     "t_versions_at",        # no joins
     "t_asof_join_fwd",      # union + window, no joins
     "x_range_frame", "x_json_extract",
