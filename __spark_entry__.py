@@ -2958,6 +2958,39 @@ def q_pipeline_corpus(spark, sf_dir):
     )
 
 
+def q_pipeline_crawl(spark, sf_dir):
+    """The corpus pipeline fed from WEB ARCHIVES instead of a parquet
+    table — the end-to-end crawl-to-corpus DAG a training pipeline
+    actually runs: `.warc.gz` ingest (sources/warc.py, distributed
+    parse) → HTML→text extraction → quality scoring → language filter →
+    fingerprint dedup.  Shares pipeline_corpus's stage semantics; the
+    oracle is pipeline_corpus's SQL re-rooted on the extracted text
+    ('doc <id>' || text, the x_warc_ingest contract)."""
+    import tempfile
+
+    from fluxgraph_spark.sources import warc
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    root = tempfile.mkdtemp(prefix="warc_pipe_")
+    warc.warc_files_from_documents(docs, root, every=17, per_file=16)
+    recs = warc.read_warc(spark, os.path.join(root, "*.warc.gz"))
+    crawl = warc.extract_text(recs, collapse=False).select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    scored = text.quality_score(crawl).where(F.col("quality_score") >= 0.5)
+    en = scored.withColumn("lang", text.language_id(F.col("text"))).where(
+        F.col("lang") == "en"
+    )
+    fp = en.withColumn("fp", text.fingerprint(F.col("text")))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "quality_score", "q_tokens")
+    )
+
+
 def q_s_ivf_topk(spark, sf_dir):
     """IVF ANN top-k.  Approximate (probes n nearest buckets only) but
     fully deterministic: centroids are the md5-smallest corpus sample,
@@ -3335,7 +3368,6 @@ _R6_PRIORITY = [
     "s_ivf_topk",
     "t_asof_join",
     "t_asof_tolerance",
-    "d_span_dup",
     "d_winnow_pairs",
     "g_bfs_levels",
     "g_components",
@@ -3361,8 +3393,9 @@ _R6_PRIORITY = [
     "s_sq_topk",  # new in r6: int8 scalar-quantized ANN
     "x_warc_ingest",  # new in r6: Common Crawl WARC ingestion
     "g_motif_open_paths",  # new in r6: GraphFrames-style motif finding
+    "pipeline_crawl",  # new in r6: crawl-to-corpus end-to-end
     "r_zorder_box",  # new in r6: Z-order clustered layout
-    # (d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
+    # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack rotated out to make room for the
     # fsutil-affected block and the three new r6 queries above — they
@@ -3536,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_sq_topk": q_s_sq_topk,
         "s_pq_topk": q_s_pq_topk,
         "pipeline_corpus": q_pipeline_corpus,
+        "pipeline_crawl": q_pipeline_crawl,
         "m_media_features": q_m_media_features,
         "m_media_meta": q_m_media_meta,
         "m_frame_samples": q_m_frame_samples,
@@ -5892,6 +5926,17 @@ def oracle_sql() -> dict[str, str]:
     # is not SQL-replayable, so the gated output is the exact md5-family
     # verified-pair count (computed identically here) plus a recall
     # verdict the oracle pins TRUE (see q_d_lsh_fast_pairs).
+    # the crawl pipeline is pipeline_corpus re-rooted on the WARC-
+    # extracted text ('doc <id>' || text — the x_warc_ingest contract)
+    _crawl = sqls["pipeline_corpus"].replace("FROM documents", "FROM docs2")
+    assert "FROM docs2" in _crawl
+    sqls["pipeline_crawl"] = _crawl.replace(
+        "WITH m AS",
+        "WITH docs2 AS (SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR)"
+        " || text AS text FROM documents WHERE doc_id %% 17 = 0),\n"
+        "        m AS".replace("%%", "%"),
+        1,
+    )
     sqls["d_lsh_fast_pairs"] = (
         "SELECT count(*) AS n_truth, TRUE AS recall_ok FROM (\n"
         + _lsh_verified_sql(8, 4)

@@ -56,6 +56,7 @@ HEADLINE = [
     "g_gremlin_loop_while",     # driver-fixpoint loop: region-bound walk
                                 # (r6 — superstep rounds, localCheckpoint
                                 # per round, data-dependent exit)
+    "s_sq_topk",                # int8 scalar-quantized compressed scan (r6)
 ]
 
 

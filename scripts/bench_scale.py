@@ -61,6 +61,12 @@ QUERIES = [
     # round 5 late: residual-PQ IVFADC and the bloom-pruned decontaminate
     "s_ivfpq_residual_topk",
     "x_decontaminate_bloom",
+    # round 6 late: the compressed int8 scan and the triangle join — the
+    # wedge enumeration is the one with a super-linear failure mode
+    # (degree ordering caps it at O(m^1.5); this is the check that it
+    # actually does)
+    "s_sq_topk",
+    "g_triangles_local",
 ]
 
 # the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data

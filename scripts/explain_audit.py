@@ -138,6 +138,7 @@ AUDITED = [
     "s_sq_topk",
     "x_warc_ingest",
     "g_motif_open_paths",
+    "pipeline_crawl",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -157,6 +158,7 @@ NO_PUSHDOWN_EXPECTED = {
     "t_sessionize",
     "t_asof_join",
     "pipeline_corpus",      # quality filter is a derived expression
+    "pipeline_crawl",       # same stages over WARC-extracted text
     "r_order_priority",     # the only filter is the join-time shipdate arithmetic
     "r_big_orders",         # HAVING on an aggregate — nothing scan-level
     "r_rollup_revenue",     # full-table rollup
@@ -246,6 +248,7 @@ NO_BROADCAST_EXPECTED = {
     "t_asof_join",
     "s_cosine_topk",
     "pipeline_corpus",      # pure per-document maps + one window — no joins
+    "pipeline_crawl",       # same (ingest is mapInPandas, no joins)
     "r_order_priority",     # orders/lineitem semi-join: AQE decides at runtime
     "r_inactive_customers", # customer/orders anti-join: AQE decides
     "r_promo_share",        # lineitem/part join: AQE decides
