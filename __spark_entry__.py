@@ -3398,7 +3398,7 @@ _R6_PRIORITY = [
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack rotated out to make room for the
-    # fsutil-affected block and the three new r6 queries above — they
+    # fsutil-affected block and the SIX new late-r6 queries above — they
     # re-enter in r7; the driver hashes a ~50-entry prefix, so the list
     # is kept at exactly 50)
 ]
@@ -5817,8 +5817,8 @@ def oracle_sql() -> dict[str, str]:
         -- extracted visible text = title node || body node =
         -- 'doc <id>' || text (no whitespace between adjacent tags)
         SELECT doc_id,
-               CAST(length('doc ' || CAST(doc_id AS VARCHAR) || text) AS BIGINT) AS n_chars,
-               md5('doc ' || CAST(doc_id AS VARCHAR) || text) AS text_md5
+               CAST(length('doc ' || CAST(doc_id AS VARCHAR) || coalesce(text, '')) AS BIGINT) AS n_chars,
+               md5('doc ' || CAST(doc_id AS VARCHAR) || coalesce(text, '')) AS text_md5
         FROM documents WHERE doc_id % 17 = 0
         """,
         "x_audio_adpcm": """
@@ -5933,7 +5933,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["pipeline_crawl"] = _crawl.replace(
         "WITH m AS",
         "WITH docs2 AS (SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR)"
-        " || text AS text FROM documents WHERE doc_id %% 17 = 0),\n"
+        " || coalesce(text, '') AS text FROM documents"
+        " WHERE doc_id %% 17 = 0),\n"
         "        m AS".replace("%%", "%"),
         1,
     )

@@ -517,10 +517,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (0 for triangle-free vertices) — deterministic, so a SQL oracle
     replays it join-for-join."""
     e = edges.select(M.SRC, M.DST).where(F.col(M.SRC) != F.col(M.DST))
+    # canon feeds the degree count, the orientation join AND the final
+    # vertex list, and o feeds both wedge sides plus the closing join —
+    # under different shuffle keys, so ReuseExchange cannot collapse
+    # them; persist so an expensive upstream edge derivation (e.g. the
+    # blocked cosine pair join) runs once per action
     canon = e.select(
         F.least(M.SRC, M.DST).alias("a"),
         F.greatest(M.SRC, M.DST).alias("b"),
-    ).distinct()
+    ).distinct().persist()
     verts = canon.select(F.col("a").alias("v")).unionByName(
         canon.select(F.col("b").alias("v"))
     )
@@ -536,7 +541,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).persist()
     o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
     o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
     wedges = o1.join(o2, "u").where(

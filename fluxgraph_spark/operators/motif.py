@@ -105,10 +105,12 @@ def find(vertices: DataFrame, edges: DataFrame, pattern: str) -> DataFrame:
             cur = cur.join(e, on)
         else:  # disconnected pattern component
             cur = cur.crossJoin(e)
-        if va is not None and va not in bound:
-            bound[va] = src_c
-        if vb is not None and vb not in bound:
-            bound[vb] = dst_c
+        for name, col in ((va, src_c), (vb, dst_c)):
+            if name is None or name in bound:
+                continue
+            if name in seen_edges:
+                raise ValueError(f"duplicate element name {name!r}")
+            bound[name] = col
     if cur is None:
         raise ValueError("motif pattern needs at least one positive term")
     for neg, va, en, vb in terms:

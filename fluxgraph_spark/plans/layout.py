@@ -82,6 +82,13 @@ def morton_col(scaled: list, bits: int = 16) -> Column:
     bitwise Catalyst expressions (``bits x k`` shift/mask terms — 32-64
     nodes, constant plan size), no UDF."""
     k = len(scaled)
+    if bits * k > 63:
+        raise ValueError(
+            f"morton key needs {bits * k} bits for {k} dims x {bits} "
+            "bits, but a signed long holds 63 — reaching the sign bit "
+            "would order high-coordinate rows FIRST and silently break "
+            "the clustering; lower `bits` (e.g. 15 for 4 dims)"
+        )
     out = F.lit(0).cast("long")
     for j, c in enumerate(scaled):
         for i in range(bits):
@@ -124,6 +131,11 @@ def zorder_write(
         *[F.min(c).cast("double").alias(f"lo_{j}") for j, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"hi_{j}") for j, c in enumerate(cols)],
     ).collect()[0]  # bounded driver probe: 2 x len(cols) scalars
+    if any(stats[f"lo_{j}"] is None for j in range(len(cols))):
+        # zero rows (or an all-NULL column): nothing to cluster — write
+        # the (empty) table plainly instead of dying in the scaler
+        df.write.mode("overwrite").parquet(path)
+        return
     scaled = []
     top = (1 << bits) - 1
     for j, c in enumerate(cols):

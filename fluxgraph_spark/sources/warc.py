@@ -133,10 +133,13 @@ def _split_gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members one member at a time
     (the ``.warc.gz`` framing).  zlib tells us where each member ended
     via ``unused_data``, so this needs no index."""
+    mv = memoryview(data)  # zero-copy slices: a per-record-gzip file
+    # has thousands of members, and bytes-slicing the remainder per
+    # member would make the walk quadratic in file size
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        yield d.decompress(data[pos:])
+        yield d.decompress(mv[pos:])
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:  # pragma: no cover - corrupt trailing bytes
             raise ValueError("corrupt gzip member in WARC")

@@ -82,3 +82,22 @@ def test_zorder_write_rejects_empty_cols(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError, match="at least one column"):
         zorder_write(df, str(tmp_path / "x"), [])
+
+
+def test_morton_sign_bit_guard(spark, tmp_path):
+    """bits x dims past 63 would put coordinates into the long sign bit
+    and silently invert the clustering order — rejected loudly."""
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    with pytest.raises(ValueError, match="sign bit"):
+        zorder_write(df, str(tmp_path / "x"), ["a", "b", "c", "d"])  # 16*4
+    zorder_write(df, str(tmp_path / "ok"), ["a", "b", "c", "d"], bits=15)
+    assert spark.read.parquet(str(tmp_path / "ok")).count() == 1
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    """Zero matching rows: the (empty) table still writes and reads
+    back instead of dying in the min/max scaler."""
+    df = spark.createDataFrame([], "a long, b long")
+    zorder_write(df, str(tmp_path / "e"), ["a", "b"])
+    out = spark.read.parquet(str(tmp_path / "e"))
+    assert out.count() == 0 and set(out.columns) == {"a", "b"}

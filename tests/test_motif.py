@@ -65,6 +65,8 @@ def test_motif_error_contract(tiny):
         "(a)-[e]->(b); !(a)-[e2]->(b)",      # named edge in negation
         "!(q)-[]->(z)",                      # negation without bindings
         "(a)-[e]->(b); (b)-[e]->(c)",        # duplicate edge name
+        "(a)-[c]->(b); (b)-[]->(c)",         # vertex reuses an edge name
+        "(c)-[c]->(b)",                      # edge reuses its own vertex
     ]:
         with pytest.raises(ValueError):
             find(v, e, bad).collect()
