@@ -2147,6 +2147,43 @@ def q_x_vocab(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w))
 
 
+_BPE_MERGES = 10
+
+
+def q_x_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING, distributed (functions/bpe.py): learn 10
+    merges over the distinct-word frequency table (Sennrich et al. 2016
+    — the corpus is touched once by a map-side count; every round after
+    that runs on |vocab| weighted symbol rows).  Each round = one lead
+    window + one map-side-combined pair count + a 1-row argmax probe +
+    one gaps-and-islands window applying the merge greedily
+    left-to-right.  Fully deterministic (integer counts, ASCII
+    tie-break), so the WHOLE training loop unrolls into chained SQL
+    CTEs — the oracle replays all 10 rounds bit-for-bit."""
+    from fluxgraph_spark.functions import bpe
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    merges, state = bpe.bpe_train(docs, n_merges=_BPE_MERGES)
+    state.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def q_x_bpe_encode(spark, sf_dir):
+    """BPE corpus ENCODING with the vocabulary just trained: per-doc
+    subword token accounting (doc_id, n_words, n_tokens).  The trained
+    word->n_tokens table is the distinct vocabulary — broadcast — so
+    the corpus side shuffles nothing beyond its own count agg; at 100 TB
+    this is the token-budget accounting pass every pretraining-mix job
+    runs."""
+    from fluxgraph_spark.functions import bpe
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    _merges, state = bpe.bpe_train(docs, n_merges=_BPE_MERGES)
+    return bpe.encode_token_counts(docs, state)
+
+
 # ---------------------------------------------------------------------------
 # streaming queries (SURVEY §2.8 — the reference has no streaming; this is
 # the extended surface, exercised through the REAL Structured Streaming
@@ -3498,6 +3535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_suite": q_x_window_suite,
         "x_tfidf_top_terms": q_x_tfidf_top_terms,
         "x_vocab": q_x_vocab,
+        "x_bpe_merges": q_x_bpe_merges,
+        "x_bpe_encode": q_x_bpe_encode,
         "x_decontaminate": q_x_decontaminate,
         "x_decontaminate_bloom": q_x_decontaminate_bloom,
         # streaming surface (real Structured Streaming runs, availableNow)
@@ -3911,6 +3950,86 @@ comp AS (SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
 """
+
+
+def _bpe_sql(n_merges: int, tail: str) -> str:
+    """BPE training UNROLLED into chained CTEs — one
+    (pairs, argmax, match-runs, greedy-selection, rebuild) block per
+    merge round, the SQL mirror of functions/bpe.py's driver loop.
+    ``tail`` consumes ``best{i}`` (the per-round merges) and
+    ``st{n_merges}`` (the final encoded word table)."""
+    parts = [
+        "WITH wc AS MATERIALIZED (",
+        "  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (",
+        "    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word",
+        "    FROM documents) GROUP BY word),",
+        "st0 AS MATERIALIZED (",
+        "  SELECT word, cnt, g.i - 1 AS pos,",
+        "         CASE WHEN g.i <= length(word) THEN substring(word, g.i, 1)",
+        "              ELSE '</w>' END AS sym",
+        "  FROM wc, UNNEST(generate_series(1, length(word) + 1)) AS g(i)),",
+    ]
+    for i in range(n_merges):
+        parts += [
+            f"pr{i} AS MATERIALIZED (",
+            "  SELECT word, cnt, pos, sym,",
+            "         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt",
+            f"  FROM st{i}),",
+            f"best{i} AS MATERIALIZED (",
+            "  SELECT sym AS l, nxt AS r, CAST(sum(cnt) AS BIGINT) AS pc",
+            f"  FROM pr{i} WHERE nxt IS NOT NULL",
+            "  GROUP BY sym, nxt ORDER BY pc DESC, l, r LIMIT 1),",
+            f"mm{i} AS MATERIALIZED (",
+            "  SELECT p.word, p.pos,",
+            "         p.pos - row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS grp",
+            f"  FROM pr{i} p JOIN best{i} b ON p.sym = b.l AND p.nxt = b.r),",
+            f"sel{i} AS MATERIALIZED (",
+            "  SELECT word, pos FROM (",
+            "    SELECT word, pos,",
+            "           row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn",
+            f"    FROM mm{i}) WHERE rn % 2 = 1),",
+            f"st{i + 1} AS MATERIALIZED (",
+            "  SELECT word, cnt,",
+            "         row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,",
+            "         sym",
+            "  FROM (",
+            "    SELECT p.word, p.cnt, p.pos,",
+            "           CASE WHEN s.pos IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym,",
+            "           lag(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)",
+            "             OVER (PARTITION BY p.word ORDER BY p.pos) AS prevhit",
+            f"    FROM pr{i} p LEFT JOIN sel{i} s ON s.word = p.word AND s.pos = p.pos)",
+            "  WHERE coalesce(prevhit, 0) = 0),",
+        ]
+    # drop the trailing comma of the last CTE by appending the tail
+    # as its own final CTE-consumer
+    body = "\n".join(parts)
+    assert body.rstrip().endswith("),")
+    body = body.rstrip()[:-1]  # ')' stays, ',' handled by tail below
+    return body + "\n" + tail
+
+
+def _bpe_merges_tail(n_merges: int) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS rank, l AS left_sym, r AS right_sym,"
+        f" pc AS pair_count FROM best{i}"
+        for i in range(n_merges)
+    )
+    return f"SELECT * FROM (\n{rows}\n) ORDER BY rank"
+
+
+def _bpe_encode_tail(n_merges: int) -> str:
+    return f"""
+, tok AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM st{n_merges} GROUP BY word),
+dw AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens
+FROM dw d JOIN tok t USING (word)
+GROUP BY d.doc_id
+""".strip()
 
 
 def _ivf_kmeans_sql(iters: int = 2, n_centroids: int = 16, n_probe: int = 4) -> str:
@@ -6010,6 +6129,8 @@ def oracle_sql() -> dict[str, str]:
     # oracle serves both
     sqls["st_annpq_drift"] = sqls["st_ann_drift"]
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
+    sqls["x_bpe_merges"] = _bpe_sql(_BPE_MERGES, _bpe_merges_tail(_BPE_MERGES))
+    sqls["x_bpe_encode"] = _bpe_sql(_BPE_MERGES, _bpe_encode_tail(_BPE_MERGES))
     # bloom tier only PRUNES; the exact verify makes the decision
     # identical to the exact operator — same oracle
     sqls["x_decontaminate_bloom"] = sqls["x_decontaminate"]
