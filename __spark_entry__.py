@@ -2184,6 +2184,28 @@ def q_x_bpe_encode(spark, sf_dir):
     return bpe.encode_token_counts(docs, state)
 
 
+def q_x_lm_familiarity(spark, sf_dir):
+    """Bigram-LM familiarity filter (text.bigram_familiarity) — the
+    integer-exact analog of CCNet/Gopher perplexity filtering: score
+    each doc by the mean corpus frequency of its bigrams, flag docs
+    below the corpus mean.  The corpus bigram table IS the language
+    model; no global sort anywhere (the filter threshold is a scalar
+    aggregate broadcast back)."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return text.bigram_familiarity(docs)
+
+
+def q_x_mix_budget(spark, sf_dir):
+    """Pretraining-mix construction (text.token_budget_mix): fill a
+    20k-token budget PER LANGUAGE with a deterministic md5-ordered
+    sample.  The per-language cumulative sum runs 256-way parallel by
+    splitting the md5 order at its own 2-hex-char prefix (per-bucket
+    offsets from a tiny aggregate window) — identical, provably, to
+    the naive one-task-per-language window the oracle states."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return text.token_budget_mix(docs, budget_tokens=20000)
+
+
 # ---------------------------------------------------------------------------
 # streaming queries (SURVEY §2.8 — the reference has no streaming; this is
 # the extended surface, exercised through the REAL Structured Streaming
@@ -3422,10 +3444,10 @@ _R6_PRIORITY = [
     "r_nation_volume",
     "r_product_profit",
     "r_returned_top_customers",
-    "r_setops",
-    "r_small_quantity_rev",
-    "r_sole_late_supplier",
-    "r_top_supplier",
+    "x_bpe_merges",  # new in r6: distributed BPE tokenizer training
+    "x_bpe_encode",  # new in r6: BPE corpus token accounting
+    "x_lm_familiarity",  # new in r6: bigram-LM perplexity-filter analog
+    "x_mix_budget",  # new in r6: per-language token-budget mix fill
     "g_triangles_local",  # new in r6: per-vertex degree-ordered triangles
     "s_sq_topk",  # new in r6: int8 scalar-quantized ANN
     "x_warc_ingest",  # new in r6: Common Crawl WARC ingestion
@@ -3434,10 +3456,11 @@ _R6_PRIORITY = [
     "r_zorder_box",  # new in r6: Z-order clustered layout
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
-    # x_json_extract, x_pack rotated out to make room for the
-    # fsutil-affected block and the SIX new late-r6 queries above — they
-    # re-enter in r7; the driver hashes a ~50-entry prefix, so the list
-    # is kept at exactly 50)
+    # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
+    # r_sole_late_supplier, r_top_supplier rotated out to make room for
+    # the fsutil-affected block and the TEN new late-r6 queries above —
+    # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
+    # list is kept at exactly 50)
 ]
 assert len(_R6_PRIORITY) == 50
 
@@ -3537,6 +3560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vocab": q_x_vocab,
         "x_bpe_merges": q_x_bpe_merges,
         "x_bpe_encode": q_x_bpe_encode,
+        "x_lm_familiarity": q_x_lm_familiarity,
+        "x_mix_budget": q_x_mix_budget,
         "x_decontaminate": q_x_decontaminate,
         "x_decontaminate_bloom": q_x_decontaminate_bloom,
         # streaming surface (real Structured Streaming runs, availableNow)
@@ -6131,6 +6156,47 @@ def oracle_sql() -> dict[str, str]:
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
     sqls["x_bpe_merges"] = _bpe_sql(_BPE_MERGES, _bpe_merges_tail(_BPE_MERGES))
     sqls["x_bpe_encode"] = _bpe_sql(_BPE_MERGES, _bpe_encode_tail(_BPE_MERGES))
+    # bigram bigrams via list_transform, NOT lateral unnest-over-slice
+    # (quadratic on some DuckDB builds — the x_repetition lesson)
+    sqls["x_lm_familiarity"] = r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM tk WHERE len(toks) >= 2),
+bc AS MATERIALIZED (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS bc FROM bg GROUP BY bigram),
+sc AS MATERIALIZED (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(c.bc) AS BIGINT) AS fam_sum
+  FROM bg g JOIN bc c USING (bigram) GROUP BY g.doc_id),
+sm AS MATERIALIZED (
+  SELECT doc_id, n_bigrams,
+         CAST(fam_sum * 1000000 // n_bigrams AS BIGINT) AS fam_micro
+  FROM sc),
+mn AS (SELECT CAST(sum(fam_micro) // count(*) AS BIGINT) AS mean_micro FROM sm)
+SELECT doc_id, n_bigrams, fam_micro, fam_micro < mean_micro AS below_mean
+FROM sm, mn
+"""
+    # the bucketed two-level cumsum == the naive per-language window
+    # (bucket is a PREFIX of the ordering key) — the oracle states the
+    # naive form
+    sqls["x_mix_budget"] = f"""
+WITH lang AS MATERIALIZED ({_langid_sql().strip()}),
+base AS MATERIALIZED (
+  SELECT d.doc_id, l.lang_guess AS lang,
+         CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tok,
+         md5(CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d JOIN lang l USING (doc_id)),
+c AS MATERIALIZED (
+  SELECT doc_id, lang, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM base)
+SELECT doc_id, lang, n_tok, cum_tokens FROM c WHERE cum_tokens - n_tok < 20000
+"""
     # bloom tier only PRUNES; the exact verify makes the decision
     # identical to the exact operator — same oracle
     sqls["x_decontaminate_bloom"] = sqls["x_decontaminate"]

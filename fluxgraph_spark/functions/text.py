@@ -240,6 +240,115 @@ def rolling_hashes(text: Column, window: int = 8) -> Column:
     return F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
 
 
+def bigram_familiarity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM familiarity scoring — the integer-exact analog of
+    perplexity filtering (CCNet / Gopher-style: drop documents whose
+    content the corpus-level language model finds surprising).  The
+    "model" is the corpus bigram frequency table itself; a document's
+    familiarity is the mean corpus frequency of its bigrams.
+
+    Output: (id_col, n_bigrams, fam_micro, below_mean) where fam_micro
+    = floor(sum(bigram_count) * 1e6 / n_bigrams) and below_mean flags
+    docs under the corpus mean — the filter decision.  Documents with
+    fewer than two tokens are excluded (no bigrams to score).
+
+    Scale shape: one explode for bigrams, one map-side-combined count
+    (the "LM"), one equi-join back (the count side is one row per
+    distinct bigram; hot Zipf-head keys are AQE-skew territory, not a
+    plan problem), one per-doc partial agg, and the mean is a scalar
+    aggregate broadcast back — no global sort anywhere.  All integer
+    arithmetic (``div``), so the score replays exactly in SQL.
+    """
+    toks = df.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("pos", "token"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("token").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "token", "nxt").alias("bigram"))
+    )
+    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    scored = (
+        big.join(counts, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bc").alias("fam_sum"),
+        )
+        .withColumn("fam_micro", F.expr("fam_sum * 1000000 div n_bigrams"))
+    )
+    mean = scored.agg(
+        F.expr("sum(fam_micro) div count(1)").alias("mean_micro")
+    )
+    return scored.crossJoin(F.broadcast(mean)).select(
+        id_col,
+        "n_bigrams",
+        "fam_micro",
+        (F.col("fam_micro") < F.col("mean_micro")).alias("below_mean"),
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pretraining-mix construction: fill a per-language token budget
+    with a deterministic random sample of documents (ordered by
+    md5(doc_id)) — every language contributes until its budget is
+    exhausted, mid-document cutoff included (the doc that crosses the
+    budget line is kept).
+
+    Output: (id_col, lang, n_tok, cum_tokens) for the selected docs.
+
+    Scale shape — the budget fill needs a cumulative sum in a global
+    per-language order, and a language has ~corpus-sized populations,
+    so a naive ``Window.partitionBy(lang)`` would drag whole languages
+    through single tasks.  Instead the md5 order is split at its own
+    prefix: 256 ``substring(md5,1,2)`` buckets whose PER-BUCKET token
+    sums (a tiny aggregate) give exclusive per-bucket offsets via a
+    window over ≤ langs x 256 rows; the corpus-sized window then
+    partitions by (lang, bucket) — 256-way parallel per language —
+    and adds its bucket offset.  Because the bucket is a prefix of the
+    ordering key, the composite (bucket, h, id) order equals the plain
+    (h, id) order, so the result is identical to the naive window (how
+    the SQL oracle states it).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        id_col,
+        language_id(F.col(text_col)).alias("lang"),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    sums = base.groupBy("lang", "bucket").agg(F.sum("n_tok").alias("btok"))
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sums.withColumn(
+        "off", F.coalesce(F.sum("btok").over(wo), F.lit(0))
+    ).select("lang", "bucket", "off")
+    w2 = Window.partitionBy("lang", "bucket").orderBy("h", id_col)
+    cum = base.join(F.broadcast(offs), ["lang", "bucket"]).withColumn(
+        "cum_tokens", F.col("off") + F.sum("n_tok").over(w2)
+    )
+    return cum.where(
+        F.col("cum_tokens") - F.col("n_tok") < F.lit(int(budget_tokens))
+    ).select(id_col, "lang", "n_tok", "cum_tokens")
+
+
 def pack_sequences_greedy(
     df: DataFrame,
     group_col: str,

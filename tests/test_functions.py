@@ -862,3 +862,74 @@ def test_sq_topk_recall_and_code_range(spark):
     )
     rows = sq_topk(z, q, k=5).collect()
     assert {r["vec_id"] for r in rows} == {2}
+
+
+# ---------------------------------------------------------------------------
+# bigram familiarity + token-budget mix (LM-filter / mix-construction ops)
+# ---------------------------------------------------------------------------
+
+def test_bigram_familiarity_scalar_reference(spark):
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat sat",
+        2: "colorless green ideas sleep furiously",
+        3: "x",               # <2 tokens: excluded
+        4: "the cat sat on the mat",  # exact dup of 0: max familiarity
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["fam_micro"], r["below_mean"])
+        for r in text.bigram_familiarity(df).collect()
+    }
+    # scalar reference
+    bigs = {}
+    per_doc = {}
+    for i, t in texts.items():
+        ws = t.lower().split()
+        bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if bg:
+            per_doc[i] = bg
+        for g in bg:
+            bigs[g] = bigs.get(g, 0) + 1
+    exp = {}
+    for i, bg in per_doc.items():
+        fam = sum(bigs[g] for g in bg)
+        exp[i] = (len(bg), fam * 1_000_000 // len(bg))
+    mean = sum(v[1] for v in exp.values()) // len(exp)
+    exp = {i: (n, fm, fm < mean) for i, (n, fm) in exp.items()}
+    assert got == exp
+    assert 3 not in got
+    # the dup pair scores identical and above the nonsense sentence
+    assert got[0] == got[4]
+    assert got[2][1] < got[0][1]
+
+
+def test_token_budget_mix_matches_naive_window(spark, tables):
+    docs = tables["documents"]
+    got = text.token_budget_mix(docs, budget_tokens=5000)
+    rows = got.collect()
+    assert rows, "budget fill selected nothing"
+    # reference: naive per-lang cumulative order by (md5, doc_id)
+    base = docs.select(
+        "doc_id",
+        text.language_id(F.col("text")).alias("lang"),
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).collect()
+    per_lang = {}
+    for r in sorted(base, key=lambda r: (r["lang"], r["h"], r["doc_id"])):
+        per_lang.setdefault(r["lang"], []).append(r)
+    exp = {}
+    for lang, rs in per_lang.items():
+        cum = 0
+        for r in rs:
+            if cum < 5000:
+                cum += r["n_tok"]
+                exp[r["doc_id"]] = (lang, r["n_tok"], cum)
+            else:
+                cum += r["n_tok"]
+    assert {r["doc_id"]: (r["lang"], r["n_tok"], r["cum_tokens"]) for r in rows} == exp
+    # every language with any docs is represented
+    assert {r["lang"] for r in rows} == set(per_lang)
