@@ -67,6 +67,13 @@ QUERIES = [
     # actually does)
     "s_sq_topk",
     "g_triangles_local",
+    # round 6 late: BPE training cost is driven by |vocab|, which grows
+    # far sub-linearly in corpus size (the whole point of training on
+    # the distinct-word table) — the scale curve should be near-flat;
+    # the bigram-LM filter joins a Zipf-skewed count table — the skew
+    # check
+    "x_bpe_merges",
+    "x_lm_familiarity",
 ]
 
 # the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data

@@ -139,6 +139,13 @@ AUDITED = [
     "x_warc_ingest",
     "g_motif_open_paths",
     "pipeline_crawl",
+    # round 6 late: BPE corpus encoding (the training query x_bpe_merges
+    # returns a driver-collected merge table — a LocalTableScan with no
+    # plan to audit; its per-round plans are x_bpe_encode's ingredients),
+    # the bigram-LM filter and the token-budget mix fill
+    "x_bpe_encode",
+    "x_lm_familiarity",
+    "x_mix_budget",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -167,6 +174,9 @@ NO_PUSHDOWN_EXPECTED = {
     "x_percentiles",        # full-events agg
     "x_rolling",            # full-events window
     "x_scrub", "x_repetition", "x_split",  # full-corpus narrow maps
+    "x_bpe_encode",        # full-corpus word explode — nothing to push
+    "x_lm_familiarity",    # full-corpus bigram explode
+    "x_mix_budget",        # full-corpus token accounting
     "k_sketches",           # full-events sketch agg
     "g_copurchase_top",     # label predicate folds into union-branch pruning
     "t_versions_at",        # full-events interval expansion
