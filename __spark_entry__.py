@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from fluxgraph_spark.functions import dedup, multimodal, similarity, text
+from fluxgraph_spark.functions import dedup, multimodal, retrieval, similarity, text
 from fluxgraph_spark.functions import timeutil as TU
 from fluxgraph_spark.operators import analytics as AN
 from fluxgraph_spark.operators import temporal as TP
@@ -3184,6 +3184,50 @@ def q_s_sq_topk(spark, sf_dir):
     return similarity.sq_topk(emb, queries, k=10)
 
 
+_BM25_QUERY_TERMS = [
+    (1, "join"),
+    (1, "stream"),
+    (2, "window"),
+    (2, "batch"),
+    (2, "sort"),
+    (3, "customer"),
+]
+
+
+def _bm25_queries_df(spark):
+    return spark.createDataFrame(_BM25_QUERY_TERMS, ["query_id", "term"])
+
+
+def q_s_bm25_topk(spark, sf_dir):
+    """BM25 full-text retrieval (functions/retrieval.py bm25_topk):
+    three multi-term queries ranked over the documents corpus.  ONE
+    corpus scan — tokens are filtered against the broadcast query-term
+    set map-side before any shuffle, df falls out of the matched
+    postings themselves, dl is a narrow per-row expression.  Scoring
+    uses the hash-stable RATIONAL idf (the exact argument of Lucene's
+    ln(1+x); see retrieval.py determinism contract) with per-term
+    integer-micro quantization, so the whole ranking replays
+    bit-for-bit in SQL."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return retrieval.bm25_topk(docs, _bm25_queries_df(spark), k=10)
+
+
+def q_s_bm25_indexed_topk(spark, sf_dir):
+    """The same BM25 ranking served from a PERSISTED inverted index
+    (sources/text_index.py InvertedIndex): postings written once,
+    partitioned by term-hash bucket and term-sorted within files; the
+    probe reads ONLY the query terms' partitions (directory pruning +
+    row-group pruning).  Same (tf, df, dl) integers, same arithmetic
+    -> bit-identical to bm25_topk -> shares s_bm25_topk's oracle."""
+    import tempfile
+
+    from fluxgraph_spark.sources.text_index import InvertedIndex
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    idx = InvertedIndex.build(docs, tempfile.mkdtemp(prefix="inv_idx_"), n_buckets=16)
+    return idx.topk(_bm25_queries_df(spark), k=10)
+
+
 def q_s_pq_topk(spark, sf_dir):
     """Product-quantization ANN: corpus compressed to m=4 one-byte codes
     per vector (64x), queries score via asymmetric-distance lookup-table
@@ -3439,8 +3483,6 @@ _R6_PRIORITY = [
     "g_sssp_weighted",
     "g_touch_count_3hop",
     "r_important_parts",
-    "r_market_share",
-    "r_min_cost_supplier",
     "r_nation_volume",
     "r_product_profit",
     "r_returned_top_customers",
@@ -3454,11 +3496,14 @@ _R6_PRIORITY = [
     "g_motif_open_paths",  # new in r6: GraphFrames-style motif finding
     "pipeline_crawl",  # new in r6: crawl-to-corpus end-to-end
     "r_zorder_box",  # new in r6: Z-order clustered layout
+    "s_bm25_topk",  # new in r6: BM25 full-text retrieval
+    "s_bm25_indexed_topk",  # new in r6: persisted inverted-index probe
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
-    # r_sole_late_supplier, r_top_supplier rotated out to make room for
-    # the fsutil-affected block and the TEN new late-r6 queries above —
+    # r_sole_late_supplier, r_top_supplier, r_market_share,
+    # r_min_cost_supplier rotated out to make room for
+    # the fsutil-affected block and the TWELVE new late-r6 queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3631,6 +3676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ivfpq_residual_topk": q_s_ivfpq_residual_topk,
         "s_ivf_kmeans_topk": q_s_ivf_kmeans_topk,
         "s_sq_topk": q_s_sq_topk,
+        "s_bm25_topk": q_s_bm25_topk,
+        "s_bm25_indexed_topk": q_s_bm25_indexed_topk,
         "s_pq_topk": q_s_pq_topk,
         "pipeline_corpus": q_pipeline_corpus,
         "pipeline_crawl": q_pipeline_crawl,
@@ -6058,6 +6105,54 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         SELECT * FROM ranked WHERE rank <= 10
         """,
+        "s_bm25_topk": r"""
+        -- BM25, rational idf (the exact argument of Lucene's ln(1+x)):
+        -- every step is integer counts or one correctly-rounded double
+        -- op replayed operation-for-operation from bm25_term_score, and
+        -- per-term scores are micro-quantized BEFORE the per-doc sum so
+        -- the total is an order-independent exact integer
+        WITH q(query_id, term) AS (
+          VALUES (1, 'join'), (1, 'stream'), (2, 'window'),
+                 (2, 'batch'), (2, 'sort'), (3, 'customer')),
+        stats AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(len(regexp_extract_all(lower(text), '\S+'))), 0) AS BIGINT) AS sum_dl
+          FROM documents),
+        tf AS MATERIALIZED (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+                FROM documents)
+          WHERE term IN (SELECT term FROM q)
+          GROUP BY doc_id, term),
+        dfs AS MATERIALIZED (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        dl AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS dl
+          FROM documents),
+        scored AS MATERIALIZED (
+          SELECT qq.query_id, t.doc_id,
+                 CAST(sum(CAST(floor(
+                   (((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                     / (CAST(d.df AS DOUBLE) + 0.5))
+                    * (CAST(t.tf AS DOUBLE) * 2.2))
+                   / (CAST(t.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+                   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+          FROM tf t
+          JOIN dfs d USING (term)
+          JOIN dl l USING (doc_id)
+          JOIN q qq USING (term)
+          CROSS JOIN stats s
+          GROUP BY qq.query_id, t.doc_id),
+        ranked AS (
+          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT * FROM ranked WHERE rank <= 10
+        """,
         "s_embedding_near_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
@@ -6093,6 +6188,9 @@ def oracle_sql() -> dict[str, str]:
     # persisted-index twins are decision-identical to their in-memory
     # counterparts (same hash family / centroid sample) — same oracle
     sqls["s_ivf_indexed_topk"] = sqls["s_ivf_topk"]
+    # the persisted inverted index serves the same (tf, df, dl) integers
+    # through the same arithmetic — bit-identical to the ad-hoc scan
+    sqls["s_bm25_indexed_topk"] = sqls["s_bm25_topk"]
     # streaming ANN ingest: frozen centroids come from the SEED sample
     # (vec_id % 5 <> 0) but assignment covers every row — identical SQL
     # with the centroid CTE restricted to the seed

@@ -57,6 +57,7 @@ HEADLINE = [
                                 # (r6 — superstep rounds, localCheckpoint
                                 # per round, data-dependent exit)
     "s_sq_topk",                # int8 scalar-quantized compressed scan (r6)
+    "s_bm25_topk",              # BM25 one-scan full-text ranking (r6)
 ]
 
 

@@ -1,0 +1,199 @@
+"""BM25 full-text retrieval over a document corpus.
+
+The search-side complement to the dedup/ANN families: tokenize a corpus,
+build (term, doc, tf) postings, and rank documents against multi-term
+queries with BM25 (Robertson/Sparck Jones; the Okapi/Lucene default
+scoring function).  Reference parity note: the reference engine era
+serves text lookups through key indexes (FluxGraph key-index lookups,
+FluxIndex.java); BM25 postings are the corpus-scale generalization a
+training-data pipeline actually needs (retrieval-based decontamination,
+nearest-document audits, eval-set attribution).
+
+Determinism contract (why results hash-match an external SQL engine):
+
+* ``+ - * /`` on DOUBLE are IEEE-754 correctly rounded in both Spark
+  and DuckDB — any *identical* expression tree over identical inputs is
+  bit-identical.  All scoring constants are embedded as ``repr()`` of
+  the Python double (both engines parse the same decimal literal to the
+  same double), so ``k1 + 1`` etc. can never differ by a rounding.
+* The one non-portable primitive is ``ln`` (libm differs in the last
+  ulp across engines), so the hash-gated configuration uses the
+  RATIONAL idf ``(N - df + 0.5) / (df + 0.5)`` — the exact argument of
+  Lucene's ``ln(1 + x)``; per-term document ordering is identical
+  (``ln(1+x)`` is monotone), only the cross-term mixing differs.  The
+  default ``idf="lucene"`` keeps the textbook scoring for real use and
+  is pinned against a scalar reference in pytest instead.
+* Floating-point SUM is order-dependent, so per-term scores are
+  micro-quantized to integers FIRST (``floor(x * 1e6 + 0.5)``) and the
+  per-document total is an exact integer sum — order-independent, like
+  the PQ/ADC integer-LUT pattern in similarity.py.
+
+Scale shape (the 100 TB story):
+
+* Ad-hoc ``bm25_topk``: ONE corpus scan.  Tokens are filtered against
+  the broadcast query-term set MAP-SIDE before any shuffle, so the only
+  aggregation is over matching (doc, term) pairs — a few orders of
+  magnitude below corpus token count.  Document length is a narrow
+  per-row expression (no second pass), and corpus stats are one
+  2-scalar aggregate.
+* Repeated queries: :class:`~fluxgraph_spark.sources.text_index.InvertedIndex`
+  persists the postings partitioned by a term-hash bucket; a probe
+  reads only the query terms' partitions (partition pruning) and,
+  within them, row groups matching ``term IN (...)`` (footer stats —
+  postings are written sorted by term).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .text import TOKEN_RE, token_count
+
+MICRO = 1_000_000.0
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term) — one row per token occurrence, lowercased."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("term"),
+    )
+
+
+def postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Full inverted-file rows ``(term, doc_id, tf, dl, df)``.
+
+    ``dl`` (document length) is a narrow per-document expression joined
+    back in; ``df`` is the per-term posting count.  This is the build
+    input for :class:`InvertedIndex`; ad-hoc queries should prefer
+    :func:`bm25_topk`, which prunes to the query terms before grouping.
+    """
+    tf = tokens(docs, id_col, text_col).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.lower(F.col(text_col))).cast("long").alias("dl"),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(dl, "doc_id").join(df_, "term").select(
+        "term", "doc_id", "tf", "dl", "df"
+    )
+
+
+def corpus_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[int, int]:
+    """(n_docs, sum_dl) in one aggregate action (bounded driver probe).
+
+    ``n_docs`` counts ALL documents (empty ones depress avgdl, exactly
+    as Lucene computes it)."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(token_count(F.lower(F.col(text_col))).cast("long")), F.lit(0)
+        ).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"])
+
+
+def bm25_term_score(
+    tf: Column,
+    df: Column,
+    dl: Column,
+    n_docs: int,
+    sum_dl: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "rational",
+) -> Column:
+    """Integer-micro BM25 contribution of one (doc, term) posting.
+
+    The expression tree mirrors the SQL oracle operation-for-operation
+    (see module docstring); constants are embedded via ``repr`` so both
+    engines parse identical decimal literals.
+    """
+    if n_docs <= 0 or sum_dl <= 0:
+        raise ValueError("corpus must contain at least one token")
+    avgdl = sum_dl / n_docs  # Python double division == SQL DOUBLE division
+    r = dl.cast("double") / F.lit(avgdl)
+    den = tf.cast("double") + F.expr(repr(k1)) * (
+        F.expr(repr(1.0 - b)) + F.expr(repr(b)) * r
+    )
+    num = tf.cast("double") * F.expr(repr(k1 + 1.0))
+    rational = ((F.lit(n_docs) - df).cast("double") + F.lit(0.5)) / (
+        df.cast("double") + F.lit(0.5)
+    )
+    if idf == "rational":
+        idf_c = rational
+    elif idf == "lucene":
+        idf_c = F.log1p(rational)
+    else:
+        raise ValueError(f"unknown idf kind: {idf!r} (use 'rational' or 'lucene')")
+    return F.floor((idf_c * num) / den * F.lit(MICRO) + F.lit(0.5)).cast("long")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "rational",
+    stats: Optional[tuple[int, int]] = None,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries`` is ``(query_id, term)`` — one row per query term
+    (duplicate terms in one query count once, as Lucene's boolean
+    query does).  Returns ``(query_id, doc_id, score_micro, rank)``,
+    rank ties broken by ``doc_id`` (deterministic).
+
+    Plan shape: the token stream is semi-joined against the BROADCAST
+    distinct query-term set before any aggregation, so only matching
+    tokens ever shuffle; ``df`` falls out of the matched postings
+    themselves (a term's matched-posting count IS its corpus df).
+    """
+    q = queries.select("query_id", F.col("term").alias("term")).distinct()
+    terms = q.select("term").distinct()
+    n_docs, sum_dl = stats if stats is not None else corpus_stats(docs, id_col, text_col)
+    tf = (
+        tokens(docs, id_col, text_col)
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.lower(F.col(text_col))).cast("long").alias("dl"),
+    )
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                bm25_term_score(
+                    F.col("tf"), F.col("df"), F.col("dl"), n_docs, sum_dl, k1, b, idf
+                )
+            ).alias("score_micro")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micro", "rank")
+    )

@@ -7,6 +7,7 @@ from .bucketed import DedupIndex
 from .ann_index import DeltaIvfIndex, DeltaIvfPqIndex, IvfIndex, IvfPqIndex
 from .scd2_table import Scd2ParquetTable
 from .rexster import RexsterShim
+from .text_index import InvertedIndex
 from .warc import extract_text, html_to_text, read_warc, write_warc
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "DeltaIvfPqIndex",
     "Scd2ParquetTable",
     "RexsterShim",
+    "InvertedIndex",
     "read_warc",
     "write_warc",
     "extract_text",

@@ -74,6 +74,10 @@ QUERIES = [
     # check
     "x_bpe_merges",
     "x_lm_familiarity",
+    # round 6 late: BM25 — one corpus scan with a broadcast query-term
+    # semi-join before any shuffle; should scale linearly in corpus
+    # tokens with a near-constant shuffled volume
+    "s_bm25_topk",
 ]
 
 # the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data

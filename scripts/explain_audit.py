@@ -146,6 +146,11 @@ AUDITED = [
     "x_bpe_encode",
     "x_lm_familiarity",
     "x_mix_budget",
+    # round 6 late: BM25 retrieval — the ad-hoc one-scan ranking and the
+    # persisted inverted-index probe (PartitionFilters on pbucket +
+    # PushedFilters on the term column of the sorted postings)
+    "s_bm25_topk",
+    "s_bm25_indexed_topk",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -245,6 +250,9 @@ NO_PUSHDOWN_EXPECTED = {
                              # pushable predicate)
     "x_audio_adpcm",         # same (ADPCM decode; doc_id % 13)
     "x_warc_ingest",         # binaryFile scan + executor-side parse
+    "s_bm25_topk",           # full-corpus tokenize — the query-term
+                             # prune is the broadcast semi-join, not a
+                             # scan-level predicate
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
