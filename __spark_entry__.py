@@ -3228,6 +3228,46 @@ def q_s_bm25_indexed_topk(spark, sf_dir):
     return idx.topk(_bm25_queries_df(spark), k=10)
 
 
+def q_st_bm25_ingest(spark, sf_dir):
+    """Streaming document ingest into the persisted BM25 index
+    (streaming/text_ingest.py + sources/text_index.py
+    DeltaInvertedIndex): the index is built over 4/5 of the corpus, the
+    rest streams in as two microbatches that land in the replay-safe
+    batch_id-partitioned delta area (per-batch stats row = the commit
+    marker), and the probe recomputes df from the matched base ∪ delta
+    postings with corpus stats covering every committed batch.  Nothing
+    is frozen or approximated — df/dl/tf and the stats are EXACT over
+    the full corpus — so the result is bit-identical to bm25_topk over
+    all documents and s_bm25_topk's SQL oracle replays it unchanged."""
+    import glob
+    import shutil
+    import tempfile
+
+    from fluxgraph_spark.sources.text_index import DeltaInvertedIndex
+    from fluxgraph_spark.streaming.text_ingest import bm25_streaming_sink
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="bm25_ingest_")
+    DeltaInvertedIndex.build(base, os.path.join(root, "idx"), n_buckets=16)
+    idx = DeltaInvertedIndex(spark, os.path.join(root, "idx"))
+
+    src = os.path.join(root, "stream_src")
+    os.makedirs(src)
+    for name, mod in (("a", 0), ("b", 5)):
+        stage = os.path.join(root, f"stage_{name}")
+        docs.where(F.col("doc_id") % 10 == mod).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bm25_streaming_sink(stream, idx, os.path.join(root, "ckpt")).awaitTermination()
+    return idx.topk(_bm25_queries_df(spark), k=10)
+
+
 def q_s_pq_topk(spark, sf_dir):
     """Product-quantization ANN: corpus compressed to m=4 one-byte codes
     per vector (64x), queries score via asymmetric-distance lookup-table
@@ -3484,7 +3524,6 @@ _R6_PRIORITY = [
     "g_touch_count_3hop",
     "r_important_parts",
     "r_nation_volume",
-    "r_product_profit",
     "r_returned_top_customers",
     "x_bpe_merges",  # new in r6: distributed BPE tokenizer training
     "x_bpe_encode",  # new in r6: BPE corpus token accounting
@@ -3498,12 +3537,13 @@ _R6_PRIORITY = [
     "r_zorder_box",  # new in r6: Z-order clustered layout
     "s_bm25_topk",  # new in r6: BM25 full-text retrieval
     "s_bm25_indexed_topk",  # new in r6: persisted inverted-index probe
+    "st_bm25_ingest",  # new in r6: streaming BM25 delta ingest
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
     # r_sole_late_supplier, r_top_supplier, r_market_share,
-    # r_min_cost_supplier rotated out to make room for
-    # the fsutil-affected block and the TWELVE new late-r6 queries above —
+    # r_min_cost_supplier, r_product_profit rotated out to make room for
+    # the fsutil-affected block and the THIRTEEN new late-r6 queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3620,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_ann_drift": q_st_ann_drift,
         "st_annpq_drift": q_st_annpq_drift,
         "st_annpq_ingest": q_st_annpq_ingest,
+        "st_bm25_ingest": q_st_bm25_ingest,
         "t_time_buckets": q_t_time_buckets,
         "t_resample": q_t_resample,
         "x_rolling": q_x_rolling,
@@ -6191,6 +6232,11 @@ def oracle_sql() -> dict[str, str]:
     # the persisted inverted index serves the same (tf, df, dl) integers
     # through the same arithmetic — bit-identical to the ad-hoc scan
     sqls["s_bm25_indexed_topk"] = sqls["s_bm25_topk"]
+    # streaming BM25 ingest recomputes df from the matched base ∪ delta
+    # postings and sums committed batch stats — EXACT over the full
+    # corpus (unlike the frozen-centroid ANN twins, no seed restriction
+    # is even needed): the same oracle replays it unchanged
+    sqls["st_bm25_ingest"] = sqls["s_bm25_topk"]
     # streaming ANN ingest: frozen centroids come from the SEED sample
     # (vec_id % 5 <> 0) but assignment covers every row — identical SQL
     # with the centroid CTE restricted to the seed

@@ -7,7 +7,7 @@ from .bucketed import DedupIndex
 from .ann_index import DeltaIvfIndex, DeltaIvfPqIndex, IvfIndex, IvfPqIndex
 from .scd2_table import Scd2ParquetTable
 from .rexster import RexsterShim
-from .text_index import InvertedIndex
+from .text_index import DeltaInvertedIndex, InvertedIndex
 from .warc import extract_text, html_to_text, read_warc, write_warc
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "Scd2ParquetTable",
     "RexsterShim",
     "InvertedIndex",
+    "DeltaInvertedIndex",
     "read_warc",
     "write_warc",
     "extract_text",

@@ -22,9 +22,11 @@ from .events import (
 )
 from .scd2_ingest import scd2_streaming_sink
 from .stateful import running_user_stats
+from .text_ingest import bm25_streaming_sink
 
 __all__ = [
     "ann_streaming_sink",
+    "bm25_streaming_sink",
     "dedup_streaming_sink",
     "seed_corpus",
     "running_user_stats",

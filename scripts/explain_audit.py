@@ -151,6 +151,7 @@ AUDITED = [
     # PushedFilters on the term column of the sorted postings)
     "s_bm25_topk",
     "s_bm25_indexed_topk",
+    "st_bm25_ingest",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
