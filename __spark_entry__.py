@@ -3228,6 +3228,58 @@ def q_s_bm25_indexed_topk(spark, sf_dir):
     return idx.topk(_bm25_queries_df(spark), k=10)
 
 
+def _phrase_book(docs):
+    """Synthetic eval-prompt book: the first 5 tokens of every 50th
+    document (the same benchmark stand-in x_decontaminate samples)."""
+    return docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("phrase_id"),
+        F.array_join(
+            F.slice(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0)
+                ),
+                1,
+                5,
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+
+
+def q_x_phrase_hits(spark, sf_dir):
+    """Exact-substring decontamination tier (retrieval.phrase_hits):
+    find every document quoting an eval phrase as a CONSECUTIVE token
+    sequence — the fingerprint tiers (x_decontaminate) match n-gram
+    SETS; a verbatim quote is an order fact.  Both sides normalize to
+    space-delimited lowercase token streams and match with literal
+    instr/replace (no regex — phrase text can't inject), n_hits =
+    greedy non-overlapping count via replace arithmetic, identical in
+    Spark and SQL.  ONE corpus scan; the phrase book broadcasts and
+    everything evaluates map-side — no shuffle."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return retrieval.phrase_hits(docs, _phrase_book(docs))
+
+
+def q_x_phrase_indexed(spark, sf_dir):
+    """The same phrase matching served through the INVERTED INDEX
+    (InvertedIndex.phrase_hits): candidates = docs whose postings hold
+    ALL of a phrase's terms (reads only those terms' pbucket
+    partitions), then the same literal instr verify on just the
+    candidates — at a 100 TB corpus the phrase book's term buckets are
+    a sliver of the scan x_phrase_hits pays.  Containment implies
+    candidacy, so the decision is IDENTICAL and the two share one
+    oracle."""
+    import tempfile
+
+    from fluxgraph_spark.sources.text_index import InvertedIndex
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    idx = InvertedIndex.build(
+        docs, tempfile.mkdtemp(prefix="inv_idx_ph_"), n_buckets=16
+    )
+    return idx.phrase_hits(docs, _phrase_book(docs))
+
+
 def q_st_bm25_ingest(spark, sf_dir):
     """Streaming document ingest into the persisted BM25 index
     (streaming/text_ingest.py + sources/text_index.py
@@ -3523,8 +3575,6 @@ _R6_PRIORITY = [
     "g_sssp_weighted",
     "g_touch_count_3hop",
     "r_important_parts",
-    "r_nation_volume",
-    "r_returned_top_customers",
     "x_bpe_merges",  # new in r6: distributed BPE tokenizer training
     "x_bpe_encode",  # new in r6: BPE corpus token accounting
     "x_lm_familiarity",  # new in r6: bigram-LM perplexity-filter analog
@@ -3538,12 +3588,15 @@ _R6_PRIORITY = [
     "s_bm25_topk",  # new in r6: BM25 full-text retrieval
     "s_bm25_indexed_topk",  # new in r6: persisted inverted-index probe
     "st_bm25_ingest",  # new in r6: streaming BM25 delta ingest
+    "x_phrase_hits",  # new in r6: exact-substring decontamination
+    "x_phrase_indexed",  # new in r6: postings-pruned phrase matching
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
     # r_sole_late_supplier, r_top_supplier, r_market_share,
-    # r_min_cost_supplier, r_product_profit rotated out to make room for
-    # the fsutil-affected block and the THIRTEEN new late-r6 queries above —
+    # r_min_cost_supplier, r_product_profit, r_nation_volume,
+    # r_returned_top_customers rotated out to make room for
+    # the fsutil-affected block and the FIFTEEN new late-r6 queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3649,6 +3702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mix_budget": q_x_mix_budget,
         "x_decontaminate": q_x_decontaminate,
         "x_decontaminate_bloom": q_x_decontaminate_bloom,
+        "x_phrase_hits": q_x_phrase_hits,
+        "x_phrase_indexed": q_x_phrase_indexed,
         # streaming surface (real Structured Streaming runs, availableNow)
         "st_windowed_counts": q_st_windowed_counts,
         "st_sessionize": q_st_sessionize,
@@ -6344,6 +6399,30 @@ SELECT doc_id, lang, n_tok, cum_tokens FROM c WHERE cum_tokens - n_tok < 20000
     # bloom tier only PRUNES; the exact verify makes the decision
     # identical to the exact operator — same oracle
     sqls["x_decontaminate_bloom"] = sqls["x_decontaminate"]
+    # exact-substring decontamination: normalized token streams matched
+    # with LITERAL strpos/replace; n_hits = greedy non-overlapping count
+    # via replace arithmetic (single left-to-right pass — identical
+    # semantics in Spark and DuckDB); blank phrases excluded both sides
+    sqls["x_phrase_hits"] = r"""
+WITH ph AS MATERIALIZED (
+  SELECT doc_id AS phrase_id,
+         ' ' || array_to_string(
+           list_slice(regexp_extract_all(lower(text), '\S+'), 1, 5), ' ')
+         || ' ' AS pat
+  FROM documents WHERE doc_id % 50 = 0),
+dj AS MATERIALIZED (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(lower(text), '\S+'), ' ')
+         || ' ' AS s
+  FROM documents)
+SELECT p.phrase_id, d.doc_id,
+       CAST((len(s) - len(replace(s, pat, ''))) / len(pat) AS BIGINT) AS n_hits
+FROM dj d JOIN ph p ON strpos(d.s, p.pat) > 0
+WHERE p.pat <> '  '
+"""
+    # the index-pruned form verifies candidates with the same literal
+    # match — containment implies candidacy, decision identical
+    sqls["x_phrase_indexed"] = sqls["x_phrase_hits"]
     return sqls
 
 

@@ -141,6 +141,81 @@ def bm25_term_score(
     return F.floor((idf_c * num) / den * F.lit(MICRO) + F.lit(0.5)).cast("long")
 
 
+def _joined_tokens(text: Column) -> Column:
+    """``' tok1 tok2 ... '`` — the doc's token stream as ONE delimited
+    string (leading/trailing space so every token boundary is a space,
+    including the first and last)."""
+    return F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), F.lit(0)), " "
+        ),
+        F.lit(" "),
+    )
+
+
+def phrase_hits(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-SEQUENCE matching — the exact-substring tier of
+    benchmark decontamination (fingerprint tiers like
+    ``dedup.contamination_hits`` match n-gram SETS; an eval prompt
+    quoted verbatim inside a larger document is a consecutive-token
+    fact).  ``phrases`` is ``(phrase_id, phrase)``; returns
+    ``(phrase_id, doc_id, n_hits)`` for every document containing each
+    phrase's token sequence at least once.
+
+    Matching is on NORMALIZED token streams (lowercased, whitespace
+    tokenization on both sides), so formatting differences don't hide a
+    quote.  Both sides render to space-delimited strings with sentinel
+    boundary spaces and match with LITERAL ``instr``/``replace`` — no
+    regex, so phrase text can never inject metacharacters.  ``n_hits``
+    counts NON-overlapping occurrences (greedy left-to-right `replace`
+    arithmetic — identical semantics in Spark and ANSI SQL, which is
+    what makes the op hash-replayable).  Empty/blank phrases match
+    nothing.
+
+    Scale shape: ONE corpus scan; the (tiny) phrase table broadcasts
+    and each doc evaluates |phrases| literal scans of its own token
+    string map-side — no shuffle at all.  For large phrase books,
+    prune candidates first with
+    :meth:`~fluxgraph_spark.sources.text_index.InvertedIndex.phrase_hits`
+    (postings-pruned AND-of-terms candidates, then this exact verify).
+    """
+    pat = phrases.select(
+        "phrase_id",
+        _joined_tokens(F.col("phrase")).alias("__pat"),
+    ).where(F.col("__pat") != F.lit("  "))
+    joined = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _joined_tokens(F.col(text_col)).alias("__doc"),
+    )
+    hit = joined.crossJoin(F.broadcast(pat)).where(
+        F.instr(F.col("__doc"), F.col("__pat")) > 0
+    )
+    # replace() removes the FULL padded pattern (both sentinel spaces),
+    # so immediately-adjacent repeats — which share one boundary space —
+    # count once per removal: greedy non-overlapping semantics,
+    # identical in Spark and ANSI SQL.  The length delta is an exact
+    # multiple of len(pat), so the division is integer-valued.
+    return hit.select(
+        "phrase_id",
+        "doc_id",
+        (
+            (
+                F.length(F.col("__doc"))
+                - F.length(F.replace(F.col("__doc"), F.col("__pat")))
+            )
+            / F.length(F.col("__pat"))
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import retrieval
-from ..functions.text import stable_hash64, token_count
+from ..functions.text import TOKEN_RE, stable_hash64, token_count
 from . import ann_index as _ai
 from . import fsutil
 
@@ -98,6 +98,8 @@ class InvertedIndex(_ai._ManifestedIndex):
         self._meta_n_docs = int(meta["n_docs"])
         self._meta_sum_dl = int(meta["sum_dl"])
         self.n_buckets = int(meta["n_buckets"])
+        md = meta.get("max_df")
+        self._meta_max_df = None if md is None else int(md)
 
     @property
     def postings_dir(self) -> str:
@@ -160,7 +162,12 @@ class InvertedIndex(_ai._ManifestedIndex):
             spark,
             index_dir + "/meta.json",
             json.dumps(
-                {"n_docs": n_docs, "sum_dl": sum_dl, "n_buckets": n_buckets}
+                {
+                    "n_docs": n_docs,
+                    "sum_dl": sum_dl,
+                    "n_buckets": n_buckets,
+                    "max_df": max_df,
+                }
             ),
         )
         return cls(spark, index_dir)
@@ -184,6 +191,78 @@ class InvertedIndex(_ai._ManifestedIndex):
             .where(F.col("pbucket").isin(buckets))
             .where(F.col("term").isin(term_list))
         )
+
+    def _matched(self, buckets: list[int], term_list: list[str]) -> DataFrame:
+        """Pruned postings rows ``(term, doc_id, tf, dl)`` for the query
+        terms — the delta subclass widens this to base ∪ committed
+        delta, so every probe path sees one consistent corpus."""
+        return self._pruned_postings(buckets, term_list).select(
+            "term", "doc_id", "tf", "dl"
+        )
+
+    def phrase_hits(
+        self,
+        docs: DataFrame,
+        phrases: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Postings-pruned exact phrase matching — the scale path for a
+        large phrase book where :func:`retrieval.phrase_hits`'s
+        scan-every-phrase-against-every-doc shape gets expensive:
+
+        1. PRUNE: candidates = docs whose postings contain ALL of a
+           phrase's distinct terms (a doc containing the token SEQUENCE
+           necessarily contains every term, so the AND-of-terms set is
+           a superset of the true hits).  Reads only the phrase terms'
+           ``pbucket`` partitions.
+        2. VERIFY: the candidate docs' text re-runs the same literal
+           instr/replace match as :func:`retrieval.phrase_hits`.
+
+        The verify makes the decision IDENTICAL to the ad-hoc scan over
+        the same corpus — one SQL oracle serves both.  ``docs`` must be
+        the indexed corpus (it supplies the text the index does not
+        store).  Raises on ``max_df``-pruned indexes: a phrase
+        containing a pruned stopword would lose its postings evidence
+        and candidacy would silently miss true hits."""
+        if self._meta_max_df is not None:
+            raise ValueError(
+                "phrase_hits needs an index built without max_df — "
+                f"this one pruned terms with df > {self._meta_max_df}, "
+                "so AND-of-terms candidacy would miss phrases containing "
+                "a pruned stopword; rebuild without max_df"
+            )
+        pt = phrases.select(
+            "phrase_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.lower(F.col("phrase")), F.lit(TOKEN_RE), F.lit(0)
+                    )
+                )
+            ).alias("term"),
+        )
+        n_terms = pt.groupBy("phrase_id").agg(F.count(F.lit(1)).alias("__n"))
+        terms = pt.select("term").distinct()
+        buckets = self._probe_buckets(terms)
+        term_list = [r["term"] for r in terms.collect()]
+        post = self._matched(buckets, term_list).select("term", "doc_id")
+        cand = (
+            post.join(F.broadcast(pt), "term")
+            .groupBy("phrase_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .join(F.broadcast(n_terms), "phrase_id")
+            .where(F.col("__m") == F.col("__n"))
+            .select("doc_id")
+            .distinct()
+        )
+        cand_docs = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).join(cand, "doc_id")
+        # completeness holds because candidacy is implied by containment:
+        # any doc containing phrase P holds all of P's terms, so it is
+        # in cand for P and therefore in cand_docs
+        return retrieval.phrase_hits(cand_docs, phrases, "doc_id", "text")
 
     def topk(
         self,
@@ -343,6 +422,15 @@ class DeltaInvertedIndex(InvertedIndex):
             d = d.where(F.col("term").isin(term_list))
         return d
 
+    def _matched(self, buckets: list[int], term_list: list[str]) -> DataFrame:
+        base = super()._matched(buckets, term_list)
+        delta = self._delta_postings(
+            self._committed()[0], buckets, term_list
+        )
+        if delta is None:
+            return base
+        return base.unionByName(delta.select("term", "doc_id", "tf", "dl"))
+
     def topk(
         self,
         queries: DataFrame,
@@ -360,14 +448,7 @@ class DeltaInvertedIndex(InvertedIndex):
         buckets = self._probe_buckets(terms)
         term_list = [r["term"] for r in terms.collect()]
         batch_ids, d_docs, d_dl = self._committed()
-        matched = self._pruned_postings(buckets, term_list).select(
-            "term", "doc_id", "tf", "dl"
-        )
-        delta = self._delta_postings(batch_ids, buckets, term_list)
-        if delta is not None:
-            matched = matched.unionByName(
-                delta.select("term", "doc_id", "tf", "dl")
-            )
+        matched = self._matched(buckets, term_list)
         dfs = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         post = matched.join(dfs, "term")
         n_docs, sum_dl = self._base_stats()

@@ -152,6 +152,8 @@ AUDITED = [
     "s_bm25_topk",
     "s_bm25_indexed_topk",
     "st_bm25_ingest",
+    "x_phrase_hits",
+    "x_phrase_indexed",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -254,6 +256,9 @@ NO_PUSHDOWN_EXPECTED = {
     "s_bm25_topk",           # full-corpus tokenize — the query-term
                              # prune is the broadcast semi-join, not a
                              # scan-level predicate
+    "x_phrase_hits",         # full-corpus token-stream render; the
+                             # phrase book is a broadcast, the match a
+                             # map-side literal scan
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {

@@ -179,6 +179,104 @@ def test_index_max_df_prunes_stopwords(spark, docs_df):
         shutil.rmtree(d, ignore_errors=True)
 
 
+PHRASES = [
+    (1, "quick brown fox"),
+    (2, "lazy summer"),
+    (3, "Fox FOX"),            # case-normalized; adjacent repeats
+    (4, "walk into a bar"),
+    (5, "no such phrase here"),
+    (6, "fox"),                # single-token phrase
+    (7, "a.b (c"),             # regex metacharacters stay literal
+    (8, "   "),                # blank: matches nothing
+]
+
+PHRASE_DOCS = DOCS + [(7, "tokens with a.b (c inside")]
+
+
+def _ref_phrase_hits(docs, phrases):
+    """Scalar reference: normalized token streams, greedy
+    non-overlapping count via str.replace arithmetic (the engine
+    contract)."""
+    out = {}
+    for pid, phrase in phrases:
+        pat = " " + " ".join(phrase.lower().split()) + " "
+        if pat == "  ":
+            continue
+        for d, t in docs:
+            s = " " + " ".join(t.lower().split()) + " "
+            if pat in s:
+                out[(pid, d)] = (len(s) - len(s.replace(pat, ""))) // len(pat)
+    return out
+
+
+def test_phrase_hits_matches_scalar_reference(spark):
+    docs = spark.createDataFrame(PHRASE_DOCS, ["doc_id", "text"])
+    ph = spark.createDataFrame(PHRASES, ["phrase_id", "phrase"])
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_hits"]
+        for r in retrieval.phrase_hits(docs, ph).collect()
+    }
+    ref = _ref_phrase_hits(PHRASE_DOCS, PHRASES)
+    assert got == ref
+    # the facts the fixture is built to pin (counts follow the single
+    # left-to-right non-overlapping replace pass: padded occurrences
+    # share boundary spaces, so ' fox ' in ' fox fox fox fox ' = 2 and
+    # ' fox fox ' = 1 — identical in Python, Spark, and DuckDB)
+    assert (1, 1) in got and (1, 2) in got
+    assert got[(2, 3)] == 2                       # 'lazy summer' twice in doc 3
+    assert got[(3, 6)] == 1
+    assert got[(6, 6)] == 2
+    assert (7, 7) in got                          # metacharacters literal
+    assert not any(pid == 5 for pid, _ in got)
+    assert not any(pid == 8 for pid, _ in got)
+    assert (4, 4) in got
+
+
+def test_phrase_hits_indexed_matches_adhoc(spark, docs_df):
+    ph = spark.createDataFrame(PHRASES, ["phrase_id", "phrase"])
+    d = tempfile.mkdtemp(prefix="inv_idx_phrase_")
+    try:
+        idx = InvertedIndex.build(docs_df, d, n_buckets=8)
+        adhoc = retrieval.phrase_hits(docs_df, ph).collect()
+        indexed = idx.phrase_hits(docs_df, ph).collect()
+        assert sorted(map(tuple, adhoc)) == sorted(map(tuple, indexed))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_phrase_hits_on_delta_index_covers_streamed_docs(spark, docs_df):
+    from pyspark.sql import functions as SF
+
+    from fluxgraph_spark.sources.text_index import DeltaInvertedIndex
+
+    ph = spark.createDataFrame(PHRASES, ["phrase_id", "phrase"])
+    d = tempfile.mkdtemp(prefix="inv_idx_phrase_delta_")
+    try:
+        base = docs_df.where(SF.col("doc_id") % 2 == 0)
+        DeltaInvertedIndex.build(base, d, n_buckets=8)
+        idx = DeltaInvertedIndex(spark, d)
+        idx.append_batch(docs_df.where(SF.col("doc_id") % 2 == 1), 0)
+        adhoc = retrieval.phrase_hits(docs_df, ph).collect()
+        indexed = idx.phrase_hits(docs_df, ph).collect()
+        assert sorted(map(tuple, adhoc)) == sorted(map(tuple, indexed))
+        # doc 1 ('quick brown fox...') arrived via the DELTA: candidacy
+        # must have come from the streamed postings
+        assert any(r["doc_id"] == 1 for r in indexed)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_phrase_hits_rejects_max_df_index(spark, docs_df):
+    ph = spark.createDataFrame([(1, "quick brown")], ["phrase_id", "phrase"])
+    d = tempfile.mkdtemp(prefix="inv_idx_phrase_maxdf_")
+    try:
+        idx = InvertedIndex.build(docs_df, d, n_buckets=4, max_df=2)
+        with pytest.raises(ValueError, match="max_df"):
+            idx.phrase_hits(docs_df, ph)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_corpus_stats_counts_empty_docs(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
     assert retrieval.corpus_stats(df) == (2, 2)
