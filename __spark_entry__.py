@@ -3320,6 +3320,20 @@ def q_st_bm25_ingest(spark, sf_dir):
     return idx.topk(_bm25_queries_df(spark), k=10)
 
 
+def q_s_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (similarity.cluster_sample —
+    the SemDeDup-style 'cap each semantic neighborhood' curation step):
+    every embedding assigns to its nearest md5-sample centroid (narrow
+    map, centroids unrolled — zero shuffle) and each cluster keeps its
+    first 25 members in md5(id) order.  The per-cluster rank runs in
+    two levels (row_number within (cluster, 2-hex-md5-prefix) first, so
+    a hot cluster never serializes into one window task), which selects
+    EXACTLY the naive global window's rows — and the whole selection is
+    md5-deterministic, so it replays bit-for-bit in SQL."""
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    return similarity.cluster_sample(emb, quota=25, n_centroids=16)
+
+
 def q_s_pq_topk(spark, sf_dir):
     """Product-quantization ANN: corpus compressed to m=4 one-byte codes
     per vector (64x), queries score via asymmetric-distance lookup-table
@@ -3574,7 +3588,6 @@ _R6_PRIORITY = [
     "g_revenue_by_region",
     "g_sssp_weighted",
     "g_touch_count_3hop",
-    "r_important_parts",
     "x_bpe_merges",  # new in r6: distributed BPE tokenizer training
     "x_bpe_encode",  # new in r6: BPE corpus token accounting
     "x_lm_familiarity",  # new in r6: bigram-LM perplexity-filter analog
@@ -3590,13 +3603,15 @@ _R6_PRIORITY = [
     "st_bm25_ingest",  # new in r6: streaming BM25 delta ingest
     "x_phrase_hits",  # new in r6: exact-substring decontamination
     "x_phrase_indexed",  # new in r6: postings-pruned phrase matching
+    "s_cluster_sample",  # new in r6: cluster-balanced diversity sampling
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
     # r_sole_late_supplier, r_top_supplier, r_market_share,
     # r_min_cost_supplier, r_product_profit, r_nation_volume,
-    # r_returned_top_customers rotated out to make room for
-    # the fsutil-affected block and the FIFTEEN new late-r6 queries above —
+    # r_returned_top_customers, r_important_parts rotated out to make
+    # room for the fsutil-affected block and the SIXTEEN new late-r6
+    # queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3772,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ivfpq_residual_topk": q_s_ivfpq_residual_topk,
         "s_ivf_kmeans_topk": q_s_ivf_kmeans_topk,
         "s_sq_topk": q_s_sq_topk,
+        "s_cluster_sample": q_s_cluster_sample,
         "s_bm25_topk": q_s_bm25_topk,
         "s_bm25_indexed_topk": q_s_bm25_indexed_topk,
         "s_pq_topk": q_s_pq_topk,
@@ -6200,6 +6216,32 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score_micro DESC, vec_id) AS INTEGER) AS rank
           FROM scored)
         SELECT * FROM ranked WHERE rank <= 10
+        """,
+        "s_cluster_sample": """
+        -- cluster-balanced sampling: the s_ivf_topk centroid/argmax
+        -- CTEs, then the first 25 per cluster in md5(id) order
+        WITH base AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        cents AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id,
+                 vec AS cvec
+          FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        scored AS MATERIALIZED (
+          SELECT b.vec_id, c.centroid_id,
+                 list_dot_product(b.vec, c.cvec)
+                   / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+          FROM base b CROSS JOIN cents c),
+        assign1 AS MATERIALIZED (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT vec_id, centroid_id, CAST(pick_rank AS INTEGER) AS pick_rank FROM (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY centroid_id
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+          FROM assign1)
+        WHERE pick_rank <= 25
         """,
         "s_bm25_topk": r"""
         -- BM25, rational idf (the exact argument of Lucene's ln(1+x)):

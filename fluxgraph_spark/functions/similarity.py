@@ -12,6 +12,8 @@ not ``rand()`` — resumable runs and cross-engine tests depend on it.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -398,6 +400,66 @@ def label_centroids(
         .cast("long")
         .alias("centroid_micro"),
         "n_vecs",
+    )
+
+
+def cluster_sample(
+    corpus: DataFrame,
+    quota: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling — the "keep N per semantic
+    cluster" selection step of embedding-driven corpus curation
+    (the selection shape popularized by SemDeDup/DSIR-style pipelines:
+    after near-dup pruning, cap each semantic neighborhood so the
+    training mix isn't dominated by overrepresented topics).
+
+    Every vector assigns to its nearest centroid (cosine; the
+    deterministic md5-sample centroids of :func:`ivf_centroids` unless
+    ``centroids`` is given) and each cluster keeps its first ``quota``
+    members in md5(id) order — a uniform pseudo-random draw that is
+    reproducible and replays exactly in SQL.  Returns
+    ``(vec_id, centroid_id, pick_rank)``, ``pick_rank`` 1-based within
+    the cluster.
+
+    Scale shape: the assignment is a narrow map (centroids unroll into
+    one array expression — zero shuffle); the per-cluster rank is
+    computed in TWO levels so a hot cluster can never serialize into
+    one window task: a first row_number within
+    ``(centroid_id, 2-hex-md5-prefix)`` — 256-way parallel per cluster —
+    keeps only per-prefix top-``quota`` (a superset of the global
+    top-``quota``, since a globally-kept row is also kept within its own
+    prefix), and the exact window then runs over ≤ 256×quota survivors
+    per cluster (the x_mix_budget / token_budget_mix pattern)."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_vec(F.col(vec_col)).alias("vec"),
+    )
+    assigned = ivf_assign(v, cents, 1, "vec_id", "vec").withColumnRenamed(
+        "id", "vec_id"
+    )
+    pre = assigned.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+    wp = W.partitionBy("centroid_id", F.substring(F.col("__h"), 1, 2)).orderBy(
+        "__h", "vec_id"
+    )
+    survivors = pre.withColumn("__pr", F.row_number().over(wp)).where(
+        F.col("__pr") <= quota
+    )
+    w = W.partitionBy("centroid_id").orderBy("__h", "vec_id")
+    return (
+        survivors.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= quota)
+        .select("vec_id", "centroid_id", "pick_rank")
     )
 
 

@@ -154,6 +154,7 @@ AUDITED = [
     "st_bm25_ingest",
     "x_phrase_hits",
     "x_phrase_indexed",
+    "s_cluster_sample",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -259,6 +260,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_phrase_hits",         # full-corpus token-stream render; the
                              # phrase book is a broadcast, the match a
                              # map-side literal scan
+    "s_cluster_sample",      # full-embeddings narrow assignment map
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -335,6 +337,8 @@ NO_BROADCAST_EXPECTED = {
     "x_frames_msv1",         # narrow mapInPandas decode, no joins
     "x_audio_adpcm",         # narrow mapInPandas decode, no joins
     "x_warc_ingest",         # narrow mapInPandas parse, no joins
+    "s_cluster_sample",      # narrow unrolled-centroid assignment +
+                             # two windows, no joins at all
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,

@@ -171,6 +171,51 @@ def test_ivf_topk_recall(tables):
     assert all((q, q) in a for q in {x[0] for x in e})
 
 
+def test_cluster_sample_equals_naive_single_window(spark, tables):
+    """The two-level skew-capped rank (per-md5-prefix prefilter, then
+    the exact window over survivors) must select EXACTLY the naive
+    global per-cluster window's rows."""
+    from pyspark.sql import Window as W
+
+    emb = tables["embeddings"]
+    got = similarity.cluster_sample(emb, quota=7, n_centroids=8)
+    cents = similarity.ivf_centroids(emb, 8)
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    assigned = similarity.ivf_assign(v, cents, 1, "vec_id", "vec").withColumnRenamed(
+        "id", "vec_id"
+    )
+    h = F.md5(F.col("vec_id").cast("string"))
+    w = W.partitionBy("centroid_id").orderBy(h.asc(), F.col("vec_id"))
+    naive = (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= 7)
+        .select("vec_id", "centroid_id", "pick_rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_cluster_sample_quota_and_coverage(tables):
+    emb = tables["embeddings"]
+    rows = similarity.cluster_sample(emb, quota=5, n_centroids=8).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["centroid_id"], []).append(r["pick_rank"])
+    for c, ranks in by_c.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    # a quota >= corpus size selects EVERY vector exactly once (the
+    # clusters partition the corpus)
+    n = emb.count()
+    full = similarity.cluster_sample(emb, quota=n, n_centroids=8).collect()
+    assert len(full) == n
+    assert len({r["vec_id"] for r in full}) == n
+
+
+def test_cluster_sample_bad_quota_raises(tables):
+    with pytest.raises(ValueError, match="quota"):
+        similarity.cluster_sample(tables["embeddings"], quota=0)
+
+
 def test_multimodal_plumbing(tables):
     docs = tables["documents"].limit(20)
     media = multimodal.media_table_from_documents(docs)
