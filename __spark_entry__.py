@@ -25,7 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from fluxgraph_spark.functions import dedup, multimodal, retrieval, similarity, text
+from fluxgraph_spark.functions import (
+    dedup,
+    multimodal,
+    retrieval,
+    similarity,
+    sketches,
+    text,
+)
 from fluxgraph_spark.functions import timeutil as TU
 from fluxgraph_spark.operators import analytics as AN
 from fluxgraph_spark.operators import temporal as TP
@@ -3320,6 +3327,29 @@ def q_st_bm25_ingest(spark, sf_dir):
     return idx.topk(_bm25_queries_df(spark), k=10)
 
 
+def q_k_cms_heavy(spark, sf_dir):
+    """Count-min-sketch heavy hitters (functions/sketches.py — Cormode
+    & Muthukrishnan 2005): the corpus token stream folds into a 4x2048
+    counter table (fixed size REGARDLESS of corpus scale; the shuffle
+    carries (row, bucket) partial sums, never terms — at 10^12 tokens
+    an exact frequency table is a 10^9-row shuffle, the sketch is 8k
+    rows), and the exact top-20 terms probe their estimates back out.
+    The row hashes are md5-derived, so unlike the HLL/quantile sketches
+    (k_sketches' bounds audit) the WHOLE sketch replays bit-for-bit in
+    SQL — est_n is hash-gated exactly, and the one-sided guarantee
+    est_n >= exact_n is visible in the output rather than asserted."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    toks = retrieval.tokens(docs)
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    w = W.orderBy(F.col("exact_n").desc(), "term")
+    top = tf.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 20)
+    cms = sketches.cms_build(toks, "term", depth=4, width=2048)
+    est = sketches.cms_estimate(cms, top.select("term"), "term", depth=4, width=2048)
+    return top.join(est, top["term"] == est["key"]).select(
+        "term", "exact_n", "rank", "est_n"
+    )
+
+
 def q_s_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling (similarity.cluster_sample —
     the SemDeDup-style 'cap each semantic neighborhood' curation step):
@@ -3577,7 +3607,6 @@ _R6_PRIORITY = [
     "s_ivf_topk",
     "t_asof_join",
     "t_asof_tolerance",
-    "d_winnow_pairs",
     "g_bfs_levels",
     "g_components",
     "g_components_star",
@@ -3604,14 +3633,15 @@ _R6_PRIORITY = [
     "x_phrase_hits",  # new in r6: exact-substring decontamination
     "x_phrase_indexed",  # new in r6: postings-pruned phrase matching
     "s_cluster_sample",  # new in r6: cluster-balanced diversity sampling
+    "k_cms_heavy",  # new in r6: count-min-sketch heavy hitters
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
     # r_sole_late_supplier, r_top_supplier, r_market_share,
     # r_min_cost_supplier, r_product_profit, r_nation_volume,
-    # r_returned_top_customers, r_important_parts rotated out to make
-    # room for the fsutil-affected block and the SIXTEEN new late-r6
-    # queries above —
+    # r_returned_top_customers, r_important_parts, d_winnow_pairs
+    # rotated out to make room for the fsutil-affected block and the
+    # SEVENTEEN new late-r6 queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3742,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_percentiles": q_x_percentiles,
         "t_gap_stats": q_t_gap_stats,
         "k_sketches": q_k_sketches,
+        "k_cms_heavy": q_k_cms_heavy,
         # training-data pipeline surface
         "d_text_hashes": q_d_text_hashes,
         "d_exact_dups": q_d_exact_dups,
@@ -6216,6 +6247,40 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score_micro DESC, vec_id) AS INTEGER) AS rank
           FROM scored)
         SELECT * FROM ranked WHERE rank <= 10
+        """,
+        "k_cms_heavy": r"""
+        -- count-min sketch FULLY replayed (md5-derived row hashes):
+        -- counters, probe minima, and the exact top-20 all recompute
+        WITH tok AS MATERIALIZED (
+          SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+          FROM documents),
+        tf AS MATERIALIZED (
+          SELECT term, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY term),
+        top AS MATERIALIZED (
+          SELECT term, exact_n, CAST(rnk AS INTEGER) AS rank FROM (
+            SELECT term, exact_n,
+                   row_number() OVER (ORDER BY exact_n DESC, term) AS rnk
+            FROM tf) WHERE rnk <= 20),
+        hj AS (SELECT j FROM (VALUES (0), (1), (2), (3)) t(j)),
+        cms AS MATERIALIZED (
+          SELECT h.j,
+                 CAST(('0x' || substring(md5(CAST(h.j AS VARCHAR) || ':' || t.term), 1, 15))::UBIGINT
+                      % 2048 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM tok t CROSS JOIN hj h
+          GROUP BY 1, 2),
+        probe AS (
+          SELECT tp.term, h.j,
+                 CAST(('0x' || substring(md5(CAST(h.j AS VARCHAR) || ':' || tp.term), 1, 15))::UBIGINT
+                      % 2048 AS BIGINT) AS bucket
+          FROM top tp CROSS JOIN hj h),
+        est AS (
+          SELECT p.term, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_n
+          FROM probe p
+          LEFT JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+          GROUP BY p.term)
+        SELECT t.term, t.exact_n, t.rank, e.est_n
+        FROM top t JOIN est e USING (term)
         """,
         "s_cluster_sample": """
         -- cluster-balanced sampling: the s_ivf_topk centroid/argmax

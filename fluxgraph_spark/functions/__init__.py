@@ -1,3 +1,3 @@
-from . import dedup, multimodal, retrieval, similarity, text
+from . import dedup, multimodal, retrieval, similarity, sketches, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "retrieval"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "retrieval", "sketches"]

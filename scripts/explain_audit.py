@@ -155,6 +155,7 @@ AUDITED = [
     "x_phrase_hits",
     "x_phrase_indexed",
     "s_cluster_sample",
+    "k_cms_heavy",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -261,6 +262,7 @@ NO_PUSHDOWN_EXPECTED = {
                              # phrase book is a broadcast, the match a
                              # map-side literal scan
     "s_cluster_sample",      # full-embeddings narrow assignment map
+    "k_cms_heavy",           # full-corpus token explode into the sketch
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
