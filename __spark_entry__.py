@@ -3424,6 +3424,28 @@ def q_m_resized_meta(spark, sf_dir):
     )
 
 
+def q_m_dhash_dups(spark, sf_dir):
+    """Image near-dup detection over REAL pixels, end to end: every
+    19th document renders as an actual PNG (digest-block pixels — the
+    x_frames trick, so the decoded image is SQL-recomputable while the
+    encoder/decoder do real scanline-filter work), plus an
+    identical-text twin per source (distinct media_id), so genuine
+    duplicate IMAGES exist at every SF.  image_dhash decodes and packs
+    the 8x8 horizontal-gradient bits; dhash_near_dups finds pairs via
+    the 8-band hamming join (lossless for hamming <= 7 by pigeonhole)
+    and verifies with exact bit_count(xor) — the oracle brute-forces
+    all pairs from the digest-derived hashes, so banding completeness
+    is part of the hash check."""
+    OFFSET = 190_000_000_000  # multiple of 19: twins keep the %19 gate
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    twins = docs.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text")
+    media = multimodal.png_table_from_documents(
+        docs.select("doc_id", "text").unionByName(twins), every=19
+    )
+    hashes = multimodal.image_dhash(media, decoder="real")
+    return dedup.dhash_near_dups(hashes, max_hamming=7)
+
+
 def q_x_frames(spark, sf_dir):
     """REAL video frame extraction, end to end (VERDICT r3 item 5): every
     5th document becomes an actual uncompressed-DIB AVI container
@@ -3606,7 +3628,6 @@ _R6_PRIORITY = [
     "r_rollup_revenue",
     "s_ivf_topk",
     "t_asof_join",
-    "t_asof_tolerance",
     "g_bfs_levels",
     "g_components",
     "g_components_star",
@@ -3634,14 +3655,15 @@ _R6_PRIORITY = [
     "x_phrase_indexed",  # new in r6: postings-pruned phrase matching
     "s_cluster_sample",  # new in r6: cluster-balanced diversity sampling
     "k_cms_heavy",  # new in r6: count-min-sketch heavy hitters
+    "m_dhash_dups",  # new in r6: perceptual-hash image near-dups
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
     # r_sole_late_supplier, r_top_supplier, r_market_share,
     # r_min_cost_supplier, r_product_profit, r_nation_volume,
-    # r_returned_top_customers, r_important_parts, d_winnow_pairs
-    # rotated out to make room for the fsutil-affected block and the
-    # SEVENTEEN new late-r6 queries above —
+    # r_returned_top_customers, r_important_parts, d_winnow_pairs,
+    # t_asof_tolerance rotated out to make room for the fsutil-affected
+    # block and the EIGHTEEN new late-r6 queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3828,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_media_meta": q_m_media_meta,
         "m_frame_samples": q_m_frame_samples,
         "m_resized_meta": q_m_resized_meta,
+        "m_dhash_dups": q_m_dhash_dups,
     })
 
 
@@ -6247,6 +6270,48 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score_micro DESC, vec_id) AS INTEGER) AS rank
           FROM scored)
         SELECT * FROM ranked WHERE rank <= 10
+        """,
+        "m_dhash_dups": r"""
+        -- dHash image near-dups FULLY replayed: every decoded pixel is
+        -- a digest byte (png_table_from_documents construction), so the
+        -- grids, the packed 64-bit hashes (HUGEINT sum -> signed wrap)
+        -- and the brute-force hamming pairs all recompute exactly; the
+        -- Spark side's band join must find the SAME pairs (pigeonhole
+        -- completeness at hamming <= 7) or the hash turns red
+        WITH src AS MATERIALIZED (
+          SELECT doc_id AS media_id, text FROM documents
+          WHERE doc_id % 19 = 0 AND text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 190000000000 AS media_id, text FROM documents
+          WHERE doc_id % 19 = 0 AND text IS NOT NULL),
+        grid AS MATERIALIZED (
+          SELECT s.media_id, r.r, c.c,
+                 ('0x' || substr(md5(s.text || ':' || CAST(r.r AS VARCHAR)),
+                                 c.c * 2 + 1, 2))::INT AS v
+          FROM src s
+          CROSS JOIN generate_series(0, 7) r(r)
+          CROSS JOIN generate_series(0, 8) c(c)),
+        hb AS MATERIALIZED (
+          SELECT media_id,
+                 coalesce(sum(CASE WHEN lv > rv
+                              THEN 1::HUGEINT << (r * 8 + c) END),
+                          0::HUGEINT) AS hu
+          FROM (SELECT g1.media_id, g1.r, g1.c, g1.v AS lv, g2.v AS rv
+                FROM grid g1
+                JOIN grid g2 ON g2.media_id = g1.media_id
+                            AND g2.r = g1.r AND g2.c = g1.c + 1
+                WHERE g1.c < 8)
+          GROUP BY media_id),
+        hs AS MATERIALIZED (
+          SELECT media_id,
+                 CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                           THEN hu - 18446744073709551616::HUGEINT
+                           ELSE hu END AS BIGINT) AS dhash
+          FROM hb)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        FROM hs a JOIN hs b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
         """,
         "k_cms_heavy": r"""
         -- count-min sketch FULLY replayed (md5-derived row hashes):

@@ -1198,3 +1198,73 @@ def dedupe_incremental(
     sh.unpersist()
     cand.unpersist()
     return new_batch.join(drops, id_col, "left_anti")
+
+
+def dhash_near_dups(
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from 64-bit perceptual hashes
+    (multimodal.image_dhash): ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b`` and ``hamming <= max_hamming``.
+
+    The pair search is the banding trick in hamming space: the hash
+    splits into 8 one-byte bands, candidates share at least one EXACT
+    band, and an exact ``bit_count(xor)`` verifies.  The pigeonhole
+    guarantee makes this LOSSLESS for ``max_hamming <= 7``: a pair
+    differing in at most 7 bits cannot differ in all 8 bands, so every
+    qualifying pair is a candidate (larger thresholds would need wider
+    bands or multi-band combinations — rejected rather than silently
+    losing recall).
+
+    Scale shape: |rows| x 8 band rows, one equi-join on (band_idx,
+    band_value), exact verify on the survivors — the image twin of the
+    MinHash-LSH band join, with the same skew caveat: a constant band
+    value across a huge image family (e.g. letterboxed black bars) is a
+    hot bucket; cap or pre-split as in lsh_candidate_pairs."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming must be in [0, 7] for the 8-band pigeonhole "
+            f"guarantee, got {max_hamming}"
+        )
+    bands = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftrightunsigned(F.col(hash_col), 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band"),
+                    )
+                    for k in range(8)
+                ]
+            )
+        ).alias("kb"),
+    ).select("id", "h", F.col("kb.k").alias("k"), F.col("kb.band").alias("band"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

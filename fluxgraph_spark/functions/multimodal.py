@@ -603,3 +603,154 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, decoder: str = "fake")
             )
 
     return media.mapInPandas(batches, schema=out_schema)
+
+
+def png_table_from_documents(docs: DataFrame, every: int = 19) -> DataFrame:
+    """REAL PNG fixtures from documents: every ``every``-th document
+    (non-null text) becomes an 18x16 grayscale PNG of 2x2 constant
+    blocks whose values are md5 digest bytes — block (r, c) in the 8x9
+    block grid holds byte ``c`` of ``md5(text || ':' || r)``.
+
+    The construction is what makes the dHash pipeline HASH-GATEABLE
+    end to end: the encoder writes real scanline-filtered PNG bytes, the
+    decoder genuinely parses them back, and yet every decoded pixel is a
+    digest byte an external SQL engine can recompute — the x_frames
+    digest-arithmetic trick, applied to the image-dedup tier.  Identical
+    document texts (the corpus' planted exact dups) yield bit-identical
+    images, i.e. genuine hamming-0 duplicate pairs."""
+    encode_png = codecs.encode_png
+
+    src = docs.where(
+        (F.col("doc_id") % every == 0) & F.col("text").isNotNull()
+    ).select("doc_id", "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            ids, contents, metas = [], [], []
+            for _, row in pdf.iterrows():
+                blocks = np.zeros((8, 9), dtype=np.uint8)
+                for r in range(8):
+                    digest = _hashlib.md5(
+                        f"{row['text']}:{r}".encode("utf-8")
+                    ).digest()
+                    blocks[r, :] = np.frombuffer(digest[:9], dtype=np.uint8)
+                # expand each block to 2x2 -> 16x18, one gray channel
+                img = np.repeat(np.repeat(blocks, 2, axis=0), 2, axis=1)
+                ids.append(int(row["doc_id"]))
+                contents.append(encode_png(img[:, :, None]))
+                metas.append(
+                    {
+                        "width": 18,
+                        "height": 16,
+                        "duration_ms": None,
+                        "mime": "image/png",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return src.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def image_dhash(
+    media: DataFrame,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    decoder: str = "real",
+) -> DataFrame:
+    """Perceptual difference hash (dHash) per image row:
+    ``(media_id, dhash)`` with one signed-64 hash packing
+    ``hash_h x hash_w`` gradient bits.
+
+    The standard near-dup fingerprint for image lakes (Krawetz's
+    dHash): decode, collapse to grayscale, area-downsample to
+    ``hash_h x (hash_w+1)``, and emit bit ``(r, c)`` = 1 iff
+    ``g[r][c] > g[r][c+1]`` — horizontal gradients survive re-encoding,
+    scaling and brightness shifts, so visually-identical images land
+    within a few bits of each other.  Bit ``(r, c)`` sits at position
+    ``r*hash_w + c``; ``hash_w*hash_h`` must be <= 64.
+
+    ``decoder="real"`` parses the PNG bytes (codecs.decode_png — all
+    five scanline filters); the fake decoder derives the same grid
+    shape from content digests (plumbing tests).  Downsampling bins are
+    ``[floor(i*H/th), floor((i+1)*H/th))`` block means — EXACT when the
+    image is constant on aligned blocks (how png_table_from_documents
+    makes the whole pipeline digest-replayable in SQL).
+
+    Scale shape: one Arrow-batched narrow map, zero shuffle; pair
+    finding is :func:`~.dedup.dhash_near_dups`' band join."""
+    if hash_w * hash_h > 64:
+        raise ValueError(f"hash_w*hash_h must fit 64 bits, got {hash_w}x{hash_h}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+    decode_png, sniff = codecs.decode_png, codecs.sniff
+
+    def _pack(bits) -> int:
+        h = 0
+        for pos, b in enumerate(bits):
+            if b:
+                h |= 1 << pos
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        tw, th = hash_w + 1, hash_h
+
+        def _downsample(gray):
+            hh, ww = gray.shape
+            rb = [hh * i // th for i in range(th + 1)]
+            cb = [ww * i // tw for i in range(tw + 1)]
+            out = np.empty((th, tw), dtype=np.float64)
+            for r in range(th):
+                for c in range(tw):
+                    out[r, c] = gray[rb[r] : rb[r + 1], cb[c] : cb[c + 1]].mean()
+            return out
+
+        for pdf in it:
+            ids, hashes = [], []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                if decoder == "real":
+                    if sniff(content) != "png":
+                        raise ValueError(
+                            "decoder='real' image_dhash supports PNG bytes only"
+                        )
+                    arr = decode_png(content).astype(np.float64)
+                    if arr.shape[0] < th or arr.shape[1] < tw:
+                        raise ValueError(
+                            f"image {arr.shape[1]}x{arr.shape[0]} smaller than "
+                            f"the {tw}x{th} hash grid"
+                        )
+                    g = _downsample(arr.mean(axis=2))
+                else:
+                    g = np.empty((th, tw), dtype=np.float64)
+                    for r in range(th):
+                        digest = _hashlib.md5(content + bytes([r])).digest()
+                        g[r, :] = np.frombuffer(digest[:tw], dtype=np.uint8)
+                bits = [
+                    g[r, c] > g[r, c + 1]
+                    for r in range(th)
+                    for c in range(hash_w)
+                ]
+                ids.append(int(row["media_id"]))
+                hashes.append(_pack(bits))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.mapInPandas(batches, schema=out_schema)

@@ -156,6 +156,7 @@ AUDITED = [
     "x_phrase_indexed",
     "s_cluster_sample",
     "k_cms_heavy",
+    "m_dhash_dups",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -263,6 +264,8 @@ NO_PUSHDOWN_EXPECTED = {
                              # map-side literal scan
     "s_cluster_sample",      # full-embeddings narrow assignment map
     "k_cms_heavy",           # full-corpus token explode into the sketch
+    "m_dhash_dups",          # doc_id % 19 is not a pushable predicate;
+                             # the decode is a narrow mapInPandas
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -341,6 +344,7 @@ NO_BROADCAST_EXPECTED = {
     "x_warc_ingest",         # narrow mapInPandas parse, no joins
     "s_cluster_sample",      # narrow unrolled-centroid assignment +
                              # two windows, no joins at all
+    "m_dhash_dups",          # band self-join: AQE decides
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,
