@@ -335,7 +335,19 @@ class DeltaInvertedIndex(InvertedIndex):
         """Tokenize ``batch`` and land it under its own
         ``delta_postings/batch_id=<batch_id>`` subtree (overwrite —
         replaying the same batch id is idempotent), then commit it by
-        overwriting the batch's ``delta_stats`` row."""
+        overwriting the batch's ``delta_stats`` row.
+
+        Rejected on a ``max_df``-pruned base: the base dropped its
+        stopword postings but a batch would keep its own, so probes
+        would score pruned terms from delta-only (wrong) df — the same
+        completeness break phrase_hits guards against."""
+        if self._meta_max_df is not None:
+            raise ValueError(
+                "append_batch needs a base built without max_df — this "
+                f"one pruned terms with df > {self._meta_max_df}, so "
+                "delta postings would disagree with the pruned base; "
+                "rebuild without max_df"
+            )
         bid = int(batch_id)
         tf = (
             retrieval.tokens(batch, id_col, text_col)
@@ -422,11 +434,20 @@ class DeltaInvertedIndex(InvertedIndex):
             d = d.where(F.col("term").isin(term_list))
         return d
 
-    def _matched(self, buckets: list[int], term_list: list[str]) -> DataFrame:
+    def _matched(
+        self,
+        buckets: list[int],
+        term_list: list[str],
+        batch_ids: Optional[list[int]] = None,
+    ) -> DataFrame:
+        """``batch_ids`` lets a caller that already probed the commit
+        markers reuse them — one consistent snapshot per query instead
+        of a second driver probe (and a racing sink committing between
+        the two reads)."""
         base = super()._matched(buckets, term_list)
-        delta = self._delta_postings(
-            self._committed()[0], buckets, term_list
-        )
+        if batch_ids is None:
+            batch_ids = self._committed()[0]
+        delta = self._delta_postings(batch_ids, buckets, term_list)
         if delta is None:
             return base
         return base.unionByName(delta.select("term", "doc_id", "tf", "dl"))
@@ -442,13 +463,15 @@ class DeltaInvertedIndex(InvertedIndex):
         """Bit-identical to :func:`retrieval.bm25_topk` over the
         base ∪ committed-delta corpus: both scans prune to the query
         terms' buckets, ``df`` is recomputed from the matched postings,
-        and the corpus stats include every committed batch."""
+        and the corpus stats include every committed batch (one
+        commit-marker probe per query — stats and postings come from
+        the same committed snapshot)."""
         q = queries.select("query_id", "term").distinct()
         terms = q.select("term").distinct()
         buckets = self._probe_buckets(terms)
         term_list = [r["term"] for r in terms.collect()]
         batch_ids, d_docs, d_dl = self._committed()
-        matched = self._matched(buckets, term_list)
+        matched = self._matched(buckets, term_list, batch_ids=batch_ids)
         dfs = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         post = matched.join(dfs, "term")
         n_docs, sum_dl = self._base_stats()

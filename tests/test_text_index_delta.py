@@ -173,6 +173,14 @@ def test_merge_delta_folds_and_is_crash_atomic(
     assert _rows(snap.topk(queries_df, k=10)) == want
 
 
+def test_append_rejects_max_df_base(spark, docs_df, tmp_path):
+    d = str(tmp_path / "didx_maxdf")
+    DeltaInvertedIndex.build(docs_df, d, n_buckets=4, max_df=2)
+    idx = DeltaInvertedIndex(spark, d)
+    with pytest.raises(ValueError, match="max_df"):
+        idx.append_batch(docs_df.limit(1), 0)
+
+
 def test_merge_with_nothing_unfolded_is_a_noop_sweep(spark, docs_df, queries_df, tmp_path):
     idx, _ = _mk(spark, docs_df, tmp_path, "didx_noop")
     idx.merge_delta()  # no delta at all
