@@ -3350,6 +3350,33 @@ def q_k_cms_heavy(spark, sf_dir):
     )
 
 
+def q_k_hll_orderkeys(spark, sf_dir):
+    """VERIFIABLE HyperLogLog (functions/sketches.py hll_* — Flajolet
+    2007): distinct order keys per return flag from 256 registers per
+    group, whatever the fact-table size.  Unlike approx_count_distinct
+    (impl-defined state — k_sketches can only bounds-audit it), the
+    registers hash with the md5 family and the harmonic denominator is
+    ONE exact scaled integer (registers cap at 40 so sum 2^(40-M_j)
+    fits a BIGINT — no order-dependent float summation), so the sketch
+    digest AND the raw estimate hash-gate exactly.  exact_n rides along
+    and err_ok pins the estimate within 25% (3-sigma for m=256 is
+    ~20%) — a replayable accuracy proof, not an assertion."""
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    hll = sketches.hll_build(li, "l_orderkey", p=8, group_cols=("l_returnflag",))
+    st = sketches.hll_state(hll, p=8, group_cols=("l_returnflag",))
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_n")
+    )
+    out = st.join(exact, "l_returnflag")
+    err_ok = (
+        F.abs(F.col("est_cents") - F.col("exact_n") * 100)
+        <= F.col("exact_n") * 25
+    ).alias("err_ok")
+    return out.select(
+        "l_returnflag", "exact_n", "m", "zeros", "n_scaled", "est_cents", err_ok
+    )
+
+
 def q_s_cluster_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling (similarity.cluster_sample —
     the SemDeDup-style 'cap each semantic neighborhood' curation step):
@@ -3627,7 +3654,6 @@ _R6_PRIORITY = [
     "r_disjunctive_rev",
     "r_rollup_revenue",
     "s_ivf_topk",
-    "t_asof_join",
     "g_bfs_levels",
     "g_components",
     "g_components_star",
@@ -3656,14 +3682,15 @@ _R6_PRIORITY = [
     "s_cluster_sample",  # new in r6: cluster-balanced diversity sampling
     "k_cms_heavy",  # new in r6: count-min-sketch heavy hitters
     "m_dhash_dups",  # new in r6: perceptual-hash image near-dups
+    "k_hll_orderkeys",  # new in r6: verifiable (md5-family) HyperLogLog
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
     # r_sole_late_supplier, r_top_supplier, r_market_share,
     # r_min_cost_supplier, r_product_profit, r_nation_volume,
     # r_returned_top_customers, r_important_parts, d_winnow_pairs,
-    # t_asof_tolerance rotated out to make room for the fsutil-affected
-    # block and the EIGHTEEN new late-r6 queries above —
+    # t_asof_tolerance, t_asof_join rotated out to make room for the
+    # fsutil-affected block and the NINETEEN new late-r6 queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3795,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_gap_stats": q_t_gap_stats,
         "k_sketches": q_k_sketches,
         "k_cms_heavy": q_k_cms_heavy,
+        "k_hll_orderkeys": q_k_hll_orderkeys,
         # training-data pipeline surface
         "d_text_hashes": q_d_text_hashes,
         "d_exact_dups": q_d_exact_dups,
@@ -6571,6 +6599,47 @@ SELECT doc_id, lang, n_tok, cum_tokens FROM c WHERE cum_tokens - n_tok < 20000
     # bloom tier only PRUNES; the exact verify makes the decision
     # identical to the exact operator — same oracle
     sqls["x_decontaminate_bloom"] = sqls["x_decontaminate"]
+    # verifiable HLL: md5-family registers, exact scaled-integer
+    # harmonic denominator, one double division for the raw estimate —
+    # the whole digest recomputes (p=8, w=52, registers capped at 40)
+    _hll_alpha = 0.7213 / (1.0 + 1.079 / 256)
+    _hll_a = _hll_alpha * 256 * 256 * float(1 << 40)
+    sqls["k_hll_orderkeys"] = f"""
+WITH h AS MATERIALIZED (
+  SELECT DISTINCT l_returnflag, l_orderkey,
+         ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::UBIGINT AS hv
+  FROM lineitem),
+r AS MATERIALIZED (
+  SELECT l_returnflag,
+         CAST(hv >> 52 AS INTEGER) AS bucket,
+         CAST(least(CASE WHEN (hv & 4503599627370495) = 0 THEN 53
+                         ELSE 53 - length(bin(CAST(hv & 4503599627370495 AS BIGINT)))
+                    END, 40) AS INTEGER) AS rho
+  FROM h),
+reg AS MATERIALIZED (
+  SELECT l_returnflag, bucket, max(rho) AS register FROM r GROUP BY 1, 2),
+st AS MATERIALIZED (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS present,
+         CAST(sum(1::BIGINT << (40 - register)) AS BIGINT) AS n_present
+  FROM reg GROUP BY 1),
+ex AS (
+  SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_n
+  FROM lineitem GROUP BY 1),
+dig AS (
+  SELECT s.l_returnflag, e.exact_n,
+         CAST(256 AS INTEGER) AS m,
+         CAST(256 - s.present AS BIGINT) AS zeros,
+         CAST(s.n_present + (256 - s.present) * (1::BIGINT << 40) AS BIGINT) AS n_scaled
+  FROM st s JOIN ex e USING (l_returnflag)),
+est AS (
+  SELECT *,
+         CAST(floor({_hll_a!r} / CAST(n_scaled AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS est_cents
+  FROM dig)
+SELECT l_returnflag, exact_n, m, zeros, n_scaled, est_cents,
+       abs(est_cents - exact_n * 100) <= exact_n * 25 AS err_ok
+FROM est
+"""
     # exact-substring decontamination: normalized token streams matched
     # with LITERAL strpos/replace; n_hits = greedy non-overlapping count
     # via replace arithmetic (single left-to-right pass — identical

@@ -132,3 +132,126 @@ def cms_estimate(
         "key", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
     )
     return joined.groupBy("key").agg(F.min("cnt").alias("est_n"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — verifiable distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# Flajolet et al. 2007: hash each key, use the first ``p`` bits as a
+# register index and the position of the leftmost 1-bit of the rest as
+# the register value; registers MERGE by max (associative — the
+# per-partition / per-day composition); the harmonic mean of 2^-M_j
+# estimates the cardinality with ~1.04/sqrt(2^p) relative error.
+#
+# What's different from ``approx_count_distinct``: Spark's HLL register
+# state is implementation-defined (only bounds-auditable — k_sketches).
+# THIS sketch hashes with the md5-derived stable_hash64 family, so the
+# registers, the zero count, and the harmonic denominator are exact
+# integers an external SQL engine recomputes bit-for-bit.  The
+# denominator is kept EXACT by scaling: registers cap at RHO_CAP, so
+# sum(2^(RHO_CAP - M_j)) <= m * 2^RHO_CAP fits a BIGINT (2^48 at
+# m=256) — no order-dependent floating-point summation anywhere.
+
+HLL_HASH_BITS = 60  # stable_hash64: 15 md5 hex chars
+HLL_RHO_CAP = 40    # register cap keeping the scaled denominator exact
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    p: int = 8,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Registers ``(*group_cols, bucket, register)`` — at most
+    ``2^p`` rows per group, whatever the input size.  The one shuffle
+    is the (group, bucket) max-aggregation with map-side combine."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    w = HLL_HASH_BITS - p
+    from .text import stable_hash64
+
+    h = stable_hash64(F.col(key_col).cast("string"))
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = (
+        F.when(rem == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.conv(rem, 10, 2)))
+        .cast("int")
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.shiftrightunsigned(h, w).cast("int").alias("bucket"),
+            F.least(rho, F.lit(HLL_RHO_CAP)).alias("register"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """Register-wise max of two sketches built with the same ``p``."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def hll_state(hll: DataFrame, p: int = 8, group_cols: tuple = ()) -> DataFrame:
+    """Integer-exact sketch digest per group:
+    ``(m, zeros, n_scaled, est_cents)``.
+
+    * ``zeros``: registers never touched (absent buckets).
+    * ``n_scaled``: ``sum(2^(RHO_CAP - M_j))`` over all m registers
+      (absent ones contribute ``2^RHO_CAP``) — the harmonic denominator
+      as ONE exact integer.
+    * ``est_cents``: the RAW HLL estimate ``alpha_m * m^2 / sum(2^-M_j)``
+      in integer cents — a single correctly-rounded double division of
+      exact integers, identical in any engine.  Deliberately NO
+      small-range (linear-counting) or large-range correction here:
+      those need ``ln``, which differs in the last ulp across libms —
+      use :func:`hll_estimate` for the corrected user-facing number,
+      and gate on this raw digest (valid when n > 2.5m)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    a_scaled = alpha * m * m * float(1 << HLL_RHO_CAP)  # one double literal
+    agg = hll.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - register)")
+        ).alias("__n_present"),
+    )
+    zeros = (F.lit(m) - F.col("__present")).cast("long")
+    n_scaled = (
+        F.col("__n_present")
+        + zeros * F.lit(1 << HLL_RHO_CAP).cast("long")
+    ).cast("long")
+    return agg.select(
+        *group_cols,
+        F.lit(m).cast("int").alias("m"),
+        zeros.alias("zeros"),
+        n_scaled.alias("n_scaled"),
+        F.floor(
+            F.lit(a_scaled) / n_scaled.cast("double") * F.lit(100.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("est_cents"),
+    )
+
+
+def hll_estimate(hll: DataFrame, p: int = 8, group_cols: tuple = ()) -> DataFrame:
+    """User-facing corrected estimate per group (double): linear
+    counting when the raw estimate is under ``2.5m`` and empty
+    registers remain (the Flajolet small-range correction — uses
+    ``ln``, hence not part of the hash-gated digest)."""
+    m = 1 << p
+    st = hll_state(hll, p, group_cols)
+    raw = F.col("est_cents").cast("double") / F.lit(100.0)
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double"))
+    return st.select(
+        *group_cols,
+        F.when((raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0), lin)
+        .otherwise(raw)
+        .alias("estimate"),
+    )

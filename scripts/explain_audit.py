@@ -157,6 +157,7 @@ AUDITED = [
     "s_cluster_sample",
     "k_cms_heavy",
     "m_dhash_dups",
+    "k_hll_orderkeys",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -266,6 +267,7 @@ NO_PUSHDOWN_EXPECTED = {
     "k_cms_heavy",           # full-corpus token explode into the sketch
     "m_dhash_dups",          # doc_id % 19 is not a pushable predicate;
                              # the decode is a narrow mapInPandas
+    "k_hll_orderkeys",       # full-lineitem register fold by design
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {

@@ -106,3 +106,76 @@ def test_cms_bad_shape_raises(spark, words_df):
         sketches.cms_build(words_df, "word", depth=0)
     with pytest.raises(ValueError):
         sketches.cms_build(words_df, "word", width=1)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _ref_hll_regs(keys, p):
+    m, w = 1 << p, 60 - p
+    regs = {}
+    for k in set(keys):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        b = h >> w
+        rem = h & ((1 << w) - 1)
+        rho = w + 1 if rem == 0 else w + 1 - rem.bit_length()
+        regs[b] = max(regs.get(b, 0), min(rho, 40))
+    return regs
+
+
+def test_hll_registers_match_scalar_reference(spark):
+    keys = [f"key{i}" for i in range(500)] * 3  # duplicates must not matter
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["bucket"]: r["register"]
+        for r in sketches.hll_build(df, "k", p=6).collect()
+    }
+    assert got == _ref_hll_regs(keys, 6)
+
+
+def test_hll_merge_equals_whole_and_estimate_accuracy(spark):
+    keys = [f"u{i}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    whole = sketches.hll_build(df, "k", p=8)
+    a = spark.createDataFrame([(k,) for k in keys[:900]], ["k"])
+    b = spark.createDataFrame([(k,) for k in keys[900:]], ["k"])
+    merged = sketches.hll_merge(
+        sketches.hll_build(a, "k", p=8), sketches.hll_build(b, "k", p=8)
+    )
+    as_dict = lambda d: {r["bucket"]: r["register"] for r in d.collect()}
+    assert as_dict(merged) == as_dict(whole)
+    st = sketches.hll_state(whole, p=8).collect()[0]
+    # n=2000 >> 2.5m=640: raw-HLL regime; 1.04/sqrt(256) ~ 6.5% sigma
+    assert abs(st["est_cents"] / 100.0 - 2000) <= 0.2 * 2000
+    # exact-integer digest recomputed from the scalar registers
+    regs = _ref_hll_regs(keys, 8)
+    n_scaled = sum(1 << (40 - v) for v in regs.values()) + (256 - len(regs)) * (1 << 40)
+    assert st["n_scaled"] == n_scaled
+    assert st["zeros"] == 256 - len(regs)
+
+
+def test_hll_linear_counting_small_n(spark):
+    keys = [f"s{i}" for i in range(40)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    hll = sketches.hll_build(df, "k", p=8)
+    est = sketches.hll_estimate(hll, p=8).collect()[0]["estimate"]
+    assert abs(est - 40) <= 0.25 * 40  # linear counting is tight here
+
+
+def test_hll_grouped_and_bad_p(spark):
+    rows = [("a", i) for i in range(300)] + [("b", i) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    st = {
+        r["g"]: r
+        for r in sketches.hll_state(
+            sketches.hll_build(df, "k", p=6, group_cols=("g",)),
+            p=6,
+            group_cols=("g",),
+        ).collect()
+    }
+    assert set(st) == {"a", "b"}
+    assert st["a"]["zeros"] < st["b"]["zeros"]  # more keys touch more registers
+    with pytest.raises(ValueError, match="p must"):
+        sketches.hll_build(df, "k", p=2)
