@@ -1882,6 +1882,86 @@ def q_r_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_g_ktruss(spark, sf_dir):
+    """3-truss of the co-purchase projection (analytics.k_truss —
+    Cohen 2008): the maximal subgraph where every surviving edge still
+    closes a triangle WITHIN the subgraph — the edge analog of k-core
+    and the standard cohesive-community filter.  Iterative peeling as
+    the superstep pattern: each round recomputes per-edge supports via
+    the degree-ordered compact-forward triangle enumeration (O(m^1.5)
+    per round regardless of hub degree) and drops under-supported
+    edges; peeling is confluent, so the fixpoint is unique and the
+    oracle replays a FIXED 6 rounds of the same peel as chained CTEs
+    (past convergence the peel is a no-op, so extra rounds are
+    harmless)."""
+    from fluxgraph_spark.operators.analytics import k_truss
+
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    con = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        con.alias("x")
+        .join(
+            con.alias("y"),
+            (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .groupBy(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return k_truss(edges, k=3)
+
+
+def _ktruss_sql(rounds: int, k: int) -> str:
+    """Chained-CTE replay of ``rounds`` peel iterations over the
+    co-purchase projection — the g_sssp/k_core fixed-round pattern.
+    Each round: degrees -> degree-ordered orientation -> wedge+close
+    triangle enumeration -> per-edge support -> threshold filter."""
+    parts = [
+        """con AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT x.p AS a, y.p AS b
+  FROM con x JOIN con y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}) q GROUP BY v),
+o{i} AS MATERIALIZED (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+  FROM (SELECT e.a, e.b, x.d AS da, y.d AS db
+        FROM e{i} e JOIN d{i} x ON x.v = e.a JOIN d{i} y ON y.v = e.b) q),
+t{i} AS MATERIALIZED (
+  SELECT w.u, w.v1, w.v2
+  FROM (SELECT o1.u AS u, o1.v AS v1, o2.v AS v2
+        FROM o{i} o1 JOIN o{i} o2 ON o1.u = o2.u
+        WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) w
+  JOIN o{i} c ON c.u = w.v1 AND c.v = w.v2),
+e{i + 1} AS MATERIALIZED (
+  SELECT ed.a, ed.b
+  FROM e{i} ed LEFT JOIN (
+    SELECT a, b, count(*) AS sup FROM (
+      SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM t{i}
+      UNION ALL SELECT least(u, v2), greatest(u, v2) FROM t{i}
+      UNION ALL SELECT least(v1, v2), greatest(v1, v2) FROM t{i}) te
+    GROUP BY 1, 2) s
+  ON s.a = ed.a AND s.b = ed.b
+  WHERE coalesce(s.sup, 0) >= {k - 2})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT a AS src, b AS dst FROM e{rounds}"
+    )
+
+
 def q_g_triangles(spark, sf_dir):
     """Triangle counting over the co-purchase projection (parts linked
     when >= 3 shared orders).  The classic two-join triangle
@@ -3653,7 +3733,6 @@ _R6_PRIORITY = [
     "m_resized_meta",
     "r_disjunctive_rev",
     "r_rollup_revenue",
-    "s_ivf_topk",
     "g_bfs_levels",
     "g_components",
     "g_components_star",
@@ -3683,14 +3762,16 @@ _R6_PRIORITY = [
     "k_cms_heavy",  # new in r6: count-min-sketch heavy hitters
     "m_dhash_dups",  # new in r6: perceptual-hash image near-dups
     "k_hll_orderkeys",  # new in r6: verifiable (md5-family) HyperLogLog
+    "g_ktruss",  # new in r6: k-truss cohesive-community peel
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
     # r_sole_late_supplier, r_top_supplier, r_market_share,
     # r_min_cost_supplier, r_product_profit, r_nation_volume,
     # r_returned_top_customers, r_important_parts, d_winnow_pairs,
-    # t_asof_tolerance, t_asof_join rotated out to make room for the
-    # fsutil-affected block and the NINETEEN new late-r6 queries above —
+    # t_asof_tolerance, t_asof_join, s_ivf_topk rotated out to make
+    # room for the fsutil-affected block and the TWENTY new late-r6
+    # queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3780,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_supplier_cnt": q_r_supplier_cnt,
         "r_excess_suppliers": q_r_excess_suppliers,
         "g_triangles": q_g_triangles,
+        "g_ktruss": q_g_ktruss,
         "t_funnel": q_t_funnel,
         "t_retention": q_t_retention,
         "x_weighted_sample": q_x_weighted_sample,
@@ -6553,6 +6635,9 @@ def oracle_sql() -> dict[str, str]:
     # oracle serves both
     sqls["st_annpq_drift"] = sqls["st_ann_drift"]
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
+    # k-truss: fixed-round chained-CTE peel (6 rounds >= observed
+    # convergence at every test SF; converged rounds are no-ops)
+    sqls["g_ktruss"] = _ktruss_sql(6, 3)
     sqls["x_bpe_merges"] = _bpe_sql(_BPE_MERGES, _bpe_merges_tail(_BPE_MERGES))
     sqls["x_bpe_encode"] = _bpe_sql(_BPE_MERGES, _bpe_encode_tail(_BPE_MERGES))
     # bigram bigrams via list_transform, NOT lateral unnest-over-slice

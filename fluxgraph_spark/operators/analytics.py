@@ -569,3 +569,133 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+
+
+def _oriented_triangles(canon: DataFrame) -> DataFrame:
+    """(u, v1, v2) — every triangle of the canonical edge set ``(a, b)``
+    exactly once, via the same degree-ordered compact-forward
+    orientation as :func:`triangle_counts` (out-degrees capped at
+    O(sqrt m), wedge work O(m^1.5))."""
+    verts = canon.select(F.col("a").alias("v")).unionByName(
+        canon.select(F.col("b").alias("v"))
+    )
+    deg = verts.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    ab = (
+        canon.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ab.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    return wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select("u", "v1", "v2")
+
+
+def edge_supports(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle SUPPORT over the undirected simple graph:
+    ``(a, b, support)`` for every canonical edge (a < b), where support
+    is the number of triangles the edge closes — the quantity k-truss
+    peels on.  Each triangle contributes to all three of its edges."""
+    canon = (
+        edges.select(M.SRC, M.DST)
+        .where(F.col(M.SRC) != F.col(M.DST))
+        .select(
+            F.least(M.SRC, M.DST).alias("a"),
+            F.greatest(M.SRC, M.DST).alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    return _edge_supports_canon(canon)
+
+
+def _edge_supports_canon(canon: DataFrame) -> DataFrame:
+    tri = _oriented_triangles(canon)
+    tri_edges = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("u", "v1").alias("a"),
+                        F.greatest("u", "v1").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("u", "v2").alias("a"),
+                        F.greatest("u", "v2").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("v1", "v2").alias("a"),
+                        F.greatest("v1", "v2").alias("b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+    )
+    return canon.join(tri_edges, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("__sup"), F.lit(0)).cast("long").alias("support")
+    )
+
+
+def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """The k-truss of the undirected simple graph of ``edges``: the
+    maximal subgraph in which EVERY edge closes at least ``k - 2``
+    triangles *within the subgraph* (Cohen 2008) — the edge analog of
+    k-core and the standard cohesive-community filter (a k-truss edge
+    pair shares >= k-2 common neighbors that also survive).
+
+    Iterative peeling as the analytics superstep pattern (pagerank /
+    k_core): each round recomputes supports over the surviving edges
+    (degree-ordered triangle enumeration — O(m^1.5) per round) and
+    drops edges under the threshold; peeling is CONFLUENT (the k-truss
+    is unique), so the fixpoint is deterministic and a fixed-round
+    chained-CTE oracle replays it (extra rounds past convergence are
+    no-ops).  ``localCheckpoint`` per round truncates lineage; one
+    bounded count per round decides the exit.
+
+    Returns the surviving canonical edges ``(src, dst)`` with
+    ``src < dst``."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    cur = (
+        edges.select(M.SRC, M.DST)
+        .where(F.col(M.SRC) != F.col(M.DST))
+        .select(
+            F.least(M.SRC, M.DST).alias("a"),
+            F.greatest(M.SRC, M.DST).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            break
+        keep = (
+            _edge_supports_canon(cur.persist())
+            .where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        cur.unpersist()
+        n_keep = keep.count()
+        converged = n_keep == n_cur
+        cur, n_cur = keep, n_keep
+        if converged:
+            break
+    return cur.select(F.col("a").alias(M.SRC), F.col("b").alias(M.DST))

@@ -158,6 +158,7 @@ AUDITED = [
     "k_cms_heavy",
     "m_dhash_dups",
     "k_hll_orderkeys",
+    "g_ktruss",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -268,6 +269,8 @@ NO_PUSHDOWN_EXPECTED = {
     "m_dhash_dups",          # doc_id % 19 is not a pushable predicate;
                              # the decode is a narrow mapInPandas
     "k_hll_orderkeys",       # full-lineitem register fold by design
+    "g_ktruss",              # fixpoint peel: the final plan reads the
+                             # last localCheckpoint, no parquet scan
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -347,6 +350,7 @@ NO_BROADCAST_EXPECTED = {
     "s_cluster_sample",      # narrow unrolled-centroid assignment +
                              # two windows, no joins at all
     "m_dhash_dups",          # band self-join: AQE decides
+    "g_ktruss",              # final plan is the checkpointed edge set
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,
@@ -355,6 +359,8 @@ NO_BROADCAST_EXPECTED = {
 NO_SCAN_EXPECTED = {
     "g_gremlin_loop_while",
     "g_gremlin_loop_emit",
+    "g_ktruss",              # fixpoint peel: the final plan reads the
+                             # last round's localCheckpoint
 }
 
 

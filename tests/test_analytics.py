@@ -284,3 +284,59 @@ def test_triangle_counts_exact(spark):
     df2 = spark.createDataFrame(rand, ["src", "dst"])
     got2 = {r["vertex_id"]: r["n_triangles"] for r in triangle_counts(df2).collect()}
     assert got2 == want
+
+
+def test_edge_supports_and_k_truss(spark):
+    """A 5-clique with a pendant path: every clique edge closes 3
+    triangles (support 3) so the clique is the 5-truss; the path edges
+    have support 0 and peel immediately; a triangle hanging off the
+    clique survives 3-truss but not 4-truss (CASCADING peel: losing its
+    weak edges must re-lower support inside the subgraph)."""
+    from fluxgraph_spark.operators.analytics import edge_supports, k_truss
+
+    clique = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    tri = [(5, 10), (5, 11), (10, 11)]          # triangle sharing vertex 5
+    path = [(11, 20), (20, 21)]
+    edges = spark.createDataFrame(clique + tri + path, ["src", "dst"])
+
+    sup = {(r["a"], r["b"]): r["support"] for r in edge_supports(edges).collect()}
+    for e in clique:
+        assert sup[e] == 3, e
+    assert sup[(10, 11)] == 1 and sup[(5, 10)] == 1
+    assert sup[(11, 20)] == 0 and sup[(20, 21)] == 0
+
+    t3 = {(r["src"], r["dst"]) for r in k_truss(edges, k=3).collect()}
+    assert t3 == set(clique) | set(tri)          # path peeled, triangle kept
+    t4 = {(r["src"], r["dst"]) for r in k_truss(edges, k=4).collect()}
+    assert t4 == set(clique)                     # hanging triangle cascades out
+    t6 = {(r["src"], r["dst"]) for r in k_truss(edges, k=6).collect()}
+    assert t6 == set()                           # 5-clique is only a 5-truss
+    # k=2: support >= 0 keeps everything (canonical form)
+    t2 = {(r["src"], r["dst"]) for r in k_truss(edges, k=2).collect()}
+    assert t2 == set(clique) | set(tri) | set(path)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        k_truss(edges, k=1)
+
+
+def test_k_truss_cascade_needs_multiple_rounds(spark):
+    """A chain of triangles sharing single edges: under k=4 the peel
+    must cascade end to end (each round only exposes the next link) —
+    pins the fixpoint loop, not just one support pass."""
+    from fluxgraph_spark.operators.analytics import k_truss
+
+    # triangle chain: T_i = (i, i+1, i+2) for i=0..5, plus a pendant
+    # edge (7, 9).  Middle spine edges have support 2 (two adjacent
+    # triangles), so a SINGLE support pass keeps them under k=4; only
+    # the cascade (hypotenuses peel -> triangles die -> spine peels)
+    # empties the graph.
+    edges = [(6, 7)]
+    for i in range(6):
+        edges += [(i, i + 1), (i, i + 2)]
+    edges.append((7, 9))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert {(r["src"], r["dst"]) for r in k_truss(df, k=4).collect()} == set()
+    t3 = {(r["src"], r["dst"]) for r in k_truss(df, k=3).collect()}
+    assert (7, 9) not in t3 and (0, 1) in t3 and (5, 7) in t3
