@@ -3430,6 +3430,28 @@ def q_k_cms_heavy(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+def q_r_profile(spark, sf_dir):
+    """Column profiling (operators/profile.py — the ANALYZE pass an
+    ingest runs before trusting a table): per-column null counts and
+    EXACT distinct cardinalities over lineitem in ONE aggregation
+    (Catalyst plans the multi-distinct via Expand — the standard exact
+    ANALYZE shape; profile(exact=False) swaps in HLL state for the
+    10^12-row case, but its values are impl-defined so the gated query
+    uses the exact form).  Pure counts, no value rendering — every
+    output cell is a BIGINT both engines compute identically."""
+    from fluxgraph_spark.operators.profile import profile
+
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    return profile(li, cols=_PROFILE_COLS)
+
+
 def q_k_hll_orderkeys(spark, sf_dir):
     """VERIFIABLE HyperLogLog (functions/sketches.py hll_* — Flajolet
     2007): distinct order keys per return flag from 256 registers per
@@ -3727,7 +3749,6 @@ _R6_PRIORITY = [
     "s_ivfpq_residual_topk",
     "t_scd2_travel",
     "st_scd2_ingest",
-    "d_jaccard_near_dups",
     "g_customer_parts_2hop",
     "g_orders_per_customer",
     "m_resized_meta",
@@ -3763,15 +3784,16 @@ _R6_PRIORITY = [
     "m_dhash_dups",  # new in r6: perceptual-hash image near-dups
     "k_hll_orderkeys",  # new in r6: verifiable (md5-family) HyperLogLog
     "g_ktruss",  # new in r6: k-truss cohesive-community peel
+    "r_profile",  # new in r6: one-pass column profiling
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
     # r_sole_late_supplier, r_top_supplier, r_market_share,
     # r_min_cost_supplier, r_product_profit, r_nation_volume,
     # r_returned_top_customers, r_important_parts, d_winnow_pairs,
-    # t_asof_tolerance, t_asof_join, s_ivf_topk rotated out to make
-    # room for the fsutil-affected block and the TWENTY new late-r6
-    # queries above —
+    # t_asof_tolerance, t_asof_join, s_ivf_topk, d_jaccard_near_dups
+    # rotated out to make room for the fsutil-affected block and the
+    # TWENTY-ONE new late-r6 queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3900,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_topk_per_group": q_r_topk_per_group,
         "r_pivot_status": q_r_pivot_status,
         "r_cube_stats": q_r_cube_stats,
+        "r_profile": q_r_profile,
         "x_percentiles": q_x_percentiles,
         "t_gap_stats": q_t_gap_stats,
         "k_sketches": q_k_sketches,
@@ -6638,6 +6661,13 @@ def oracle_sql() -> dict[str, str]:
     # k-truss: fixed-round chained-CTE peel (6 rounds >= observed
     # convergence at every test SF; converged rounds are no-ops)
     sqls["g_ktruss"] = _ktruss_sql(6, 3)
+    # column profile: one UNION ALL branch per column, pure counts
+    sqls["r_profile"] = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM lineitem"
+        for c in _PROFILE_COLS
+    )
     sqls["x_bpe_merges"] = _bpe_sql(_BPE_MERGES, _bpe_merges_tail(_BPE_MERGES))
     sqls["x_bpe_encode"] = _bpe_sql(_BPE_MERGES, _bpe_encode_tail(_BPE_MERGES))
     # bigram bigrams via list_transform, NOT lateral unnest-over-slice

@@ -159,6 +159,7 @@ AUDITED = [
     "m_dhash_dups",
     "k_hll_orderkeys",
     "g_ktruss",
+    "r_profile",
 ]
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
@@ -271,6 +272,7 @@ NO_PUSHDOWN_EXPECTED = {
     "k_hll_orderkeys",       # full-lineitem register fold by design
     "g_ktruss",              # fixpoint peel: the final plan reads the
                              # last localCheckpoint, no parquet scan
+    "r_profile",             # full-table ANALYZE pass by design
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -351,6 +353,7 @@ NO_BROADCAST_EXPECTED = {
                              # two windows, no joins at all
     "m_dhash_dups",          # band self-join: AQE decides
     "g_ktruss",              # final plan is the checkpointed edge set
+    "r_profile",             # one aggregation, no joins
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,

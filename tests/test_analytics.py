@@ -340,3 +340,28 @@ def test_k_truss_cascade_needs_multiple_rounds(spark):
     assert {(r["src"], r["dst"]) for r in k_truss(df, k=4).collect()} == set()
     t3 = {(r["src"], r["dst"]) for r in k_truss(df, k=3).collect()}
     assert (7, 9) not in t3 and (0, 1) in t3 and (5, 7) in t3
+
+
+def test_profile_counts(spark):
+    from fluxgraph_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "a", None), (4, None, 2.5)],
+        ["id", "s", "v"],
+    )
+    got = {r["col_name"]: r for r in profile(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert (got["id"]["n_nulls"], got["id"]["n_distinct"]) == (0, 4)
+    assert (got["s"]["n_nulls"], got["s"]["n_distinct"]) == (1, 2)
+    assert (got["v"]["n_nulls"], got["v"]["n_distinct"]) == (2, 2)
+    # column subset + approx path share the shape
+    sub = {r["col_name"] for r in profile(df, cols=["s"]).collect()}
+    assert sub == {"s"}
+    ap = {r["col_name"]: r["n_distinct"] for r in profile(df, exact=False).collect()}
+    assert ap["id"] >= 3  # estimate, but sane
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown"):
+        profile(df, cols=["nope"])
