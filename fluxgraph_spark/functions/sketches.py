@@ -70,7 +70,10 @@ def cms_build(
         if weight_col is not None
         else F.lit(1).cast("long")
     )
-    rows = df.select(
+    # NULL keys are not countable events (the count(DISTINCT)/count(col)
+    # convention) — without the filter they would accumulate NULL-bucket
+    # counters that no probe can ever reach
+    rows = df.where(F.col(key_col).isNotNull()).select(
         F.explode(
             F.array(
                 *[
@@ -178,8 +181,12 @@ def hll_build(
         .otherwise(F.lit(w + 1) - F.length(F.conv(rem, 10, 2)))
         .cast("int")
     )
+    # a NULL key hashes to NULL: its bucket row would be COUNTED as
+    # present by hll_state but contribute a NULL (skipped) denominator
+    # term — silently corrupting the digest.  count(DISTINCT) ignores
+    # NULLs; so does the sketch.
     return (
-        df.select(
+        df.where(F.col(key_col).isNotNull()).select(
             *group_cols,
             F.shiftrightunsigned(h, w).cast("int").alias("bucket"),
             F.least(rho, F.lit(HLL_RHO_CAP)).alias("register"),

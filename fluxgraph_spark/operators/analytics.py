@@ -17,6 +17,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -571,11 +573,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_triangles(canon: DataFrame) -> DataFrame:
+def _oriented_triangles(canon: DataFrame, handles: Optional[list] = None) -> DataFrame:
     """(u, v1, v2) — every triangle of the canonical edge set ``(a, b)``
     exactly once, via the same degree-ordered compact-forward
     orientation as :func:`triangle_counts` (out-degrees capped at
-    O(sqrt m), wedge work O(m^1.5))."""
+    O(sqrt m), wedge work O(m^1.5)).
+
+    ``handles``: when given, the internally persisted oriented-edge
+    frame is appended so an ITERATIVE caller (k_truss peels once per
+    round) can release it after materializing the round — otherwise
+    the loop accumulates one cached frame per round."""
     verts = canon.select(F.col("a").alias("v")).unionByName(
         canon.select(F.col("b").alias("v"))
     )
@@ -594,6 +601,8 @@ def _oriented_triangles(canon: DataFrame) -> DataFrame:
     ).persist()
     o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
     o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    if handles is not None:
+        handles.append(o)
     wedges = o1.join(o2, "u").where(
         (F.col("dv1") < F.col("dv2"))
         | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
@@ -622,8 +631,10 @@ def edge_supports(edges: DataFrame) -> DataFrame:
     return _edge_supports_canon(canon)
 
 
-def _edge_supports_canon(canon: DataFrame) -> DataFrame:
-    tri = _oriented_triangles(canon)
+def _edge_supports_canon(
+    canon: DataFrame, handles: Optional[list] = None
+) -> DataFrame:
+    tri = _oriented_triangles(canon, handles)
     tri_edges = (
         tri.select(
             F.explode(
@@ -686,13 +697,16 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     for _ in range(max_rounds):
         if n_cur == 0:
             break
+        handles: list = []
         keep = (
-            _edge_supports_canon(cur.persist())
+            _edge_supports_canon(cur.persist(), handles)
             .where(F.col("support") >= k - 2)
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
         cur.unpersist()
+        for h in handles:
+            h.unpersist()
         n_keep = keep.count()
         converged = n_keep == n_cur
         cur, n_cur = keep, n_keep
