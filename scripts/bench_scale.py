@@ -78,6 +78,14 @@ QUERIES = [
     # semi-join before any shuffle; should scale linearly in corpus
     # tokens with a near-constant shuffled volume
     "s_bm25_topk",
+    # round 6 late: the CMS fold is a fixed-size aggregation over the
+    # token stream (pure linearity check); the k-truss peel re-runs the
+    # degree-ordered wedge join per round — the super-linear failure
+    # mode would be a hub-degree blowup the orientation must cap; the
+    # dHash band join is the image twin of the LSH band join
+    "k_cms_heavy",
+    "g_ktruss",
+    "m_dhash_dups",
 ]
 
 # the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data
