@@ -241,6 +241,68 @@ def q_g_pagerank_top10(spark, sf_dir):
     )
 
 
+def q_g_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (analytics.hits — Kleinberg 1999),
+    3 rounds over the full graph, top 10 by authority.  Scores stay
+    EXACT INTEGERS end to end: the mutual-reinforcement sums are
+    integer sums (order-independent — double summation is not) and
+    each L1 normalization is one correctly-rounded double
+    multiply+divide of exact integers followed by floor, so the
+    chained-CTE oracle replays every round bit-for-bit — a hardened
+    variant of the pagerank replay, which has to round at the end."""
+    _, _, e = _graph(spark, sf_dir)
+    h = AN.hits(e.select("src", "dst"), num_iters=3)
+    w = W.orderBy(F.col("auth_micro").desc(), F.col("id"))
+    return (
+        h.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("id", "auth_micro", "hub_micro", "rank")
+    )
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Chained-CTE replay of the integer-state HITS recurrence (same
+    arithmetic as operators/analytics.hits)."""
+    ctes = """
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ge),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+h0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS hub_micro FROM verts)"""
+    for k in range(iters):
+        ctes += f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(sum(h.hub_micro) AS BIGINT) AS raw
+  FROM e JOIN h{k} h ON h.id = e.src GROUP BY e.dst),
+sa{k} AS (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS s FROM ar{k}),
+a{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN t.s = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(CAST(coalesce(ar.raw, 0) AS DOUBLE) * 1000000.0
+                              / CAST(t.s AS DOUBLE)) AS BIGINT) END AS auth_micro
+  FROM verts v CROSS JOIN sa{k} t LEFT JOIN ar{k} ar ON ar.id = v.id),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS id, CAST(sum(a.auth_micro) AS BIGINT) AS raw
+  FROM e JOIN a{k + 1} a ON a.id = e.dst GROUP BY e.src),
+sh{k} AS (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS s FROM hr{k}),
+h{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN t.s = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(CAST(coalesce(hr.raw, 0) AS DOUBLE) * 1000000.0
+                              / CAST(t.s AS DOUBLE)) AS BIGINT) END AS hub_micro
+  FROM verts v CROSS JOIN sh{k} t LEFT JOIN hr{k} hr ON hr.id = v.id)"""
+    return (
+        GRAPH_CTES.rstrip()
+        + ","
+        + ctes
+        + f"""
+SELECT id, auth_micro, hub_micro, rank FROM (
+  SELECT v.id, a.auth_micro, h.hub_micro,
+         CAST(row_number() OVER (ORDER BY a.auth_micro DESC, v.id) AS INTEGER) AS rank
+  FROM verts v JOIN a{iters} a ON a.id = v.id JOIN h{iters} h ON h.id = v.id) q
+WHERE rank <= 10
+"""
+    )
+
+
 def q_g_components(spark, sf_dir):
     """Min-label propagation over the symmetrized graph, fixed 4
     supersteps (deterministic-replay mode), component sizes."""
@@ -3749,7 +3811,6 @@ _R6_PRIORITY = [
     "s_ivfpq_residual_topk",
     "t_scd2_travel",
     "st_scd2_ingest",
-    "g_customer_parts_2hop",
     "g_orders_per_customer",
     "m_resized_meta",
     "r_disjunctive_rev",
@@ -3785,15 +3846,17 @@ _R6_PRIORITY = [
     "k_hll_orderkeys",  # new in r6: verifiable (md5-family) HyperLogLog
     "g_ktruss",  # new in r6: k-truss cohesive-community peel
     "r_profile",  # new in r6: one-pass column profiling
+    "g_hits",  # new in r6: integer-state HITS hubs/authorities
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
     # r_sole_late_supplier, r_top_supplier, r_market_share,
     # r_min_cost_supplier, r_product_profit, r_nation_volume,
     # r_returned_top_customers, r_important_parts, d_winnow_pairs,
-    # t_asof_tolerance, t_asof_join, s_ivf_topk, d_jaccard_near_dups
-    # rotated out to make room for the fsutil-affected block and the
-    # TWENTY-ONE new late-r6 queries above —
+    # t_asof_tolerance, t_asof_join, s_ivf_topk, d_jaccard_near_dups,
+    # g_customer_parts_2hop rotated out to make room for the
+    # fsutil-affected block and the TWENTY-TWO new late-r6 queries
+    # above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3823,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_customer_parts_2hop": q_g_customer_parts_2hop,
         "g_revenue_by_region": q_g_revenue_by_region,
         "g_pagerank_top10": q_g_pagerank_top10,
+        "g_hits": q_g_hits,
         "g_components": q_g_components,
         "g_components_star": q_g_components_star,
         "g_touch_count_3hop": q_g_touch_count_3hop,
@@ -6658,6 +6722,7 @@ def oracle_sql() -> dict[str, str]:
     # oracle serves both
     sqls["st_annpq_drift"] = sqls["st_ann_drift"]
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
+    sqls["g_hits"] = _hits_sql(3)
     # k-truss: fixed-round chained-CTE peel (6 rounds >= observed
     # convergence at every test SF; converged rounds are no-ops)
     sqls["g_ktruss"] = _ktruss_sql(6, 3)

@@ -365,3 +365,51 @@ def test_profile_counts(spark):
 
     with _pytest.raises(ValueError, match="unknown"):
         profile(df, cols=["nope"])
+
+
+def _ref_hits(edges, iters):
+    import math
+
+    edges = sorted(set(edges))
+    verts = sorted({v for e in edges for v in e})
+    hub = {v: 10**6 for v in verts}
+    auth = {}
+    for _ in range(iters):
+        raw = {v: 0 for v in verts}
+        for u, v in edges:
+            raw[v] += hub[u]
+        s = sum(raw.values())
+        auth = {
+            v: (0 if s == 0 else math.floor(float(raw[v]) * 1000000.0 / float(s)))
+            for v in verts
+        }
+        raw = {v: 0 for v in verts}
+        for u, v in edges:
+            raw[u] += auth[v]
+        s = sum(raw.values())
+        hub = {
+            v: (0 if s == 0 else math.floor(float(raw[v]) * 1000000.0 / float(s)))
+            for v in verts
+        }
+    return auth, hub
+
+
+def test_hits_matches_scalar_reference_and_separates_roles(spark):
+    from fluxgraph_spark.operators.analytics import hits
+
+    # 1, 2 are hubs pointing at authorities 10-12; 3 is a weak hub;
+    # 20->21 is an isolated pair
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10), (20, 21)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: (r["auth_micro"], r["hub_micro"]) for r in hits(df, 3).collect()}
+    auth, hub = _ref_hits(edges, 3)
+    assert got == {v: (auth[v], hub[v]) for v in auth}
+    # roles separate: 10 is the top authority, 1 the top hub
+    assert max(auth, key=auth.get) == 10
+    assert max(hub, key=hub.get) == 1
+    assert auth[1] == 0 and hub[10] == 0  # pure hub / pure authority
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_iters"):
+        hits(df, 0)
