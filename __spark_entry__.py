@@ -3637,6 +3637,40 @@ def q_m_dhash_dups(spark, sf_dir):
     return dedup.dhash_near_dups(hashes, max_hamming=7)
 
 
+def q_m_dhash_survivors(spark, sf_dir):
+    """The image-dedup DECISION: dHash near-dup pairs -> connected
+    components (fixed 4 min-label supersteps, deterministic-replay
+    mode) -> keep each cluster's min-id image; singletons keep
+    themselves.  Completes the image tier's detect -> cluster ->
+    survivors pipeline with the same transitive-cluster semantics as
+    the text dedup family (d_semantic_dedupe / d_corpus_dedupe).  The
+    oracle nests the m_dhash_dups pair replay and re-runs the 4
+    min-label rounds as chained CTEs."""
+    OFFSET = 190_000_000_000
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    twins = docs.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text")
+    media = multimodal.png_table_from_documents(
+        docs.select("doc_id", "text").unionByName(twins), every=19
+    )
+    hashes = multimodal.image_dhash(media, decoder="real").persist()
+    pairs = dedup.dhash_near_dups(hashes, max_hamming=7)
+    comp = AN.connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iters=4,
+        early_stop=False,
+    )
+    out = (
+        hashes.select("media_id")
+        .join(comp.withColumnRenamed("id", "media_id"), "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("component"), F.col("media_id")).alias("cluster"),
+        )
+        .withColumn("kept", F.col("cluster") == F.col("media_id"))
+    )
+    return out
+
+
 def q_x_frames(spark, sf_dir):
     """REAL video frame extraction, end to end (VERDICT r3 item 5): every
     5th document becomes an actual uncompressed-DIB AVI container
@@ -3812,7 +3846,6 @@ _R6_PRIORITY = [
     "t_scd2_travel",
     "st_scd2_ingest",
     "g_orders_per_customer",
-    "m_resized_meta",
     "r_disjunctive_rev",
     "r_rollup_revenue",
     "g_bfs_levels",
@@ -3847,6 +3880,7 @@ _R6_PRIORITY = [
     "g_ktruss",  # new in r6: k-truss cohesive-community peel
     "r_profile",  # new in r6: one-pass column profiling
     "g_hits",  # new in r6: integer-state HITS hubs/authorities
+    "m_dhash_survivors",  # new in r6: image-dedup cluster survivors
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
@@ -3854,9 +3888,9 @@ _R6_PRIORITY = [
     # r_min_cost_supplier, r_product_profit, r_nation_volume,
     # r_returned_top_customers, r_important_parts, d_winnow_pairs,
     # t_asof_tolerance, t_asof_join, s_ivf_topk, d_jaccard_near_dups,
-    # g_customer_parts_2hop rotated out to make room for the
-    # fsutil-affected block and the TWENTY-TWO new late-r6 queries
-    # above —
+    # g_customer_parts_2hop, m_resized_meta rotated out to make room
+    # for the fsutil-affected block and the TWENTY-THREE new late-r6
+    # queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -4048,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_samples": q_m_frame_samples,
         "m_resized_meta": q_m_resized_meta,
         "m_dhash_dups": q_m_dhash_dups,
+        "m_dhash_survivors": q_m_dhash_survivors,
     })
 
 
@@ -6723,6 +6758,36 @@ def oracle_sql() -> dict[str, str]:
     sqls["st_annpq_drift"] = sqls["st_ann_drift"]
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
     sqls["g_hits"] = _hits_sql(3)
+    # image-dedup survivors: the m_dhash_dups pair replay nested as a
+    # CTE, then 4 min-label supersteps (the g_components round shape)
+    # over the symmetrized pair graph; singletons keep themselves
+    _dh_rounds = ""
+    for _k in range(4):
+        _dh_rounds += f""",
+dm{_k} AS MATERIALIZED (SELECT s.dst AS id, min(c.component) AS mn
+         FROM dsym s JOIN dc{_k} c ON c.id = s.src GROUP BY s.dst),
+dc{_k + 1} AS MATERIALIZED (SELECT c.id, least(c.component, COALESCE(m.mn, c.component)) AS component
+             FROM dc{_k} c LEFT JOIN dm{_k} m ON m.id = c.id)"""
+    sqls["m_dhash_survivors"] = f"""
+WITH pairs AS MATERIALIZED (
+{sqls["m_dhash_dups"]}
+),
+allimg AS MATERIALIZED (
+  SELECT doc_id AS media_id FROM documents
+  WHERE doc_id % 19 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 190000000000 AS media_id FROM documents
+  WHERE doc_id % 19 = 0 AND text IS NOT NULL),
+dsym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+dverts AS MATERIALIZED (SELECT src AS id FROM dsym GROUP BY src),
+dc0 AS (SELECT id, id AS component FROM dverts){_dh_rounds}
+SELECT a.media_id,
+       coalesce(c.component, a.media_id) AS cluster,
+       coalesce(c.component, a.media_id) = a.media_id AS kept
+FROM allimg a LEFT JOIN dc4 c ON c.id = a.media_id
+"""
     # k-truss: fixed-round chained-CTE peel (6 rounds >= observed
     # convergence at every test SF; converged rounds are no-ops)
     sqls["g_ktruss"] = _ktruss_sql(6, 3)
