@@ -1976,6 +1976,33 @@ def q_g_ktruss(spark, sf_dir):
     return k_truss(edges, k=3)
 
 
+def q_g_clustering(spark, sf_dir):
+    """Global clustering coefficient (transitivity) of the co-purchase
+    projection — exact integers end to end: triangles from the
+    degree-ordered enumeration, wedges = sum d(d-1)/2 (even integer
+    sum), gcc = 3*tri/wedges micro-quantized by floor.  The natural
+    one-row health metric for any projected similarity graph (how
+    clique-ish is it), and bit-replayable in SQL."""
+    from fluxgraph_spark.operators.analytics import clustering_coefficient
+
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    con = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        con.alias("x")
+        .join(
+            con.alias("y"),
+            (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .groupBy(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return clustering_coefficient(edges)
+
+
 def _ktruss_sql(rounds: int, k: int) -> str:
     """Chained-CTE replay of ``rounds`` peel iterations over the
     co-purchase projection — the g_sssp/k_core fixed-round pattern.
@@ -3846,7 +3873,6 @@ _R6_PRIORITY = [
     "t_scd2_travel",
     "st_scd2_ingest",
     "g_orders_per_customer",
-    "r_disjunctive_rev",
     "r_rollup_revenue",
     "g_bfs_levels",
     "g_components",
@@ -3881,6 +3907,7 @@ _R6_PRIORITY = [
     "r_profile",  # new in r6: one-pass column profiling
     "g_hits",  # new in r6: integer-state HITS hubs/authorities
     "m_dhash_survivors",  # new in r6: image-dedup cluster survivors
+    "g_clustering",  # new in r6: global clustering coefficient
     # (d_span_dup, d_simhash, x_vocab, x_decontaminate, s_pq_topk, t_asof_join_fwd, t_asof_nearest, t_compact, t_funnel, t_range_join, t_retention,
     # t_sessionize, t_state_diff, t_time_buckets, t_versions_at,
     # x_json_extract, x_pack, r_setops, r_small_quantity_rev,
@@ -3888,9 +3915,9 @@ _R6_PRIORITY = [
     # r_min_cost_supplier, r_product_profit, r_nation_volume,
     # r_returned_top_customers, r_important_parts, d_winnow_pairs,
     # t_asof_tolerance, t_asof_join, s_ivf_topk, d_jaccard_near_dups,
-    # g_customer_parts_2hop, m_resized_meta rotated out to make room
-    # for the fsutil-affected block and the TWENTY-THREE new late-r6
-    # queries above —
+    # g_customer_parts_2hop, m_resized_meta, r_disjunctive_rev rotated
+    # out to make room for the fsutil-affected block and the
+    # TWENTY-FOUR new late-r6 queries above —
     # they re-enter in r7; the driver hashes a ~50-entry prefix, so the
     # list is kept at exactly 50)
 ]
@@ -3982,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_excess_suppliers": q_r_excess_suppliers,
         "g_triangles": q_g_triangles,
         "g_ktruss": q_g_ktruss,
+        "g_clustering": q_g_clustering,
         "t_funnel": q_t_funnel,
         "t_retention": q_t_retention,
         "x_weighted_sample": q_x_weighted_sample,
@@ -6758,6 +6786,37 @@ def oracle_sql() -> dict[str, str]:
     sqls["st_annpq_drift"] = sqls["st_ann_drift"]
     sqls["s_ivf_kmeans_topk"] = _ivf_kmeans_sql(2, 16, 4)
     sqls["g_hits"] = _hits_sql(3)
+    # clustering coefficient: the k-truss round-0 CTE shape, aggregated
+    sqls["g_clustering"] = """
+WITH con AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT x.p AS a, y.p AS b
+  FROM con x JOIN con y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+d0 AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) q GROUP BY v),
+o0 AS MATERIALIZED (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+  FROM (SELECT e.a, e.b, x.d AS da, y.d AS db
+        FROM e0 e JOIN d0 x ON x.v = e.a JOIN d0 y ON y.v = e.b) q),
+t0 AS MATERIALIZED (
+  SELECT w.u, w.v1, w.v2
+  FROM (SELECT o1.u AS u, o1.v AS v1, o2.v AS v2
+        FROM o0 o1 JOIN o0 o2 ON o1.u = o2.u
+        WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) w
+  JOIN o0 c ON c.u = w.v1 AND c.v = w.v2),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM t0),
+wed AS (SELECT CAST(coalesce(sum(d * (d - 1)), 0) AS BIGINT) // 2 AS n_wedges FROM d0)
+SELECT n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
+       CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST(n_triangles * 3 AS DOUBLE) * 1000000.0
+                            / CAST(n_wedges AS DOUBLE)) AS BIGINT) END AS gcc_micro
+FROM tri CROSS JOIN wed
+"""
     # image-dedup survivors: the m_dhash_dups pair replay nested as a
     # CTE, then 4 min-label supersteps (the g_components round shape)
     # over the symmetrized pair graph; singletons keep themselves

@@ -780,3 +780,57 @@ def hits(edges: DataFrame, num_iters: int = 3) -> DataFrame:
     return verts.join(auth, M.ID).join(hub, M.ID).select(
         M.ID, "auth_micro", "hub_micro"
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient of the undirected simple graph:
+    one row ``(n_triangles, n_wedges, gcc_micro)`` with
+    ``gcc = 3 * triangles / wedges`` (the transitivity ratio — what
+    fraction of connected triples close).
+
+    Everything stays exact integers: triangles come from the
+    degree-ordered enumeration (each counted once), wedges are
+    ``sum(d * (d - 1)) / 2`` over vertex degrees (an exact even
+    integer sum), and the ratio is one correctly-rounded double
+    division micro-quantized by floor — so a SQL oracle replays it
+    bit-for-bit.  Two aggregations over one O(m^1.5) enumeration."""
+    canon = (
+        edges.select(M.SRC, M.DST)
+        .where(F.col(M.SRC) != F.col(M.DST))
+        .select(
+            F.least(M.SRC, M.DST).alias("a"),
+            F.greatest(M.SRC, M.DST).alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    tri = _oriented_triangles(canon).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    verts = canon.select(F.col("a").alias("v")).unionByName(
+        canon.select(F.col("b").alias("v"))
+    )
+    wed = (
+        verts.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            (
+                F.coalesce(F.sum(F.col("d") * (F.col("d") - 1)), F.lit(0)) / 2
+            )
+            .cast("long")
+            .alias("n_wedges")
+        )
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(F.col("n_wedges") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.col("n_triangles") * 3).cast("double")
+                * F.lit(1_000_000.0)
+                / F.col("n_wedges").cast("double")
+            ).cast("long")
+        )
+        .alias("gcc_micro"),
+    )

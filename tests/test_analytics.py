@@ -413,3 +413,22 @@ def test_hits_matches_scalar_reference_and_separates_roles(spark):
 
     with _pytest.raises(ValueError, match="num_iters"):
         hits(df, 0)
+
+
+def test_clustering_coefficient(spark):
+    from fluxgraph_spark.operators.analytics import clustering_coefficient
+
+    # triangle + pendant: 1 triangle; degrees 2,2,3,1 -> wedges
+    # (2*1 + 2*1 + 3*2 + 1*0)/2 = 5; gcc = 3/5
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"])
+    row = clustering_coefficient(e).collect()[0]
+    assert (row["n_triangles"], row["n_wedges"]) == (1, 5)
+    assert row["gcc_micro"] == 600000
+    # a clique is fully transitive
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    row = clustering_coefficient(spark.createDataFrame(k4, ["src", "dst"])).collect()[0]
+    assert (row["n_triangles"], row["n_wedges"], row["gcc_micro"]) == (4, 12, 1000000)
+    # a star has wedges but no triangles
+    star = [(0, i) for i in range(1, 5)]
+    row = clustering_coefficient(spark.createDataFrame(star, ["src", "dst"])).collect()[0]
+    assert (row["n_triangles"], row["gcc_micro"]) == (0, 0)
