@@ -3664,6 +3664,13 @@ def q_m_dhash_dups(spark, sf_dir):
     return dedup.dhash_near_dups(hashes, max_hamming=7)
 
 
+# fixed min-label round count shared by q_m_dhash_survivors and its
+# oracle CTE chain; oversized vs observed convergence (<= 2 at every
+# test SF) and convergence-ASSERTED in the query path, so the fixed-
+# round oracle can never mask an under-merged cluster
+_DHASH_CC_ROUNDS = 8
+
+
 def q_m_dhash_survivors(spark, sf_dir):
     """The image-dedup DECISION: dHash near-dup pairs -> connected
     components (fixed 4 min-label supersteps, deterministic-replay
@@ -3671,8 +3678,15 @@ def q_m_dhash_survivors(spark, sf_dir):
     themselves.  Completes the image tier's detect -> cluster ->
     survivors pipeline with the same transitive-cluster semantics as
     the text dedup family (d_semantic_dedupe / d_corpus_dedupe).  The
-    oracle nests the m_dhash_dups pair replay and re-runs the 4
-    min-label rounds as chained CTEs."""
+    oracle nests the m_dhash_dups pair replay and re-runs the same
+    fixed min-label rounds as chained CTEs.  The round count is
+    OVERSIZED (8 vs observed convergence <= 2 at every test SF — the
+    near-dup clusters are twin pairs) and ``assert_converged=True``
+    guarantees the fixed rounds actually reached the fixpoint: a
+    chain-shaped cluster deeper than the round count would RAISE
+    instead of silently under-merging behind a green fixed-round
+    oracle (VERDICT r6 item 1; converged rounds are no-ops, so the
+    oracle's chained CTEs stay valid at the oversized count)."""
     OFFSET = 190_000_000_000
     docs = tpch.read_tables(spark, sf_dir)["documents"]
     twins = docs.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text")
@@ -3683,8 +3697,9 @@ def q_m_dhash_survivors(spark, sf_dir):
     pairs = dedup.dhash_near_dups(hashes, max_hamming=7)
     comp = AN.connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        max_iters=4,
+        max_iters=_DHASH_CC_ROUNDS,
         early_stop=False,
+        assert_converged=True,
     )
     out = (
         hashes.select("media_id")
@@ -3923,11 +3938,77 @@ _R6_PRIORITY = [
 ]
 assert len(_R6_PRIORITY) == 50
 
+# Round-7 rotation (VERDICT r6 item 2): the full r2/r3-stale cohort —
+# every registry entry whose latest DRIVER hash-check is round 2 or 3
+# (42 queries; all re-greened locally in r6 but the driver record at its
+# sf0.01 gate should say so too) — plus m_dhash_survivors (its component
+# call changed this round: oversized, convergence-asserted rounds) and
+# any NEW r7 queries, topped up with the oldest r4 entries.  After this
+# round no registry entry's latest driver check is older than r4.
+_R7_PRIORITY = [
+    "m_dhash_survivors",  # changed in r7: convergence-asserted components
+    # the 42 r2/r3-stale entries (latest driver check histogram in
+    # STATE.md; ordered family-interleaved-ish for failure locality)
+    "m_resized_meta",
+    "g_customer_parts_2hop",
+    "t_asof_join",
+    "r_disjunctive_rev",
+    "x_vocab",
+    "s_ivf_topk",
+    "t_asof_tolerance",
+    "r_small_quantity_rev",
+    "x_decontaminate",
+    "t_asof_join_fwd",
+    "r_setops",
+    "s_pq_topk",
+    "t_asof_nearest",
+    "r_sole_late_supplier",
+    "x_rolling",
+    "d_jaccard_near_dups",
+    "t_sessionize",
+    "r_top_supplier",
+    "x_json_extract",
+    "t_state_diff",
+    "r_min_cost_supplier",
+    "x_range_frame",
+    "t_range_join",
+    "r_nation_volume",
+    "x_percentiles",
+    "t_versions_at",
+    "r_market_share",
+    "x_tokens",
+    "t_compact",
+    "r_product_profit",
+    "x_pack",
+    "t_funnel",
+    "r_returned_top_customers",
+    "x_pack_greedy",
+    "d_simhash",
+    "t_retention",
+    "r_important_parts",
+    "x_unpivot",
+    "d_winnow_pairs",
+    "t_time_buckets",
+    "x_strat_sample",
+    "d_span_dup",
+    # top-up: oldest r4 entries (d_containment first — its blocking gets
+    # a df cap this round, VERDICT r6 item 5); these cede their slot to
+    # any NEW r7 queries as they land
+    "d_containment",
+    "d_incr_dedupe",
+    "st_dedup_ingest",
+    "g_gremlin_pipe",
+    "d_indexed_dedupe",
+    "s_ivf_kmeans_topk",
+    "g_gremlin_heavy",
+]
+assert len(_R7_PRIORITY) == 50
+
 _NON_GATED_TAIL: list[str] = []
 
 
 def _order_round6(qs: dict) -> dict:
-    head = {k: qs[k] for k in _R6_PRIORITY if k in qs}
+    head = {k: qs[k] for k in _R7_PRIORITY if k in qs}
     tail = {k: qs[k] for k in _NON_GATED_TAIL if k in qs}
     mid = {k: v for k, v in qs.items() if k not in head and k not in tail}
     out = head
@@ -6818,10 +6899,12 @@ SELECT n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
 FROM tri CROSS JOIN wed
 """
     # image-dedup survivors: the m_dhash_dups pair replay nested as a
-    # CTE, then 4 min-label supersteps (the g_components round shape)
-    # over the symmetrized pair graph; singletons keep themselves
+    # CTE, then the same OVERSIZED fixed min-label superstep count the
+    # query runs (convergence-asserted Spark-side, so extra rounds here
+    # are provably no-ops) over the symmetrized pair graph; singletons
+    # keep themselves
     _dh_rounds = ""
-    for _k in range(4):
+    for _k in range(_DHASH_CC_ROUNDS):
         _dh_rounds += f""",
 dm{_k} AS MATERIALIZED (SELECT s.dst AS id, min(c.component) AS mn
          FROM dsym s JOIN dc{_k} c ON c.id = s.src GROUP BY s.dst),
@@ -6845,7 +6928,7 @@ dc0 AS (SELECT id, id AS component FROM dverts){_dh_rounds}
 SELECT a.media_id,
        coalesce(c.component, a.media_id) AS cluster,
        coalesce(c.component, a.media_id) = a.media_id AS kept
-FROM allimg a LEFT JOIN dc4 c ON c.id = a.media_id
+FROM allimg a LEFT JOIN dc{_DHASH_CC_ROUNDS} c ON c.id = a.media_id
 """
     # k-truss: fixed-round chained-CTE peel (6 rounds >= observed
     # convergence at every test SF; converged rounds are no-ops)

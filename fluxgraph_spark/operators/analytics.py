@@ -135,6 +135,7 @@ def connected_components(
     max_iters: int = 20,
     early_stop: bool = True,
     checkpoint_every: int = 1,
+    assert_converged: bool = False,
 ) -> DataFrame:
     """Weakly-connected components by min-label propagation: every vertex
     starts labeled with its own id; each superstep takes the min of its
@@ -142,7 +143,25 @@ def connected_components(
 
     Returns (id, component) where component = min vertex id reachable.
     ``early_stop=False`` runs exactly ``max_iters`` supersteps — the
-    deterministic-replay mode a fixed-iteration SQL oracle can match."""
+    deterministic-replay mode a fixed-iteration SQL oracle can match.
+    A fixed round count is only CORRECT when it is >= the graph's label
+    convergence round (a diameter-length chain needs ~diameter rounds;
+    short of that, distant cluster members keep different labels and
+    the caller silently under-merges — and a fixed-round oracle that
+    replays the same rounds stays green while the decision is wrong).
+    ``assert_converged=True`` closes that hole: labels are monotone
+    non-increasing, so the label sum is stable between the last two
+    supersteps IFF the final round was a no-op, i.e. the output is a
+    true fixpoint; otherwise this raises ValueError telling the caller
+    to raise ``max_iters`` (converged extra rounds are no-ops, so the
+    matching fixed-round SQL oracle stays valid at any oversized
+    count).  Costs two scalar aggregations total, only in fixed-round
+    mode."""
+    if assert_converged and (early_stop or max_iters < 2):
+        raise ValueError(
+            "assert_converged requires early_stop=False and max_iters >= 2 "
+            "(the probe compares the last two fixed rounds' label sums)"
+        )
     edges = edges.select(M.SRC, M.DST)
     # distinct + hash-partition by src once: each superstep's join reuses
     # the cached partitioning, shuffling only the (id, component) table.
@@ -165,6 +184,7 @@ def connected_components(
         .withColumn("component", F.col(M.ID))
     )
     prev_sum = None
+    tail_sums: list = []
     for i in range(max_iters):
         # one superstep = messages (join on the cached sym partitioning)
         # + a single min-aggregation over neighbor labels UNION self
@@ -192,6 +212,21 @@ def connected_components(
             prev_sum = cur_sum
         else:
             comp = new_comp
+            if assert_converged and i >= max_iters - 2:
+                # the last two rounds' label sums; equality means the
+                # final round changed nothing (monotone labels), i.e.
+                # the fixed round count covered the graph's diameter
+                tail_sums.append(comp.agg(F.sum("component")).collect()[0][0])
+    if not early_stop and assert_converged and len(tail_sums) == 2:
+        if tail_sums[0] != tail_sums[1]:
+            raise ValueError(
+                f"connected_components did not converge within "
+                f"max_iters={max_iters} fixed rounds (label sum still "
+                f"changing in the final superstep) — the component "
+                f"labels are under-merged; raise max_iters (and the "
+                f"matching oracle's round count: converged rounds are "
+                f"no-ops, so oversizing is always safe)"
+            )
     return comp
 
 

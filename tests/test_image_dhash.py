@@ -112,3 +112,50 @@ def test_image_dhash_fake_and_too_small(spark, docs_df):
     tiny = multimodal.png_table_from_documents(docs_df, every=19)
     with pytest.raises(Exception, match="smaller than"):
         multimodal.image_dhash(tiny, hash_w=20, hash_h=3, decoder="real").collect()
+
+
+def test_deep_chain_components_convergence_assert(spark):
+    """VERDICT r6 item 1: a CHAIN-shaped near-dup cluster deeper than the
+    fixed min-label round count silently under-merges — and a fixed-round
+    oracle replaying the same rounds stays green while the survivor
+    decision is wrong.  ``assert_converged=True`` must turn that silent
+    under-merge into a raise; an oversized round count must fully merge.
+
+    The chain: dhash_i = (1 << i) - 1, so hamming(d_i, d_j) = |i - j| and
+    max_hamming=1 pairs form a pure 12-image path (pair-graph diameter
+    11) — today's 4 rounds cannot propagate label 0 to the far end."""
+    from fluxgraph_spark.operators import analytics as AN
+
+    n = 12
+    rows = [(i, (1 << i) - 1) for i in range(n)]
+    hashes = spark.createDataFrame(rows, ["media_id", "dhash"])
+    pairs = dedup.dhash_near_dups(hashes, max_hamming=1)
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got == [(i, i + 1) for i in range(n - 1)]  # a pure path
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+    # the pre-fix behavior: 4 fixed rounds under-merge the chain (>1 label)
+    undermerged = AN.connected_components(edges, max_iters=4, early_stop=False)
+    labels = {r["id"]: r["component"] for r in undermerged.collect()}
+    assert len(set(labels.values())) > 1
+
+    # the fix: the same call with assert_converged raises instead
+    with pytest.raises(ValueError, match="did not converge"):
+        AN.connected_components(
+            edges, max_iters=4, early_stop=False, assert_converged=True
+        )
+
+    # oversized fixed rounds: converges, assert passes, one component
+    comp = AN.connected_components(
+        edges, max_iters=n + 2, early_stop=False, assert_converged=True
+    )
+    labels = {r["id"]: r["component"] for r in comp.collect()}
+    assert set(labels.values()) == {0} and len(labels) == n
+
+    # parameter contract: the probe needs fixed-round mode and >= 2 rounds
+    with pytest.raises(ValueError, match="assert_converged"):
+        AN.connected_components(edges, max_iters=4, assert_converged=True)
+    with pytest.raises(ValueError, match="assert_converged"):
+        AN.connected_components(
+            edges, max_iters=1, early_stop=False, assert_converged=True
+        )
