@@ -298,6 +298,7 @@ def containment_pairs(
     block: DataFrame | None = None,
     threshold: float = 0.0,
     rare_df_max: "int | None" = None,
+    max_candidates_per_doc: "int | None" = None,
 ) -> DataFrame:
     """Asymmetric n-gram containment: |A∩B| / min(|A|, |B|) — near 1
     when a short document is quoted or embedded inside a long one,
@@ -313,10 +314,29 @@ def containment_pairs(
     its shingles with its container, so any of its rare shingles links
     the pair, while boilerplate-frequency shingles never form pairs —
     candidate count is bounded by sum over rare shingles of df², with
-    df capped.  Both sides of every candidate then count their FULL
-    intersection.  Unblocked+uncapped is all-pairs: small oracles only.
+    df capped.  Unblocked+uncapped is all-pairs: small oracles only.
+
+    Scale shape: the shingle table is persisted once (four consumers —
+    df counts, the blocking join, and both intersection sides — would
+    otherwise re-run the corpus explode each), and the intersection is
+    ARRAY-NATIVE: each doc's distinct shingles collect into one array
+    row, candidates join to two array rows, and ``array_intersect``
+    counts the overlap — one shuffled row per candidate pair instead of
+    one per (pair, left-side shingle).  Output is bit-identical to the
+    exploded two-join form (same distinct sets, same counts).
+
+    ``max_candidates_per_doc`` bounds the per-document candidate list
+    when a doc shares rare shingles with very many partners (near-dup
+    families make every family shingle "rare per copy" under a df cap
+    that the family size exceeds): candidates rank per side by shared
+    rare-shingle evidence DESC then partner id ASC, and a pair survives
+    if it is within budget on EITHER side (union keeps recall: the
+    short quoted side ranks its container highly even when the
+    container is popular).  Deterministic, and decision-identical
+    whenever no document exceeds the budget — the detector's oracle
+    stays exact where the cap doesn't bind (pytest-pinned).
     """
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    shingles = shingles.persist()
     if block is None and rare_df_max is not None:
         rare = (
             shingles.groupBy("shingle")
@@ -325,27 +345,53 @@ def containment_pairs(
             .select("shingle")
         )
         sh_r = shingles.join(rare, "shingle", "left_semi")
-        block = (
+        cand = (
             sh_r.alias("a")
             .join(sh_r.alias("b"), "shingle")
             .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates()
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("__n_ev"))
         )
+        if max_candidates_per_doc is not None:
+            w_a = W.partitionBy("id_a").orderBy(
+                F.desc("__n_ev"), F.asc("id_b")
+            )
+            w_b = W.partitionBy("id_b").orderBy(
+                F.desc("__n_ev"), F.asc("id_a")
+            )
+            cand = (
+                cand.withColumn("__ra", F.row_number().over(w_a))
+                .withColumn("__rb", F.row_number().over(w_b))
+                .where(
+                    (F.col("__ra") <= max_candidates_per_doc)
+                    | (F.col("__rb") <= max_candidates_per_doc)
+                )
+            )
+        block = cand.select("id_a", "id_b")
     if block is not None:
-        ids = (
-            block.select(F.col("id_a").alias("id"))
-            .unionByName(block.select(F.col("id_b").alias("id")))
-            .distinct()
+        arrs = shingles.groupBy("id").agg(
+            F.collect_set("shingle").alias("__arr")
         )
-        sh = shingles.join(ids, "id", "left_semi")
-        inter = (
-            block.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-            .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_inter"))
+        out = (
+            block.join(
+                arrs.select(F.col("id").alias("id_a"), F.col("__arr").alias("__a")),
+                "id_a",
+            )
+            .join(
+                arrs.select(F.col("id").alias("id_b"), F.col("__arr").alias("__b")),
+                "id_b",
+            )
+            .select(
+                "id_a", "id_b",
+                F.round(
+                    F.size(F.array_intersect("__a", "__b"))
+                    / F.least(F.size("__a"), F.size("__b")),
+                    6,
+                ).alias("containment"),
+            )
         )
     else:
+        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
         a = shingles.alias("a")
         b = shingles.alias("b")
         inter = (
@@ -354,22 +400,22 @@ def containment_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("n_inter"))
         )
-    out = (
-        inter.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
-            "id_a",
+        out = (
+            inter.join(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+                "id_a",
+            )
+            .join(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
+                "id_b",
+            )
+            .select(
+                "id_a", "id_b",
+                F.round(
+                    F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+                ).alias("containment"),
+            )
         )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
-            "id_b",
-        )
-        .select(
-            "id_a", "id_b",
-            F.round(
-                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
-            ).alias("containment"),
-        )
-    )
     if threshold > 0:
         out = out.where(F.col("containment") >= threshold)
     return out

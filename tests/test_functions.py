@@ -978,3 +978,45 @@ def test_token_budget_mix_matches_naive_window(spark, tables):
     assert {r["doc_id"]: (r["lang"], r["n_tok"], r["cum_tokens"]) for r in rows} == exp
     # every language with any docs is represented
     assert {r["lang"] for r in rows} == set(per_lang)
+
+
+def test_containment_candidate_budget_identity_and_binding(spark):
+    """VERDICT r6 item 5: the per-doc candidate budget must be
+    DECISION-IDENTICAL when it doesn't bind, and when it does bind it
+    keeps the highest-evidence partner per side (either-side survival:
+    the short quoted side keeps its container even when the container
+    is popular)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(i, f"{base} fam{i % 3}") for i in range(1, 7)]
+    docs.append((10, "solo unique words only here nothing shared"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = dedup.shingle_table(df, "doc_id", "text", n=3)
+
+    unbounded = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(sh, rare_df_max=10).collect()
+    }
+    # budget larger than any doc's candidate list: identical output
+    roomy = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            sh, rare_df_max=10, max_candidates_per_doc=100
+        ).collect()
+    }
+    assert roomy == unbounded and len(unbounded) > 1
+
+    # budget of 1: binds (every doc here shares shingles with 5 others);
+    # surviving pairs are a subset, each pair top-ranked on >= one side,
+    # and every surviving pair's score matches the unbounded run exactly
+    tight = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            sh, rare_df_max=10, max_candidates_per_doc=1
+        ).collect()
+    }
+    assert set(tight) < set(unbounded)
+    assert all(tight[p] == unbounded[p] for p in tight)
+    # every doc that had candidates still has at least one pair
+    docs_with = {i for p in unbounded for i in p}
+    docs_kept = {i for p in tight for i in p}
+    assert docs_kept == docs_with
