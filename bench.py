@@ -58,6 +58,10 @@ HEADLINE = [
                                 # per round, data-dependent exit)
     "s_sq_topk",                # int8 scalar-quantized compressed scan (r6)
     "s_bm25_topk",              # BM25 one-scan full-text ranking (r6)
+    "s_bm25_indexed_probe",     # BM25 steady state: probe against the
+                                # PERSISTED inverted index (built once
+                                # outside timings — the d_indexed_probe
+                                # split for full-text; VERDICT r6 item 6)
 ]
 
 
@@ -76,12 +80,20 @@ def _bench_local_queries(spark, sf_dir):
       10x data vs 1.94x for the indexed path — this entry tracks the
       number that matters at 100 TB.
     """
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
+    def _tmp(prefix):
+        d = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        return d
+
     from fluxgraph_spark.functions import dedup as dedup_mod
     from fluxgraph_spark.sources import bucketed as BK
+    from fluxgraph_spark.sources import text_index as TI
     from fluxgraph_spark.sources import tpch as tpch_mod
 
     def d_lsh_fast_raw(spark, sf_dir):
@@ -91,7 +103,7 @@ def _bench_local_queries(spark, sf_dir):
         )
 
     db = "flux_bench_idx"
-    BK.ensure_database(spark, db, tempfile.mkdtemp(prefix=f"{db}_"))
+    BK.ensure_database(spark, db, _tmp(f"{db}_"))
     docs = tpch_mod.read_tables(spark, sf_dir)["documents"]
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     idx = BK.DedupIndex.build(
@@ -105,7 +117,22 @@ def _bench_local_queries(spark, sf_dir):
         )
         return idx.dedupe_batch(batch, corpus, "doc_id", "text", threshold=0.5)
 
-    return {"d_lsh_fast_raw": d_lsh_fast_raw, "d_indexed_probe": d_indexed_probe}
+    # BM25 steady state: the inverted index builds here, ONCE, outside
+    # the timings (the registry entry's session cache would also reuse
+    # it, but an explicit bench-local probe keeps the split visible and
+    # the timing honest even on the first run)
+    inv_idx = TI.InvertedIndex.build(
+        docs, _tmp("bench_inv_idx_"), n_buckets=16
+    )
+
+    def s_bm25_indexed_probe(spark, sf_dir):
+        return inv_idx.topk(entrymod._bm25_queries_df(spark), k=10)
+
+    return {
+        "d_lsh_fast_raw": d_lsh_fast_raw,
+        "d_indexed_probe": d_indexed_probe,
+        "s_bm25_indexed_probe": s_bm25_indexed_probe,
+    }
 
 
 def main():
