@@ -27,140 +27,13 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as entrymod
 
-AUDITED = [
-    "g_revenue_by_region",
-    "g_orders_per_customer",
-    "g_out_degree_top20",
-    "g_touch_count_3hop",
-    "pricing_summary",
-    "top_orders_building",
-    "region_revenue",
-    "revenue_filter",
-    "t_scd2_versions",
-    "t_asof_join",
-    "t_sessionize",
-    "d_minhash_lsh_pairs",
-    "d_simhash",
-    "x_quality",
-    "s_cosine_topk",
-    "pipeline_corpus",
-    # relational / window / band-join extensions
-    "r_order_priority",
-    "r_inactive_customers",
-    "r_promo_share",
-    "r_big_orders",
-    "r_disjunctive_rev",
-    "r_rollup_revenue",
-    "r_small_quantity_rev",
-    "r_top_supplier",
-    "t_time_buckets",
-    "t_range_join",
-    "x_percentiles",
-    "x_rolling",
-    "x_scrub",
-    "x_repetition",
-    "x_split",
-    "k_sketches",
-    "g_copurchase_top",
-    "t_versions_at",
-    "t_asof_join_fwd",
-    "x_range_frame",
-    "x_json_extract",
-    "r_topk_per_group",
-    "r_pivot_status",
-    "r_cube_stats",
-    "r_setops",
-    "d_winnow_pairs",
-    "d_incr_dedupe",
-    "d_semantic_dedupe",
-    "d_lsh_verified_pairs",
-    "x_pack",
-    "x_pack_greedy",
-    "x_unpivot",
-    "t_resample",
-    "t_asof_nearest",
-    "s_ivf_topk",
-    "s_lsh_topk",
-    "s_pq_topk",
-    # completed TPC-H query-shape suite (Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q16/Q20)
-    "r_min_cost_supplier",
-    "r_nation_volume",
-    "r_market_share",
-    "r_product_profit",
-    "r_returned_top_customers",
-    "r_important_parts",
-    "r_priority_lines",
-    "r_custdist",
-    "r_supplier_cnt",
-    "r_excess_suppliers",
-    "g_triangles",
-    "x_window_suite",
-    "x_tfidf_top_terms",
-    "x_vocab",
-    "x_decontaminate",
-    "t_asof_tolerance",
-    "d_span_dup",
-    "x_strat_sample",
-    "s_label_centroids",
-    "g_link_predict",
-    "d_prefix_dedupe",
-    "t_funnel",
-    "t_retention",
-    "x_corpus_stats",
-    "x_weighted_sample",
-    # round 4: gremlin pipelines + persisted-index paths
-    "g_gremlin_pipe",
-    "g_gremlin_heavy",
-    "d_indexed_dedupe",
-    "s_ivf_indexed_topk",
-    "s_ivfpq_topk",
-    "s_ivf_kmeans_topk",
-    "x_frames",
-    # round 5: gremlin walk history, IVFPQ exact rerank, MJPEG decode
-    "g_gremlin_path",
-    "s_ivfpq_rerank",
-    "s_ivfpq_residual_topk",
-    "x_frames_mjpeg",
-    "x_decontaminate_bloom",
-    "g_gremlin_loop",
-    "g_gremlin_except",
-    "st_ann_ingest",
-    "st_annpq_ingest",
-    # round 6: driver-fixpoint loops and the ANN drift monitor
-    "g_gremlin_loop_while",
-    "g_gremlin_loop_emit",
-    "st_ann_drift",
-    "x_frames_msv1",
-    "st_annpq_drift",
-    "x_audio_adpcm",
-    "r_zorder_box",
-    "g_triangles_local",
-    "s_sq_topk",
-    "x_warc_ingest",
-    "g_motif_open_paths",
-    "pipeline_crawl",
-    # round 6 late: BPE corpus encoding (the training query x_bpe_merges
-    # returns a driver-collected merge table — a LocalTableScan with no
-    # plan to audit; its per-round plans are x_bpe_encode's ingredients),
-    # the bigram-LM filter and the token-budget mix fill
-    "x_bpe_encode",
-    "x_lm_familiarity",
-    "x_mix_budget",
-    # round 6 late: BM25 retrieval — the ad-hoc one-scan ranking and the
-    # persisted inverted-index probe (PartitionFilters on pbucket +
-    # PushedFilters on the term column of the sorted postings)
-    "s_bm25_topk",
-    "s_bm25_indexed_topk",
-    "st_bm25_ingest",
-    "x_phrase_hits",
-    "x_phrase_indexed",
-    "s_cluster_sample",
-    "k_cms_heavy",
-    "m_dhash_dups",
-    "k_hll_orderkeys",
-    "g_ktruss",
-    "r_profile",
-]
+# The audit covers the ENTIRE registry (VERDICT r6 item 4): the list is
+# enumerated from __spark_entry__.queries() at runtime, so a new query
+# is audited the round it lands — a query whose plan misses a property
+# fails the audit until it is either fixed or classified in the
+# expectation sets below (full-corpus maps have nothing to push down;
+# driver-fixpoint queries return checkpoint scans; etc.).
+AUDITED = list(entrymod.queries().keys())
 
 # queries where no parquet filter is expected (full-corpus maps/aggs, or
 # graph queries whose kind/label predicates constant-fold into union-branch
@@ -273,6 +146,42 @@ NO_PUSHDOWN_EXPECTED = {
     "g_ktruss",              # fixpoint peel: the final plan reads the
                              # last localCheckpoint, no parquet scan
     "r_profile",             # full-table ANALYZE pass by design
+    # --- full-registry extension (VERDICT r6 item 4) ---
+    "d_containment",        # full-corpus shingling; rare-df blocking is an agg
+    "d_corpus_dedupe",      # full-corpus fingerprinting
+    "d_exact_dups",         # full-corpus hash groupBy
+    "d_lsh_fast_pairs",     # full-corpus shingling (both hash families)
+    "d_minhash_sigs",       # full-corpus shingling
+    "d_text_hashes",        # full-corpus narrow hash map
+    "events_type_stats",    # full-events aggregation
+    "g_bfs_levels",         # iterative: final plan reads round checkpoints
+    "g_components",         # same
+    "g_components_star",    # same
+    "g_hits",               # same
+    "g_kcore",              # same
+    "g_lpa_communities",    # same
+    "g_pagerank_top10",     # same
+    "g_ppr_top10",          # same
+    "g_edges_by_label",     # label predicate folds into union-branch pruning
+    "g_vertices_by_kind",   # kind predicate folds into union-branch pruning
+    "m_media_features",     # full-corpus mapInPandas feature extraction
+    "m_media_meta",         # full-corpus narrow metadata map
+    "m_resized_meta",       # full-corpus mapInPandas resize
+    "st_dedup_ingest",      # reads back the sink's committed output table
+    "st_scd2_ingest",       # same
+    "st_running_stats",     # memory-sink read-back
+    "st_sessionize",        # same
+    "st_stream_join",       # same
+    "st_windowed_counts",   # same
+    "t_compact",            # full-events run-merge windows
+    "t_gap_stats",          # full-events lag windows
+    "t_scd2_travel",        # manifest-resolved versioned table read
+    "t_validity_intervals", # full tx_log interval build
+    "t_version_counts",     # full tx_log rollup
+    "x_bpe_merges",         # driver-collected merge table: LocalTableScan
+    "x_fingerprint",        # full-corpus narrow hash map
+    "x_langid",             # full-corpus narrow n-gram map
+    "x_tokens",             # full-corpus narrow token count
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -354,6 +263,42 @@ NO_BROADCAST_EXPECTED = {
     "m_dhash_dups",          # band self-join: AQE decides
     "g_ktruss",              # final plan is the checkpointed edge set
     "r_profile",             # one aggregation, no joins
+    # --- full-registry extension (VERDICT r6 item 4) ---
+    "d_exact_dups",         # hash groupBy, no joins
+    "d_minhash_sigs",       # shingle explode + min-agg, no joins
+    "d_text_hashes",        # narrow map, no joins
+    "events_type_stats",    # one agg, no joins
+    "g_bfs_levels",         # vertex-id-scale frontier joins: AQE decides
+    "g_components",         # same
+    "g_components_star",    # same
+    "g_kcore",              # same
+    "g_lpa_communities",    # same
+    "g_pagerank_top10",     # same
+    "g_ppr_top10",          # same
+    "g_customers_in_nation",  # one pruned scan + filter, no joins
+    "g_edges_by_label",     # pruned union scan, no joins
+    "g_vertices_by_kind",   # pruned union scan, no joins
+    "m_dhash_survivors",    # band self-join + component joins: AQE decides
+    "m_frame_samples",      # narrow mapInPandas decode, no joins
+    "m_media_features",     # narrow mapInPandas, no joins
+    "m_media_meta",         # narrow map, no joins
+    "m_resized_meta",       # narrow mapInPandas, no joins
+    "st_dedup_ingest",      # sink read-back + fingerprint joins: AQE decides
+    "st_scd2_ingest",       # sink read-back scan, no joins
+    "st_running_stats",     # memory-sink read-back, no joins
+    "st_sessionize",        # same
+    "st_stream_join",       # stream-stream join already materialized
+    "st_windowed_counts",   # memory-sink read-back, no joins
+    "t_asof_user_state",    # union + window, no joins
+    "t_compact",            # windows, no joins
+    "t_gap_stats",          # lag windows, no joins
+    "t_scd2_travel",        # versioned read, no joins
+    "t_validity_intervals", # lead window over tx_log, no joins
+    "t_version_counts",     # one rollup, no joins
+    "x_bpe_merges",         # LocalTableScan, no joins
+    "x_fingerprint",        # narrow map, no joins
+    "x_langid",             # narrow map, no joins
+    "x_tokens",             # narrow map, no joins
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,
@@ -364,6 +309,22 @@ NO_SCAN_EXPECTED = {
     "g_gremlin_loop_emit",
     "g_ktruss",              # fixpoint peel: the final plan reads the
                              # last round's localCheckpoint
+    # --- full-registry extension: iterative analytics return the last
+    # round's localCheckpoint; memory-sink streaming queries return the
+    # sink's in-memory table; x_bpe_merges returns the driver-collected
+    # merge table (LocalTableScan).  The upstream parquet scans ran (and
+    # were pruned) in earlier jobs.
+    "g_bfs_levels",
+    "g_components",
+    "g_kcore",
+    "g_lpa_communities",
+    "g_pagerank_top10",
+    "g_ppr_top10",
+    "st_running_stats",
+    "st_sessionize",
+    "st_stream_join",
+    "st_windowed_counts",
+    "x_bpe_merges",
 }
 
 
