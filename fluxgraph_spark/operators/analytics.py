@@ -766,14 +766,22 @@ def hits(edges: DataFrame, num_iters: int = 3) -> DataFrame:
     Valid while max-score x n_edges stays under 2^53 (~9e9 edges at
     the 1e6 micro scale — beyond that, lower the scale).
 
-    Returns ``(id, auth_micro, hub_micro)`` for every vertex.  One
-    shuffle per half-round (the neighbor aggregation); the edge list
-    is partitioned once and reused."""
+    Returns ``(id, auth_micro, hub_micro)`` for every vertex.  The edge
+    list is DOUBLE-STORED (one copy hash-partitioned by src, one by
+    dst — the in-memory form of the BucketedGraph twin layout,
+    plans/layout.py): the auth half-round joins hub scores against the
+    src copy and the hub half-round joins the fresh auth scores against
+    the dst copy, so NEITHER half re-shuffles the edge table — only the
+    vertex-sized score table moves per half-round, plus the partially-
+    aggregated neighbor sums (VERDICT r6 item 8; a single src-
+    partitioned copy re-shuffled all m edges by dst every round)."""
     if num_iters < 1:
         raise ValueError(f"num_iters must be >= 1, got {num_iters}")
-    e = edges.select(M.SRC, M.DST).distinct().repartition(M.SRC).persist()
-    e.count()  # eager: AQE + lazy persist would re-run the upstream plan
-    verts = _vertices_of(e).persist()
+    e_src = edges.select(M.SRC, M.DST).distinct().repartition(M.SRC).persist()
+    e_src.count()  # eager: AQE + lazy persist re-runs the upstream plan
+    e_dst = e_src.repartition(M.DST).persist()
+    e_dst.count()
+    verts = _vertices_of(e_src).persist()
     MICRO = 1_000_000
 
     def _normalize(raw: DataFrame, out_col: str) -> DataFrame:
@@ -801,13 +809,13 @@ def hits(edges: DataFrame, num_iters: int = 3) -> DataFrame:
     auth = None
     for _ in range(num_iters):
         a_raw = (
-            e.join(hub.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            e_src.join(hub.withColumnRenamed(M.ID, M.SRC), M.SRC)
             .groupBy(F.col(M.DST).alias(M.ID))
             .agg(F.sum("hub_micro").cast("long").alias("raw"))
         )
         auth = _normalize(a_raw, "auth_micro").localCheckpoint(eager=True)
         h_raw = (
-            e.join(auth.withColumnRenamed(M.ID, M.DST), M.DST)
+            e_dst.join(auth.withColumnRenamed(M.ID, M.DST), M.DST)
             .groupBy(F.col(M.SRC).alias(M.ID))
             .agg(F.sum("auth_micro").cast("long").alias("raw"))
         )
