@@ -9,8 +9,11 @@ from .scd2_table import Scd2ParquetTable
 from .rexster import RexsterShim
 from .text_index import DeltaInvertedIndex, InvertedIndex
 from .warc import extract_text, html_to_text, read_warc, write_warc
+from .graph_text import read_graph_distributed, read_graph_elements
 
 __all__ = [
+    "read_graph_distributed",
+    "read_graph_elements",
     "load_graphml",
     "write_graphml",
     "load_graphson",
