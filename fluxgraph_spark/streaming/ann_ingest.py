@@ -47,6 +47,7 @@ def ann_streaming_sink(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_merge_ratio: "float | None" = None,
 ):
     """Start an available-now ``foreachBatch`` query that appends each
     microbatch of ``vec_stream`` into ``index``'s delta area
@@ -55,13 +56,26 @@ def ann_streaming_sink(
     (frozen codebooks encode each batch).  Returns the StreamingQuery;
     callers ``awaitTermination()`` and then query ``index.topk`` as
     usual — probes union the base and delta scans, both pruned to the
-    probed lists."""
+    probed lists.
+
+    ``auto_merge_ratio`` makes a LONG-RUNNING ingest self-maintaining:
+    after each appended batch the sink folds the delta into the base
+    (``index.maybe_merge``) whenever unfolded delta rows exceed the
+    ratio × base rows — probes stay bit-identical across folds, and
+    the rewrite cost amortizes logarithmically (the LSM compaction
+    policy).  Microbatches are serial inside foreachBatch, so the fold
+    never races an append; a crash between the fold's publish and the
+    stream checkpoint replays the batch into an orphan subtree the next
+    fold's GC sweep reclaims.  None (default) keeps maintenance fully
+    manual (``merge_delta`` offline)."""
     _reject_reserved_columns(vec_stream)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         index.append_batch(batch_df, batch_id, id_col, vec_col)
+        if auto_merge_ratio is not None:
+            index.maybe_merge(auto_merge_ratio)
 
     return (
         vec_stream.writeStream.foreachBatch(_process)

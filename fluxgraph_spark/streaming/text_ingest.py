@@ -45,19 +45,29 @@ def bm25_streaming_sink(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_merge_ratio: "float | None" = None,
 ):
     """Start an available-now ``foreachBatch`` query that appends each
     microbatch of ``doc_stream`` into ``index``'s delta area
     (replay-idempotent per batch id).  Returns the StreamingQuery;
     callers ``awaitTermination()`` and then query ``index.topk`` as
     usual — probes union the base and committed delta scans, both
-    pruned to the query terms' buckets."""
+    pruned to the query terms' buckets.
+
+    ``auto_merge_ratio`` self-folds the delta whenever its committed
+    document count exceeds ratio × the base generation's (see
+    ``DeltaInvertedIndex.maybe_merge`` / ann_ingest's sink for the
+    policy and replay-safety argument); rankings are bit-identical
+    across folds since probes recompute df over base ∪ delta either
+    way.  None (default) keeps maintenance manual."""
     _reject_reserved_columns(doc_stream)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         index.append_batch(batch_df, batch_id, id_col, text_col)
+        if auto_merge_ratio is not None:
+            index.maybe_merge(auto_merge_ratio)
 
     return (
         doc_stream.writeStream.foreachBatch(_process)

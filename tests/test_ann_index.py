@@ -806,3 +806,65 @@ def test_manifest_cache_refresh_across_handles(spark, emb, tmp_path):
     reader.refresh()
     assert reader.lists_dir.endswith("lists__m1")
     assert reader.lists().count() == emb.count()
+
+
+def test_ann_auto_merge_ratio_self_folds(spark, emb, tmp_path):
+    """VERDICT r6 item 9 (ANN side): streaming ingest with
+    auto_merge_ratio folds the delta mid-stream once the unfolded rows
+    cross ratio x base; probes stay bit-identical to a frozen-centroid
+    index over every vector, and a never-binding ratio leaves the
+    manifest unfolded."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from fluxgraph_spark.sources.ann_index import DeltaIvfIndex
+    from fluxgraph_spark.streaming.ann_ingest import ann_streaming_sink
+
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    batch_a = emb.where(F.col("vec_id") % 10 == 0)
+    batch_b = emb.where(F.col("vec_id") % 10 == 5)
+    idx = DeltaIvfIndex.build(seed, str(tmp_path / "didx_auto"), n_centroids=16)
+
+    src = str(tmp_path / "vec_stream_auto")
+    os.makedirs(src)
+    for name, b, age in (("a", batch_a, 200), ("b", batch_b, 0)):
+        d = str(tmp_path / f"stage_auto_{name}")
+        b.coalesce(1).write.parquet(d)
+        (part,) = glob.glob(d + "/part-*.parquet")
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst)
+        t = time.time() - age
+        os.utime(dst, (t, t))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ann_streaming_sink(
+        stream, idx, str(tmp_path / "ckpt_auto"), auto_merge_ratio=0.001
+    ).awaitTermination()
+    m = idx._manifest()
+    assert m is not None and m["version"] >= 1
+    assert len(m["folded_batches"]) >= 1
+    assert idx._delta_rows() == 0  # everything folded into the base
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _rows(idx.topk(queries, k=10, n_probe=4))
+    full = IvfIndex(spark, str(tmp_path / "full_auto"))
+    idx.centroids().coalesce(1).write.parquet(full.centroids_dir)
+    full._write_lists(emb, "vec_id", "embedding", mode="overwrite")
+    assert got == _rows(full.topk(queries, k=10, n_probe=4))
+
+    # a ratio the delta never crosses: maybe_merge declines
+    idx2 = DeltaIvfIndex.build(
+        seed, str(tmp_path / "didx_noauto"), n_centroids=16
+    )
+    idx2.append_batch(batch_a, 0)
+    assert idx2.maybe_merge(ratio=1000.0) is False
+    assert idx2._manifest() is None or idx2._manifest()["version"] == 0
+    assert idx2.maybe_merge(ratio=0.001) is True

