@@ -3555,6 +3555,53 @@ def q_st_bm25_ingest(spark, sf_dir):
     return idx.topk(_bm25_queries_df(spark), k=10)
 
 
+def q_st_bm25_compact(spark, sf_dir):
+    """st_bm25_ingest with the AUTO-COMPACTION policy live (r7,
+    VERDICT r6 item 9): the same two-microbatch stream runs with
+    ``auto_merge_ratio`` low enough that every committed batch crosses
+    the size threshold, so the sink SELF-FOLDS the delta into a new
+    base generation mid-stream (write-audit-publish swap inside the
+    serial foreachBatch).  Probes recompute df over base ∪ delta either
+    way, so the ranking is bit-identical to the unfolded ingest and to
+    ad-hoc BM25 over the full corpus — this query SHARES s_bm25_topk's
+    oracle unchanged, making the fold's invisibility itself the gated
+    property.  A query-path assert pins that at least one fold actually
+    ran (a no-op policy would gate nothing)."""
+    import glob
+    import shutil
+
+    from fluxgraph_spark.sources.text_index import DeltaInvertedIndex
+    from fluxgraph_spark.streaming.text_ingest import bm25_streaming_sink
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    root = _scratch_dir("bm25_compact_")
+    DeltaInvertedIndex.build(base, os.path.join(root, "idx"), n_buckets=16)
+    idx = DeltaInvertedIndex(spark, os.path.join(root, "idx"))
+
+    src = os.path.join(root, "stream_src")
+    os.makedirs(src)
+    for name, mod in (("a", 0), ("b", 5)):
+        stage = os.path.join(root, f"stage_{name}")
+        docs.where(F.col("doc_id") % 10 == mod).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(stage + "/part-*.parquet")
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bm25_streaming_sink(
+        stream, idx, os.path.join(root, "ckpt"), auto_merge_ratio=0.001
+    ).awaitTermination()
+    m = idx._manifest()
+    if not m or int(m.get("version", 0)) < 1 or not m.get("folded_batches"):
+        raise AssertionError(
+            "auto_merge_ratio=0.001 should have folded at least one batch"
+        )
+    return idx.topk(_bm25_queries_df(spark), k=10)
+
+
 def q_k_cms_heavy(spark, sf_dir):
     """Count-min-sketch heavy hitters (functions/sketches.py — Cormode
     & Muthukrishnan 2005): the corpus token stream folds into a 4x2048
@@ -3882,6 +3929,38 @@ def q_x_warc_ingest(spark, sf_dir):
     )
 
 
+def q_x_graphml_ingest(spark, sf_dir):
+    """Distributed graph-text ingestion (sources/graph_text.py — r7,
+    VERDICT r6 item 7): every 23rd document becomes a GraphML node
+    (text + char count as typed properties) in 8-node shard files
+    chained by ``next`` edges — the multi-file export shape — and the
+    DISTRIBUTED reader (binaryFile + executor-side XML parse, engine
+    ids as pure xxhash64 column expressions) reads them back.  The
+    oracle replays each vertex's round-tripped text, its property-typed
+    char count, and its out-degree (1 within a shard chain, 0 for
+    shard-last / global-last) straight from the documents table — a
+    broken XML parse, entity mis-unescape, type-map error, or
+    cross-shard id collision all hash-fail."""
+    from fluxgraph_spark.sources import graph_text as GT
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    root = _scratch_dir("graphml_ingest_")
+    GT.graphml_files_from_documents(docs, root, every=23, per_file=8)
+    v, e = GT.read_graph_distributed(
+        spark, os.path.join(root, "*.graphml"), fmt="graphml"
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    return (
+        v.join(outdeg, v["id"] == outdeg["src"], "left")
+        .select(
+            F.col("original_id").cast("long").alias("doc_id"),
+            F.col("props")["text"].alias("text"),
+            F.col("props")["n_chars"].cast("long").alias("n_chars"),
+            F.coalesce(F.col("__od"), F.lit(0)).cast("long").alias("out_deg"),
+        )
+    )
+
+
 def q_m_media_meta(spark, sf_dir):
     """Multimodal metadata scan (no decode): typed metadata + blob sizes
     — the column-pruned path a 100 TB media lake query takes when it
@@ -4006,6 +4085,8 @@ assert len(_R6_PRIORITY) == 50
 # round no registry entry's latest driver check is older than r4.
 _R7_PRIORITY = [
     "m_dhash_survivors",  # changed in r7: convergence-asserted components
+    "x_graphml_ingest",   # new in r7: distributed GraphML ingestion
+    "st_bm25_compact",    # new in r7: auto-compacting streaming ingest
     # the 42 r2/r3-stale entries (latest driver check histogram in
     # STATE.md; ordered family-interleaved-ish for failure locality)
     "m_resized_meta",
@@ -4058,8 +4139,8 @@ _R7_PRIORITY = [
     "st_dedup_ingest",
     "g_gremlin_pipe",
     "d_indexed_dedupe",
-    "s_ivf_kmeans_topk",
-    "g_gremlin_heavy",
+    # (s_ivf_kmeans_topk / g_gremlin_heavy ceded their top-up slots to
+    # the two new r7 queries; both are r4-checked and rotate in r8)
 ]
 assert len(_R7_PRIORITY) == 50
 
@@ -4180,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_annpq_drift": q_st_annpq_drift,
         "st_annpq_ingest": q_st_annpq_ingest,
         "st_bm25_ingest": q_st_bm25_ingest,
+        "st_bm25_compact": q_st_bm25_compact,
         "t_time_buckets": q_t_time_buckets,
         "t_resample": q_t_resample,
         "x_rolling": q_x_rolling,
@@ -4225,6 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frames_mjpeg": q_x_frames_mjpeg,
         "x_frames_msv1": q_x_frames_msv1,
         "x_warc_ingest": q_x_warc_ingest,
+        "x_graphml_ingest": q_x_graphml_ingest,
         "x_audio_adpcm": q_x_audio_adpcm,
         "s_cosine_topk": q_s_cosine_topk,
         "s_label_centroids": q_s_label_centroids,
@@ -6578,6 +6661,20 @@ def oracle_sql() -> dict[str, str]:
                md5('doc ' || CAST(doc_id AS VARCHAR) || coalesce(text, '')) AS text_md5
         FROM documents WHERE doc_id % 17 = 0
         """,
+        "x_graphml_ingest": """
+        -- GraphML round trip: every 23rd doc is a node (text + typed
+        -- char count), shards of 8 chained by 'next' edges -> out_deg
+        -- is 1 inside a shard chain, 0 for shard-last / global-last
+        WITH sel AS MATERIALIZED (
+          SELECT doc_id, coalesce(text, '') AS text,
+                 row_number() OVER (ORDER BY doc_id) AS rn,
+                 count(*) OVER () AS n_total
+          FROM documents WHERE doc_id % 23 = 0)
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN rn % 8 = 0 OR rn = n_total THEN 0 ELSE 1 END AS BIGINT) AS out_deg
+        FROM sel
+        """,
         "x_audio_adpcm": """
         -- block j of channel L/R holds the constant int16 amplitude
         -- (first two md5 bytes, big-endian) - 32768; constant blocks
@@ -6864,6 +6961,10 @@ def oracle_sql() -> dict[str, str]:
     # corpus (unlike the frozen-centroid ANN twins, no seed restriction
     # is even needed): the same oracle replays it unchanged
     sqls["st_bm25_ingest"] = sqls["s_bm25_topk"]
+    # the auto-compacting ingest FOLDS the delta mid-stream; probes
+    # recompute df over base ∪ delta either way, so the ranking is
+    # bit-identical and the fold's invisibility is the gated property
+    sqls["st_bm25_compact"] = sqls["s_bm25_topk"]
     # streaming ANN ingest: frozen centroids come from the SEED sample
     # (vec_id % 5 <> 0) but assignment covers every row — identical SQL
     # with the centroid CTE restricted to the seed

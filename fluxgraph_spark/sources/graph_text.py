@@ -246,6 +246,57 @@ def read_graph_elements(
     return files.mapInPandas(batches, schema=ELEMENT_SCHEMA)
 
 
+def graphml_files_from_documents(
+    docs: DataFrame, out_dir: str, every: int = 23, per_file: int = 8
+) -> int:
+    """Fixture builder (the warc_files_from_documents pattern): every
+    ``every``-th document becomes a GraphML node carrying its text and
+    char count as typed properties, packed ``per_file`` nodes per shard
+    file with a ``next`` chain edge between shard-adjacent nodes — the
+    multi-file export shape the distributed reader targets.  Returns
+    the shard count.  Driver-side by design: it stands in for the
+    EXPORTER; the reader path above is the distributed piece."""
+    import os
+    from xml.sax.saxutils import escape
+
+    rows = (
+        docs.where(F.col("doc_id") % every == 0)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n_files = 0
+    for i in range(0, len(rows), per_file):
+        shard = rows[i : i + per_file]
+        parts = [
+            '<?xml version="1.0" encoding="UTF-8"?>',
+            '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+            '<key id="text" for="node" attr.name="text" attr.type="string"/>',
+            '<key id="n_chars" for="node" attr.name="n_chars" attr.type="long"/>',
+            '<graph id="G" edgedefault="directed">',
+        ]
+        for r in shard:
+            txt = r["text"] or ""
+            parts.append(
+                f'<node id="{r["doc_id"]}">'
+                f'<data key="text">{escape(txt)}</data>'
+                f'<data key="n_chars">{len(txt)}</data></node>'
+            )
+        for a, b in zip(shard, shard[1:]):
+            parts.append(
+                f'<edge source="{a["doc_id"]}" target="{b["doc_id"]}" '
+                f'label="next"/>'
+            )
+        parts.append("</graph></graphml>")
+        with open(
+            os.path.join(out_dir, f"shard-{n_files:05d}.graphml"), "w"
+        ) as fh:
+            fh.write("\n".join(parts))
+        n_files += 1
+    return n_files
+
+
 def read_graph_distributed(
     spark: SparkSession, path_glob: str, fmt: str = "graphml"
 ) -> Tuple[DataFrame, DataFrame]:

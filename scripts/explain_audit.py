@@ -180,6 +180,7 @@ NO_PUSHDOWN_EXPECTED = {
     "t_version_counts",     # full tx_log rollup
     "x_bpe_merges",         # driver-collected merge table: LocalTableScan
     "x_fingerprint",        # full-corpus narrow hash map
+    "x_graphml_ingest",     # binaryFile scan + executor-side XML parse
     "x_langid",             # full-corpus narrow n-gram map
     "x_tokens",             # full-corpus narrow token count
 }
