@@ -86,6 +86,10 @@ QUERIES = [
     "k_cms_heavy",
     "g_ktruss",
     "m_dhash_dups",
+    # round 7: the survivors decision now runs oversized convergence-
+    # asserted min-label rounds — the assert adds two scalar aggs and
+    # the deeper fixed chain must stay linear in the pair graph
+    "m_dhash_survivors",
 ]
 
 # the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data
