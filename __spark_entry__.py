@@ -2039,6 +2039,9 @@ def q_g_clustering(spark, sf_dir):
     return clustering_coefficient(edges)
 
 
+_RW_HOPS = ",\nw1 AS MATERIALIZED (\n  SELECT w.walk_id, n.dst AS v,\n         w.path || '->' || CAST(n.dst AS VARCHAR) AS path\n  FROM w0 w\n  JOIN rwdeg d ON d.src = w.v\n  JOIN rwnbr n ON n.src = w.v\n   AND n.idx = CAST(('0x' || substring(md5(\n         CAST(w.walk_id AS VARCHAR) || ':0:' || CAST(w.v AS VARCHAR)\n       ), 1, 15))::UBIGINT AS BIGINT) % d.deg),\nw2 AS MATERIALIZED (\n  SELECT w.walk_id, n.dst AS v,\n         w.path || '->' || CAST(n.dst AS VARCHAR) AS path\n  FROM w1 w\n  JOIN rwdeg d ON d.src = w.v\n  JOIN rwnbr n ON n.src = w.v\n   AND n.idx = CAST(('0x' || substring(md5(\n         CAST(w.walk_id AS VARCHAR) || ':1:' || CAST(w.v AS VARCHAR)\n       ), 1, 15))::UBIGINT AS BIGINT) % d.deg),\nw3 AS MATERIALIZED (\n  SELECT w.walk_id, n.dst AS v,\n         w.path || '->' || CAST(n.dst AS VARCHAR) AS path\n  FROM w2 w\n  JOIN rwdeg d ON d.src = w.v\n  JOIN rwnbr n ON n.src = w.v\n   AND n.idx = CAST(('0x' || substring(md5(\n         CAST(w.walk_id AS VARCHAR) || ':2:' || CAST(w.v AS VARCHAR)\n       ), 1, 15))::UBIGINT AS BIGINT) % d.deg),\nw4 AS MATERIALIZED (\n  SELECT w.walk_id, n.dst AS v,\n         w.path || '->' || CAST(n.dst AS VARCHAR) AS path\n  FROM w3 w\n  JOIN rwdeg d ON d.src = w.v\n  JOIN rwnbr n ON n.src = w.v\n   AND n.idx = CAST(('0x' || substring(md5(\n         CAST(w.walk_id AS VARCHAR) || ':3:' || CAST(w.v AS VARCHAR)\n       ), 1, 15))::UBIGINT AS BIGINT) % d.deg)"
+
+
 def _ktruss_sql(rounds: int, k: int) -> str:
     """Chained-CTE replay of ``rounds`` peel iterations over the
     co-purchase projection — the g_sssp/k_core fixed-round pattern.
@@ -2123,6 +2126,27 @@ def q_g_triangles(spark, sf_dir):
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         edges.agg(F.count("*").alias("n_edges"))
     )
+
+
+def q_g_random_walks(spark, sf_dir):
+    """Deterministic random-walk sampling (r7; analytics.random_walks —
+    the DeepWalk/node2vec corpus primitive, Perozzi et al. KDD'14) over
+    the SYMMETRIZED threshold-2 co-purchase graph: one 4-hop walk from
+    every vertex divisible by 7, step-t transitions picking neighbor
+    index md5(walk_id:t:v) mod degree over the dst-ranked neighbor
+    list.  Every pick is a pure function of (walk, step, vertex), so
+    the whole trajectory set replays as chained SQL CTEs — auditable
+    sampling: regenerating the walk corpus yields byte-identical
+    training data.  Symmetrized edges mean no walk hits a sink; the
+    fixed length unrolls into one Catalyst join tree."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        sym.select("src").distinct().where(F.col("src") % 7 == 0)
+    )
+    return AN.random_walks(sym, seeds, walk_len=4)
 
 
 def _copurchase_edges(spark, sf_dir, min_support=2):
@@ -3602,6 +3626,34 @@ def q_st_bm25_compact(spark, sf_dir):
     return idx.topk(_bm25_queries_df(spark), k=10)
 
 
+def q_k_kmv_orderkeys(spark, sf_dir):
+    """Verifiable KMV (k-minimum-values) distinct sketch (r7;
+    functions/sketches.py kmv_* — Bar-Yossef et al. 2002, Beyer et al.
+    SIGMOD'07): distinct orderkeys per returnflag through a k=129
+    bottom-k sketch of the md5 hash family.  Where the HLL's corrected
+    estimate needs ln (kept OUT of k_hll_orderkeys' gated digest), the
+    KMV estimator is floor((k-1)*2^60 / h_k) with k-1 a power of two —
+    the numerator is an EXACT double, so the estimate itself hash-gates
+    alongside the kept-hash xor digest and the kth-min.  exact_n and
+    the <=25% accuracy verdict ride along (both sides compute the same
+    deterministic bool).  Scale: distinct-hash shuffle with map-side
+    combine, then the two-level skew-capped rank — never a full sort
+    of the distinct set."""
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    sk = sketches.kmv_build(li, "l_orderkey", k=129, group_cols=("l_returnflag",))
+    st = sketches.kmv_state(sk, k=129, group_cols=("l_returnflag",))
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_n")
+    )
+    return st.join(ex, "l_returnflag").select(
+        "l_returnflag", "n_kept", "h_k", "digest", "est", "exact_n",
+        (
+            F.abs(F.col("est") - F.col("exact_n"))
+            <= F.ceil(F.col("exact_n") * 0.25).cast("long")
+        ).alias("err_ok"),
+    )
+
+
 def q_k_cms_heavy(spark, sf_dir):
     """Count-min-sketch heavy hitters (functions/sketches.py — Cormode
     & Muthukrishnan 2005): the corpus token stream folds into a 4x2048
@@ -4230,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_excess_suppliers": q_r_excess_suppliers,
         "g_triangles": q_g_triangles,
         "g_ktruss": q_g_ktruss,
+        "g_random_walks": q_g_random_walks,
         "g_clustering": q_g_clustering,
         "t_funnel": q_t_funnel,
         "t_retention": q_t_retention,
@@ -4276,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_sketches": q_k_sketches,
         "k_cms_heavy": q_k_cms_heavy,
         "k_hll_orderkeys": q_k_hll_orderkeys,
+        "k_kmv_orderkeys": q_k_kmv_orderkeys,
         # training-data pipeline surface
         "d_text_hashes": q_d_text_hashes,
         "d_exact_dups": q_d_exact_dups,
@@ -7092,6 +7146,29 @@ FROM allimg a LEFT JOIN dc{_DHASH_CC_ROUNDS} c ON c.id = a.media_id
 """
     # k-truss: fixed-round chained-CTE peel (6 rounds >= observed
     # convergence at every test SF; converged rounds are no-ops)
+    # deterministic random walks: each hop joins the dst-ranked neighbor
+    # list at index md5(walk_id:t:v) % degree — the full trajectory set
+    # replays hop by hop
+    sqls["g_random_walks"] = f"""
+WITH con AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT x.p AS a, y.p AS b
+  FROM con x JOIN con y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+rwsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+rwdeg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM rwsym GROUP BY src),
+rwnbr AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
+  FROM rwsym),
+w0 AS MATERIALIZED (
+  SELECT src AS walk_id, src AS v, CAST(src AS VARCHAR) AS path
+  FROM rwdeg WHERE src % 7 = 0){_RW_HOPS}
+SELECT walk_id, path, v AS final_v FROM w4
+""".replace("{_RW_HOPS}", _RW_HOPS)
     sqls["g_ktruss"] = _ktruss_sql(6, 3)
     # column profile: one UNION ALL branch per column, pure counts
     sqls["r_profile"] = "\nUNION ALL\n".join(
@@ -7151,6 +7228,38 @@ SELECT doc_id, lang, n_tok, cum_tokens FROM c WHERE cum_tokens - n_tok < 20000
     # the whole digest recomputes (p=8, w=52, registers capped at 40)
     _hll_alpha = 0.7213 / (1.0 + 1.079 / 256)
     _hll_a = _hll_alpha * 256 * 256 * float(1 << 40)
+    # KMV bottom-k distinct sketch: the kept hashes, kth-min, xor
+    # digest AND the estimate all replay exactly (numerator (k-1)*2^60
+    # = 2^67 is a power of two -> exact double; the division is one
+    # correctly-rounded IEEE op in either engine)
+    sqls["k_kmv_orderkeys"] = """
+WITH h AS MATERIALIZED (
+  SELECT DISTINCT l_returnflag,
+         CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
+  FROM lineitem WHERE l_orderkey IS NOT NULL),
+r AS MATERIALIZED (
+  SELECT l_returnflag, hv,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS pos
+  FROM h),
+kept AS MATERIALIZED (SELECT * FROM r WHERE pos <= 129),
+st AS MATERIALIZED (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(max(hv) AS BIGINT) AS h_k,
+         CAST(bit_xor(hv) AS BIGINT) AS digest
+  FROM kept GROUP BY 1),
+ex AS (
+  SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_n
+  FROM lineitem GROUP BY 1),
+est AS (
+  SELECT s.*, e.exact_n,
+         CAST(CASE WHEN s.n_kept < 129 THEN s.n_kept
+              ELSE floor(147573952589676412928.0 / CAST(s.h_k AS DOUBLE)) END AS BIGINT) AS est
+  FROM st s JOIN ex e USING (l_returnflag))
+SELECT l_returnflag, n_kept, h_k, digest, est, exact_n,
+       abs(est - exact_n) <= CAST(ceil(exact_n * 0.25) AS BIGINT) AS err_ok
+FROM est
+"""
     sqls["k_hll_orderkeys"] = f"""
 WITH h AS MATERIALIZED (
   SELECT DISTINCT l_returnflag, l_orderkey,

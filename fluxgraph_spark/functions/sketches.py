@@ -33,7 +33,7 @@ existing HLL-distinct and quantile sketches.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -261,4 +261,119 @@ def hll_estimate(hll: DataFrame, p: int = 8, group_cols: tuple = ()) -> DataFram
         F.when((raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0), lin)
         .otherwise(raw)
         .alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002 /
+# Beyer et al. SIGMOD'07.  Same md5 hash family as the HLL above, but
+# where the HLL's user estimate needs an ln correction (kept OUT of its
+# gated digest), the KMV estimator is ONE correctly-rounded double
+# division of exact integers: with k - 1 a power of two the numerator
+# (k-1) * 2^60 is an exact double, so the WHOLE sketch — kept hashes,
+# kth-min, xor digest, and the estimate itself — hash-gates bit-for-bit
+# in SQL.  Std error ~ 1/sqrt(k - 2) (~8.9% at the default k = 129).
+# ---------------------------------------------------------------------------
+
+KMV_HASH_BITS = 60  # stable_hash64: 15 md5 hex chars
+
+
+def _kmv_check_k(k: int) -> None:
+    if k < 3 or (k - 1) & (k - 2) != 0:
+        raise ValueError(
+            f"k - 1 must be a power of two >= 2 (got k={k}): the "
+            f"estimator's numerator (k-1)*2^60 must be an exact double "
+            f"so the division replays bit-for-bit in any engine"
+        )
+
+
+def kmv_build(
+    df: DataFrame, key_col: str, k: int = 129, group_cols: tuple = ()
+) -> DataFrame:
+    """The ``k`` smallest DISTINCT 60-bit md5 hashes per group:
+    ``(*group_cols, pos, h)`` with ``pos`` in 1..k — at most ``k`` rows
+    per group whatever the input size (the mergeable sketch state).
+
+    Scale shape: distinct (group, hash) first (one shuffle with
+    map-side combine), then the skew-capped TWO-LEVEL rank the
+    cluster-sampler uses (similarity.cluster_sample): row_number within
+    ``(group, h % 256)`` keeps per-prefix top-k — a superset of the
+    global top-k by pigeonhole — then the exact window runs over at
+    most ``256k`` survivors per group, never the full distinct set.
+    NULL keys are excluded, matching ``count(DISTINCT ...)``."""
+    _kmv_check_k(k)
+    from .text import stable_hash64
+
+    g = list(group_cols)
+    h = stable_hash64(F.col(key_col).cast("string"))
+    hashes = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*g, h.alias("h"))
+        .distinct()
+    )
+    w1 = W.partitionBy(*g, F.pmod(F.col("h"), F.lit(256))).orderBy("h")
+    pruned = (
+        hashes.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = W.partitionBy(*g).orderBy("h")
+    return (
+        pruned.withColumn("pos", F.row_number().over(w2))
+        .where(F.col("pos") <= k)
+        .select(*g, "pos", "h")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, k: int = 129, group_cols: tuple = ()
+) -> DataFrame:
+    """Union two sketches built with the same family and re-take the k
+    smallest — the union sketch equals the sketch of the unioned keys
+    (hashes are a function of the key, so duplicates collapse)."""
+    _kmv_check_k(k)
+    g = list(group_cols)
+    merged = a.select(*g, "h").unionByName(b.select(*g, "h")).distinct()
+    w = W.partitionBy(*g).orderBy("h")
+    return (
+        merged.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(*g, "pos", "h")
+    )
+
+
+def kmv_state(
+    kmv: DataFrame, k: int = 129, group_cols: tuple = ()
+) -> DataFrame:
+    """Integer-exact digest + estimate per group:
+    ``(n_kept, h_k, digest, est)``.
+
+    * ``n_kept`` < k: the group had fewer than k distinct keys — the
+      sketch IS the distinct set and ``est = n_kept`` exactly.
+    * otherwise ``est = floor((k-1) * 2^60 / h_k)``: numerator exact in
+      double by the k contract, denominator's long->double conversion
+      and the division both correctly rounded — identical in Spark and
+      DuckDB (the est itself is hash-gateable, unlike the HLL's
+      ln-corrected estimate).
+    * ``digest`` = bit_xor of the kept hashes (order-independent,
+      overflow-free) — any divergence in ANY kept hash flips it."""
+    _kmv_check_k(k)
+    g = list(group_cols)
+    num = float((k - 1) << KMV_HASH_BITS)  # exact: k-1 is a power of two
+    agg = kmv.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("h_k"),
+        F.bit_xor("h").alias("digest"),
+    )
+    return agg.select(
+        *g,
+        "n_kept",
+        "h_k",
+        "digest",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.floor(F.lit(num) / F.col("h_k").cast("double")).cast("long")
+        )
+        .cast("long")
+        .alias("est"),
     )

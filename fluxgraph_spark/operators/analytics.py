@@ -877,3 +877,76 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
         .alias("gcc_micro"),
     )
+
+
+def random_walks(
+    edges: DataFrame, sources: DataFrame, walk_len: int = 4
+) -> DataFrame:
+    """Deterministic "random" walks — the DeepWalk / node2vec sampling
+    primitive (Perozzi et al. KDD'14): from every source vertex, one
+    ``walk_len``-hop walk whose step-``t`` transition from vertex ``v``
+    picks out-neighbor index ``stable_hash64(walk_id:t:v) mod
+    outdeg(v)`` over the neighbor list ranked by destination id.  The
+    md5-derived hash makes every pick a pure function of (walk, step,
+    vertex): walks are reproducible run-to-run, shard-independent, and
+    an external SQL engine replays the entire trajectory bit-for-bit —
+    the property a 100 TB embedding-training corpus needs for
+    AUDITABLE sampling (re-generating a walk set must yield the same
+    corpus, or training runs aren't comparable).
+
+    Returns ``(walk_id, path, final_v)`` for walks that complete all
+    ``walk_len`` hops (a walk reaching a SINK — no out-edges — is
+    dropped by the inner join; walk over a symmetrized edge list if
+    every walk must finish).  Scale shape: the ranked neighbor table
+    (one row_number window over the edge list) is persisted once; each
+    hop is one equi-join against it picking exactly one row per walk —
+    a fixed ``walk_len`` unrolls into ONE Catalyst join tree, no
+    driver-side iteration, and the per-hop state is one row per walk.
+    """
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    from ..functions.text import stable_hash64
+
+    from pyspark.sql import Window as W
+
+    e = edges.select(M.SRC, M.DST).distinct()
+    win = W.partitionBy(M.SRC).orderBy(M.DST)
+    nbr = (
+        e.withColumn("__idx", F.row_number().over(win) - 1)
+        .withColumn("__deg", F.count(F.lit(1)).over(W.partitionBy(M.SRC)))
+        .withColumnRenamed(M.SRC, "__v")
+        .persist()
+    )
+    nbr.count()
+    cur = (
+        sources.select(F.col(sources.columns[0]).alias("walk_id"))
+        .distinct()
+        .select(
+            "walk_id",
+            F.col("walk_id").alias("__v"),
+            F.col("walk_id").cast("string").alias("path"),
+        )
+    )
+    for t in range(walk_len):
+        pick = F.pmod(
+            stable_hash64(
+                F.concat(
+                    F.col("walk_id").cast("string"),
+                    F.lit(f":{t}:"),
+                    F.col("__v").cast("string"),
+                )
+            ),
+            F.col("__deg"),
+        )
+        cur = (
+            cur.join(nbr, "__v")
+            .where(F.col("__idx") == pick)
+            .select(
+                "walk_id",
+                F.col(M.DST).alias("__v"),
+                F.concat(
+                    "path", F.lit("->"), F.col(M.DST).cast("string")
+                ).alias("path"),
+            )
+        )
+    return cur.select("walk_id", "path", F.col("__v").alias("final_v"))

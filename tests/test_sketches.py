@@ -179,3 +179,56 @@ def test_hll_grouped_and_bad_p(spark):
     assert st["a"]["zeros"] < st["b"]["zeros"]  # more keys touch more registers
     with pytest.raises(ValueError, match="p must"):
         sketches.hll_build(df, "k", p=2)
+
+
+def test_kmv_matches_scalar_reference_and_merges(spark):
+    """KMV k-minimum-values sketch (r7): kept hashes == the scalar
+    k-smallest of the md5 family, two-level rank == naive global rank,
+    estimate exact below k and within the analytic error above it,
+    merge(a, b) == build(a ∪ b), NULL keys excluded, bad k rejected."""
+    import hashlib
+
+    from fluxgraph_spark.functions import sketches as SK
+
+    def h60(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    keys = [f"key{i}" for i in range(500)] + [f"key{i}" for i in range(100)]
+    rows = [(k, "g1") for k in keys] + [(f"only{i}", "g2") for i in range(5)]
+    rows.append((None, "g1"))
+    df = spark.createDataFrame(rows, "k string, grp string")
+
+    k = 33
+    sk = SK.kmv_build(df, "k", k=k, group_cols=("grp",))
+    got = {
+        (r["grp"], r["pos"]): r["h"] for r in sk.collect()
+    }
+    want_g1 = sorted(h60(f"key{i}") for i in range(500))[:k]
+    for pos, hv in enumerate(want_g1, 1):
+        assert got[("g1", pos)] == hv
+    assert sum(1 for g, _ in got if g == "g2") == 5  # below k: whole set
+
+    st = {r["grp"]: r for r in SK.kmv_state(sk, k=k, group_cols=("grp",)).collect()}
+    assert st["g2"]["est"] == 5 and st["g2"]["n_kept"] == 5
+    est = st["g1"]["est"]
+    assert abs(est - 500) <= 500 * 0.6  # ~18% stderr at k=33; generous
+    import math
+    assert st["g1"]["h_k"] == want_g1[-1]
+    import functools, operator
+    assert st["g1"]["digest"] == functools.reduce(operator.xor, want_g1)
+    # the estimator arithmetic is the exact double division
+    assert est == math.floor(float((k - 1) << 60) / float(want_g1[-1]))
+
+    # merge == build over the union
+    half_a = df.where(F.col("k").isNotNull() & (F.length("k") % 2 == 0))
+    half_b = df.where(F.col("k").isNotNull() & (F.length("k") % 2 == 1))
+    m = SK.kmv_merge(
+        SK.kmv_build(half_a, "k", k=k, group_cols=("grp",)),
+        SK.kmv_build(half_b, "k", k=k, group_cols=("grp",)),
+        k=k, group_cols=("grp",),
+    )
+    full = SK.kmv_build(df, "k", k=k, group_cols=("grp",))
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, full.collect()))
+
+    with pytest.raises(ValueError, match="power of two"):
+        SK.kmv_build(df, "k", k=20)
