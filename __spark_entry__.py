@@ -2128,6 +2128,21 @@ def q_g_triangles(spark, sf_dir):
     )
 
 
+def q_g_mis(spark, sf_dir):
+    """Maximal independent set (r7; analytics.maximal_independent_set —
+    Luby 1986 evaluated over one fixed md5 permutation, Blelloch et al.
+    SPAA'12) of the threshold-2 co-purchase graph: the standard
+    parallel symmetry-breaking primitive (scheduling, graph coloring
+    seeds, landmark selection).  Fixed priorities make the result the
+    UNIQUE greedy MIS of the priority order, so the oracle replays 8
+    chained-CTE rounds (observed convergence 3-4 at the test SFs;
+    converged rounds are no-ops, and the Spark side RAISES if its round
+    budget ever leaves a vertex undecided — under-sizing can't silently
+    truncate the set)."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    return AN.maximal_independent_set(edges, max_rounds=30)
+
+
 def q_g_random_walks(spark, sf_dir):
     """Deterministic random-walk sampling (r7; analytics.random_walks —
     the DeepWalk/node2vec corpus primitive, Perozzi et al. KDD'14) over
@@ -4013,6 +4028,47 @@ def q_x_graphml_ingest(spark, sf_dir):
     )
 
 
+def q_x_rouge(spark, sf_dir):
+    """Reference-based text-eval counting (r7; text.ngram_overlap —
+    the clipped n-gram primitive under BLEU, Papineni ACL'02, and
+    ROUGE-N, Lin 2004): every document scored against its successor
+    (doc_id + 1 equi-join — adjacency without a global sort) at n=1
+    and n=2, with unigram recall and bigram precision as EXACT integer
+    micro ratios (clipped counts are integers; the ratio is integer
+    division — no float summation anywhere).  The eval primitive a
+    training pipeline runs at generation-validation scale: two narrow
+    gram explodes + per-(id, gram) counts + one equi-join per n."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    pairs = docs.select("doc_id", "text").join(
+        docs.select(
+            (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__ref")
+        ),
+        "doc_id",
+    )
+    ov1 = text.ngram_overlap(pairs, "doc_id", "text", "__ref", n=1)
+    ov2 = text.ngram_overlap(pairs, "doc_id", "text", "__ref", n=2).select(
+        F.col("id"),
+        F.col("n_cand").alias("n2_cand"),
+        F.col("n_ref").alias("n2_ref"),
+        F.col("n_match").alias("n2_match"),
+    )
+    return ov1.join(ov2, "id").select(
+        F.col("id").alias("doc_id"),
+        F.col("n_cand").alias("n1_cand"),
+        F.col("n_ref").alias("n1_ref"),
+        F.col("n_match").alias("n1_match"),
+        F.when(
+            F.col("n_ref") > 0,
+            F.expr("(n_match * 1000000) DIV n_ref"),
+        ).otherwise(F.lit(0)).cast("long").alias("r1_micro"),
+        "n2_cand", "n2_ref", "n2_match",
+        F.when(
+            F.col("n2_cand") > 0,
+            F.expr("(n2_match * 1000000) DIV n2_cand"),
+        ).otherwise(F.lit(0)).cast("long").alias("p2_micro"),
+    )
+
+
 def q_m_media_meta(spark, sf_dir):
     """Multimodal metadata scan (no decode): typed metadata + blob sizes
     — the column-pruned path a 100 TB media lake query takes when it
@@ -4183,16 +4239,16 @@ _R7_PRIORITY = [
     "t_time_buckets",
     "x_strat_sample",
     "d_span_dup",
-    # top-up: oldest r4 entries (d_containment first — its blocking gets
-    # a df cap this round, VERDICT r6 item 5); these cede their slot to
-    # any NEW r7 queries as they land
+    # the four late-r7 operators (each needs its first driver row)
+    "k_kmv_orderkeys",    # new in r7: verifiable KMV distinct sketch
+    "g_random_walks",     # new in r7: deterministic walk sampling
+    "g_mis",              # new in r7: Luby-permutation MIS
+    "x_rouge",            # new in r7: clipped n-gram eval counting
+    # top-up: d_containment changed this round (VERDICT r6 item 5);
+    # the remaining r4-checked entries (s_ivf_kmeans_topk,
+    # g_gremlin_heavy, d_incr_dedupe, st_dedup_ingest, g_gremlin_pipe,
+    # d_indexed_dedupe, ...) rotate in r8
     "d_containment",
-    "d_incr_dedupe",
-    "st_dedup_ingest",
-    "g_gremlin_pipe",
-    "d_indexed_dedupe",
-    # (s_ivf_kmeans_topk / g_gremlin_heavy ceded their top-up slots to
-    # the two new r7 queries; both are r4-checked and rotate in r8)
 ]
 assert len(_R7_PRIORITY) == 50
 
@@ -4283,6 +4339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles": q_g_triangles,
         "g_ktruss": q_g_ktruss,
         "g_random_walks": q_g_random_walks,
+        "g_mis": q_g_mis,
         "g_clustering": q_g_clustering,
         "t_funnel": q_t_funnel,
         "t_retention": q_t_retention,
@@ -4362,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frames_msv1": q_x_frames_msv1,
         "x_warc_ingest": q_x_warc_ingest,
         "x_graphml_ingest": q_x_graphml_ingest,
+        "x_rouge": q_x_rouge,
         "x_audio_adpcm": q_x_audio_adpcm,
         "s_cosine_topk": q_s_cosine_topk,
         "s_label_centroids": q_s_label_centroids,
@@ -6715,6 +6773,55 @@ def oracle_sql() -> dict[str, str]:
                md5('doc ' || CAST(doc_id AS VARCHAR) || coalesce(text, '')) AS text_md5
         FROM documents WHERE doc_id % 17 = 0
         """,
+        "x_rouge": """
+        -- clipped n-gram overlap vs the successor doc: grams via
+        -- list_transform (NOT lateral unnest-over-slice — quadratic on
+        -- some builds), per-(id, gram) counts, sum of min()
+        WITH p AS MATERIALIZED (
+          SELECT a.doc_id,
+                 regexp_extract_all(lower(coalesce(a.text, '')), '\\S+') AS ct,
+                 regexp_extract_all(lower(coalesce(b.text, '')), '\\S+') AS rt
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        g AS MATERIALIZED (
+          SELECT doc_id, ct, rt,
+                 list_transform(generate_series(1, greatest(len(ct) - 1, 0)),
+                                i -> ct[i] || ' ' || ct[i + 1]) AS c2,
+                 list_transform(generate_series(1, greatest(len(rt) - 1, 0)),
+                                i -> rt[i] || ' ' || rt[i + 1]) AS r2
+          FROM p),
+        m1 AS MATERIALIZED (
+          SELECT doc_id, CAST(coalesce(sum(least(c, r)), 0) AS BIGINT) AS n1_match FROM (
+            SELECT cc.doc_id, cc.c, rc.r FROM
+              (SELECT doc_id, g1 AS gr, count(*) AS c FROM
+                 (SELECT doc_id, unnest(ct) AS g1 FROM g) q GROUP BY 1, 2) cc
+            JOIN
+              (SELECT doc_id, g1 AS gr, count(*) AS r FROM
+                 (SELECT doc_id, unnest(rt) AS g1 FROM g) q GROUP BY 1, 2) rc
+            USING (doc_id, gr)) j GROUP BY doc_id),
+        m2 AS MATERIALIZED (
+          SELECT doc_id, CAST(coalesce(sum(least(c, r)), 0) AS BIGINT) AS n2_match FROM (
+            SELECT cc.doc_id, cc.c, rc.r FROM
+              (SELECT doc_id, g1 AS gr, count(*) AS c FROM
+                 (SELECT doc_id, unnest(c2) AS g1 FROM g) q GROUP BY 1, 2) cc
+            JOIN
+              (SELECT doc_id, g1 AS gr, count(*) AS r FROM
+                 (SELECT doc_id, unnest(r2) AS g1 FROM g) q GROUP BY 1, 2) rc
+            USING (doc_id, gr)) j GROUP BY doc_id)
+        SELECT g.doc_id,
+               CAST(len(ct) AS BIGINT) AS n1_cand,
+               CAST(len(rt) AS BIGINT) AS n1_ref,
+               coalesce(m1.n1_match, 0) AS n1_match,
+               CAST(CASE WHEN len(rt) > 0
+                    THEN (coalesce(m1.n1_match, 0) * 1000000) // len(rt)
+                    ELSE 0 END AS BIGINT) AS r1_micro,
+               CAST(len(c2) AS BIGINT) AS n2_cand,
+               CAST(len(r2) AS BIGINT) AS n2_ref,
+               coalesce(m2.n2_match, 0) AS n2_match,
+               CAST(CASE WHEN len(c2) > 0
+                    THEN (coalesce(m2.n2_match, 0) * 1000000) // len(c2)
+                    ELSE 0 END AS BIGINT) AS p2_micro
+        FROM g LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
+        """,
         "x_graphml_ingest": """
         -- GraphML round trip: every 23rd doc is a node (text + typed
         -- char count), shards of 8 chained by 'next' edges -> out_deg
@@ -7169,6 +7276,10 @@ w0 AS MATERIALIZED (
   FROM rwdeg WHERE src % 7 = 0){_RW_HOPS}
 SELECT walk_id, path, v AS final_v FROM w4
 """.replace("{_RW_HOPS}", _RW_HOPS)
+    # Luby-permutation MIS: 8 fixed rounds (observed convergence 3-4;
+    # no-op past the fixpoint, and the Spark side raises rather than
+    # returning an under-decided set)
+    sqls["g_mis"] = "WITH con AS MATERIALIZED (\n  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),\ne0 AS MATERIALIZED (\n  SELECT x.p AS a, y.p AS b\n  FROM con x JOIN con y ON x.o = y.o AND x.p < y.p\n  GROUP BY 1, 2 HAVING count(*) >= 2),\nmsym AS MATERIALIZED (\n  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),\ns0 AS MATERIALIZED (\n  SELECT DISTINCT src AS id,\n         CAST(('0x' || substring(md5('mis:' || CAST(src AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS p,\n         'u' AS st\n  FROM msym),\nnm0 AS MATERIALIZED (\n  SELECT e.src AS id, min({'p': y.p, 'i': y.id}) AS nmin\n  FROM msym e\n  JOIN s0 x ON x.id = e.src AND x.st = 'u'\n  JOIN s0 y ON y.id = e.dst AND y.st = 'u'\n  GROUP BY e.src),\nc0 AS MATERIALIZED (\n  SELECT s.id FROM s0 s LEFT JOIN nm0 m ON m.id = s.id\n  WHERE s.st = 'u' AND (m.nmin IS NULL OR {'p': s.p, 'i': s.id} < m.nmin)),\nx0 AS MATERIALIZED (\n  SELECT DISTINCT e.dst AS id FROM msym e JOIN c0 c ON c.id = e.src),\ns1 AS MATERIALIZED (\n  SELECT s.id, s.p,\n         CASE WHEN s.st <> 'u' THEN s.st\n              WHEN c.id IS NOT NULL THEN 'm'\n              WHEN x.id IS NOT NULL THEN 'x'\n              ELSE 'u' END AS st\n  FROM s0 s LEFT JOIN c0 c ON c.id = s.id\n  LEFT JOIN x0 x ON x.id = s.id),\nnm1 AS MATERIALIZED (\n  SELECT e.src AS id, min({'p': y.p, 'i': y.id}) AS nmin\n  FROM msym e\n  JOIN s1 x ON x.id = e.src AND x.st = 'u'\n  JOIN s1 y ON y.id = e.dst AND y.st = 'u'\n  GROUP BY e.src),\nc1 AS MATERIALIZED (\n  SELECT s.id FROM s1 s LEFT JOIN nm1 m ON m.id = s.id\n  WHERE s.st = 'u' AND (m.nmin IS NULL OR {'p': s.p, 'i': s.id} < m.nmin)),\nx1 AS MATERIALIZED (\n  SELECT DISTINCT e.dst AS id FROM msym e JOIN c1 c ON c.id = e.src),\ns2 AS MATERIALIZED (\n  SELECT s.id, s.p,\n         CASE WHEN s.st <> 'u' THEN s.st\n              WHEN c.id IS NOT NULL THEN 'm'\n              WHEN x.id IS NOT NULL THEN 'x'\n              ELSE 'u' END AS st\n  FROM s1 s LEFT JOIN c1 c ON c.id = s.id\n  LEFT JOIN x1 x ON x.id = s.id),\nnm2 AS MATERIALIZED (\n  SELECT e.src AS id, min({'p': y.p, 'i': y.id}) AS nmin\n  FROM msym e\n  JOIN s2 x ON x.id = e.src AND x.st = 'u'\n  JOIN s2 y ON y.id = e.dst AND y.st = 'u'\n  GROUP BY e.src),\nc2 AS MATERIALIZED (\n  SELECT s.id FROM s2 s LEFT JOIN nm2 m ON m.id = s.id\n  WHERE s.st = 'u' AND (m.nmin IS NULL OR {'p': s.p, 'i': s.id} < m.nmin)),\nx2 AS MATERIALIZED (\n  SELECT DISTINCT e.dst AS id FROM msym e JOIN c2 c ON c.id = e.src),\ns3 AS MATERIALIZED (\n  SELECT s.id, s.p,\n         CASE WHEN s.st <> 'u' THEN s.st\n              WHEN c.id IS NOT NULL THEN 'm'\n              WHEN x.id IS NOT NULL THEN 'x'\n              ELSE 'u' END AS st\n  FROM s2 s LEFT JOIN c2 c ON c.id = s.id\n  LEFT JOIN x2 x ON x.id = s.id),\nnm3 AS MATERIALIZED (\n  SELECT e.src AS id, min({'p': y.p, 'i': y.id}) AS nmin\n  FROM msym e\n  JOIN s3 x ON x.id = e.src AND x.st = 'u'\n  JOIN s3 y ON y.id = e.dst AND y.st = 'u'\n  GROUP BY e.src),\nc3 AS MATERIALIZED (\n  SELECT s.id FROM s3 s LEFT JOIN nm3 m ON m.id = s.id\n  WHERE s.st = 'u' AND (m.nmin IS NULL OR {'p': s.p, 'i': s.id} < m.nmin)),\nx3 AS MATERIALIZED (\n  SELECT DISTINCT e.dst AS id FROM msym e JOIN c3 c ON c.id = e.src),\ns4 AS MATERIALIZED (\n  SELECT s.id, s.p,\n         CASE WHEN s.st <> 'u' THEN s.st\n              WHEN c.id IS NOT NULL THEN 'm'\n              WHEN x.id IS NOT NULL THEN 'x'\n              ELSE 'u' END AS st\n  FROM s3 s LEFT JOIN c3 c ON c.id = s.id\n  LEFT JOIN x3 x ON x.id = s.id),\nnm4 AS MATERIALIZED (\n  SELECT e.src AS id, min({'p': y.p, 'i': y.id}) AS nmin\n  FROM msym e\n  JOIN s4 x ON x.id = e.src AND x.st = 'u'\n  JOIN s4 y ON y.id = e.dst AND y.st = 'u'\n  GROUP BY e.src),\nc4 AS MATERIALIZED (\n  SELECT s.id FROM s4 s LEFT JOIN nm4 m ON m.id = s.id\n  WHERE s.st = 'u' AND (m.nmin IS NULL OR {'p': s.p, 'i': s.id} < m.nmin)),\nx4 AS MATERIALIZED (\n  SELECT DISTINCT e.dst AS id FROM msym e JOIN c4 c ON c.id = e.src),\ns5 AS MATERIALIZED (\n  SELECT s.id, s.p,\n         CASE WHEN s.st <> 'u' THEN s.st\n              WHEN c.id IS NOT NULL THEN 'm'\n              WHEN x.id IS NOT NULL THEN 'x'\n              ELSE 'u' END AS st\n  FROM s4 s LEFT JOIN c4 c ON c.id = s.id\n  LEFT JOIN x4 x ON x.id = s.id),\nnm5 AS MATERIALIZED (\n  SELECT e.src AS id, min({'p': y.p, 'i': y.id}) AS nmin\n  FROM msym e\n  JOIN s5 x ON x.id = e.src AND x.st = 'u'\n  JOIN s5 y ON y.id = e.dst AND y.st = 'u'\n  GROUP BY e.src),\nc5 AS MATERIALIZED (\n  SELECT s.id FROM s5 s LEFT JOIN nm5 m ON m.id = s.id\n  WHERE s.st = 'u' AND (m.nmin IS NULL OR {'p': s.p, 'i': s.id} < m.nmin)),\nx5 AS MATERIALIZED (\n  SELECT DISTINCT e.dst AS id FROM msym e JOIN c5 c ON c.id = e.src),\ns6 AS MATERIALIZED (\n  SELECT s.id, s.p,\n         CASE WHEN s.st <> 'u' THEN s.st\n              WHEN c.id IS NOT NULL THEN 'm'\n              WHEN x.id IS NOT NULL THEN 'x'\n              ELSE 'u' END AS st\n  FROM s5 s LEFT JOIN c5 c ON c.id = s.id\n  LEFT JOIN x5 x ON x.id = s.id),\nnm6 AS MATERIALIZED (\n  SELECT e.src AS id, min({'p': y.p, 'i': y.id}) AS nmin\n  FROM msym e\n  JOIN s6 x ON x.id = e.src AND x.st = 'u'\n  JOIN s6 y ON y.id = e.dst AND y.st = 'u'\n  GROUP BY e.src),\nc6 AS MATERIALIZED (\n  SELECT s.id FROM s6 s LEFT JOIN nm6 m ON m.id = s.id\n  WHERE s.st = 'u' AND (m.nmin IS NULL OR {'p': s.p, 'i': s.id} < m.nmin)),\nx6 AS MATERIALIZED (\n  SELECT DISTINCT e.dst AS id FROM msym e JOIN c6 c ON c.id = e.src),\ns7 AS MATERIALIZED (\n  SELECT s.id, s.p,\n         CASE WHEN s.st <> 'u' THEN s.st\n              WHEN c.id IS NOT NULL THEN 'm'\n              WHEN x.id IS NOT NULL THEN 'x'\n              ELSE 'u' END AS st\n  FROM s6 s LEFT JOIN c6 c ON c.id = s.id\n  LEFT JOIN x6 x ON x.id = s.id),\nnm7 AS MATERIALIZED (\n  SELECT e.src AS id, min({'p': y.p, 'i': y.id}) AS nmin\n  FROM msym e\n  JOIN s7 x ON x.id = e.src AND x.st = 'u'\n  JOIN s7 y ON y.id = e.dst AND y.st = 'u'\n  GROUP BY e.src),\nc7 AS MATERIALIZED (\n  SELECT s.id FROM s7 s LEFT JOIN nm7 m ON m.id = s.id\n  WHERE s.st = 'u' AND (m.nmin IS NULL OR {'p': s.p, 'i': s.id} < m.nmin)),\nx7 AS MATERIALIZED (\n  SELECT DISTINCT e.dst AS id FROM msym e JOIN c7 c ON c.id = e.src),\ns8 AS MATERIALIZED (\n  SELECT s.id, s.p,\n         CASE WHEN s.st <> 'u' THEN s.st\n              WHEN c.id IS NOT NULL THEN 'm'\n              WHEN x.id IS NOT NULL THEN 'x'\n              ELSE 'u' END AS st\n  FROM s7 s LEFT JOIN c7 c ON c.id = s.id\n  LEFT JOIN x7 x ON x.id = s.id)\nSELECT id, st = 'm' AS in_mis FROM s8"
     sqls["g_ktruss"] = _ktruss_sql(6, 3)
     # column profile: one UNION ALL branch per column, pure counts
     sqls["r_profile"] = "\nUNION ALL\n".join(

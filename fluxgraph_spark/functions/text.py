@@ -399,3 +399,74 @@ def pack_sequences_greedy(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(_pack, schema=out_schema)
+
+
+def ngram_overlap(
+    df: "DataFrame",
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    n: int = 1,
+) -> "DataFrame":
+    """Clipped n-gram overlap between a candidate and a reference text —
+    the counting primitive under BLEU (Papineni et al. ACL'02) and
+    ROUGE-N (Lin 2004), the standard reference-based eval for generated
+    text: per row, ``n_match = Σ_g min(count_cand(g), count_ref(g))``
+    over word n-grams (each reference occurrence credits at most one
+    candidate occurrence), with ``precision = n_match / n_cand`` and
+    ``recall = n_match / n_ref`` left to the caller as exact integer
+    micro ratios.
+
+    Returns ``(id, n_cand, n_ref, n_match)`` — all exact BIGINT counts
+    (rows whose candidate or reference has fewer than ``n`` tokens
+    count zero grams on that side).  Scale shape: two narrow gram
+    explodes, per-(id, gram) counts with map-side combine, one
+    equi-join on (id, gram) for the clipped sum — never a cross join,
+    and every count is an integer so the result replays exactly in
+    SQL."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def grams(col: str) -> Column:
+        toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), F.lit(0))
+        # sequence(1, 0) would generate a DESCENDING [1, 0] — clamp the
+        # stop at 1 and blank out the too-short case explicitly instead
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        )
+        full = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        return F.when(F.size(toks) >= n, full).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        grams(cand_col).alias("__cg"),
+        grams(ref_col).alias("__rg"),
+    ).persist()
+    totals = base.select(
+        "id",
+        F.size("__cg").cast("long").alias("n_cand"),
+        F.size("__rg").cast("long").alias("n_ref"),
+    )
+    cc = (
+        base.select("id", F.explode("__cg").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    rc = (
+        base.select("id", F.explode("__rg").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("__r"))
+    )
+    match = (
+        cc.join(rc, ["id", "g"])
+        .groupBy("id")
+        .agg(F.sum(F.least("__c", "__r")).cast("long").alias("n_match"))
+    )
+    return totals.join(match, "id", "left").select(
+        "id",
+        "n_cand",
+        "n_ref",
+        F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+    )

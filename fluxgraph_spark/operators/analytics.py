@@ -950,3 +950,102 @@ def random_walks(
             )
         )
     return cur.select("walk_id", "path", F.col("__v").alias("final_v"))
+
+
+def maximal_independent_set(
+    edges: DataFrame, max_rounds: int = 30, checkpoint_every: int = 1
+) -> DataFrame:
+    """Deterministic maximal independent set over the undirected simple
+    graph of ``edges`` — Luby's algorithm (Luby 1986) with FIXED
+    md5-derived priorities, i.e. the parallel evaluation of greedy MIS
+    over one random permutation (Blelloch et al. SPAA'12: expected
+    O(log n) rounds).  Per round, an undecided vertex ENTERS the set
+    when its (priority, id) pair is strictly smaller than every
+    undecided neighbor's; its undecided neighbors become EXCLUDED.  The
+    result is the unique greedy MIS of the priority order — fully
+    deterministic, so a fixed-round chained-CTE SQL oracle replays it
+    (converged rounds are no-ops; this raises if ``max_rounds`` is
+    exhausted with undecided vertices left, so an under-sized round
+    budget can never silently truncate the set — the
+    connected_components assert_converged contract).
+
+    Returns ``(id, in_mis)`` for every vertex of the edge list.  Scale
+    shape: the symmetrized adjacency is partitioned once; each round
+    joins only the UNDECIDED frontier against it (one shuffle per
+    round over a monotonically shrinking state)."""
+    from ..functions.text import stable_hash64
+
+    # drop self-loops BEFORE symmetrizing (a loop-only vertex has itself
+    # as its sole "neighbor": never a strict local minimum, never
+    # excluded — an unbreakable deadlock the round budget would turn
+    # into a raise)
+    simple = edges.select(M.SRC, M.DST).where(F.col(M.SRC) != F.col(M.DST))
+    sym = (
+        simple.unionByName(
+            simple.select(F.col(M.DST).alias(M.SRC), F.col(M.SRC).alias(M.DST))
+        )
+        .distinct()
+        .repartition(M.SRC)
+        .persist()
+    )
+    sym.count()  # eager — see connected_components
+    verts = sym.select(F.col(M.SRC).alias(M.ID)).distinct()
+    und = verts.select(
+        M.ID,
+        stable_hash64(F.concat(F.lit("mis:"), F.col(M.ID).cast("string"))).alias(
+            "__p"
+        ),
+    ).localCheckpoint(eager=True)
+    mis = None
+    for _ in range(max_rounds):
+        if und.isEmpty():
+            break
+        # min (priority, id) over each undecided vertex's UNDECIDED
+        # neighbors; vertices with no undecided neighbor have no row
+        nbr_min = (
+            sym.join(und.select(F.col(M.ID).alias(M.SRC)), M.SRC)
+            .join(
+                und.select(
+                    F.col(M.ID).alias(M.DST),
+                    F.struct(F.col("__p"), F.col(M.ID).alias("i")).alias("__k"),
+                ),
+                M.DST,
+            )
+            .groupBy(F.col(M.SRC).alias(M.ID))
+            .agg(F.min("__k").alias("__nmin"))
+        )
+        cand = (
+            und.join(nbr_min, M.ID, "left")
+            .where(
+                F.col("__nmin").isNull()
+                | (
+                    F.struct(F.col("__p"), F.col(M.ID).alias("i"))
+                    < F.col("__nmin")
+                )
+            )
+            .select(M.ID)
+            .localCheckpoint(eager=True)
+        )
+        mis = cand if mis is None else mis.unionByName(cand)
+        excluded = (
+            sym.join(cand.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            .select(F.col(M.DST).alias(M.ID))
+            .distinct()
+        )
+        und = (
+            und.join(cand, M.ID, "left_anti")
+            .join(excluded, M.ID, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not und.isEmpty():
+            raise ValueError(
+                f"maximal_independent_set did not decide every vertex "
+                f"within max_rounds={max_rounds} — raise the budget (a "
+                f"fixed-round oracle stays valid: converged rounds are "
+                f"no-ops)"
+            )
+    mis = mis if mis is not None else verts.limit(0)
+    return verts.join(
+        mis.withColumn("__m", F.lit(True)), M.ID, "left"
+    ).select(M.ID, F.coalesce("__m", F.lit(False)).alias("in_mis"))

@@ -181,6 +181,8 @@ NO_PUSHDOWN_EXPECTED = {
     "x_bpe_merges",         # driver-collected merge table: LocalTableScan
     "x_fingerprint",        # full-corpus narrow hash map
     "x_graphml_ingest",     # binaryFile scan + executor-side XML parse
+    "g_random_walks",       # co-purchase projection; %7 seed filter is derived
+    "g_mis",                # iterative: final plan joins round checkpoints
     "x_langid",             # full-corpus narrow n-gram map
     "x_tokens",             # full-corpus narrow token count
 }
@@ -300,6 +302,7 @@ NO_BROADCAST_EXPECTED = {
     "x_fingerprint",        # narrow map, no joins
     "x_langid",             # narrow map, no joins
     "x_tokens",             # narrow map, no joins
+    "g_mis",                # undecided-frontier joins: AQE decides
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,

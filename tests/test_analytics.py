@@ -483,3 +483,40 @@ def test_random_walks_match_scalar_reference(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="walk_len"):
         random_walks(edges, seeds, walk_len=0)
+
+
+def test_maximal_independent_set_matches_greedy_reference(spark):
+    """MIS (r7): the fixed-priority Luby rounds must equal the
+    sequential greedy MIS of the md5 priority order (the unique result
+    the parallel rounds compute); independence and maximality hold;
+    an exhausted round budget raises instead of truncating."""
+    import hashlib
+
+    from fluxgraph_spark.operators.analytics import maximal_independent_set
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    E = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5), (6, 7), (8, 8)]
+    adj = {}
+    for a, b in E:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    mis_ref, excl = set(), set()
+    for v in sorted(adj, key=lambda v: (h60(f"mis:{v}"), v)):
+        if v not in excl:
+            mis_ref.add(v)
+            excl |= adj[v]
+    df = spark.createDataFrame(E, ["src", "dst"])
+    got = {r["id"]: r["in_mis"] for r in maximal_independent_set(df).collect()}
+    assert set(got) == set(adj)  # self-loop-only vertex 8 excluded
+    assert {v for v, m in got.items() if m} == mis_ref
+    # independence + maximality
+    for a, b in E:
+        if a != b:
+            assert not (got[a] and got[b])
+    for v, m in got.items():
+        assert m or any(got[u] for u in adj[v])
+    with pytest.raises(ValueError, match="max_rounds"):
+        maximal_independent_set(df, max_rounds=0)

@@ -1020,3 +1020,45 @@ def test_containment_candidate_budget_identity_and_binding(spark):
     docs_with = {i for p in unbounded for i in p}
     docs_kept = {i for p in tight for i in p}
     assert docs_kept == docs_with
+
+
+def test_ngram_overlap_matches_scalar_reference(spark):
+    """ngram_overlap (r7): clipped counts equal a scalar BLEU/ROUGE-N
+    counter for n=1 and n=2, short texts contribute zero grams, and
+    disjoint texts match zero."""
+    from collections import Counter
+
+    from fluxgraph_spark.functions.text import ngram_overlap
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat lay on the mat"),
+        (2, "a a a b", "a a c"),
+        (3, "one", "one two three"),          # cand too short for n=2
+        (4, "alpha beta", "gamma delta"),     # disjoint
+        (5, "", "anything here"),             # empty candidate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cand string, ref string")
+
+    def ref_counts(c, r, n):
+        def gr(s):
+            t = s.lower().split()
+            return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+        cc, rc = Counter(gr(c)), Counter(gr(r))
+        return (
+            sum(cc.values()),
+            sum(rc.values()),
+            sum(min(v, rc[g]) for g, v in cc.items()),
+        )
+
+    for n in (1, 2):
+        got = {
+            r["id"]: (r["n_cand"], r["n_ref"], r["n_match"])
+            for r in ngram_overlap(df, "doc_id", "cand", "ref", n=n).collect()
+        }
+        want = {i: ref_counts(c, r, n) for i, c, r in rows}
+        assert got == want, (n, got, want)
+    # sanity anchors
+    assert want[2] == (3, 2, 1)          # bigrams: 'a a' x2 clipped to ref's 1
+    assert want[3][2] == 0 and want[4][2] == 0
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_overlap(df, "doc_id", "cand", "ref", n=0)
