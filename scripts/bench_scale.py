@@ -90,6 +90,14 @@ QUERIES = [
     # asserted min-label rounds — the assert adds two scalar aggs and
     # the deeper fixed chain must stay linear in the pair graph
     "m_dhash_survivors",
+    # round 7 late: the KMV two-level rank (skew check on the distinct-
+    # hash window), the walk join tree (hot-vertex check on the ranked
+    # neighbor join), the MIS frontier shrink, and the gram-explode
+    # overlap counter (pure linearity check)
+    "k_kmv_orderkeys",
+    "g_random_walks",
+    "g_mis",
+    "x_rouge",
 ]
 
 # the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data
