@@ -177,7 +177,7 @@ class Scd2ParquetTable:
                 df = self.spark.read.parquet(all_paths[0]).where(F.lit(False))
                 return df.where(self._key_filter(keys)) if keys is not None else df
             raise ValueError(f"no committed data at {self.path}")
-        df = self.spark.read.parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         if keys is not None:
             df = df.where(self._key_filter(keys))
         return df
@@ -211,7 +211,7 @@ class Scd2ParquetTable:
                 "bucket version(s) were vacuumed; disable vacuum to retain "
                 "time-travel history"
             )
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def history(self) -> DataFrame:
         """Commit log: one row per publish (version, committed_at,
@@ -256,6 +256,7 @@ class Scd2ParquetTable:
         changes: DataFrame,
         batch_id: "int | None" = None,
         writer_id: str = "default",
+        evolve_schema: bool = False,
     ) -> dict:
         """Merge a change batch and commit (write -> audit -> publish).
 
@@ -314,7 +315,41 @@ class Scd2ParquetTable:
             [p for p in self._committed_paths(set(affected))] if m else []
         )
         if committed_affected:
-            current = self.spark.read.parquet(*committed_affected)
+            current = self.spark.read.option("mergeSchema", "true").parquet(
+                *committed_affected
+            )
+            # additive schema evolution (the Delta mergeSchema contract):
+            # value columns that exist only in the BATCH would otherwise
+            # be silently dropped (scd2_upsert infers value columns from
+            # the committed side) — data loss, not an error.  Refuse by
+            # default; with evolve_schema=True widen the committed rows
+            # with typed NULLs so history carries the new column from
+            # this version on.  Type conflicts always refuse.
+            sys_cols = {
+                self.ts_col, "valid_from", "valid_to", "version_idx",
+                "is_current", _BUCKET_COL, *self.key_cols,
+            }
+            new_cols = sorted(
+                set(changes.columns) - set(current.columns) - sys_cols
+            )
+            for c in set(changes.columns) & set(current.columns):
+                if changes.schema[c].dataType != current.schema[c].dataType:
+                    raise ValueError(
+                        f"schema conflict on {c!r}: batch has "
+                        f"{changes.schema[c].dataType.simpleString()}, table "
+                        f"has {current.schema[c].dataType.simpleString()} — "
+                        f"cast the batch column to the table type"
+                    )
+            if new_cols and not evolve_schema:
+                raise ValueError(
+                    f"change batch carries new column(s) {new_cols} not in "
+                    f"the committed schema; pass evolve_schema=True to add "
+                    f"them (existing history gets typed NULLs), or drop them"
+                )
+            for c in new_cols:
+                current = current.withColumn(
+                    c, F.lit(None).cast(changes.schema[c].dataType)
+                )
             n_existing = current.count()
             merged = scd2_upsert(current, changes, self.key_cols, self.ts_col)
         else:

@@ -461,3 +461,57 @@ def test_multi_batch_ingest_with_nondefault_ts_col(spark, tmp_path):
         (1, t(5), "b", True),
         (2, t(1), "x", True),
     ]
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """r7: a change batch carrying a NEW value column must not silently
+    drop it (scd2_upsert infers value columns from the committed side).
+    Default refuses naming the column; evolve_schema=True widens history
+    with typed NULLs; earlier buckets read back unified; type conflicts
+    always refuse; later batches must keep carrying the column."""
+    from fluxgraph_spark.sources.scd2_table import Scd2ParquetTable
+
+    t = Scd2ParquetTable(
+        spark, str(tmp_path / "tbl"), key_cols=["k"], n_buckets=4
+    )
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k long, valid_from long, val string",
+    )
+    t.ingest(base)
+
+    widened = spark.createDataFrame(
+        [(1, 11, "a2", 99), (4, 40, "d", 44)],
+        "k long, valid_from long, val string, score long",
+    )
+    with pytest.raises(ValueError, match="score"):
+        t.ingest(widened)
+    # nothing committed by the refusal
+    assert "score" not in t.read().columns
+
+    t.ingest(widened, evolve_schema=True)
+    got = t.read()
+    assert "score" in got.columns
+    rows = {(r["k"], r["valid_from"]): r for r in got.collect()}
+    assert rows[(1, 11)]["score"] == 99 and rows[(4, 40)]["score"] == 44
+    # pre-evolution history (incl. untouched buckets) reads NULL
+    assert rows[(1, 10)]["score"] is None
+    assert rows[(2, 20)]["score"] is None and rows[(3, 30)]["score"] is None
+    # SCD2 semantics survived: key 1's old version closed at the change
+    assert rows[(1, 10)]["valid_to"] == 11 and rows[(1, 11)]["valid_to"] is None
+
+    # type conflict on an existing column always refuses
+    bad = spark.createDataFrame(
+        [(2, 21, "x", 1.5)], "k long, valid_from long, val string, score double"
+    )
+    with pytest.raises(ValueError, match="schema conflict"):
+        t.ingest(bad, evolve_schema=True)
+
+    # the evolved column is now part of the contract for touched buckets
+    next_ok = spark.createDataFrame(
+        [(2, 22, "b2", 7)], "k long, valid_from long, val string, score long"
+    )
+    t.ingest(next_ok)
+    rows2 = {(r["k"], r["valid_from"]): r for r in t.read().collect()}
+    assert rows2[(2, 22)]["score"] == 7
+    assert rows2[(2, 20)]["score"] is None
