@@ -173,8 +173,13 @@ class Scd2ParquetTable:
             if all_paths and buckets is not None:
                 # valid table, but no committed bucket holds these keys
                 # (or the bucket intersection is empty): empty result
-                # with the table schema, zero data files scanned
-                df = self.spark.read.parquet(all_paths[0]).where(F.lit(False))
+                # with the FULL table schema (footers merged across
+                # bucket generations — a single bucket written before a
+                # schema evolution would miss the new columns), zero
+                # row groups scanned
+                df = self.spark.read.option("mergeSchema", "true").parquet(
+                    *all_paths
+                ).where(F.lit(False))
                 return df.where(self._key_filter(keys)) if keys is not None else df
             raise ValueError(f"no committed data at {self.path}")
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)

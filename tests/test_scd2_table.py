@@ -515,3 +515,23 @@ def test_schema_evolution_additive(spark, tmp_path):
     rows2 = {(r["k"], r["valid_from"]): r for r in t.read().collect()}
     assert rows2[(2, 22)]["score"] == 7
     assert rows2[(2, 20)]["score"] is None
+
+
+def test_empty_keyed_read_carries_evolved_schema(spark, tmp_path):
+    """An empty keyed read on an evolved table must still present the
+    FULL (evolved) schema — the single-bucket shortcut would miss
+    columns added after that bucket was last written."""
+    from fluxgraph_spark.sources.scd2_table import Scd2ParquetTable
+
+    t = Scd2ParquetTable(spark, str(tmp_path / "t2"), key_cols=["k"], n_buckets=4)
+    t.ingest(spark.createDataFrame([(1, 10, "a")], "k long, valid_from long, val string"))
+    t.ingest(
+        spark.createDataFrame(
+            [(1, 11, "a2", 5)], "k long, valid_from long, val string, score long"
+        ),
+        evolve_schema=True,
+    )
+    empty = t.read(keys=[999_999])
+    assert empty.count() == 0
+    assert "score" in empty.columns
+    assert set(empty.columns) == set(t.read().columns)
