@@ -3669,6 +3669,58 @@ def q_k_kmv_orderkeys(spark, sf_dir):
     )
 
 
+def q_k_quantile_sample(spark, sf_dir):
+    """Verifiable approximate quantiles by DETERMINISTIC sampling (r7;
+    sketches.sample_bottomk): per returnflag, the 257 lineitem rows
+    with the smallest md5 identity hashes form a uniform, mergeable,
+    shard-independent sample (the bottom-k trick over rows), and the
+    sample's rank-selected q25/q50/q75 are EXACT values out of that
+    sample — no interpolation, no ln, nothing engine-local, so the
+    whole sketch hash-gates where t-digest/KLL states are only
+    bounds-auditable (k_sketches).  Accuracy rides along as an exact
+    check: the sample median's TRUE rank over the full group
+    (n_below/n_rows in integer micro) must sit within 10 points of the
+    50th percentile — both sides compute the same deterministic
+    verdict.  Rank error is O(1/sqrt(k)) ~ 3 points at k=257."""
+    li = tpch.read_tables(spark, sf_dir)["lineitem"]
+    s = sketches.sample_bottomk(
+        li.select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        ["l_orderkey", "l_linenumber"],
+        k=257,
+        group_cols=("l_returnflag",),
+    )
+    arr = s.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_list("l_extendedprice")).alias("__vs")
+    )
+    qs = arr.select(
+        "l_returnflag",
+        F.size("__vs").cast("long").alias("n_sample"),
+        F.element_at("__vs", F.expr("CAST((size(__vs) * 25 + 99) DIV 100 AS INT)")).alias("q25"),
+        F.element_at("__vs", F.expr("CAST((size(__vs) * 50 + 99) DIV 100 AS INT)")).alias("q50"),
+        F.element_at("__vs", F.expr("CAST((size(__vs) * 75 + 99) DIV 100 AS INT)")).alias("q75"),
+    )
+    truth = (
+        li.join(F.broadcast(qs.select("l_returnflag", "q50")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("q50"), 1).otherwise(0)
+            ).cast("long").alias("n_below"),
+        )
+    )
+    return qs.join(truth, "l_returnflag").select(
+        "l_returnflag", "n_sample", "q25", "q50", "q75", "n_rows", "n_below",
+        F.expr("CAST((n_below * 1000000) DIV n_rows AS BIGINT)").alias("rank_micro"),
+        (
+            F.abs(F.expr("(n_below * 1000000) DIV n_rows") - F.lit(500000))
+            <= F.lit(100000)
+        ).alias("rank_ok"),
+    )
+
+
 def q_k_cms_heavy(spark, sf_dir):
     """Count-min-sketch heavy hitters (functions/sketches.py — Cormode
     & Muthukrishnan 2005): the corpus token stream folds into a 4x2048
@@ -4387,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_cms_heavy": q_k_cms_heavy,
         "k_hll_orderkeys": q_k_hll_orderkeys,
         "k_kmv_orderkeys": q_k_kmv_orderkeys,
+        "k_quantile_sample": q_k_quantile_sample,
         # training-data pipeline surface
         "d_text_hashes": q_d_text_hashes,
         "d_exact_dups": q_d_exact_dups,
@@ -7370,6 +7423,38 @@ est AS (
 SELECT l_returnflag, n_kept, h_k, digest, est, exact_n,
        abs(est - exact_n) <= CAST(ceil(exact_n * 0.25) AS BIGINT) AS err_ok
 FROM est
+"""
+    # bottom-k deterministic row sample -> rank-selected quantiles are
+    # EXACT sample values; the sample median's true rank replays exactly
+    sqls["k_quantile_sample"] = """
+WITH s AS MATERIALIZED (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::UBIGINT,
+                    l_orderkey, l_linenumber) AS rk
+  FROM lineitem),
+ksel AS MATERIALIZED (
+  SELECT l_returnflag, l_extendedprice FROM s WHERE rk <= 257),
+arr AS MATERIALIZED (
+  SELECT l_returnflag, list_sort(list(l_extendedprice)) AS vs
+  FROM ksel GROUP BY 1),
+qs AS MATERIALIZED (
+  SELECT l_returnflag,
+         CAST(len(vs) AS BIGINT) AS n_sample,
+         vs[(len(vs) * 25 + 99) // 100] AS q25,
+         vs[(len(vs) * 50 + 99) // 100] AS q50,
+         vs[(len(vs) * 75 + 99) // 100] AS q75
+  FROM arr),
+tr AS MATERIALIZED (
+  SELECT l.l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN l.l_extendedprice < q.q50 THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+  FROM lineitem l JOIN qs q USING (l_returnflag) GROUP BY 1)
+SELECT q.l_returnflag, q.n_sample, q.q25, q.q50, q.q75,
+       t.n_rows, t.n_below,
+       CAST((t.n_below * 1000000) // t.n_rows AS BIGINT) AS rank_micro,
+       abs((t.n_below * 1000000) // t.n_rows - 500000) <= 100000 AS rank_ok
+FROM qs q JOIN tr t USING (l_returnflag)
 """
     sqls["k_hll_orderkeys"] = f"""
 WITH h AS MATERIALIZED (

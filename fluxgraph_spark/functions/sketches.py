@@ -377,3 +377,48 @@ def kmv_state(
         .cast("long")
         .alias("est"),
     )
+
+
+def sample_bottomk(
+    df: DataFrame,
+    id_cols: "tuple | list",
+    k: int = 257,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Deterministic uniform sample WITHOUT replacement: the ``k`` rows
+    per group whose md5 hash of the identity columns is smallest — the
+    bottom-k trick (KMV's sibling over ROWS instead of distinct
+    values).  Uniform because the hash is uniform on the identity,
+    DETERMINISTIC and shard-independent because it is a pure function
+    of the row (re-running, re-partitioning, or merging shards yields
+    the same sample — the property `TABLESAMPLE`/`rand()` sampling
+    lacks and an auditable pipeline needs), and MERGEABLE: bottom-k of
+    a union is the bottom-k of the per-shard bottom-k's.
+
+    Returns the sampled rows with a ``__rank`` column (1..k by hash
+    order).  Same two-level skew-capped rank as :func:`kmv_build`."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .text import stable_hash64
+
+    g = list(group_cols)
+    ident = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in id_cols]
+    )
+    hashed = df.withColumn("__h", stable_hash64(ident))
+    # id columns break hash ties (a 60-bit collision, or duplicate
+    # identities) so the rank — and therefore the sample — is a total
+    # deterministic order, never a shuffle-order coin flip
+    order = [F.col("__h")] + [F.col(c) for c in id_cols]
+    w1 = W.partitionBy(*g, F.pmod(F.col("__h"), F.lit(256))).orderBy(*order)
+    pruned = (
+        hashed.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = W.partitionBy(*g).orderBy(*order)
+    return (
+        pruned.withColumn("__rank", F.row_number().over(w2))
+        .where(F.col("__rank") <= k)
+        .drop("__h")
+    )

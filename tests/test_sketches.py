@@ -232,3 +232,53 @@ def test_kmv_matches_scalar_reference_and_merges(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         SK.kmv_build(df, "k", k=20)
+
+
+def test_sample_bottomk_deterministic_uniform_mergeable(spark):
+    """sample_bottomk (r7): the kept rows equal the scalar bottom-k of
+    the identity hashes, per-shard bottom-k merges to the global
+    bottom-k, repartitioning changes nothing, and k >= group size keeps
+    everything."""
+    import hashlib
+
+    from fluxgraph_spark.functions import sketches as SK
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(i, "g%d" % (i % 2), i * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "rid long, grp string, val long")
+
+    k = 9
+    got = {
+        (r["grp"], r["__rank"]): r["rid"]
+        for r in SK.sample_bottomk(df, ["rid"], k=k, group_cols=("grp",)).collect()
+    }
+    for grp in ("g0", "g1"):
+        members = [rid for rid, g, _ in rows if g == grp]
+        want = sorted(members, key=lambda rid: (h60(str(rid)), rid))[:k]
+        for pos, rid in enumerate(want, 1):
+            assert got[(grp, pos)] == rid, (grp, pos)
+
+    # shard-merge: bottom-k of per-shard bottom-k == global bottom-k
+    a = df.where(F.col("rid") % 3 == 0)
+    b = df.where(F.col("rid") % 3 != 0)
+    merged = SK.sample_bottomk(
+        SK.sample_bottomk(a, ["rid"], k=k, group_cols=("grp",)).drop("__rank")
+        .unionByName(
+            SK.sample_bottomk(b, ["rid"], k=k, group_cols=("grp",)).drop("__rank")
+        ),
+        ["rid"], k=k, group_cols=("grp",),
+    )
+    direct = SK.sample_bottomk(df, ["rid"], k=k, group_cols=("grp",))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    # partitioning-independent
+    re = SK.sample_bottomk(df.repartition(13), ["rid"], k=k, group_cols=("grp",))
+    assert sorted(map(tuple, re.collect())) == sorted(map(tuple, direct.collect()))
+
+    # k >= n keeps all rows
+    allrows = SK.sample_bottomk(df, ["rid"], k=1000, group_cols=("grp",))
+    assert allrows.count() == 200
+    with pytest.raises(ValueError, match="k must be"):
+        SK.sample_bottomk(df, ["rid"], k=0)
