@@ -406,7 +406,41 @@ class IvfIndex(_ManifestedIndex):
         return _topk_per_query(scored, k)
 
 
-class DeltaIvfIndex(IvfIndex):
+class _AutoCompacting:
+    """Shared auto-compaction policy for the delta index classes.
+    Subclasses provide ``_delta_rows`` / ``_base_rows`` / ``merge_delta``;
+    this mixin supplies the ratio trigger so both :class:`DeltaIvfIndex`
+    and :class:`DeltaIvfPqIndex` expose the SAME ``maybe_merge`` surface
+    the streaming sink (streaming/ann_ingest.py) is typed against —
+    previously only DeltaIvfIndex defined it, so a PQ index with
+    ``auto_merge_ratio`` set raised AttributeError inside foreachBatch
+    on the first non-empty microbatch."""
+
+    def maybe_merge(self, ratio: float = 0.25) -> bool:
+        """Fold the delta IFF unfolded delta rows exceed ``ratio`` ×
+        base rows; returns whether a fold ran.  The size-ratio policy a
+        long-running ingest needs: an unbounded delta degrades probes
+        (every query unions base + N batch subtrees and re-lists the
+        delta area), while folding every batch rewrites the base
+        constantly — the ratio amortizes rewrite cost logarithmically,
+        the same trigger LSM stores and lakehouse OPTIMIZE schedulers
+        use.  Safe inside a foreachBatch sink: microbatches are
+        processed serially, so no batch can land mid-fold (the offline
+        caveat on ``merge_delta`` targets CONCURRENT writers); a
+        replayed already-folded batch recreates an orphan subtree that
+        the next fold's GC sweep reclaims (folded ids never re-enter
+        reads).  Probes are bit-identical before/after (pytest-pinned).
+        """
+        if ratio <= 0:
+            raise ValueError(f"ratio must be > 0, got {ratio}")
+        n_delta = self._delta_rows()
+        if n_delta == 0 or n_delta <= ratio * self._base_rows():
+            return False
+        self.merge_delta()
+        return True
+
+
+class DeltaIvfIndex(_AutoCompacting, IvfIndex):
     """:class:`IvfIndex` plus a REPLAY-SAFE delta area for streaming
     appends — the base+delta layout every production vector store
     converges on (and the ANN twin of the dedup tier's streaming
@@ -574,29 +608,6 @@ class DeltaIvfIndex(IvfIndex):
 
     def _base_rows(self) -> int:
         return self.spark.read.parquet(self.lists_dir).count()
-
-    def maybe_merge(self, ratio: float = 0.25) -> bool:
-        """Fold the delta IFF unfolded delta rows exceed ``ratio`` ×
-        base rows; returns whether a fold ran.  The size-ratio policy a
-        long-running ingest needs: an unbounded delta degrades probes
-        (every query unions base + N batch subtrees and re-lists the
-        delta area), while folding every batch rewrites the base
-        constantly — the ratio amortizes rewrite cost logarithmically,
-        the same trigger LSM stores and lakehouse OPTIMIZE schedulers
-        use.  Safe inside a foreachBatch sink: microbatches are
-        processed serially, so no batch can land mid-fold (the offline
-        caveat on :meth:`merge_delta` targets CONCURRENT writers); a
-        replayed already-folded batch recreates an orphan subtree that
-        the next fold's GC sweep reclaims (folded ids never re-enter
-        reads).  Probes are bit-identical before/after (pytest-pinned).
-        """
-        if ratio <= 0:
-            raise ValueError(f"ratio must be > 0, got {ratio}")
-        n_delta = self._delta_rows()
-        if n_delta == 0 or n_delta <= ratio * self._base_rows():
-            return False
-        self.merge_delta()
-        return True
 
     def drift_stats(self) -> DataFrame:
         """Per-centroid stream-drift monitor.  Frozen centroids are what
@@ -1027,7 +1038,7 @@ class IvfPqIndex(_ManifestedIndex):
         return _topk_per_query(exact, k)
 
 
-class DeltaIvfPqIndex(IvfPqIndex):
+class DeltaIvfPqIndex(_AutoCompacting, IvfPqIndex):
     """:class:`IvfPqIndex` with the same replay-safe streaming delta
     layout as :class:`DeltaIvfIndex` — base ``codes/`` (and, if stored,
     ``vectors/``) from the seed build, plus
@@ -1358,8 +1369,8 @@ class DeltaIvfPqIndex(IvfPqIndex):
         for delta_dir in (self.delta_codes_dir, self.delta_vectors_dir):
             _sweep_folded_subtrees(self.spark, delta_dir, all_folded)
 
-    # auto-compaction: same ratio policy as DeltaIvfIndex.maybe_merge,
-    # counting the CODES side (the sidecar folds under the same swap)
+    # auto-compaction: maybe_merge comes from _AutoCompacting; these
+    # count the CODES side (the sidecar folds under the same swap)
     def _delta_rows(self) -> int:
         d = _read_delta(self.spark, self.delta_codes_dir, self._folded())
         return 0 if d is None else d.count()

@@ -868,3 +868,54 @@ def test_ann_auto_merge_ratio_self_folds(spark, emb, tmp_path):
     assert idx2.maybe_merge(ratio=1000.0) is False
     assert idx2._manifest() is None or idx2._manifest()["version"] == 0
     assert idx2.maybe_merge(ratio=0.001) is True
+
+
+def test_annpq_auto_merge_ratio_self_folds(spark, emb, tmp_path):
+    """ADVICE r7 (high): DeltaIvfPqIndex inherited _delta_rows/_base_rows
+    but NOT maybe_merge (it extends IvfPqIndex, not DeltaIvfIndex), so a
+    PQ index streamed with auto_merge_ratio raised AttributeError inside
+    foreachBatch on the first non-empty batch and killed the stream.
+    Now both delta classes share the _AutoCompacting mixin: the PQ
+    stream folds mid-run, probes stay bit-identical, and the sidecar
+    folds under the same swap."""
+    from fluxgraph_spark.sources.ann_index import DeltaIvfPqIndex
+    from fluxgraph_spark.streaming.ann_ingest import ann_streaming_sink
+
+    seed = emb.where(F.col("vec_id") % 5 != 0)
+    rest = emb.where(F.col("vec_id") % 5 == 0)
+    d = str(tmp_path / "dpq_auto")
+    idx = DeltaIvfPqIndex.build(seed, d, n_centroids=16, m=4, ksub=16)
+
+    src = str(tmp_path / "pq_stream_auto")
+    rest.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    ann_streaming_sink(
+        stream, idx, str(tmp_path / "ckpt_pq_auto"), auto_merge_ratio=0.001
+    ).awaitTermination()
+    m = idx._manifest()
+    assert m is not None and m["version"] >= 1
+    assert len(m["folded_batches"]) >= 1
+    assert idx._delta_rows() == 0  # codes folded into the base
+
+    # bit-identical to the same seed build + one direct append, unfolded
+    ref = DeltaIvfPqIndex.build(
+        seed, str(tmp_path / "refpq_auto"), n_centroids=16, m=4, ksub=16
+    )
+    ref.append_batch(rest, 0)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _rows(idx.topk(queries, k=10, n_probe=4))
+    assert got == _rows(ref.topk(queries, k=10, n_probe=4))
+    # the raw-vector sidecar folded under the same swap: exact rerank works
+    got_rr = _rows(idx.topk_rerank(queries, k=10, n_probe=4, rerank=3))
+    assert got_rr == _rows(ref.topk_rerank(queries, k=10, n_probe=4, rerank=3))
+
+    # decline/bind parity with the IVF side
+    idx3 = DeltaIvfPqIndex.build(
+        seed, str(tmp_path / "dpq_noauto"), n_centroids=16, m=4, ksub=16
+    )
+    idx3.append_batch(rest, 0)
+    assert idx3.maybe_merge(ratio=1000.0) is False
+    assert idx3.maybe_merge(ratio=0.001) is True
+    assert idx3._delta_rows() == 0
