@@ -42,6 +42,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import fsutil
 
@@ -105,6 +106,63 @@ class Scd2ParquetTable:
     def exists(self) -> bool:
         return self._read_manifest() is not None
 
+    # -- table schema (recorded at publish, conformed at read) ----------
+
+    def _recorded_schema(self, m: Optional[dict]) -> Optional[T.StructType]:
+        if m and m.get("schema"):
+            return T.StructType.fromJson(m["schema"])
+        return None
+
+    def _conform(self, df: DataFrame, m: Optional[dict]) -> DataFrame:
+        """Present ``df`` under the manifest-recorded TABLE schema.
+
+        After ``evolve_schema=True`` only the ingest's AFFECTED buckets
+        carry the new column; a keyed/bucket-pruned read whose pruned
+        buckets were last written before the evolution would otherwise
+        return the stale schema (mergeSchema merges only the pruned
+        paths' footers), making ``read(keys=[k])``'s schema depend on
+        which bucket ``k`` hashes into.  Conforming adds typed NULLs for
+        recorded columns the pruned footers lack — NULL is exactly what
+        those rows' values are under additive evolution — and fixes the
+        column order.  Columns present in ``df`` but absent from the
+        record (legacy manifests written before schemas were recorded)
+        pass through at the end, never dropped."""
+        schema = self._recorded_schema(m)
+        if schema is None:
+            return df
+        have = set(df.columns)
+        cols = [
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        names = {f.name for f in schema.fields}
+        cols += [F.col(c) for c in df.columns if c not in names]
+        return df.select(*cols)
+
+    def _evolved_schema_json(self, m: Optional[dict], merged: DataFrame) -> dict:
+        """The schema to record at this publish: previous record (seeded
+        from ALL committed generations' footers for legacy manifests, so
+        untouched-bucket columns are never lost) widened with any column
+        this merge introduces.  Additive only — columns are never
+        removed."""
+        prev = self._recorded_schema(m)
+        if prev is None and m is not None:
+            allp = self._committed_paths()
+            if allp:
+                prev = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*allp)
+                    .schema
+                )
+        fields = [f for f in prev.fields] if prev is not None else []
+        names = {f.name for f in fields}
+        for f in merged.schema.fields:
+            if f.name not in names and f.name != _BUCKET_COL:
+                fields.append(f)
+                names.add(f.name)
+        return T.StructType(fields).jsonValue()
+
     # -- read ----------------------------------------------------------
 
     def _bucket_dir(self, bucket: int, version: int) -> str:
@@ -164,6 +222,7 @@ class Scd2ParquetTable:
         opens 1/n_buckets of the files (the manifest knows every
         committed bucket dir; non-matching ones are never listed, let
         alone scanned) instead of filtering a full scan."""
+        m = self._read_manifest()
         if keys is not None:
             kb = self._buckets_for_keys(keys)
             buckets = kb if buckets is None else (set(buckets) & kb)
@@ -177,12 +236,20 @@ class Scd2ParquetTable:
                 # bucket generations — a single bucket written before a
                 # schema evolution would miss the new columns), zero
                 # row groups scanned
-                df = self.spark.read.option("mergeSchema", "true").parquet(
-                    *all_paths
-                ).where(F.lit(False))
+                df = self._conform(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*all_paths)
+                    .where(F.lit(False)),
+                    m,
+                )
                 return df.where(self._key_filter(keys)) if keys is not None else df
             raise ValueError(f"no committed data at {self.path}")
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # conform to the recorded table schema so a pruned read over
+        # buckets last written before a schema evolution presents the
+        # SAME schema as read() (typed NULLs for the evolved columns)
+        df = self._conform(
+            self.spark.read.option("mergeSchema", "true").parquet(*paths), m
+        )
         if keys is not None:
             df = df.where(self._key_filter(keys))
         return df
@@ -216,7 +283,11 @@ class Scd2ParquetTable:
                 "bucket version(s) were vacuumed; disable vacuum to retain "
                 "time-travel history"
             )
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # conform to the schema recorded AT that version (historical
+        # reads present what that commit's readers saw)
+        return self._conform(
+            self.spark.read.option("mergeSchema", "true").parquet(*paths), m
+        )
 
     def history(self) -> DataFrame:
         """Commit log: one row per publish (version, committed_at,
@@ -334,6 +405,18 @@ class Scd2ParquetTable:
                 self.ts_col, "valid_from", "valid_to", "version_idx",
                 "is_current", _BUCKET_COL, *self.key_cols,
             }
+            # widen the affected-bucket view with TABLE columns its
+            # footers predate (the recorded schema is the authority):
+            # a batch re-carrying an already-evolved column into a
+            # stale bucket is not "new", and the rewrite converges the
+            # bucket toward the full schema
+            rec = self._recorded_schema(m)
+            if rec is not None:
+                for f in rec.fields:
+                    if f.name not in current.columns and f.name != _BUCKET_COL:
+                        current = current.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
             new_cols = sorted(
                 set(changes.columns) - set(current.columns) - sys_cols
             )
@@ -450,6 +533,7 @@ class Scd2ParquetTable:
                 "ts_col": self.ts_col,
                 "n_buckets": self.n_buckets,
                 "writers": writers,
+                "schema": self._evolved_schema_json(m, merged),
             }
         )
         # The txlog row lands AFTER the manifest swap: a crash between

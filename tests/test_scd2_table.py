@@ -535,3 +535,52 @@ def test_empty_keyed_read_carries_evolved_schema(spark, tmp_path):
     assert empty.count() == 0
     assert "score" in empty.columns
     assert set(empty.columns) == set(t.read().columns)
+
+
+def test_keyed_read_on_stale_bucket_presents_evolved_schema(spark, tmp_path):
+    """ADVICE r7 (medium): after evolve_schema=True, a NON-empty keyed
+    read whose pruned buckets were last written BEFORE the evolution
+    must present the evolved schema (typed NULLs for the new columns),
+    not the stale footers' — read(keys=[k]).schema must not depend on
+    which bucket k hashes into, and must match read()'s."""
+    from pyspark.sql import functions as F
+
+    tbl = Scd2ParquetTable(
+        spark, str(tmp_path / "t3"), key_cols=["k"], n_buckets=4
+    )
+    keys = list(range(1, 12))
+    tbl.ingest(
+        spark.createDataFrame(
+            [(k, 10, "a") for k in keys], "k long, valid_from long, val string"
+        )
+    )
+    b_of = {k: next(iter(tbl._buckets_for_keys([k]))) for k in keys}
+    k_evolve = keys[0]
+    k_stale = next(k for k in keys if b_of[k] != b_of[k_evolve])
+    tbl.ingest(
+        spark.createDataFrame(
+            [(k_evolve, 11, "a2", 5)],
+            "k long, valid_from long, val string, score long",
+        ),
+        evolve_schema=True,
+    )
+    got = tbl.read(keys=[k_stale])
+    assert got.count() == 1
+    assert "score" in got.columns
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in tbl.read().schema.fields
+    ]
+    assert got.collect()[0]["score"] is None
+    # selects/unions of the evolved column work across bucket generations
+    both = tbl.read(keys=[k_stale]).unionByName(tbl.read(keys=[k_evolve]))
+    assert both.where(F.col("score").isNotNull()).count() == 1
+    # re-carrying the already-evolved column into a stale bucket is not
+    # "new" — no evolve_schema flag needed (the recorded schema is the
+    # authority, not the stale bucket's footers)
+    tbl.ingest(
+        spark.createDataFrame(
+            [(k_stale, 12, "z", 9)],
+            "k long, valid_from long, val string, score long",
+        )
+    )
+    assert tbl.read(keys=[k_stale]).where(F.col("score") == 9).count() == 1
