@@ -56,16 +56,22 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 _SESSION_INDEX_ROOTS: dict = {}
 
 
-def _session_index_dir(kind: str, sf_dir: str) -> "tuple[str, bool]":
-    """(path, fresh): a per-(kind, sf_dir) directory created once per
-    process and removed at interpreter exit.  fresh=True exactly once —
-    the caller builds then; afterwards it reopens."""
+def _session_index(kind: str, sf_dir: str, build, reopen):
+    """Build-once-per-(kind, sf_dir) index handle: ``build(path)`` runs
+    the first time and its result is returned; later calls return
+    ``reopen(path)``.  The root is recorded ONLY after the build
+    returns (ADVICE r7: recording it before meant one transient build
+    failure poisoned the whole session — every later invocation got
+    fresh=False and reopened a half-built index).  A failed build's
+    scratch dir is abandoned to its atexit cleanup and the next call
+    builds fresh."""
     key = (kind, sf_dir)
     if key in _SESSION_INDEX_ROOTS:
-        return _SESSION_INDEX_ROOTS[key], False
+        return reopen(_SESSION_INDEX_ROOTS[key])
     path = _scratch_dir(f"fluxidx_{kind}_")
+    out = build(path)  # may raise: nothing cached, next call retries
     _SESSION_INDEX_ROOTS[key] = path
-    return path, True
+    return out
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -2948,17 +2954,20 @@ def q_d_indexed_dedupe(spark, sf_dir):
     import hashlib
 
     db = "flux_driver_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root, fresh = _session_index_dir("dedupdb", sf_dir)
-    if fresh:
+
+    def _build(root):
         BK.ensure_database(spark, db, root)
-        idx = BK.DedupIndex.build(
+        return BK.DedupIndex.build(
             corpus, "doc_id", "text", f"{db}.corpus",
             n=3, num_hashes=8, bands=4, n_buckets=8,
         )
-    else:
-        idx = BK.DedupIndex(
+
+    idx = _session_index(
+        "dedupdb", sf_dir, _build,
+        lambda root: BK.DedupIndex(
             spark, f"{db}.corpus", n=3, num_hashes=8, bands=4, n_buckets=8
-        )
+        ),
+    )
     kept = idx.dedupe_batch(new_batch, corpus, "doc_id", "text", threshold=0.5)
     return kept.select("doc_id", "source", "n_chars")
 
@@ -3338,11 +3347,10 @@ def q_s_ivf_indexed_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    root, fresh = _session_index_dir("ivf", sf_dir)
-    idx = (
-        IvfIndex.build(emb, root, n_centroids=16)
-        if fresh
-        else IvfIndex(spark, root)
+    idx = _session_index(
+        "ivf", sf_dir,
+        lambda root: IvfIndex.build(emb, root, n_centroids=16),
+        lambda root: IvfIndex(spark, root),
     )
     return idx.topk(queries, k=10, n_probe=4)
 
@@ -3368,18 +3376,17 @@ def q_s_ivfpq_topk(spark, sf_dir):
     only m-byte PQ codes — asymmetric integer-micro distance against a
     broadcast LUT.  Deterministic md5-sample centroids + codebooks, so
     the two-stage decision replays exactly in SQL.  Session-managed
-    build-once root (see _session_index_dir)."""
+    build-once root (see _session_index)."""
     from fluxgraph_spark.sources.ann_index import IvfPqIndex
 
     emb = tpch.read_tables(spark, sf_dir)["embeddings"]
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    root, fresh = _session_index_dir("ivfpq", sf_dir)
-    idx = (
-        IvfPqIndex.build(emb, root, n_centroids=16, m=4, ksub=16)
-        if fresh
-        else IvfPqIndex(spark, root)
+    idx = _session_index(
+        "ivfpq", sf_dir,
+        lambda root: IvfPqIndex.build(emb, root, n_centroids=16, m=4, ksub=16),
+        lambda root: IvfPqIndex(spark, root),
     )
     return idx.topk(queries, k=10, n_probe=4)
 
@@ -3401,11 +3408,10 @@ def q_s_ivfpq_rerank(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    root, fresh = _session_index_dir("ivfpq", sf_dir)
-    idx = (
-        IvfPqIndex.build(emb, root, n_centroids=16, m=4, ksub=16)
-        if fresh
-        else IvfPqIndex(spark, root)
+    idx = _session_index(
+        "ivfpq", sf_dir,
+        lambda root: IvfPqIndex.build(emb, root, n_centroids=16, m=4, ksub=16),
+        lambda root: IvfPqIndex(spark, root),
     )
     return idx.topk_rerank(queries, k=10, n_probe=4, rerank=3)
 
@@ -3427,11 +3433,12 @@ def q_s_ivfpq_residual_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    root, fresh = _session_index_dir("ivfpq_res", sf_dir)
-    idx = (
-        IvfPqIndex.build(emb, root, n_centroids=16, m=4, ksub=16, residual=True)
-        if fresh
-        else IvfPqIndex(spark, root)
+    idx = _session_index(
+        "ivfpq_res", sf_dir,
+        lambda root: IvfPqIndex.build(
+            emb, root, n_centroids=16, m=4, ksub=16, residual=True
+        ),
+        lambda root: IvfPqIndex(spark, root),
     )
     return idx.topk(queries, k=10, n_probe=4)
 
@@ -3491,11 +3498,10 @@ def q_s_bm25_indexed_topk(spark, sf_dir):
     from fluxgraph_spark.sources.text_index import InvertedIndex
 
     docs = tpch.read_tables(spark, sf_dir)["documents"]
-    root, fresh = _session_index_dir("inv", sf_dir)
-    idx = (
-        InvertedIndex.build(docs, root, n_buckets=16)
-        if fresh
-        else InvertedIndex(spark, root)
+    idx = _session_index(
+        "inv", sf_dir,
+        lambda root: InvertedIndex.build(docs, root, n_buckets=16),
+        lambda root: InvertedIndex(spark, root),
     )
     return idx.topk(_bm25_queries_df(spark), k=10)
 
@@ -3545,11 +3551,10 @@ def q_x_phrase_indexed(spark, sf_dir):
     from fluxgraph_spark.sources.text_index import InvertedIndex
 
     docs = tpch.read_tables(spark, sf_dir)["documents"]
-    root, fresh = _session_index_dir("inv", sf_dir)
-    idx = (
-        InvertedIndex.build(docs, root, n_buckets=16)
-        if fresh
-        else InvertedIndex(spark, root)
+    idx = _session_index(
+        "inv", sf_dir,
+        lambda root: InvertedIndex.build(docs, root, n_buckets=16),
+        lambda root: InvertedIndex(spark, root),
     )
     return idx.phrase_hits(docs, _phrase_book(docs))
 

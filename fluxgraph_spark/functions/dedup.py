@@ -418,6 +418,13 @@ def containment_pairs(
         )
     if threshold > 0:
         out = out.where(F.col("containment") >= threshold)
+    # Materialize the (candidate-bounded) pair table and cut its
+    # lineage, then release the shingle cache NOW — repeated calls in a
+    # long-lived session would otherwise accumulate cached corpus
+    # explodes until executor storage evicts them (the corpus_dedupe
+    # pattern below).
+    out = out.localCheckpoint(eager=True)
+    shingles.unpersist()
     return out
 
 

@@ -464,9 +464,15 @@ def ngram_overlap(
         .groupBy("id")
         .agg(F.sum(F.least("__c", "__r")).cast("long").alias("n_match"))
     )
-    return totals.join(match, "id", "left").select(
+    out = totals.join(match, "id", "left").select(
         "id",
         "n_cand",
         "n_ref",
         F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
     )
+    # one small row (4 BIGINTs) per input row: materialize, cut lineage,
+    # release the gram-array cache (dedup.corpus_dedupe's pattern) so
+    # repeated eval calls don't accumulate cached corpus explodes
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

@@ -185,6 +185,10 @@ NO_PUSHDOWN_EXPECTED = {
     "g_mis",                # iterative: final plan joins round checkpoints
     "x_langid",             # full-corpus narrow n-gram map
     "x_tokens",             # full-corpus narrow token count
+    "x_rouge",              # ngram_overlap materializes via localCheckpoint
+                            # (cache-lifetime fix): final plan joins two
+                            # checkpoint scans — upstream pruning ran in
+                            # the checkpointed jobs
 }
 # queries whose only joins are vertex-id scale (AQE decides at runtime)
 NO_BROADCAST_EXPECTED = {
@@ -303,6 +307,8 @@ NO_BROADCAST_EXPECTED = {
     "x_langid",             # narrow map, no joins
     "x_tokens",             # narrow map, no joins
     "g_mis",                # undecided-frontier joins: AQE decides
+    "d_containment",        # final plan is the checkpointed pair table
+    "x_rouge",              # joins two checkpoint scans: AQE decides
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
 # the driver-side fixpoint materializes each round via localCheckpoint,
@@ -329,6 +335,11 @@ NO_SCAN_EXPECTED = {
     "st_stream_join",
     "st_windowed_counts",
     "x_bpe_merges",
+    # cache-lifetime fixes (ADVICE r7): the pair/overlap tables
+    # localCheckpoint inside the operator so the shingle/gram caches can
+    # be released; the pruned parquet scans ran in the checkpointed jobs
+    "d_containment",
+    "x_rouge",
 }
 
 
