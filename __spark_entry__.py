@@ -345,12 +345,27 @@ WHERE rank <= 10
     )
 
 
+# Fixed superstep count shared by q_g_components AND its oracle
+# (_components_sql) so query and replay can never drift — the
+# _DHASH_CC_ROUNDS pattern.  Oversized (observed convergence <= 3 on
+# the TPC-H graph at every gate SF) and convergence-ASSERTED: a future
+# SF whose graph diameter exceeds the count raises instead of silently
+# under-merging behind a green fixed-round oracle (VERDICT r7 item 1).
+_G_CC_ROUNDS = 8
+
+
 def q_g_components(spark, sf_dir):
-    """Min-label propagation over the symmetrized graph, fixed 4
-    supersteps (deterministic-replay mode), component sizes."""
+    """Min-label propagation over the symmetrized graph, fixed
+    _G_CC_ROUNDS supersteps (deterministic-replay mode) with the
+    convergence assert (label sums of the last two rounds must match —
+    monotone labels make sum-stability equivalent to a true fixpoint),
+    component sizes."""
     _, _, e = _graph(spark, sf_dir)
     comp = AN.connected_components(
-        e.select("src", "dst"), max_iters=4, early_stop=False
+        e.select("src", "dst"),
+        max_iters=_G_CC_ROUNDS,
+        early_stop=False,
+        assert_converged=True,
     )
     return comp.groupBy("component").agg(F.count("*").alias("n_vertices"))
 
@@ -5402,7 +5417,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY a.part_id, b.part_id
         ) WHERE rank <= 15
         """,
-        "g_components": _components_sql(4),
+        "g_components": _components_sql(_G_CC_ROUNDS),
         "g_components_star": _components_sql(8),
         "g_out_degree_top20": GRAPH_CTES
         + """
