@@ -4324,11 +4324,79 @@ _R7_PRIORITY = [
 ]
 assert len(_R7_PRIORITY) == 50
 
+# Round-8 rotation (VERDICT r7 item 2): k_quantile_sample (landed after
+# the r7 prefix froze — never driver-checked) + the full r4-stale cohort
+# (30 entries; after this round no registry entry's latest driver check
+# is older than r5) + everything whose code path changed this round
+# (g_components: convergence-asserted oversized rounds; d_containment /
+# x_rouge: operator-internal localCheckpoint cache-lifetime fix;
+# t_scd2_travel / st_scd2_ingest: reads now conform to the
+# manifest-recorded schema) + the new r8 queries + r5-cohort top-ups.
+_R8_PRIORITY = [
+    "k_quantile_sample",   # never driver-checked (landed post-freeze r7)
+    "d_containment_budget",  # new in r8: gated candidate budget
+    "g_node2vec_walks",      # new in r8: p/q-biased second-order walks
+    "g_components",        # changed in r8: assert_converged, 8 rounds
+    "d_containment",       # operator changed in r8 (checkpointed pairs)
+    "x_rouge",             # operator changed in r8 (checkpointed overlap)
+    "t_scd2_travel",       # scd2 reads now schema-conformed
+    "st_scd2_ingest",      # same
+    # the 30 r4-stale entries (latest driver check == r4)
+    "d_corpus_dedupe",
+    "d_incr_dedupe",
+    "d_indexed_dedupe",
+    "d_lsh_verified_pairs",
+    "d_minhash_lsh_pairs",
+    "d_semantic_dedupe",
+    "g_gremlin_groupcount",
+    "g_gremlin_heavy",
+    "g_gremlin_pipe",
+    "g_kcore",
+    "g_link_predict",
+    "g_triangles",
+    "r_cube_stats",
+    "r_custdist",
+    "r_excess_suppliers",
+    "r_pivot_status",
+    "r_priority_lines",
+    "r_supplier_cnt",
+    "r_topk_per_group",
+    "s_ivf_kmeans_topk",
+    "st_dedup_ingest",
+    "t_gap_stats",
+    "t_resample",
+    "x_fingerprint",
+    "x_frames",
+    "x_langid",
+    "x_quality",
+    "x_repetition",
+    "x_scrub",
+    "x_split",
+    # r5-cohort top-ups (oldest remaining; family-diverse)
+    "d_exact_dups",
+    "d_minhash_sigs",
+    "d_lsh_fast_pairs",
+    "g_gremlin_path",
+    "g_gremlin_loop",
+    "g_gremlin_except",
+    "s_lsh_topk",
+    "s_cosine_topk",
+    "s_embedding_near_dups",
+    "x_frames_mjpeg",
+    "m_media_features",
+    "t_scd2_versions",
+]
+assert len(_R8_PRIORITY) == 50
+
+# the list the driver's ~50-entry hash prefix follows this round; also
+# what scripts/rotation_check.py treats as "will be checked this round"
+DRIVER_PRIORITY = _R8_PRIORITY
+
 _NON_GATED_TAIL: list[str] = []
 
 
 def _order_round6(qs: dict) -> dict:
-    head = {k: qs[k] for k in _R7_PRIORITY if k in qs}
+    head = {k: qs[k] for k in DRIVER_PRIORITY if k in qs}
     tail = {k: qs[k] for k in _NON_GATED_TAIL if k in qs}
     mid = {k: v for k, v in qs.items() if k not in head and k not in tail}
     out = head
