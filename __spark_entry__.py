@@ -2063,6 +2063,55 @@ def q_g_clustering(spark, sf_dir):
 _RW_HOPS = ",\nw1 AS MATERIALIZED (\n  SELECT w.walk_id, n.dst AS v,\n         w.path || '->' || CAST(n.dst AS VARCHAR) AS path\n  FROM w0 w\n  JOIN rwdeg d ON d.src = w.v\n  JOIN rwnbr n ON n.src = w.v\n   AND n.idx = CAST(('0x' || substring(md5(\n         CAST(w.walk_id AS VARCHAR) || ':0:' || CAST(w.v AS VARCHAR)\n       ), 1, 15))::UBIGINT AS BIGINT) % d.deg),\nw2 AS MATERIALIZED (\n  SELECT w.walk_id, n.dst AS v,\n         w.path || '->' || CAST(n.dst AS VARCHAR) AS path\n  FROM w1 w\n  JOIN rwdeg d ON d.src = w.v\n  JOIN rwnbr n ON n.src = w.v\n   AND n.idx = CAST(('0x' || substring(md5(\n         CAST(w.walk_id AS VARCHAR) || ':1:' || CAST(w.v AS VARCHAR)\n       ), 1, 15))::UBIGINT AS BIGINT) % d.deg),\nw3 AS MATERIALIZED (\n  SELECT w.walk_id, n.dst AS v,\n         w.path || '->' || CAST(n.dst AS VARCHAR) AS path\n  FROM w2 w\n  JOIN rwdeg d ON d.src = w.v\n  JOIN rwnbr n ON n.src = w.v\n   AND n.idx = CAST(('0x' || substring(md5(\n         CAST(w.walk_id AS VARCHAR) || ':2:' || CAST(w.v AS VARCHAR)\n       ), 1, 15))::UBIGINT AS BIGINT) % d.deg),\nw4 AS MATERIALIZED (\n  SELECT w.walk_id, n.dst AS v,\n         w.path || '->' || CAST(n.dst AS VARCHAR) AS path\n  FROM w3 w\n  JOIN rwdeg d ON d.src = w.v\n  JOIN rwnbr n ON n.src = w.v\n   AND n.idx = CAST(('0x' || substring(md5(\n         CAST(w.walk_id AS VARCHAR) || ':3:' || CAST(w.v AS VARCHAR)\n       ), 1, 15))::UBIGINT AS BIGINT) % d.deg)"
 
 
+def _n2v_hash_sql(t: int, alias: str) -> str:
+    """The md5-derived 60-bit pick hash (matches text.stable_hash64)."""
+    return (
+        "CAST(('0x' || substring(md5(\n         CAST("
+        + alias
+        + ".walk_id AS VARCHAR) || ':"
+        + str(t)
+        + ":' || CAST("
+        + alias
+        + ".v AS VARCHAR)\n       ), 1, 15))::UBIGINT AS BIGINT)"
+    )
+
+
+def _n2v_hops(walk_len: int) -> str:
+    """Chained-CTE replay of the node2vec biased hops: hop 0 uniform
+    (no previous vertex), hops 1..walk_len-1 pick the neighbor whose
+    cumulative integer-weight interval contains the draw.  Weights
+    shared with the Spark query via _N2V_W so they can't drift."""
+    w_ret, w_d1, w_d2 = _N2V_W
+    ctes = f""",
+v1 AS MATERIALIZED (
+  SELECT w.walk_id, w.v AS prev, n.dst AS v,
+         w.path || '->' || CAST(n.dst AS VARCHAR) AS path
+  FROM v0 w
+  JOIN n2deg d ON d.src = w.v
+  JOIN n2nbr n ON n.src = w.v
+   AND n.idx = {_n2v_hash_sql(0, 'w')} % d.deg)"""
+    for t in range(1, walk_len):
+        ctes += f""",
+c{t} AS MATERIALIZED (
+  SELECT w.walk_id, w.v, w.prev, w.path, n.dst, n.idx,
+         CASE WHEN n.dst = w.prev THEN CAST({w_ret} AS BIGINT)
+              WHEN a.src IS NOT NULL THEN CAST({w_d1} AS BIGINT)
+              ELSE CAST({w_d2} AS BIGINT) END AS wt
+  FROM v{t} w
+  JOIN n2nbr n ON n.src = w.v
+  LEFT JOIN n2sym a ON a.src = w.prev AND a.dst = n.dst),
+v{t + 1} AS MATERIALIZED (
+  SELECT walk_id, v AS prev, dst AS v,
+         path || '->' || CAST(dst AS VARCHAR) AS path
+  FROM (
+    SELECT c.*,
+           sum(wt) OVER (PARTITION BY walk_id ORDER BY idx) AS cum,
+           {_n2v_hash_sql(t, 'c')} % sum(wt) OVER (PARTITION BY walk_id) AS r
+    FROM c{t} c) s
+  WHERE s.r >= s.cum - s.wt AND s.r < s.cum)"""
+    return ctes
+
+
 def _ktruss_sql(rounds: int, k: int) -> str:
     """Chained-CTE replay of ``rounds`` peel iterations over the
     co-purchase projection — the g_sssp/k_core fixed-round pattern.
@@ -2183,6 +2232,35 @@ def q_g_random_walks(spark, sf_dir):
         sym.select("src").distinct().where(F.col("src") % 7 == 0)
     )
     return AN.random_walks(sym, seeds, walk_len=4)
+
+
+# node2vec bias for g_node2vec_walks: p=4, q=1/4 — outward-exploring
+# (DFS-like).  Integer weights scaled by p*q: return=1, distance-1=4,
+# distance-2=16; shared with the oracle CTE builder below.
+_N2V_P, _N2V_Q = "4", "1/4"
+_N2V_W = (1, 4, 16)  # (w_ret, w_d1, w_d2)
+
+
+def q_g_node2vec_walks(spark, sf_dir):
+    """Second-order biased walk sampling (r8; analytics.node2vec_walks —
+    Grover & Leskovec KDD'16) over the symmetrized threshold-2
+    co-purchase graph: one 4-hop walk per vertex divisible by 7, step
+    transitions weighting each neighbor by the return (1/p) /
+    distance-1 (1) / distance-2 (1/q) rule with p=4, q=1/4 —
+    outward-biased, the structural-role sampling mode.  Weights scale
+    to exact integers and the pick is md5(walk_id:t:v) mod the integer
+    weight total over the dst-ranked cumulative intervals, so every
+    trajectory replays bit-for-bit as chained SQL hop CTEs (first hop
+    uniform — no previous vertex).  p=q=1 reduces to g_random_walks
+    exactly (pytest-pinned)."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        sym.select("src").distinct().where(F.col("src") % 7 == 0)
+    )
+    return AN.node2vec_walks(sym, seeds, walk_len=4, p=_N2V_P, q=_N2V_Q)
 
 
 def _copurchase_edges(spark, sf_dir, min_support=2):
@@ -4479,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles": q_g_triangles,
         "g_ktruss": q_g_ktruss,
         "g_random_walks": q_g_random_walks,
+        "g_node2vec_walks": q_g_node2vec_walks,
         "g_mis": q_g_mis,
         "g_clustering": q_g_clustering,
         "t_funnel": q_t_funnel,
@@ -7417,6 +7496,29 @@ w0 AS MATERIALIZED (
   FROM rwdeg WHERE src % 7 = 0){_RW_HOPS}
 SELECT walk_id, path, v AS final_v FROM w4
 """.replace("{_RW_HOPS}", _RW_HOPS)
+    # node2vec second-order walks: hop 0 uniform, hops 1+ pick the
+    # neighbor whose integer-weight cumulative interval contains
+    # md5(walk_id:t:v) % total — the exact replay of the Spark pick
+    sqls["g_node2vec_walks"] = f"""
+WITH con AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT x.p AS a, y.p AS b
+  FROM con x JOIN con y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+n2sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+n2deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM n2sym GROUP BY src),
+n2nbr AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
+  FROM n2sym),
+v0 AS MATERIALIZED (
+  SELECT src AS walk_id, src AS v, CAST(src AS VARCHAR) AS path
+  FROM n2deg WHERE src % 7 = 0){_n2v_hops(4)}
+SELECT walk_id, path, v AS final_v FROM v4
+"""
     # Luby-permutation MIS: 8 fixed rounds (observed convergence 3-4;
     # no-op past the fixpoint, and the Spark side raises rather than
     # returning an under-decided set)

@@ -897,12 +897,17 @@ def random_walks(
     Returns ``(walk_id, path, final_v)`` for walks that complete all
     ``walk_len`` hops (a walk reaching a SINK — no out-edges — is
     dropped by the inner join; walk over a symmetrized edge list if
-    every walk must finish).  Scale shape: the ranked neighbor table
-    (one row_number window over the edge list) is persisted once; each
-    hop is one equi-join against it picking exactly one row per walk —
-    a fixed ``walk_len`` unrolls into ONE Catalyst join tree, no
-    driver-side iteration, and the per-hop state is one row per walk.
-    """
+    every walk must finish).  Scale shape: the pick index is a pure
+    function of (walk_id, t, v, outdeg(v)), so each hop first joins the
+    walk state against the VERTEX-sized degree table to compute the
+    pick, then equi-joins the ranked neighbor table on BOTH
+    ``(__v, __idx)`` — the join emits exactly ONE row per walk per hop
+    (joining on ``__v`` alone would materialize a hub's full
+    neighbor list per resting walk before filtering: a hub-degree
+    multiplier on shuffle width at 100×).  Both reference tables are
+    persisted pre-partitioned on their join keys, so per hop only the
+    one-row-per-walk state shuffles; a fixed ``walk_len`` unrolls into
+    ONE Catalyst join tree, no driver-side iteration."""
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
     from ..functions.text import stable_hash64
@@ -913,11 +918,17 @@ def random_walks(
     win = W.partitionBy(M.SRC).orderBy(M.DST)
     nbr = (
         e.withColumn("__idx", F.row_number().over(win) - 1)
-        .withColumn("__deg", F.count(F.lit(1)).over(W.partitionBy(M.SRC)))
         .withColumnRenamed(M.SRC, "__v")
+        .repartition("__v", "__idx")
         .persist()
     )
     nbr.count()
+    deg = (
+        e.groupBy(F.col(M.SRC).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .persist()
+    )
+    deg.count()
     cur = (
         sources.select(F.col(sources.columns[0]).alias("walk_id"))
         .distinct()
@@ -939,8 +950,10 @@ def random_walks(
             F.col("__deg"),
         )
         cur = (
-            cur.join(nbr, "__v")
-            .where(F.col("__idx") == pick)
+            cur.join(deg, "__v")
+            .withColumn("__idx", pick)
+            .drop("__deg")
+            .join(nbr, ["__v", "__idx"])
             .select(
                 "walk_id",
                 F.col(M.DST).alias("__v"),
@@ -948,6 +961,154 @@ def random_walks(
                     "path", F.lit("->"), F.col(M.DST).cast("string")
                 ).alias("path"),
             )
+        )
+    return cur.select("walk_id", "path", F.col("__v").alias("final_v"))
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    sources: DataFrame,
+    walk_len: int = 4,
+    p: "str | int | float" = "1",
+    q: "str | int | float" = "1",
+) -> DataFrame:
+    """Second-order biased walks — the node2vec sampler (Grover &
+    Leskovec KDD'16): the step-``t`` transition from ``v`` with previous
+    vertex ``u`` weights each out-neighbor ``x`` by the return parameter
+    ``p`` and in-out parameter ``q``::
+
+        α(u, x) = 1/p  if x == u           (return, distance 0)
+                  1    if edge (u, x)      (stay local, distance 1)
+                  1/q  otherwise           (explore out, distance 2)
+
+    Low ``q`` biases walks outward (DFS-like, captures structural
+    roles); low ``p`` keeps them local (BFS-like, captures homophily).
+
+    DETERMINISM: ``p`` and ``q`` parse as exact rationals (pass "1/4" or
+    "0.25"), so the three weights scale to integers (``× p·q``); the
+    pick draws ``stable_hash64(walk_id:t:v) mod Σw`` and selects the
+    neighbor whose cumulative-weight interval contains the draw, over
+    the dst-ranked neighbor list.  Every choice is integer arithmetic on
+    md5 bits — trajectories replay bit-for-bit in SQL (chained hop
+    CTEs), and ``p = q = 1`` reduces every weight to 1, making the
+    output IDENTICAL to :func:`random_walks` (pytest-pinned).
+
+    The first hop has no previous vertex and draws uniformly (the
+    node2vec convention).  Returns ``(walk_id, path, final_v)``; walks
+    reaching a sink are dropped (symmetrize if every walk must finish).
+
+    Scale shape: second-order weights are a property of (prev, v, x)
+    triples, so each hop genuinely materializes one candidate row per
+    resting walk per neighbor (unlike :func:`random_walks`' one-row
+    pick, this is the algorithm's information floor — the classic
+    alternative precomputes per-edge alias tables at O(Σ_edges deg)
+    memory, worse at 100 TB).  The distance-1 test is one equi-join
+    against the edge set, the pick two windows per walk — never a
+    driver loop; a fixed ``walk_len`` unrolls into one Catalyst tree.
+
+    Design ref: reference query surface (SURVEY §2 traversals) +
+    Grover & Leskovec, node2vec (KDD'16)."""
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    from fractions import Fraction
+
+    fp, fq = Fraction(str(p)), Fraction(str(q))
+    if fp <= 0 or fq <= 0:
+        raise ValueError(f"p and q must be > 0, got p={p}, q={q}")
+    w_ret = fp.denominator * fq.numerator   # 1/p scaled by p*q
+    w_d1 = fp.numerator * fq.numerator      # 1   scaled by p*q
+    w_d2 = fp.numerator * fq.denominator    # 1/q scaled by p*q
+
+    from ..functions.text import stable_hash64
+
+    from pyspark.sql import Window as W
+
+    e = edges.select(M.SRC, M.DST).distinct()
+    win = W.partitionBy(M.SRC).orderBy(M.DST)
+    nbr = (
+        e.withColumn("__idx", F.row_number().over(win) - 1)
+        .withColumnRenamed(M.SRC, "__v")
+        .repartition("__v")
+        .persist()
+    )
+    nbr.count()
+    deg = (
+        e.groupBy(F.col(M.SRC).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .persist()
+    )
+    deg.count()
+    adj = e.select(
+        F.col(M.SRC).alias("__pu"), F.col(M.DST).alias("__px")
+    ).withColumn("__d1", F.lit(1))
+
+    def _hash(t):
+        return stable_hash64(
+            F.concat(
+                F.col("walk_id").cast("string"),
+                F.lit(f":{t}:"),
+                F.col("__v").cast("string"),
+            )
+        )
+
+    cur = (
+        sources.select(F.col(sources.columns[0]).alias("walk_id"))
+        .distinct()
+        .select(
+            "walk_id",
+            F.col("walk_id").alias("__v"),
+            F.col("walk_id").cast("string").alias("path"),
+        )
+    )
+    # hop 0: no previous vertex — uniform over the ranked neighbors
+    # (identical to random_walks' pick)
+    cur = (
+        cur.join(deg, "__v")
+        .withColumn("__idx", F.pmod(_hash(0), F.col("__deg")))
+        .drop("__deg")
+        .join(nbr, ["__v", "__idx"])
+        .select(
+            "walk_id",
+            F.col("__v").alias("__prev"),
+            F.col(M.DST).alias("__v"),
+            F.concat("path", F.lit("->"), F.col(M.DST).cast("string")).alias(
+                "path"
+            ),
+        )
+    )
+    wwin = W.partitionBy("walk_id").orderBy("__idx")
+    allwin = W.partitionBy("walk_id")
+    for t in range(1, walk_len):
+        cand = cur.join(nbr, "__v").join(
+            adj,
+            (F.col("__prev") == F.col("__pu"))
+            & (F.col(M.DST) == F.col("__px")),
+            "left",
+        )
+        w = (
+            F.when(F.col(M.DST) == F.col("__prev"), F.lit(w_ret))
+            .when(F.col("__d1").isNotNull(), F.lit(w_d1))
+            .otherwise(F.lit(w_d2))
+            .cast("long")
+        )
+        cand = (
+            cand.select(
+                "walk_id", "__v", "__prev", "path", M.DST, "__idx",
+                w.alias("__w"),
+            )
+            .withColumn("__cum", F.sum("__w").over(wwin))
+            .withColumn("__tot", F.sum("__w").over(allwin))
+        )
+        r = F.pmod(_hash(t), F.col("__tot"))
+        cur = cand.where(
+            (r < F.col("__cum")) & (r >= F.col("__cum") - F.col("__w"))
+        ).select(
+            "walk_id",
+            F.col("__v").alias("__prev"),
+            F.col(M.DST).alias("__v"),
+            F.concat("path", F.lit("->"), F.col(M.DST).cast("string")).alias(
+                "path"
+            ),
         )
     return cur.select("walk_id", "path", F.col("__v").alias("final_v"))
 

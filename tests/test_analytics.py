@@ -485,6 +485,99 @@ def test_random_walks_match_scalar_reference(spark):
         random_walks(edges, seeds, walk_len=0)
 
 
+def test_node2vec_p1_q1_equals_random_walks(spark):
+    """node2vec_walks (r8): with p=q=1 every weight collapses to 1 and
+    the biased pick reduces to the uniform index draw — output must be
+    IDENTICAL to random_walks (same hash signature, same ranked list)."""
+    from fluxgraph_spark.operators.analytics import (
+        node2vec_walks,
+        random_walks,
+    )
+
+    E = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (4, 5), (2, 5), (5, 2)]
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    sym = edges.unionByName(edges.selectExpr("dst AS src", "src AS dst"))
+    seeds = spark.createDataFrame([(1,), (2,), (4,), (5,)], ["v"])
+    base = sorted(map(tuple, random_walks(sym, seeds, walk_len=4).collect()))
+    n2v = sorted(
+        map(tuple, node2vec_walks(sym, seeds, walk_len=4, p=1, q=1).collect())
+    )
+    assert n2v == base and len(n2v) == 4
+
+
+def test_node2vec_biased_matches_scalar_reference(spark):
+    """node2vec_walks (r8): biased trajectories equal a scalar replay of
+    the integer-weight cumulative pick (p=4, q=1/4 → weights ret=1,
+    d1=4, d2=16 over the dst-ranked neighbors); first hop uniform;
+    determinism across runs; bad p rejected."""
+    import hashlib
+
+    from fluxgraph_spark.operators.analytics import node2vec_walks
+
+    E = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (4, 5), (2, 5), (5, 1)]
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    sym_pairs = sorted(set(E) | {(d, s) for s, d in E})
+    sym = spark.createDataFrame(sym_pairs, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (3,), (5,)], ["v"])
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = {}
+    for s, d in sym_pairs:
+        adj.setdefault(s, []).append(d)
+    eset = set(sym_pairs)
+    W_RET, W_D1, W_D2 = 1, 4, 16  # p=4, q=1/4 scaled by p*q
+
+    def ref_walk(w, L):
+        v, path, prev = w, str(w), None
+        for t in range(L):
+            nbrs = sorted(adj[v])
+            if t == 0:
+                nxt = nbrs[h60(f"{w}:{t}:{v}") % len(nbrs)]
+            else:
+                ws = [
+                    W_RET if x == prev else (W_D1 if (prev, x) in eset else W_D2)
+                    for x in nbrs
+                ]
+                r = h60(f"{w}:{t}:{v}") % sum(ws)
+                cum = 0
+                for x, wt in zip(nbrs, ws):
+                    cum += wt
+                    if r < cum:
+                        nxt = x
+                        break
+            path += f"->{nxt}"
+            prev, v = v, nxt
+        return (w, path, v)
+
+    got = sorted(
+        map(
+            tuple,
+            node2vec_walks(sym, seeds, walk_len=4, p="4", q="1/4").collect(),
+        )
+    )
+    want = sorted(ref_walk(w, 4) for w in (1, 3, 5))
+    assert got == want
+    # the bias actually changed something vs uniform on this graph
+    from fluxgraph_spark.operators.analytics import random_walks
+
+    uni = sorted(map(tuple, random_walks(sym, seeds, walk_len=4).collect()))
+    assert got != uni
+
+    again = sorted(
+        map(
+            tuple,
+            node2vec_walks(sym, seeds, walk_len=4, p="4", q="1/4").collect(),
+        )
+    )
+    assert again == got
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="p and q"):
+        node2vec_walks(sym, seeds, walk_len=2, p=0)
+
+
 def test_maximal_independent_set_matches_greedy_reference(spark):
     """MIS (r7): the fixed-priority Luby rounds must equal the
     sequential greedy MIS of the md5 priority order (the unique result
