@@ -237,10 +237,17 @@ def jaccard_pairs(
     (id_a, id_b) pairs) restricts the comparison set — at scale ALWAYS
     pass LSH candidates here; the unblocked form is for small oracles.
 
-    With a block the intersection is computed PER CANDIDATE PAIR (the
-    shingle table is first semi-joined down to candidate ids, then joined
-    through the pair list) — the all-pairs shingle self-join never
-    happens, so a 100 TB corpus verifies in O(candidates), not O(corpus²).
+    With a block the intersection is computed PER CANDIDATE PAIR and
+    ARRAY-NATIVELY (the containment_pairs shape, VERDICT r7 item 5):
+    the shingle table is semi-joined down to candidate ids, each
+    candidate doc's distinct shingles collect into ONE array row, the
+    pair list joins to two array rows, and ``size(array_intersect)``
+    counts the overlap — one shuffled row per candidate pair per side
+    instead of one per (pair, left-side shingle), and |A| / |B| fall
+    out of the array sizes with no extra joins.  Bit-identical to the
+    exploded two-join form (shingle tables are per-doc distinct).  The
+    all-pairs shingle self-join never happens, so a 100 TB corpus
+    verifies in O(candidates), not O(corpus²).
 
     ``broadcast_block``: hint the block/id joins as broadcasts.  Default
     None probes ``block.count()`` — but ONLY when the block is cached
@@ -249,7 +256,6 @@ def jaccard_pairs(
     stage) and the strategy is left to AQE.  Candidate lists track
     near-dup density and can be too big to broadcast at corpus scale,
     hence the 1M-pair cutoff."""
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
     if block is not None:
         if broadcast_block is None:
             broadcast_block = block.is_cached and block.count() <= 1_000_000
@@ -262,31 +268,41 @@ def jaccard_pairs(
         # candidate cut: the big shingle table is never shuffled for the
         # verify when the candidate set broadcasts
         sh = shingles.join(bcast(ids), "id", "left_semi")
-        inter = (
+        arrs = sh.groupBy("id").agg(F.collect_set("shingle").alias("__arr"))
+        out = (
             bcast(block)
-            .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-            .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_inter"))
+            .join(
+                arrs.select(F.col("id").alias("id_a"), F.col("__arr").alias("__a")),
+                "id_a",
+            )
+            .join(
+                arrs.select(F.col("id").alias("id_b"), F.col("__arr").alias("__b")),
+                "id_b",
+            )
+            .select(
+                "id_a", "id_b",
+                F.size(F.array_intersect("__a", "__b")).alias("n_inter"),
+                F.size("__a").alias("n_a"),
+                F.size("__b").alias("n_b"),
+            )
         )
     else:
+        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
         a = shingles.alias("a")
         b = shingles.alias("b")
-        inter = (
+        out = (
             a.join(b, F.col("a.shingle") == F.col("b.shingle"))
             .where(F.col("a.id") < F.col("b.id"))
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("n_inter"))
+            .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
+    out = out.select(
+        "id_a", "id_b",
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        ).alias("jaccard"),
     )
     if threshold > 0:
         out = out.where(F.col("jaccard") >= threshold)
