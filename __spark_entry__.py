@@ -3075,6 +3075,32 @@ def q_d_containment(spark, sf_dir):
     return dedup.containment_pairs(sh, threshold=0.5, rare_df_max=5)
 
 
+# Candidate budget for d_containment_budget — shared between the Spark
+# query and its oracle's row_number replay so they can't drift.  Small
+# enough to BIND at every gate SF (per-side candidate maxima are ~80
+# under rare_df_max=5 at sf0.001/0.01).
+_CONT_BUDGET = 3
+
+
+def q_d_containment_budget(spark, sf_dir):
+    """Containment detection under a bound candidate budget (r8;
+    dedup.containment_pairs max_candidates_per_doc — the knob a 100 TB
+    run enables): per side, candidates rank by shared-rare-shingle
+    evidence DESC then partner id ASC, and a pair survives only within
+    the top-_CONT_BUDGET on EITHER side (union keeps recall: the short
+    quoted side ranks its container highly even when the container is
+    popular).  The rank is integer-exact row_number arithmetic, so the
+    oracle replays BOTH windows in SQL — the budget decision itself is
+    hash-gated, not just the scores.  No threshold: the output is every
+    budgeted survivor with its exact containment, making any
+    budget-decision drift visible."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    return dedup.containment_pairs(
+        sh, rare_df_max=5, max_candidates_per_doc=_CONT_BUDGET
+    )
+
+
 def q_d_minhash_sigs(spark, sf_dir):
     """MinHash signatures (first 4 components) — cross-engine hash parity."""
     docs = tpch.read_tables(spark, sf_dir)["documents"]
@@ -4618,6 +4644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_incr_dedupe": q_d_incr_dedupe,
         "d_indexed_dedupe": q_d_indexed_dedupe,
         "d_containment": q_d_containment,
+        "d_containment_budget": q_d_containment_budget,
         "d_jaccard_near_dups": q_d_jaccard_near_dups,
         "d_minhash_lsh_pairs": q_d_minhash_lsh_pairs,
         "d_lsh_fast_pairs": q_d_lsh_fast_pairs,
@@ -6914,6 +6941,37 @@ def oracle_sql() -> dict[str, str]:
           JOIN sizes na ON na.id = i.id_a
           JOIN sizes nb ON nb.id = i.id_b)
         WHERE containment >= 0.5
+        """,
+        "d_containment_budget": f"""
+        WITH {SHINGLES_SQL.strip()},
+        sizes AS (SELECT id, count(*) AS n_sh FROM shing GROUP BY id),
+        rare AS (
+          SELECT shingle FROM shing GROUP BY shingle HAVING count(*) <= 5),
+        shr AS (SELECT s.id, s.shingle FROM shing s JOIN rare USING (shingle)),
+        cand AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_ev
+          FROM shr a JOIN shr b USING (shingle) WHERE a.id < b.id
+          GROUP BY 1, 2),
+        budgeted AS (
+          SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   row_number() OVER (
+                     PARTITION BY id_a ORDER BY n_ev DESC, id_b ASC) AS ra,
+                   row_number() OVER (
+                     PARTITION BY id_b ORDER BY n_ev DESC, id_a ASC) AS rb
+            FROM cand)
+          WHERE ra <= {_CONT_BUDGET} OR rb <= {_CONT_BUDGET}),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM budgeted c
+          JOIN shing sa ON sa.id = c.id_a
+          JOIN shing sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b)
+        SELECT i.id_a, i.id_b,
+               round(i.n_inter / least(na.n_sh, nb.n_sh), 6) AS containment
+        FROM inter i
+        JOIN sizes na ON na.id = i.id_a
+        JOIN sizes nb ON nb.id = i.id_b
         """,
         "m_media_features": """
         SELECT doc_id AS media_id, strlen(text) AS n_bytes,

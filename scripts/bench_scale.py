@@ -98,6 +98,14 @@ QUERIES = [
     "g_random_walks",
     "g_mis",
     "x_rouge",
+    # round 8: the budgeted containment detector (the production-scale
+    # knob — its curve should cut below the unbudgeted d_containment's
+    # linear-in-total-input floor because the verify set is capped per
+    # doc) and the second-order biased walks (per-hop candidate
+    # materialization is the algorithm's floor — the check is that it
+    # stays proportional to Σ walk-degrees, no hub blowup)
+    "d_containment_budget",
+    "g_node2vec_walks",
 ]
 
 # the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data
@@ -108,6 +116,9 @@ SF10_QUERIES = [
     "x_decontaminate_bloom",
     "d_semantic_dedupe",
     "d_containment",
+    # r8: the budget knob's whole point is the 100x regime — measure it
+    # beside the unbudgeted detector at the same tier
+    "d_containment_budget",
 ]
 
 

@@ -185,6 +185,10 @@ NO_PUSHDOWN_EXPECTED = {
     "g_mis",                # iterative: final plan joins round checkpoints
     "x_langid",             # full-corpus narrow n-gram map
     "x_tokens",             # full-corpus narrow token count
+    "d_containment_budget",  # same checkpointed-pair-table shape as
+                             # d_containment
+    "g_node2vec_walks",      # co-purchase projection; %7 seed filter is
+                             # derived (g_random_walks' shape)
     "x_rouge",              # ngram_overlap materializes via localCheckpoint
                             # (cache-lifetime fix): final plan joins two
                             # checkpoint scans — upstream pruning ran in
@@ -308,6 +312,7 @@ NO_BROADCAST_EXPECTED = {
     "x_tokens",             # narrow map, no joins
     "g_mis",                # undecided-frontier joins: AQE decides
     "d_containment",        # final plan is the checkpointed pair table
+    "d_containment_budget", # same
     "x_rouge",              # joins two checkpoint scans: AQE decides
 }
 # queries whose FINAL plan legitimately contains no file scan at all:
@@ -339,6 +344,7 @@ NO_SCAN_EXPECTED = {
     # localCheckpoint inside the operator so the shingle/gram caches can
     # be released; the pruned parquet scans ran in the checkpointed jobs
     "d_containment",
+    "d_containment_budget",
     "x_rouge",
 }
 
