@@ -9,10 +9,15 @@ from .scd2_table import Scd2ParquetTable
 from .rexster import RexsterShim
 from .text_index import DeltaInvertedIndex, InvertedIndex
 from .warc import extract_text, html_to_text, read_warc, write_warc
-from .graph_text import read_graph_distributed, read_graph_elements
+from .graph_text import (
+    read_graph_distributed,
+    read_graph_elements,
+    write_graph_distributed,
+)
 
 __all__ = [
     "read_graph_distributed",
+    "write_graph_distributed",
     "read_graph_elements",
     "load_graphml",
     "write_graphml",

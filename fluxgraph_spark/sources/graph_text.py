@@ -298,7 +298,10 @@ def graphml_files_from_documents(
 
 
 def read_graph_distributed(
-    spark: SparkSession, path_glob: str, fmt: str = "graphml"
+    spark: SparkSession,
+    path_glob: str,
+    fmt: str = "graphml",
+    global_ids: bool = False,
 ) -> Tuple[DataFrame, DataFrame]:
     """(vertices, edges) DataFrames for the bulk path
     (``TemporalGraph.from_dataframes`` / DataFrameGraph): engine ids are
@@ -308,17 +311,31 @@ def read_graph_distributed(
     numbering its own vertices from 0) cannot collide.  Original ids
     ride along as ``original_id``.
 
+    ``global_ids=True`` drops the file component from the hash — for
+    exports whose original ids are GLOBALLY unique across shards (what
+    :func:`write_graph_distributed` produces), which is also what lets
+    an edge in one shard reference a vertex written to another shard.
+    Leave False for foreign multi-shard exports where each file numbers
+    its own vertices from 0.
+
     The parsed element frame is persisted: both splits come from one
     pass over the bytes."""
     elems = read_graph_elements(spark, path_glob, fmt).persist()
-    eng_id = lambda file_col, id_col: F.xxhash64(F.lit("v:"), file_col, id_col)
+    if global_ids:
+        eng_id = lambda file_col, id_col: F.xxhash64(F.lit("v:"), id_col)
+        edge_id = F.xxhash64(F.lit("e:"), F.col("orig_id"))
+    else:
+        eng_id = lambda file_col, id_col: F.xxhash64(
+            F.lit("v:"), file_col, id_col
+        )
+        edge_id = F.xxhash64(F.lit("e:"), F.col("source_file"), F.col("orig_id"))
     vertices = elems.where(F.col("kind") == "vertex").select(
         eng_id(F.col("source_file"), F.col("orig_id")).alias("id"),
         F.col("orig_id").alias("original_id"),
         "source_file", "props", "prop_types",
     )
     edges = elems.where(F.col("kind") == "edge").select(
-        F.xxhash64(F.lit("e:"), "source_file", "orig_id").alias("id"),
+        edge_id.alias("id"),
         eng_id(F.col("source_file"), F.col("src")).alias("src"),
         eng_id(F.col("source_file"), F.col("dst")).alias("dst"),
         "label",
@@ -326,3 +343,261 @@ def read_graph_distributed(
         "source_file", "props", "prop_types",
     )
     return vertices, edges
+
+
+# ---------------------------------------------------------------------------
+# the distributed writers (VERDICT r7 stretch: close the export story)
+# ---------------------------------------------------------------------------
+
+_GML_KEY_RE = r"^[A-Za-z_][A-Za-z0-9_]*$"
+
+
+def _typed_back(sval: str, tag: str):
+    """Invert _render: the typed value a (string, type-tag) pair names."""
+    if tag == "boolean":
+        return sval == "true"
+    if tag == "long":
+        return int(sval)
+    if tag in ("double", "float"):
+        return float(sval)
+    return sval
+
+
+def render_graphml_doc(vrows: list, erows: list) -> str:
+    """One self-contained GraphML document for a shard's elements.
+    Key declarations carry the type tags parse_graphml_bytes widens
+    from, so typed props round-trip; text and attributes XML-escape."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    keys: dict = {}
+    for scope, rows in (("node", vrows), ("edge", erows)):
+        for r in rows:
+            for name, tag in (r["prop_types"] or {}).items():
+                prev = keys.get((scope, name))
+                if prev is not None and prev != tag:
+                    raise ValueError(
+                        f"conflicting types for {scope} property {name!r}: "
+                        f"{prev} vs {tag}"
+                    )
+                keys[(scope, name)] = tag
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+    ]
+    for (scope, name), tag in sorted(keys.items()):
+        parts.append(
+            f'<key id={quoteattr(scope[0] + "_" + name)} for="{scope}" '
+            f'attr.name={quoteattr(name)} attr.type="{tag}"/>'
+        )
+    parts.append('<graph id="G" edgedefault="directed">')
+    for r in vrows:
+        data = "".join(
+            f'<data key={quoteattr("n_" + k)}>{escape(v)}</data>'
+            for k, v in sorted((r["props"] or {}).items())
+        )
+        parts.append(f"<node id={quoteattr(r['orig_id'])}>{data}</node>")
+    for r in erows:
+        data = "".join(
+            f'<data key={quoteattr("e_" + k)}>{escape(v)}</data>'
+            for k, v in sorted((r["props"] or {}).items())
+        )
+        parts.append(
+            f"<edge id={quoteattr(r['orig_id'])} source={quoteattr(r['src'])} "
+            f"target={quoteattr(r['dst'])} label={quoteattr(r['label'])}>"
+            f"{data}</edge>"
+        )
+    parts.append("</graph></graphml>")
+    return "\n".join(parts)
+
+
+def render_graphson_doc(vrows: list, erows: list) -> str:
+    """One GraphSON 1.0 document (the Blueprints NORMAL-mode shape
+    parse_graphson_bytes reads).  Property values rebuild their parsed
+    types from the type map; ``_``-prefixed property names are reserved
+    by the format and rejected."""
+    def props_of(r):
+        out = {}
+        for k, sval in sorted((r["props"] or {}).items()):
+            if k.startswith("_"):
+                raise ValueError(
+                    f"property name {k!r} collides with GraphSON "
+                    f"structural fields (_id/_outV/...)"
+                )
+            out[k] = _typed_back(sval, (r["prop_types"] or {}).get(k, "string"))
+        return out
+
+    vertices = [
+        {**props_of(r), "_id": r["orig_id"], "_type": "vertex"} for r in vrows
+    ]
+    edges = [
+        {
+            **props_of(r),
+            "_id": r["orig_id"], "_type": "edge",
+            "_outV": r["src"], "_inV": r["dst"], "_label": r["label"],
+        }
+        for r in erows
+    ]
+    return json.dumps(
+        {"graph": {"mode": "NORMAL", "vertices": vertices, "edges": edges}},
+        sort_keys=True,
+    )
+
+
+def render_gml_doc(vrows: list, erows: list) -> str:
+    """One GML document.  GML ids/endpoints write as quoted strings
+    (parse_gml_bytes normalizes both sides through str); longs and
+    doubles write as bare numeric tokens, strings quoted with escaped
+    quotes.  GML has no boolean literal — boolean props are rejected
+    rather than silently re-typed; keys must be GML name tokens."""
+    import re
+
+    def render_val(sval: str, tag: str) -> str:
+        if tag == "long":
+            return str(int(sval))
+        if tag in ("double", "float"):
+            return repr(float(sval))
+        if tag == "boolean":
+            raise ValueError(
+                "GML has no boolean literal; re-type boolean properties "
+                "before a GML export (GraphML/GraphSON carry them)"
+            )
+        return '"' + sval.replace('"', '\\"') + '"'
+
+    def render_props(r) -> str:
+        out = []
+        for k, sval in sorted((r["props"] or {}).items()):
+            if not re.match(_GML_KEY_RE, k):
+                raise ValueError(f"{k!r} is not a valid GML key")
+            out.append(
+                f" {k} {render_val(sval, (r['prop_types'] or {}).get(k, 'string'))}"
+            )
+        return "".join(out)
+
+    def qid(s: str) -> str:
+        return '"' + s.replace('"', '\\"') + '"'
+
+    lines = ["graph ["]
+    for r in vrows:
+        lines.append(f"  node [ id {qid(r['orig_id'])}{render_props(r)} ]")
+    for r in erows:
+        lines.append(
+            f"  edge [ id {qid(r['orig_id'])} source {qid(r['src'])} "
+            f"target {qid(r['dst'])} label {qid(r['label'])}"
+            f"{render_props(r)} ]"
+        )
+    lines.append("]")
+    return "\n".join(lines)
+
+
+_RENDERERS = {
+    "graphml": render_graphml_doc,
+    "graphson": render_graphson_doc,
+    "gml": render_gml_doc,
+}
+
+
+def write_graph_distributed(
+    vertices: DataFrame,
+    edges: DataFrame,
+    out_dir: str,
+    fmt: str = "graphml",
+    n_shards: int = 8,
+) -> None:
+    """Distributed multi-shard export of a (vertices, edges) graph to
+    GraphML / GraphSON / GML — the write half of the scale path (the
+    difference-graph sink's ``original_id`` convention defines the
+    id contract; reference export surface: GraphMLWriter et al. in the
+    Blueprints IO package the reference delegates to).
+
+    ``vertices`` needs ``id`` (any type; stringified as the original
+    id) and optionally ``props`` / ``prop_types`` maps (the
+    read_graph_distributed output shape round-trips directly).
+    ``edges`` needs ``src`` / ``dst`` (+ optional ``label``, ``id``,
+    ``props``, ``prop_types``); a missing edge id derives
+    deterministically from (src, dst, label, per-key ordinal).
+
+    Scale shape: vertices shard by ``pmod(xxhash64(id), n_shards)``,
+    edges co-locate with their src vertex, each shard renders to ONE
+    self-contained document via applyInPandas (executor-side; this
+    module ships by value) and lands through Spark's own partitioned
+    text writer — one file per shard, any Hadoop-compatible filesystem,
+    no driver collect and no executor-side custom IO.  Because every
+    vertex is written exactly once, original ids are globally unique
+    across shards: read the export back with
+    ``read_graph_distributed(..., global_ids=True)`` (cross-shard edges
+    are legal and resolve; pytest pins the round trip)."""
+    if fmt not in _RENDERERS:
+        raise ValueError(f"fmt must be one of {sorted(_RENDERERS)}, got {fmt!r}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    _register_by_value()
+
+    empty_map = F.create_map().cast("map<string,string>")
+
+    def with_maps(df: DataFrame) -> DataFrame:
+        for c in ("props", "prop_types"):
+            if c not in df.columns:
+                df = df.withColumn(c, empty_map)
+            else:
+                df = df.withColumn(c, F.coalesce(F.col(c), empty_map))
+        return df
+
+    v = with_maps(vertices).select(
+        F.lit("vertex").alias("kind"),
+        F.col("id").cast("string").alias("orig_id"),
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("dst"),
+        F.lit(None).cast("string").alias("label"),
+        "props", "prop_types",
+    )
+    e = with_maps(edges)
+    if "label" not in e.columns:
+        e = e.withColumn("label", F.lit("edge"))
+    if "id" in e.columns:
+        eid = F.col("id").cast("string")
+    else:
+        from pyspark.sql import Window as W
+
+        e = e.withColumn(
+            "__ord",
+            F.row_number().over(
+                W.partitionBy("src", "dst", "label").orderBy(F.to_json("props"))
+            ),
+        )
+        eid = F.concat(
+            F.col("src").cast("string"), F.lit("->"),
+            F.col("dst").cast("string"), F.lit(":"),
+            F.col("label"), F.lit("#"), F.col("__ord").cast("string"),
+        )
+    e = e.select(
+        F.lit("edge").alias("kind"),
+        eid.alias("orig_id"),
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        F.coalesce(F.col("label"), F.lit("edge")).alias("label"),
+        "props", "prop_types",
+    )
+    shard_of = lambda col: F.pmod(F.xxhash64(F.lit("shard:"), col), F.lit(n_shards))
+    elems = (
+        v.withColumn("__shard", shard_of(F.col("orig_id")))
+        .unionByName(e.withColumn("__shard", shard_of(F.col("src"))))
+    )
+
+    render = _RENDERERS[fmt]
+    import pandas as pd
+
+    def render_shard(key, pdf):
+        pdf = pdf.sort_values(["kind", "orig_id"], kind="mergesort")
+        vrows = pdf[pdf["kind"] == "vertex"].to_dict("records")
+        erows = pdf[pdf["kind"] == "edge"].to_dict("records")
+        return pd.DataFrame(
+            {"__shard": [int(key[0])], "content": [render(vrows, erows)]}
+        )
+
+    (
+        elems.groupBy("__shard")
+        .applyInPandas(render_shard, schema="__shard int, content string")
+        .write.partitionBy("__shard")
+        .mode("overwrite")
+        .text(out_dir)
+    )

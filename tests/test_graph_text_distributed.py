@@ -181,3 +181,182 @@ def test_multi_file_multi_mb_export(spark, tmp_path):
 def test_bad_format_rejected(spark):
     with pytest.raises(ValueError, match="fmt must be"):
         read_graph_elements(spark, "/nonexistent/*.xml", fmt="dot")
+
+
+# ---------------------------------------------------------------------------
+# distributed writers (r8 stretch): write -> distributed-read round trip
+# ---------------------------------------------------------------------------
+
+def _canon(v, e):
+    """Canonical (vertices, edges) sets keyed by original ids, engine
+    ids resolved back to originals — the layout-independent view.
+    Type tags normalize float->double: GraphSON/GML carry no float tag
+    (values stay exact; only GraphML preserves the narrower tag)."""
+    def tags(m):
+        return tuple(
+            sorted((k, "double" if t == "float" else t) for k, t in (m or {}).items())
+        )
+
+    orig_of = {r["id"]: r["original_id"] for r in v.collect()}
+    vset = {
+        (r["original_id"], tuple(sorted((r["props"] or {}).items())),
+         tags(r["prop_types"]))
+        for r in v.collect()
+    }
+    eset = {
+        (orig_of[r["src"]], orig_of[r["dst"]], r["label"],
+         tuple(sorted((r["props"] or {}).items())),
+         tags(r["prop_types"]))
+        for r in e.collect()
+    }
+    return vset, eset
+
+
+@pytest.mark.parametrize("fmt", ["graphml", "graphson", "gml"])
+def test_write_read_roundtrip_classic(spark, tmp_path, fmt):
+    """The classic toy graph survives write -> distributed read in every
+    format, single shard: typed props, labels, topology all intact."""
+    from fluxgraph_spark.sources.graph_text import write_graph_distributed
+
+    p = tmp_path / "toy.graphml"
+    p.write_text(GRAPHML)
+    v, e = read_graph_distributed(spark, str(p), fmt="graphml")
+    out = str(tmp_path / f"out_{fmt}")
+    write_graph_distributed(
+        v.selectExpr("original_id AS id", "props", "prop_types"),
+        e.join(
+            v.selectExpr("id AS src", "original_id AS osrc"), "src"
+        ).join(
+            v.selectExpr("id AS dst", "original_id AS odst"), "dst"
+        ).selectExpr(
+            "osrc AS src", "odst AS dst", "label",
+            "original_id AS id", "props", "prop_types",
+        ),
+        out, fmt=fmt, n_shards=1,
+    )
+    v2, e2 = read_graph_distributed(
+        spark, out + "/__shard=*/part-*", fmt=fmt, global_ids=True
+    )
+    assert _canon(v, e) == _canon(v2, e2)
+
+
+def test_write_read_roundtrip_multi_shard_cross_edges(spark, tmp_path):
+    """A multi-shard export with CROSS-SHARD edges round-trips exactly
+    under global_ids=True: every vertex written once, edges co-located
+    with their src shard but free to reference any shard's vertices;
+    engine endpoints all resolve; a second write is byte-deterministic."""
+    import glob as _glob
+
+    from pyspark.sql import functions as FX
+
+    from fluxgraph_spark.sources.graph_text import write_graph_distributed
+
+    n = 200
+    v = spark.range(n).select(
+        FX.col("id"),
+        FX.create_map(
+            FX.lit("name"), FX.concat(FX.lit("v"), FX.col("id").cast("string")),
+            FX.lit("rank"), FX.col("id").cast("string"),
+        ).alias("props"),
+        FX.create_map(
+            FX.lit("name"), FX.lit("string"), FX.lit("rank"), FX.lit("long")
+        ).alias("prop_types"),
+    )
+    # ring + skip edges: guaranteed to cross shard boundaries
+    e = spark.range(n).select(
+        FX.col("id").alias("src"),
+        ((FX.col("id") + 1) % n).alias("dst"),
+        FX.lit("next").alias("label"),
+    ).unionByName(
+        spark.range(0, n, 7).select(
+            FX.col("id").alias("src"),
+            ((FX.col("id") + 13) % n).alias("dst"),
+            FX.lit("skip").alias("label"),
+        )
+    )
+    out = str(tmp_path / "sharded")
+    write_graph_distributed(v, e, out, fmt="graphml", n_shards=6)
+    files = _glob.glob(out + "/__shard=*/part-*")
+    assert len(files) == 6  # one self-contained document per shard
+    v2, e2 = read_graph_distributed(
+        spark, out + "/__shard=*/part-*", fmt="graphml", global_ids=True
+    )
+    assert v2.count() == n
+    assert e2.count() == n + len(range(0, n, 7))
+    # every engine endpoint resolves even across shards
+    missing = (
+        e2.select(FX.col("src").alias("id"))
+        .union(e2.select(FX.col("dst").alias("id")))
+        .join(v2.select("id"), "id", "left_anti")
+        .count()
+    )
+    assert missing == 0
+    # topology + typed props intact
+    orig_of = {r["id"]: int(r["original_id"]) for r in v2.collect()}
+    got = {
+        (orig_of[r["src"]], orig_of[r["dst"]], r["label"]) for r in e2.collect()
+    }
+    want = {(i, (i + 1) % n, "next") for i in range(n)} | {
+        (i, (i + 13) % n, "skip") for i in range(0, n, 7)
+    }
+    assert got == want
+    r0 = next(r for r in v2.collect() if r["original_id"] == "0")
+    assert r0["props"] == {"name": "v0", "rank": "0"}
+    assert r0["prop_types"]["rank"] == "long"
+    # determinism: a second write produces byte-identical shards
+    out2 = str(tmp_path / "sharded2")
+    write_graph_distributed(v, e, out2, fmt="graphml", n_shards=6)
+    by_shard = lambda root: {
+        f.split("__shard=")[1].split("/")[0]: open(f).read()
+        for f in _glob.glob(root + "/__shard=*/part-*")
+    }
+    assert by_shard(out) == by_shard(out2)
+
+
+def test_writer_contracts(spark, tmp_path):
+    """Error contract: bad format / shard count raise; GML rejects
+    boolean props and non-token keys; GraphSON rejects _-prefixed
+    names; missing props columns default to empty maps."""
+    from pyspark.sql import functions as FX
+
+    from fluxgraph_spark.sources.graph_text import write_graph_distributed
+
+    v = spark.range(3).select("id")
+    e = spark.range(2).select(
+        FX.col("id").alias("src"), (FX.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(ValueError, match="fmt must be"):
+        write_graph_distributed(v, e, str(tmp_path / "x"), fmt="dot")
+    with pytest.raises(ValueError, match="n_shards"):
+        write_graph_distributed(v, e, str(tmp_path / "x"), n_shards=0)
+    # bare graph (no props, no label, no edge id) writes and reads back
+    out = str(tmp_path / "bare")
+    write_graph_distributed(v, e, out, fmt="gml", n_shards=2)
+    v2, e2 = read_graph_distributed(
+        spark, out + "/__shard=*/part-*", fmt="gml", global_ids=True
+    )
+    assert v2.count() == 3 and e2.count() == 2
+    assert {r["label"] for r in e2.collect()} == {"edge"}
+
+    bad_gml = spark.range(1).select(
+        "id",
+        FX.create_map(FX.lit("flag"), FX.lit("true")).alias("props"),
+        FX.create_map(FX.lit("flag"), FX.lit("boolean")).alias("prop_types"),
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="boolean"):
+        write_graph_distributed(
+            bad_gml, e.limit(0), str(tmp_path / "y"), fmt="gml", n_shards=1
+        )
+    bad_json = spark.range(1).select(
+        "id",
+        FX.create_map(FX.lit("_id"), FX.lit("x")).alias("props"),
+        FX.create_map(FX.lit("_id"), FX.lit("string")).alias("prop_types"),
+    )
+    with pytest.raises((PythonException, Py4JJavaError), match="structural"):
+        write_graph_distributed(
+            bad_json, e.limit(0), str(tmp_path / "z"), fmt="graphson",
+            n_shards=1,
+        )
