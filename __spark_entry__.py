@@ -4204,6 +4204,66 @@ def q_x_graphml_ingest(spark, sf_dir):
     )
 
 
+def q_x_graphml_export(spark, sf_dir):
+    """Distributed graph EXPORT round trip (r8 — the write half of the
+    graph-text scale path, sources/graph_text.py
+    write_graph_distributed): every 31st document becomes a vertex
+    (text + typed char count), chained by ``next`` edges in doc_id
+    order, written as a 4-shard GraphML export (vertices hash-sharded,
+    edges co-located with their src — the chain CROSSES shard
+    boundaries) and read back with the distributed reader in
+    global-id mode.  The oracle replays each vertex's round-tripped
+    text, typed char count, and in/out degree straight from documents —
+    a broken XML render, bad escaping, type-map drift, or a cross-shard
+    endpoint failing to resolve all hash-fail."""
+    from fluxgraph_spark.sources import graph_text as GT
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    sel = docs.where(F.col("doc_id") % 31 == 0).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    v = sel.select(
+        F.col("doc_id").alias("id"),
+        F.create_map(
+            F.lit("text"), F.col("text"),
+            F.lit("n_chars"), F.length("text").cast("string"),
+        ).alias("props"),
+        F.create_map(
+            F.lit("text"), F.lit("string"),
+            F.lit("n_chars"), F.lit("long"),
+        ).alias("prop_types"),
+    )
+    chain_w = W.orderBy("doc_id")  # fixture-sized window (export scaffold)
+    e = (
+        sel.select(
+            F.col("doc_id").alias("src"),
+            F.lead("doc_id").over(chain_w).alias("dst"),
+            F.lit("next").alias("label"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    root = _scratch_dir("graphml_export_")
+    out = os.path.join(root, "export")
+    GT.write_graph_distributed(v, e, out, fmt="graphml", n_shards=4)
+    v2, e2 = GT.read_graph_distributed(
+        spark, os.path.join(out, "__shard=*", "part-*"),
+        fmt="graphml", global_ids=True,
+    )
+    outdeg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    indeg = e2.groupBy("dst").agg(F.count(F.lit(1)).alias("__id"))
+    return (
+        v2.join(outdeg, v2["id"] == outdeg["src"], "left")
+        .join(indeg, v2["id"] == indeg["dst"], "left")
+        .select(
+            F.col("original_id").cast("long").alias("doc_id"),
+            F.col("props")["text"].alias("text"),
+            F.col("props")["n_chars"].cast("long").alias("n_chars"),
+            F.coalesce(F.col("__od"), F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce(F.col("__id"), F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
 def q_x_rouge(spark, sf_dir):
     """Reference-based text-eval counting (r7; text.ngram_overlap —
     the clipped n-gram primitive under BLEU, Papineni ACL'02, and
@@ -4440,6 +4500,7 @@ _R8_PRIORITY = [
     "k_quantile_sample",   # never driver-checked (landed post-freeze r7)
     "d_containment_budget",  # new in r8: gated candidate budget
     "g_node2vec_walks",      # new in r8: p/q-biased second-order walks
+    "x_graphml_export",      # new in r8: distributed sharded export
     "g_components",        # changed in r8: assert_converged, 8 rounds
     "d_containment",       # operator changed in r8 (checkpointed pairs)
     "x_rouge",             # operator changed in r8 (checkpointed overlap)
@@ -4488,7 +4549,6 @@ _R8_PRIORITY = [
     "s_embedding_near_dups",
     "x_frames_mjpeg",
     "m_media_features",
-    "t_scd2_versions",
 ]
 assert len(_R8_PRIORITY) == 50
 
@@ -4666,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frames_msv1": q_x_frames_msv1,
         "x_warc_ingest": q_x_warc_ingest,
         "x_graphml_ingest": q_x_graphml_ingest,
+        "x_graphml_export": q_x_graphml_export,
         "x_rouge": q_x_rouge,
         "x_audio_adpcm": q_x_audio_adpcm,
         "s_cosine_topk": q_s_cosine_topk,
@@ -7112,6 +7173,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, text,
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(CASE WHEN rn % 8 = 0 OR rn = n_total THEN 0 ELSE 1 END AS BIGINT) AS out_deg
+        FROM sel
+        """,
+        "x_graphml_export": """
+        -- distributed 4-shard GraphML EXPORT round trip: every 31st doc
+        -- is a vertex chained by 'next' edges in doc_id order (the
+        -- chain crosses shard boundaries; global-id read resolves) ->
+        -- out_deg 1 except the global last, in_deg 1 except the first
+        WITH sel AS MATERIALIZED (
+          SELECT doc_id, coalesce(text, '') AS text,
+                 row_number() OVER (ORDER BY doc_id) AS rn,
+                 count(*) OVER () AS n_total
+          FROM documents WHERE doc_id % 31 = 0)
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN rn = n_total THEN 0 ELSE 1 END AS BIGINT) AS out_deg,
+               CAST(CASE WHEN rn = 1 THEN 0 ELSE 1 END AS BIGINT) AS in_deg
         FROM sel
         """,
         "x_audio_adpcm": """

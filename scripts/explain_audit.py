@@ -181,6 +181,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_bpe_merges",         # driver-collected merge table: LocalTableScan
     "x_fingerprint",        # full-corpus narrow hash map
     "x_graphml_ingest",     # binaryFile scan + executor-side XML parse
+    "x_graphml_export",     # same reader shape on the written shards
     "g_random_walks",       # co-purchase projection; %7 seed filter is derived
     "g_mis",                # iterative: final plan joins round checkpoints
     "x_langid",             # full-corpus narrow n-gram map
