@@ -2263,6 +2263,24 @@ def q_g_node2vec_walks(spark, sf_dir):
     return AN.node2vec_walks(sym, seeds, walk_len=4, p=_N2V_P, q=_N2V_Q)
 
 
+def q_g_walk_skipgrams(spark, sf_dir):
+    """Skip-gram pair corpus from the deterministic walk set (r8;
+    analytics.walk_skipgram_pairs — walks-as-sentences, Perozzi et al.
+    KDD'14): the (center, context, n_pairs) table a negative-sampling
+    embedder trains on, window 2 over g_random_walks' trajectories.
+    Pair expansion is a pure narrow array map (no join, no shuffle
+    before the one count agg), and counts are integers, so the whole
+    training corpus replays exactly — the auditable-sampling property
+    end to end: graph -> walks -> training pairs, all hash-gated."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = sym.select("src").distinct().where(F.col("src") % 7 == 0)
+    walks = AN.random_walks(sym, seeds, walk_len=4)
+    return AN.walk_skipgram_pairs(walks, window=2)
+
+
 def _copurchase_edges(spark, sf_dir, min_support=2):
     """Co-purchase projection: part pairs sharing >= min_support orders.
     Per-order pair enumeration on the sorted part array (narrow map)
@@ -4501,6 +4519,7 @@ _R8_PRIORITY = [
     "d_containment_budget",  # new in r8: gated candidate budget
     "g_node2vec_walks",      # new in r8: p/q-biased second-order walks
     "x_graphml_export",      # new in r8: distributed sharded export
+    "g_walk_skipgrams",      # new in r8: walk -> training-pair corpus
     "g_components",        # changed in r8: assert_converged, 8 rounds
     "d_containment",       # operator changed in r8 (checkpointed pairs)
     "x_rouge",             # operator changed in r8 (checkpointed overlap)
@@ -4548,7 +4567,6 @@ _R8_PRIORITY = [
     "s_cosine_topk",
     "s_embedding_near_dups",
     "x_frames_mjpeg",
-    "m_media_features",
 ]
 assert len(_R8_PRIORITY) == 50
 
@@ -4644,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_ktruss": q_g_ktruss,
         "g_random_walks": q_g_random_walks,
         "g_node2vec_walks": q_g_node2vec_walks,
+        "g_walk_skipgrams": q_g_walk_skipgrams,
         "g_mis": q_g_mis,
         "g_clustering": q_g_clustering,
         "t_funnel": q_t_funnel,
@@ -7630,6 +7649,37 @@ w0 AS MATERIALIZED (
   SELECT src AS walk_id, src AS v, CAST(src AS VARCHAR) AS path
   FROM rwdeg WHERE src % 7 = 0){_RW_HOPS}
 SELECT walk_id, path, v AS final_v FROM w4
+""".replace("{_RW_HOPS}", _RW_HOPS)
+    # skip-gram pairs over the same replayed trajectories: per-walk
+    # position cross product bounded by |i-j| <= window, exact counts
+    sqls["g_walk_skipgrams"] = f"""
+WITH con AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT x.p AS a, y.p AS b
+  FROM con x JOIN con y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+rwsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+rwdeg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM rwsym GROUP BY src),
+rwnbr AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
+  FROM rwsym),
+w0 AS MATERIALIZED (
+  SELECT src AS walk_id, src AS v, CAST(src AS VARCHAR) AS path
+  FROM rwdeg WHERE src % 7 = 0){_RW_HOPS},
+sg AS MATERIALIZED (
+  SELECT walk_id, string_split(path, '->') AS vs FROM w4),
+pr AS MATERIALIZED (
+  SELECT CAST(vs[i] AS BIGINT) AS center, CAST(vs[j] AS BIGINT) AS context
+  FROM sg,
+       UNNEST(generate_series(1, len(vs))) AS a(i),
+       UNNEST(generate_series(1, len(vs))) AS b(j)
+  WHERE i <> j AND abs(i - j) <= 2)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pr GROUP BY center, context
 """.replace("{_RW_HOPS}", _RW_HOPS)
     # node2vec second-order walks: hop 0 uniform, hops 1+ pick the
     # neighbor whose integer-weight cumulative interval contains

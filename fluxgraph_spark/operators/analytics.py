@@ -1113,6 +1113,39 @@ def node2vec_walks(
     return cur.select("walk_id", "path", F.col("__v").alias("final_v"))
 
 
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from walk trajectories — the stage that
+    turns a DeepWalk/node2vec walk corpus into word2vec input (Perozzi
+    et al. KDD'14 treat walks as sentences; the (center, context) pair
+    table with counts IS the training corpus for a negative-sampling
+    embedder).  For every position i of every walk, each position j
+    with ``0 < |i - j| <= window`` yields one (center=v_i, context=v_j)
+    pair; the output aggregates to ``(center, context, n_pairs)``.
+
+    Input is :func:`random_walks` / :func:`node2vec_walks` output (the
+    ``path`` column, "v0->v1->...").  Scale shape: pair expansion is a
+    pure NARROW map (nested array transforms over the split path — no
+    join, no shuffle) followed by one count aggregation with map-side
+    combine; output cardinality is bounded by distinct co-visited
+    vertex pairs, and every count is an integer so the whole table
+    replays exactly in SQL."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    pair_expr = f"""
+      flatten(transform(split(path, '->'), (c, i) ->
+        transform(
+          filter(transform(split(path, '->'), (x, j) -> struct(x AS ctx, j AS jj)),
+                 s -> s.jj != i AND abs(s.jj - i) <= {int(window)}),
+          s -> struct(CAST(c AS BIGINT) AS center,
+                      CAST(s.ctx AS BIGINT) AS context))))
+    """
+    return (
+        walks.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 def maximal_independent_set(
     edges: DataFrame, max_rounds: int = 30, checkpoint_every: int = 1
 ) -> DataFrame:

@@ -183,6 +183,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_graphml_ingest",     # binaryFile scan + executor-side XML parse
     "x_graphml_export",     # same reader shape on the written shards
     "g_random_walks",       # co-purchase projection; %7 seed filter is derived
+    "g_walk_skipgrams",     # same walk tree + narrow pair map
     "g_mis",                # iterative: final plan joins round checkpoints
     "x_langid",             # full-corpus narrow n-gram map
     "x_tokens",             # full-corpus narrow token count

@@ -578,6 +578,42 @@ def test_node2vec_biased_matches_scalar_reference(spark):
         node2vec_walks(sym, seeds, walk_len=2, p=0)
 
 
+def test_walk_skipgram_pairs_match_scalar_reference(spark):
+    """walk_skipgram_pairs (r8): pair counts equal a scalar window
+    replay over the paths; window=1 is adjacency; bad window rejected."""
+    from collections import Counter
+
+    from fluxgraph_spark.operators.analytics import walk_skipgram_pairs
+
+    paths = [(10, "1->2->3->2", 2), (20, "5->6", 6)]
+    walks = spark.createDataFrame(paths, ["walk_id", "path", "final_v"])
+
+    def ref(window):
+        c = Counter()
+        for _, p, _ in paths:
+            vs = [int(x) for x in p.split("->")]
+            for i, ci in enumerate(vs):
+                for j, cj in enumerate(vs):
+                    if i != j and abs(i - j) <= window:
+                        c[(ci, cj)] += 1
+        return {(a, b, n) for (a, b), n in c.items()}
+
+    for w in (1, 2):
+        got = {
+            (r["center"], r["context"], r["n_pairs"])
+            for r in walk_skipgram_pairs(walks, window=w).collect()
+        }
+        assert got == ref(w)
+    # symmetry: every (a, b) pair has its (b, a) mirror with equal count
+    got2 = walk_skipgram_pairs(walks, window=2).collect()
+    counts = {(r["center"], r["context"]): r["n_pairs"] for r in got2}
+    assert all(counts[(b, a)] == n for (a, b), n in counts.items())
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="window"):
+        walk_skipgram_pairs(walks, window=0)
+
+
 def test_maximal_independent_set_matches_greedy_reference(spark):
     """MIS (r7): the fixed-priority Luby rounds must equal the
     sequential greedy MIS of the md5 priority order (the unique result
