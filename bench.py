@@ -62,6 +62,9 @@ HEADLINE = [
                                 # PERSISTED inverted index (built once
                                 # outside timings — the d_indexed_probe
                                 # split for full-text; VERDICT r6 item 6)
+    "g_node2vec_walks",         # second-order biased walks (r8 — per-hop
+                                # candidate windows, a different execution
+                                # shape than the one-row-per-walk pick)
 ]
 
 
