@@ -962,7 +962,15 @@ def random_walks(
                 ).alias("path"),
             )
         )
-    return cur.select("walk_id", "path", F.col("__v").alias("final_v"))
+    # one bounded row per completed walk: materialize, cut lineage,
+    # release the reference-table caches (the corpus_dedupe pattern —
+    # repeated calls in a long-lived session must not accumulate blocks)
+    out = cur.select(
+        "walk_id", "path", F.col("__v").alias("final_v")
+    ).localCheckpoint(eager=True)
+    nbr.unpersist()
+    deg.unpersist()
+    return out
 
 
 def node2vec_walks(
@@ -1038,9 +1046,15 @@ def node2vec_walks(
         .persist()
     )
     deg.count()
-    adj = e.select(
-        F.col(M.SRC).alias("__pu"), F.col(M.DST).alias("__px")
-    ).withColumn("__d1", F.lit(1))
+    # the distance-1 membership side: persisted like nbr/deg, or every
+    # hop re-runs the upstream edge distinct
+    adj = (
+        e.select(F.col(M.SRC).alias("__pu"), F.col(M.DST).alias("__px"))
+        .withColumn("__d1", F.lit(1))
+        .repartition("__pu")
+        .persist()
+    )
+    adj.count()
 
     def _hash(t):
         return stable_hash64(
@@ -1110,7 +1124,14 @@ def node2vec_walks(
                 "path"
             ),
         )
-    return cur.select("walk_id", "path", F.col("__v").alias("final_v"))
+    # bounded output; see random_walks
+    out = cur.select(
+        "walk_id", "path", F.col("__v").alias("final_v")
+    ).localCheckpoint(eager=True)
+    nbr.unpersist()
+    deg.unpersist()
+    adj.unpersist()
+    return out
 
 
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:

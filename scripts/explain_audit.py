@@ -313,6 +313,9 @@ NO_BROADCAST_EXPECTED = {
     "x_langid",             # narrow map, no joins
     "x_tokens",             # narrow map, no joins
     "g_mis",                # undecided-frontier joins: AQE decides
+    "g_random_walks",       # final plan is the checkpointed walk table
+    "g_node2vec_walks",     # same
+    "g_walk_skipgrams",     # narrow pair map + agg over the checkpoint
     "d_containment",        # final plan is the checkpointed pair table
     "d_containment_budget", # same
     "x_rouge",              # joins two checkpoint scans: AQE decides
@@ -348,6 +351,9 @@ NO_SCAN_EXPECTED = {
     "d_containment",
     "d_containment_budget",
     "x_rouge",
+    "g_random_walks",
+    "g_node2vec_walks",
+    "g_walk_skipgrams",
 }
 
 
