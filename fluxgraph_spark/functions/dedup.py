@@ -544,7 +544,7 @@ def minhash_lsh_dedup(
     a = sh_cand.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh_cand.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    out = (
         bcast(cand)
         .join(a, "id_a")
         .join(b, "id_b")
@@ -559,6 +559,12 @@ def minhash_lsh_dedup(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # candidate-bounded pair table: materialize, cut lineage, release
+    # the signature/candidate caches (the corpus_dedupe pattern)
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    cand.unpersist()
+    return out
 
 
 def winnow_candidate_pairs(
@@ -849,10 +855,16 @@ def minhash_lsh_dedup_reproducible(
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands).persist()
     n_cand = cand.count()
-    return jaccard_pairs(
+    out = jaccard_pairs(
         sh, block=cand, threshold=threshold,
         broadcast_block=n_cand <= 1_000_000,
     )
+    # candidate-bounded pair table: materialize, cut lineage, release
+    # the shingle/candidate caches (the corpus_dedupe pattern)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    cand.unpersist()
+    return out
 
 
 def dedupe_near_reproducible(

@@ -318,8 +318,11 @@ def read_graph_distributed(
     Leave False for foreign multi-shard exports where each file numbers
     its own vertices from 0.
 
-    The parsed element frame is persisted: both splits come from one
-    pass over the bytes."""
+    The parsed element frame is persisted for the duration of the call:
+    both splits come from one pass over the bytes, each materializes via
+    localCheckpoint (a bulk load materializes anyway), and the parse
+    cache is released before returning — repeated loads in a long-lived
+    session don't accumulate cached blocks."""
     elems = read_graph_elements(spark, path_glob, fmt).persist()
     if global_ids:
         eng_id = lambda file_col, id_col: F.xxhash64(F.lit("v:"), id_col)
@@ -342,6 +345,9 @@ def read_graph_distributed(
         F.col("orig_id").alias("original_id"),
         "source_file", "props", "prop_types",
     )
+    vertices = vertices.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    elems.unpersist()
     return vertices, edges
 
 

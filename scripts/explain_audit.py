@@ -316,6 +316,11 @@ NO_BROADCAST_EXPECTED = {
     "g_random_walks",       # final plan is the checkpointed walk table
     "g_node2vec_walks",     # same
     "g_walk_skipgrams",     # narrow pair map + agg over the checkpoint
+    "d_minhash_lsh_pairs",  # final plan is the checkpointed pair table
+    "d_lsh_verified_pairs", # same
+    "d_lsh_fast_pairs",     # recall audit over two checkpointed pair sets
+    "x_graphml_ingest",     # degree join over checkpointed splits: AQE decides
+    "x_graphml_export",     # same
     "d_containment",        # final plan is the checkpointed pair table
     "d_containment_budget", # same
     "x_rouge",              # joins two checkpoint scans: AQE decides
@@ -354,6 +359,13 @@ NO_SCAN_EXPECTED = {
     "g_random_walks",
     "g_node2vec_walks",
     "g_walk_skipgrams",
+    "d_minhash_lsh_pairs",
+    "d_lsh_verified_pairs",
+    "d_lsh_fast_pairs",
+    # graph-text loads checkpoint both splits and release the parse
+    # cache; the binaryFile scan ran in the checkpointed job
+    "x_graphml_ingest",
+    "x_graphml_export",
 }
 
 
