@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 from .. import model as M
 
 
+def _finish(df: DataFrame, handles, checkpointed: bool = False) -> DataFrame:
+    """Materialize an operator result and release its per-call caches
+    (the package cache-lifetime pattern): operators persist their
+    (re-)partitioned edge tables per CALL, so a long-lived session
+    running many calls would otherwise accumulate cached blocks until
+    executor storage evicts them.  If the final frame is not already
+    rooted at a localCheckpoint (``checkpointed=False``), take one —
+    results here are vertex-/edge-bounded, so the checkpoint holds no
+    more than the result itself — then unpersist every handle."""
+    if not checkpointed:
+        df = df.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return df
+
+
 def _vertices_of(edges: DataFrame) -> DataFrame:
     return (
         edges.select(F.col(M.SRC).alias(M.ID))
@@ -80,7 +96,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
-    return ranks.select(M.ID, F.col("rank").alias("pagerank"))
+    return _finish(
+        ranks.select(M.ID, F.col("rank").alias("pagerank")),
+        [edges, verts],
+        checkpointed=num_iters > 0 and num_iters % checkpoint_every == 0,
+    )
 
 
 def pagerank_personalized(
@@ -127,7 +147,11 @@ def pagerank_personalized(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
-    return ranks.select(M.ID, F.col("rank").alias("pagerank"))
+    return _finish(
+        ranks.select(M.ID, F.col("rank").alias("pagerank")),
+        [edges, verts, is_src],
+        checkpointed=num_iters > 0 and num_iters % checkpoint_every == 0,
+    )
 
 
 def connected_components(
@@ -185,6 +209,7 @@ def connected_components(
     )
     prev_sum = None
     tail_sums: list = []
+    last_ck = False  # is comp rooted at a localCheckpoint?
     for i in range(max_iters):
         # one superstep = messages (join on the cached sym partitioning)
         # + a single min-aggregation over neighbor labels UNION self
@@ -199,7 +224,8 @@ def connected_components(
             .groupBy(M.ID)
             .agg(F.min("component").alias("component"))
         )
-        if (i + 1) % checkpoint_every == 0:
+        last_ck = (i + 1) % checkpoint_every == 0
+        if last_ck:
             new_comp = new_comp.localCheckpoint()
         if early_stop:
             # labels are monotonically non-increasing, so the sum of all
@@ -227,7 +253,7 @@ def connected_components(
                 f"matching oracle's round count: converged rounds are "
                 f"no-ops, so oversizing is always safe)"
             )
-    return comp
+    return _finish(comp, [sym], checkpointed=last_ck)
 
 
 def bfs_levels(
@@ -268,7 +294,10 @@ def bfs_levels(
         )
         if (i + 1) % checkpoint_every == 0:
             dist = dist.localCheckpoint()
-    return dist
+    return _finish(
+        dist, [e],
+        checkpointed=max_iters > 0 and max_iters % checkpoint_every == 0,
+    )
 
 
 def sssp(
@@ -310,7 +339,10 @@ def sssp(
         )
         if (i + 1) % checkpoint_every == 0:
             dist = dist.localCheckpoint()
-    return dist
+    return _finish(
+        dist, [e],
+        checkpointed=max_iters > 0 and max_iters % checkpoint_every == 0,
+    )
 
 
 def label_propagation(
@@ -357,7 +389,11 @@ def label_propagation(
         )
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint()
-    return labels.select(M.ID, F.col("label").alias("community"))
+    return _finish(
+        labels.select(M.ID, F.col("label").alias("community")),
+        [sym],
+        checkpointed=num_iters > 0 and num_iters % checkpoint_every == 0,
+    )
 
 
 def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
@@ -446,7 +482,7 @@ def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFram
     out = verts.join(labels, M.ID, "left").select(
         M.ID, F.coalesce("component", F.col(M.ID)).alias("component")
     )
-    return out
+    return _finish(out, [verts])
 
 
 def k_core(
@@ -478,6 +514,7 @@ def k_core(
     )
     prev_n = sym.count()  # eager — see connected_components
     cur = sym
+    last_ck = False  # is cur rooted at a localCheckpoint?
     for i in range(max_iters):
         keep = (
             cur.groupBy(M.SRC)
@@ -488,15 +525,18 @@ def k_core(
         cur = cur.join(keep, M.SRC, "left_semi").join(
             keep.withColumnRenamed(M.SRC, M.DST), M.DST, "left_semi"
         )
-        if (i + 1) % checkpoint_every == 0:
+        last_ck = (i + 1) % checkpoint_every == 0
+        if last_ck:
             cur = cur.localCheckpoint()
         n = cur.count()
         if n == prev_n:  # monotone shrink -> equal count == fixpoint
             break
         prev_n = n
-    return cur.groupBy(M.SRC).agg(F.count("*").alias("core_degree")).select(
+    out = cur.groupBy(M.SRC).agg(F.count("*").alias("core_degree")).select(
         F.col(M.SRC).alias(M.ID), "core_degree"
     )
+    # the groupBy over a checkpointed cur no longer references sym
+    return _finish(out, [sym], checkpointed=last_ck)
 
 
 def common_neighbor_scores(
@@ -598,7 +638,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return (
+    out = (
         verts.distinct()
         .join(per_vertex, "v", "left")
         .select(
@@ -606,6 +646,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+    return _finish(out, [canon, o])
 
 
 def _oriented_triangles(canon: DataFrame, handles: Optional[list] = None) -> DataFrame:
@@ -663,7 +704,8 @@ def edge_supports(edges: DataFrame) -> DataFrame:
         .distinct()
         .persist()
     )
-    return _edge_supports_canon(canon)
+    handles: list = [canon]
+    return _finish(_edge_supports_canon(canon, handles), handles)
 
 
 def _edge_supports_canon(
@@ -820,9 +862,10 @@ def hits(edges: DataFrame, num_iters: int = 3) -> DataFrame:
             .agg(F.sum("auth_micro").cast("long").alias("raw"))
         )
         hub = _normalize(h_raw, "hub_micro").localCheckpoint(eager=True)
-    return verts.join(auth, M.ID).join(hub, M.ID).select(
+    out = verts.join(auth, M.ID).join(hub, M.ID).select(
         M.ID, "auth_micro", "hub_micro"
     )
+    return _finish(out, [e_src, e_dst, verts])
 
 
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
@@ -847,7 +890,8 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .distinct()
         .persist()
     )
-    tri = _oriented_triangles(canon).agg(
+    handles: list = [canon]
+    tri = _oriented_triangles(canon, handles).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
     verts = canon.select(F.col("a").alias("v")).unionByName(
@@ -864,7 +908,7 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .alias("n_wedges")
         )
     )
-    return tri.crossJoin(wed).select(
+    out = tri.crossJoin(wed).select(
         "n_triangles",
         "n_wedges",
         F.when(F.col("n_wedges") == 0, F.lit(0).cast("long"))
@@ -877,6 +921,7 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
         .alias("gcc_micro"),
     )
+    return _finish(out, handles)
 
 
 def random_walks(
@@ -1261,6 +1306,7 @@ def maximal_independent_set(
                 f"no-ops)"
             )
     mis = mis if mis is not None else verts.limit(0)
-    return verts.join(
+    out = verts.join(
         mis.withColumn("__m", F.lit(True)), M.ID, "left"
     ).select(M.ID, F.coalesce("__m", F.lit(False)).alias("in_mis"))
+    return _finish(out, [sym])

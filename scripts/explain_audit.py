@@ -158,6 +158,7 @@ NO_PUSHDOWN_EXPECTED = {
     "g_components",         # same
     "g_components_star",    # same
     "g_hits",               # same
+    "g_clustering",         # one-row checkpointed transitivity result
     "g_kcore",              # same
     "g_lpa_communities",    # same
     "g_pagerank_top10",     # same
@@ -313,6 +314,8 @@ NO_BROADCAST_EXPECTED = {
     "x_langid",             # narrow map, no joins
     "x_tokens",             # narrow map, no joins
     "g_mis",                # undecided-frontier joins: AQE decides
+    "g_hits",               # top-10 window over the checkpointed scores
+    "g_clustering",         # one-row checkpointed result
     "g_random_walks",       # final plan is the checkpointed walk table
     "g_node2vec_walks",     # same
     "g_walk_skipgrams",     # narrow pair map + agg over the checkpoint
@@ -366,6 +369,14 @@ NO_SCAN_EXPECTED = {
     # cache; the binaryFile scan ran in the checkpointed job
     "x_graphml_ingest",
     "x_graphml_export",
+    # iterative/enumeration operators now materialize their results and
+    # release the per-call edge caches (_finish): the final plan is the
+    # checkpointed result (the upstream scans ran in earlier jobs)
+    "g_hits",
+    "g_mis",
+    "g_components_star",
+    "g_clustering",
+    "g_triangles_local",
 }
 
 
