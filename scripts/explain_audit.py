@@ -159,6 +159,7 @@ NO_PUSHDOWN_EXPECTED = {
     "g_components_star",    # same
     "g_hits",               # same
     "g_clustering",         # one-row checkpointed transitivity result
+    "g_triangles_local",    # checkpointed per-vertex triangle counts
     "g_kcore",              # same
     "g_lpa_communities",    # same
     "g_pagerank_top10",     # same
