@@ -968,10 +968,11 @@ def random_walks(
         .persist()
     )
     nbr.count()
+    # degrees come from the CACHED ranked table, not from e — a second
+    # scan of e would re-run the (possibly expensive) upstream edge
+    # derivation once more per reference
     deg = (
-        e.groupBy(F.col(M.SRC).alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__deg"))
-        .persist()
+        nbr.groupBy("__v").agg(F.count(F.lit(1)).alias("__deg")).persist()
     )
     deg.count()
     cur = (
@@ -1085,21 +1086,16 @@ def node2vec_walks(
         .persist()
     )
     nbr.count()
+    # degrees and the distance-1 membership side both derive from the
+    # CACHED ranked table — scanning e again would re-run the upstream
+    # edge derivation once more per reference
     deg = (
-        e.groupBy(F.col(M.SRC).alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__deg"))
-        .persist()
+        nbr.groupBy("__v").agg(F.count(F.lit(1)).alias("__deg")).persist()
     )
     deg.count()
-    # the distance-1 membership side: persisted like nbr/deg, or every
-    # hop re-runs the upstream edge distinct
-    adj = (
-        e.select(F.col(M.SRC).alias("__pu"), F.col(M.DST).alias("__px"))
-        .withColumn("__d1", F.lit(1))
-        .repartition("__pu")
-        .persist()
-    )
-    adj.count()
+    adj = nbr.select(
+        F.col("__v").alias("__pu"), F.col(M.DST).alias("__px")
+    ).withColumn("__d1", F.lit(1))
 
     def _hash(t):
         return stable_hash64(
@@ -1175,7 +1171,6 @@ def node2vec_walks(
     ).localCheckpoint(eager=True)
     nbr.unpersist()
     deg.unpersist()
-    adj.unpersist()
     return out
 
 
