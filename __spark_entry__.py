@@ -3234,6 +3234,21 @@ def q_d_winnow_pairs(spark, sf_dir):
     return dedup.winnow_candidate_pairs(docs, "doc_id", "text", window=8, k=4)
 
 
+def q_d_edit_near_dups(spark, sf_dir):
+    """Fuzzy near-dup verification by exact edit distance (r8;
+    dedup.edit_distance_pairs): winnowing fingerprint candidates
+    verified with thresholded Levenshtein (max_dist=6 — binds at the
+    gate SFs: winnow pairs span distances 4-8) — the tier that catches
+    single-character noise (OCR errors, one changed number in
+    boilerplate) n-gram Jaccard scores as near-identical either way.
+    Spark's and DuckDB's levenshtein agree character for character, so
+    distance, the binding decision, AND the integer-micro similarity
+    all hash-gate."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    block = dedup.winnow_candidate_pairs(docs, "doc_id", "text", window=8, k=4)
+    return dedup.edit_distance_pairs(docs, "doc_id", "text", block, max_dist=6)
+
+
 def q_d_span_dup(spark, sf_dir):
     """Cross-document duplicated-span ratio per document (window-granular
     exact-substring dedup signal): the fraction of each document's
@@ -4520,6 +4535,7 @@ _R8_PRIORITY = [
     "g_node2vec_walks",      # new in r8: p/q-biased second-order walks
     "x_graphml_export",      # new in r8: distributed sharded export
     "g_walk_skipgrams",      # new in r8: walk -> training-pair corpus
+    "d_edit_near_dups",      # new in r8: Levenshtein fuzzy verify
     "g_components",        # changed in r8: assert_converged, 8 rounds
     "d_containment",       # operator changed in r8 (checkpointed pairs)
     "x_rouge",             # operator changed in r8 (checkpointed overlap)
@@ -4566,7 +4582,6 @@ _R8_PRIORITY = [
     "s_lsh_topk",
     "s_cosine_topk",
     "s_embedding_near_dups",
-    "x_frames_mjpeg",
 ]
 assert len(_R8_PRIORITY) == 50
 
@@ -4732,6 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_lsh_verified_pairs": q_d_lsh_verified_pairs,
         "d_simhash": q_d_simhash,
         "d_winnow_pairs": q_d_winnow_pairs,
+        "d_edit_near_dups": q_d_edit_near_dups,
         "d_span_dup": q_d_span_dup,
         "x_strat_sample": q_x_strat_sample,
         "x_quality": q_x_quality,
@@ -6762,6 +6778,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+        """,
+        "d_edit_near_dups": r"""
+        -- winnow candidates (same sketch as d_winnow_pairs) verified
+        -- with exact Levenshtein; distance <= 6 binds (pairs span 4-8)
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+        ),
+        wins AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substring(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))::UBIGINT::BIGINT AS fp
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS g(i)
+        ),
+        sk AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rn
+            FROM wins) WHERE rn <= 4
+        ),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        tx AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+        v AS (
+          SELECT c.id_a, c.id_b,
+                 levenshtein(ta.tx, tb.tx) AS d,
+                 greatest(length(ta.tx), length(tb.tx)) AS ml
+          FROM cand c
+          JOIN tx ta ON ta.doc_id = c.id_a
+          JOIN tx tb ON tb.doc_id = c.id_b)
+        SELECT id_a, id_b, CAST(d AS BIGINT) AS edit_dist,
+               CAST(CASE WHEN ml = 0 THEN 1000000
+                         ELSE (ml - d) * 1000000 // ml END AS BIGINT) AS sim_micro
+        FROM v WHERE d <= 6
         """,
         "d_span_dup": r"""
         WITH toks AS (

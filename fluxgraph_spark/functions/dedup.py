@@ -567,6 +567,63 @@ def minhash_lsh_dedup(
     return out
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: DataFrame,
+    max_dist: "int | None" = None,
+) -> DataFrame:
+    """Fuzzy near-dup VERIFICATION by exact edit distance over candidate
+    pairs — the tier between fingerprint candidacy and a human: n-gram
+    Jaccard scores token-set overlap and misses single-character noise
+    patterns (OCR errors, near-identical boilerplate with one changed
+    number), while Levenshtein counts the actual edits.  The standard
+    fuzzy-dedup verify for titles/short docs.
+
+    ``block`` is the (id_a, id_b) candidate list — ALWAYS pass
+    fingerprint candidates (winnowing/LSH) at scale; per-pair cost is
+    O(len_a·len_b) full or O(len·max_dist) banded, so the verify is
+    proportional to candidates, never the corpus.  With ``max_dist``
+    the distance runs through Spark's THRESHOLDED Levenshtein (the
+    banded DP — the scale path) and pairs beyond the bound drop;
+    decision-identical to filtering the plain distance (pytest-pinned).
+
+    Returns ``(id_a, id_b, edit_dist, sim_micro)`` with
+    ``sim = 1 - dist / greatest(len_a, len_b)`` as exact integer micro
+    units — Spark's and DuckDB's ``levenshtein`` agree character for
+    character (unit-cost Wagner-Fischer), so the whole verify
+    hash-gates in SQL."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    )
+    pairs = (
+        block.select("id_a", "id_b")
+        .join(t.select(F.col("id").alias("id_a"), F.col("__t").alias("__ta")), "id_a")
+        .join(t.select(F.col("id").alias("id_b"), F.col("__t").alias("__tb")), "id_b")
+    )
+    if max_dist is not None:
+        if max_dist < 0:
+            raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+        dist = F.levenshtein("__ta", "__tb", max_dist)
+        pairs = pairs.withColumn("__d", dist).where(F.col("__d") >= 0)
+    else:
+        pairs = pairs.withColumn("__d", F.levenshtein("__ta", "__tb"))
+    ml = F.greatest(F.length("__ta"), F.length("__tb"))
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("__d").cast("long").alias("edit_dist"),
+        F.when(ml == 0, F.lit(1_000_000).cast("long"))
+        .otherwise(
+            F.floor(
+                ((ml - F.col("__d")) * F.lit(1_000_000)).cast("long") / ml
+            ).cast("long")
+        )
+        .alias("sim_micro"),
+    )
+
+
 def winnow_candidate_pairs(
     df: DataFrame,
     id_col: str,

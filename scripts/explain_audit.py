@@ -74,6 +74,7 @@ NO_PUSHDOWN_EXPECTED = {
     "r_pivot_status",       # full orders pivot
     "r_cube_stats",         # full lineitem cube
     "d_winnow_pairs",       # full-corpus sketching
+    "d_edit_near_dups",     # full-corpus sketching + pair verify
     "d_incr_dedupe",        # batch-vs-index fingerprint joins, derived predicate
     "r_priority_lines",     # lateness predicate is join-time date arithmetic
     "r_custdist",           # priority filter lives in the LEFT JOIN condition
@@ -231,6 +232,7 @@ NO_BROADCAST_EXPECTED = {
     "r_pivot_status", "r_cube_stats",
     "r_setops",             # cohort full-outer join: AQE decides
     "d_winnow_pairs",       # fingerprint self-join: AQE decides
+    "d_edit_near_dups",     # fingerprint + text joins: AQE decides
     "d_incr_dedupe",        # batch-vs-index joins: AQE decides
     "r_priority_lines",     # orders/lineitem join: AQE decides
     "r_custdist",           # customer/orders outer join: AQE decides

@@ -365,6 +365,59 @@ def test_split_assign_deterministic_partition(spark):
     assert counts["train"] > 800 and 10 < counts["val"] < 100 and 10 < counts["test"] < 100
 
 
+def test_edit_distance_pairs_matches_scalar_reference(spark):
+    """edit_distance_pairs (r8): exact Levenshtein + integer-micro
+    similarity over a candidate block equals a scalar DP reference;
+    the thresholded (banded) form is decision-identical to filtering
+    the plain distance; NULL text reads as empty; bad max_dist raises."""
+    import pytest as _pt
+
+    from fluxgraph_spark.functions import dedup
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = {1: "kitten", 2: "sitting", 3: "kitte", 4: "", 5: None,
+             6: "a completely different sentence", 7: "kitten"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    block_pairs = [(1, 2), (1, 3), (4, 5), (2, 3), (1, 6), (1, 7)]
+    block = spark.createDataFrame(block_pairs, ["id_a", "id_b"])
+
+    def want(max_dist=None):
+        out = set()
+        for a, b in block_pairs:
+            ta, tb = texts[a] or "", texts[b] or ""
+            d = lev(ta, tb)
+            if max_dist is not None and d > max_dist:
+                continue
+            ml = max(len(ta), len(tb))
+            sim = 1_000_000 if ml == 0 else (ml - d) * 1_000_000 // ml
+            out.add((a, b, d, sim))
+        return out
+
+    got = {
+        tuple(r)
+        for r in dedup.edit_distance_pairs(df, "doc_id", "text", block).collect()
+    }
+    assert got == want()
+    got_t = {
+        tuple(r)
+        for r in dedup.edit_distance_pairs(
+            df, "doc_id", "text", block, max_dist=3
+        ).collect()
+    }
+    assert got_t == want(3) and len(got_t) < len(got)
+    with _pt.raises(ValueError, match="max_dist"):
+        dedup.edit_distance_pairs(df, "doc_id", "text", block, max_dist=-1)
+
+
 def test_winnow_candidate_pairs(spark):
     from fluxgraph_spark.functions import dedup as DD
 
