@@ -77,6 +77,7 @@ def scd2_streaming_table_sink(
     ts_col: str,
     value_cols: list[str],
     checkpoint_dir: str,
+    evolve_schema: bool = False,
 ):
     """Streaming ingest into a durable :class:`..sources.scd2_table.
     Scd2ParquetTable`: each microbatch becomes one audited bucket-level
@@ -92,6 +93,15 @@ def scd2_streaming_table_sink(
     txn pattern): a brand-new query with a fresh checkpoint — whose
     epoch ids restart at 0 — gets its own counter instead of having
     every batch silently swallowed by a previous query's mark.
+
+    ``evolve_schema``: passed through to :meth:`ingest` — a stream's
+    schema is fixed for a query's lifetime, so additive evolution
+    happens across QUERY GENERATIONS (stop, restart reading the widened
+    source with the new column in ``value_cols``); the restarted query
+    passes ``evolve_schema=True`` once and committed history widens
+    with typed NULLs.  Default False keeps the refuse-by-default
+    contract (a misconfigured new column is data the writer didn't mean
+    to commit).
     """
 
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -105,6 +115,7 @@ def scd2_streaming_table_sink(
             ),
             batch_id=batch_id,
             writer_id=checkpoint_dir,
+            evolve_schema=evolve_schema,
         )
 
     return (

@@ -250,6 +250,59 @@ def test_scd2_streaming_table_sink_durable_commits(spark, tmp_path):
     assert hist.agg(F.sum("n_changes")).collect()[0][0] == ev.count()
 
 
+def test_scd2_streaming_sink_schema_evolution_across_queries(spark, tmp_path):
+    """r8: a stream's schema is fixed per query, so additive evolution
+    happens across QUERY GENERATIONS — the restarted sink passes
+    evolve_schema=True once and committed history widens with typed
+    NULLs; without the flag the widened restart refuses (the ingest
+    contract), leaving the committed state untouched."""
+    from pyspark.sql import functions as F
+
+    from fluxgraph_spark.sources.scd2_table import Scd2ParquetTable
+    from fluxgraph_spark.streaming.scd2_ingest import scd2_streaming_table_sink
+
+    src1 = str(tmp_path / "gen1")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "user_id long, ts long, state string"
+    ).write.parquet(src1)
+    tbl = Scd2ParquetTable(spark, str(tmp_path / "tbl"), ["user_id"],
+                           ts_col="ts", n_buckets=4)
+    s1 = spark.readStream.schema("user_id long, ts long, state string").parquet(src1)
+    scd2_streaming_table_sink(
+        s1, tbl, "ts", ["state"], checkpoint_dir=str(tmp_path / "ck1")
+    ).awaitTermination(120)
+    assert "score" not in tbl.read().columns
+
+    # generation 2: the source gained a column
+    src2 = str(tmp_path / "gen2")
+    spark.createDataFrame(
+        [(1, 20, "a2", 7)], "user_id long, ts long, state string, score long"
+    ).write.parquet(src2)
+    wide = "user_id long, ts long, state string, score long"
+
+    # refused without the flag — the stream query surfaces the error
+    import pytest as _pt
+    from pyspark.errors import StreamingQueryException
+
+    s2 = spark.readStream.schema(wide).parquet(src2)
+    q = scd2_streaming_table_sink(
+        s2, tbl, "ts", ["state", "score"], checkpoint_dir=str(tmp_path / "ck2")
+    )
+    with _pt.raises(StreamingQueryException, match="evolve_schema"):
+        q.awaitTermination(120)
+    assert "score" not in tbl.read().columns  # nothing committed
+
+    s3 = spark.readStream.schema(wide).parquet(src2)
+    scd2_streaming_table_sink(
+        s3, tbl, "ts", ["state", "score"],
+        checkpoint_dir=str(tmp_path / "ck3"), evolve_schema=True,
+    ).awaitTermination(120)
+    got = {(r["user_id"], r["ts"]): r for r in tbl.read().collect()}
+    assert got[(1, 20)]["score"] == 7 and got[(1, 20)]["is_current"]
+    assert got[(1, 10)]["score"] is None  # widened history
+    assert got[(2, 11)]["score"] is None  # untouched-bucket key conformed
+
+
 def test_interval_stream_join_matches_batch(spark, events_dir):
     from fluxgraph_spark.sources.tpch import read_events
     from fluxgraph_spark.streaming import interval_stream_join, read_event_stream
