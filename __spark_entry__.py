@@ -353,6 +353,13 @@ WHERE rank <= 10
 # under-merging behind a green fixed-round oracle (VERDICT r7 item 1).
 _G_CC_ROUNDS = 8
 
+# Same pattern for d_semantic_dedupe: one fixed superstep count shared
+# by q_d_semantic_dedupe AND _semantic_dedupe_sql.  Oversized (observed
+# convergence <= 2 on the embedding near-dup pair graph — twin-pair
+# clusters at every gate SF) and convergence-asserted in the query path
+# (VERDICT r8 item 1: the last tautological fixed-round oracle).
+_D_SEM_CC_ROUNDS = 8
+
 
 def q_g_components(spark, sf_dir):
     """Min-label propagation over the symmetrized graph, fixed
@@ -3201,16 +3208,23 @@ def q_d_lsh_verified_pairs(spark, sf_dir):
 
 def q_d_semantic_dedupe(spark, sf_dir):
     """Semantic (embedding-space) dedup, cluster level: cosine>=0.35
-    pairs blocked by label -> weakly-connected components (4 fixed
-    min-label supersteps, SQL-replayable) -> keep the min-id member per
-    cluster.  Near-duplication is transitive (A~B, B~C => one survivor),
-    so pairwise filtering alone over-keeps; this is the keep-one shape a
+    pairs blocked by label -> weakly-connected components
+    (_D_SEM_CC_ROUNDS fixed min-label supersteps, SQL-replayable,
+    convergence-ASSERTED — the last two rounds' label sums must match
+    or the query raises instead of silently under-merging behind a
+    green fixed-round oracle) -> keep the min-id member per cluster.
+    Near-duplication is transitive (A~B, B~C => one survivor), so
+    pairwise filtering alone over-keeps; this is the keep-one shape a
     training pipeline actually ships.  At 100 TB the label block becomes
     an LSH/IVF bucket and components switch to the large-star/small-star
     O(log n) variant."""
     emb = tpch.read_tables(spark, sf_dir)["embeddings"]
     return dedup.semantic_dedupe(
-        emb, block_col="label", threshold=0.35, max_iters=4
+        emb,
+        block_col="label",
+        threshold=0.35,
+        max_iters=_D_SEM_CC_ROUNDS,
+        assert_converged=True,
     )
 
 
@@ -5345,7 +5359,10 @@ WHERE doc_id % 5 = 0
 def _semantic_dedupe_sql(iters: int = 4) -> str:
     """Chained-CTE replay of semantic_dedupe: cosine pairs -> fixed
     min-label supersteps -> min-id representative (singletons keep
-    themselves)."""
+    themselves).  Registered with iters=_D_SEM_CC_ROUNDS — the SAME
+    constant the query passes as max_iters — so query and replay can
+    never drift (the _G_CC_ROUNDS pattern); converged extra rounds are
+    no-ops in both engines."""
     ctes = """
 pr AS MATERIALIZED (
   SELECT a.vec_id AS src, b.vec_id AS dst
@@ -7043,7 +7060,7 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
         ) WHERE rank <= 10
         """,
-        "d_semantic_dedupe": _semantic_dedupe_sql(4),
+        "d_semantic_dedupe": _semantic_dedupe_sql(_D_SEM_CC_ROUNDS),
         "d_lsh_verified_pairs": _lsh_verified_sql(8, 4),
         "d_minhash_lsh_pairs": _lsh_verified_sql(8, 2),
         "d_corpus_dedupe": _corpus_dedupe_sql(8, 4),

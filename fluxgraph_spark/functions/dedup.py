@@ -285,6 +285,11 @@ def jaccard_pairs(
                 F.size("__a").alias("n_a"),
                 F.size("__b").alias("n_b"),
             )
+            # the exploded two-join form only ever produced a row when at
+            # least one shingle matched; drop zero-overlap candidates
+            # (e.g. LSH band collisions) so blocked and unblocked paths
+            # agree even at threshold=0.0
+            .where(F.col("n_inter") > 0)
         )
     else:
         sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -352,6 +357,11 @@ def containment_pairs(
     whenever no document exceeds the budget — the detector's oracle
     stays exact where the cap doesn't bind (pytest-pinned).
     """
+    # Cache ownership: persist() on an already-cached frame is a no-op,
+    # so only release the cache on exit if THIS call created it — a
+    # caller who cached the shingle table for reuse across calls (e.g.
+    # containment_pairs then jaccard_pairs on the same table) keeps it.
+    caller_cached = shingles.is_cached
     shingles = shingles.persist()
     if block is None and rare_df_max is not None:
         rare = (
@@ -438,9 +448,10 @@ def containment_pairs(
     # lineage, then release the shingle cache NOW — repeated calls in a
     # long-lived session would otherwise accumulate cached corpus
     # explodes until executor storage evicts them (the corpus_dedupe
-    # pattern below).
+    # pattern below).  A cache the caller created is theirs to release.
     out = out.localCheckpoint(eager=True)
-    shingles.unpersist()
+    if not caller_cached:
+        shingles.unpersist()
     return out
 
 
@@ -961,6 +972,7 @@ def semantic_dedupe(
     block_col: str | None = None,
     threshold: float = 0.95,
     max_iters: int = 6,
+    assert_converged: bool = False,
 ) -> DataFrame:
     """Cluster-level semantic dedup: embedding near-dup pairs ->
     weakly-connected components -> keep the minimum-id member of each
@@ -980,7 +992,13 @@ def semantic_dedupe(
     propagation with ``max_iters`` fixed supersteps so a SQL oracle can
     replay the recurrence exactly.  Near-dup clusters are shallow
     (diameter a few hops), so a small fixed superstep count is also the
-    converged answer in practice — for adversarially long chains use
+    converged answer in practice — but a pair graph whose component
+    diameter exceeds ``max_iters`` at a future scale would under-merge
+    in lockstep behind a green fixed-round replay, so pass
+    ``assert_converged=True`` (two scalar aggregations: the last two
+    rounds' label sums must match — labels are monotone, so
+    sum-stability is equivalent to a true fixpoint) and oversize
+    ``max_iters``.  For adversarially long chains use
     ``connected_components_star`` (O(log n) rounds) instead."""
     from ..operators import analytics as AN
 
@@ -989,6 +1007,7 @@ def semantic_dedupe(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         max_iters=max_iters,
         early_stop=False,
+        assert_converged=assert_converged,
     )
     out = (
         emb.select(F.col(id_col).alias("id"))

@@ -1192,13 +1192,23 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     replays exactly in SQL."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    # walks accept arbitrary id types but this output is BIGINT; a
+    # non-numeric id would CAST to NULL and silently aggregate into one
+    # bogus NULL row — raise with the offending id instead (pre-map
+    # string ids to BIGINT before building skip-grams).
+    as_id = (
+        "CASE WHEN TRY_CAST({v} AS BIGINT) IS NULL THEN "
+        "CAST(raise_error('walk_skipgram_pairs: non-numeric vertex id '"
+        " || {v} || ' in path; map ids to BIGINT first') AS BIGINT) "
+        "ELSE CAST({v} AS BIGINT) END"
+    )
     pair_expr = f"""
       flatten(transform(split(path, '->'), (c, i) ->
         transform(
           filter(transform(split(path, '->'), (x, j) -> struct(x AS ctx, j AS jj)),
                  s -> s.jj != i AND abs(s.jj - i) <= {int(window)}),
-          s -> struct(CAST(c AS BIGINT) AS center,
-                      CAST(s.ctx AS BIGINT) AS context))))
+          s -> struct({as_id.format(v="c")} AS center,
+                      {as_id.format(v="s.ctx")} AS context))))
     """
     return (
         walks.select(F.explode(F.expr(pair_expr)).alias("p"))

@@ -369,6 +369,24 @@ def _typed_back(sval: str, tag: str):
     return sval
 
 
+def _props_items(r) -> list:
+    """Sorted (key, value) items of an element's props map, rejecting
+    null VALUES with a clear error.  ``map<string,string>`` permits null
+    values and ``write_graph_distributed`` only coalesces a null MAP to
+    empty — a raw None reaching a renderer would otherwise surface as an
+    opaque TypeError inside the executor's Python worker.  None of the
+    text graph formats has a null literal, so reject rather than guess."""
+    items = sorted((r["props"] or {}).items())
+    for k, sval in items:
+        if sval is None:
+            raise ValueError(
+                f"property {k!r} of element {r['orig_id']!r} has a null "
+                "value; GraphML/GraphSON/GML cannot represent null — drop "
+                "the key or write an explicit sentinel before export"
+            )
+    return items
+
+
 def render_graphml_doc(vrows: list, erows: list) -> str:
     """One self-contained GraphML document for a shard's elements.
     Key declarations carry the type tags parse_graphml_bytes widens
@@ -399,13 +417,13 @@ def render_graphml_doc(vrows: list, erows: list) -> str:
     for r in vrows:
         data = "".join(
             f'<data key={quoteattr("n_" + k)}>{escape(v)}</data>'
-            for k, v in sorted((r["props"] or {}).items())
+            for k, v in _props_items(r)
         )
         parts.append(f"<node id={quoteattr(r['orig_id'])}>{data}</node>")
     for r in erows:
         data = "".join(
             f'<data key={quoteattr("e_" + k)}>{escape(v)}</data>'
-            for k, v in sorted((r["props"] or {}).items())
+            for k, v in _props_items(r)
         )
         parts.append(
             f"<edge id={quoteattr(r['orig_id'])} source={quoteattr(r['src'])} "
@@ -423,7 +441,7 @@ def render_graphson_doc(vrows: list, erows: list) -> str:
     by the format and rejected."""
     def props_of(r):
         out = {}
-        for k, sval in sorted((r["props"] or {}).items()):
+        for k, sval in _props_items(r):
             if k.startswith("_"):
                 raise ValueError(
                     f"property name {k!r} collides with GraphSON "
@@ -471,7 +489,7 @@ def render_gml_doc(vrows: list, erows: list) -> str:
 
     def render_props(r) -> str:
         out = []
-        for k, sval in sorted((r["props"] or {}).items()):
+        for k, sval in _props_items(r):
             if not re.match(_GML_KEY_RE, k):
                 raise ValueError(f"{k!r} is not a valid GML key")
             out.append(

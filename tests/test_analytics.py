@@ -649,3 +649,17 @@ def test_maximal_independent_set_matches_greedy_reference(spark):
         assert m or any(got[u] for u in adj[v])
     with pytest.raises(ValueError, match="max_rounds"):
         maximal_independent_set(df, max_rounds=0)
+
+
+def test_walk_skipgram_pairs_reject_non_numeric_ids(spark):
+    """Non-numeric vertex ids must raise with the offending id, not
+    silently CAST to NULL and aggregate into one bogus NULL row (r9
+    ADVICE fix) — walks accept arbitrary id types, skip-grams are
+    BIGINT."""
+    from fluxgraph_spark.operators.analytics import walk_skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(1, "alpha->beta", "beta")], ["walk_id", "path", "final_v"]
+    )
+    with pytest.raises(Exception, match="non-numeric vertex id"):
+        walk_skipgram_pairs(walks, window=1).collect()

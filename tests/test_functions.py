@@ -1115,3 +1115,47 @@ def test_ngram_overlap_matches_scalar_reference(spark):
     assert want[3][2] == 0 and want[4][2] == 0
     with pytest.raises(ValueError, match="n must be"):
         ngram_overlap(df, "doc_id", "cand", "ref", n=0)
+
+
+def test_jaccard_blocked_drops_zero_overlap_candidates(spark):
+    """Blocked verify agrees with the unblocked exploded form even at
+    threshold=0.0 (r9 ADVICE fix): a candidate pair with NO shared
+    shingle (an LSH band collision) produces no row, not a jaccard=0.0
+    row, and the shared pairs carry identical values."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        "id long, text string",
+    )
+    sh = dedup.shingle_table(df, "id", "text", n=2)
+    block = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    blocked = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, block=block).collect()
+    }
+    assert (1, 3) not in blocked          # zero overlap: dropped, not 0.0
+    unblocked = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh).collect()
+    }
+    assert blocked == {
+        k: v for k, v in unblocked.items() if k in {(1, 2), (1, 3)}
+    }
+
+
+def test_containment_pairs_keeps_caller_cache(spark):
+    """containment_pairs releases only the cache IT created (r9 ADVICE
+    fix): a caller who persisted the shingle table for reuse across
+    calls keeps their cache; the self-created cache is still released."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "id long, text string"
+    )
+    sh = dedup.shingle_table(df, "id", "text", n=2).persist()
+    try:
+        sh.count()
+        dedup.containment_pairs(sh).collect()
+        assert sh.is_cached               # caller-owned cache survives
+    finally:
+        sh.unpersist()
+    sh2 = dedup.shingle_table(df, "id", "text", n=2)
+    dedup.containment_pairs(sh2).collect()
+    assert not sh2.is_cached              # call-created cache released

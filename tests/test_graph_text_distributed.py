@@ -360,3 +360,26 @@ def test_writer_contracts(spark, tmp_path):
             bad_json, e.limit(0), str(tmp_path / "z"), fmt="graphson",
             n_shards=1,
         )
+
+
+def test_renderers_reject_null_prop_values():
+    """A null VALUE inside a props map must raise a clear ValueError
+    naming the key and element (r9 ADVICE fix) — none of the text graph
+    formats has a null literal, and the old behavior was an opaque
+    TypeError inside the executor's Python worker."""
+    from fluxgraph_spark.sources.graph_text import (
+        render_gml_doc,
+        render_graphml_doc,
+        render_graphson_doc,
+    )
+
+    vrows = [
+        {
+            "orig_id": "v1",
+            "props": {"name": None},
+            "prop_types": {"name": "string"},
+        }
+    ]
+    for fn in (render_graphml_doc, render_graphson_doc, render_gml_doc):
+        with pytest.raises(ValueError, match="null value"):
+            fn(vrows, [])
