@@ -4280,11 +4280,28 @@ def q_x_graphml_export(spark, sf_dir):
             F.lit("n_chars"), F.lit("long"),
         ).alias("prop_types"),
     )
-    chain_w = W.orderBy("doc_id")  # fixture-sized window (export scaffold)
+    # Chain edges via a bucketed two-level lead (r9: the scaffold was an
+    # unpartitioned single-task window; this input scales with SF).
+    # Range buckets keep doc_id order: per-bucket lead covers everything
+    # except each bucket's max row, which stitches to the next non-empty
+    # bucket's min through a broadcast of the 256x-smaller bucket table.
+    # Decision-identical to lead() over the global order.
+    _B = 256
+    sel2 = sel.select("doc_id", F.floor(F.col("doc_id") / _B).alias("__b"))
+    led = sel2.select(
+        "__b",
+        F.col("doc_id").alias("src"),
+        F.lead("doc_id").over(W.partitionBy("__b").orderBy("doc_id")).alias("dst"),
+    )
+    bmins = sel2.groupBy("__b").agg(F.min("doc_id").alias("__min"))
+    nxt = bmins.select(
+        "__b", F.lead("__min").over(W.orderBy("__b")).alias("__next_min")
+    )
     e = (
-        sel.select(
-            F.col("doc_id").alias("src"),
-            F.lead("doc_id").over(chain_w).alias("dst"),
+        led.join(F.broadcast(nxt), "__b")
+        .select(
+            "src",
+            F.coalesce("dst", "__next_min").alias("dst"),
             F.lit("next").alias("label"),
         )
         .where(F.col("dst").isNotNull())

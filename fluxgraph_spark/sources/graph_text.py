@@ -526,6 +526,7 @@ def write_graph_distributed(
     out_dir: str,
     fmt: str = "graphml",
     n_shards: int = 8,
+    max_rows_per_shard: "int | None" = None,
 ) -> None:
     """Distributed multi-shard export of a (vertices, edges) graph to
     GraphML / GraphSON / GML — the write half of the scale path (the
@@ -549,11 +550,28 @@ def write_graph_distributed(
     vertex is written exactly once, original ids are globally unique
     across shards: read the export back with
     ``read_graph_distributed(..., global_ids=True)`` (cross-shard edges
-    are legal and resolve; pytest pins the round trip)."""
+    are legal and resolve; pytest pins the round trip).
+
+    EXECUTOR MEMORY: each shard materializes as ONE in-memory pandas
+    frame plus one rendered document string on an executor, so a
+    mis-set ``n_shards`` against a 100 TB graph OOMs a worker.
+    ``max_rows_per_shard`` makes the writer self-protecting: shards
+    whose element count exceeds the cap split into
+    ``ceil(n / max_rows_per_shard)`` hash sub-shards (one extra
+    count-per-shard aggregation over the cached element table; the
+    split is semantics-free because cross-shard edges already resolve
+    and every vertex still writes exactly once).  Sub-shard assignment
+    is a uniform hash, so the cap is the EXPECTED per-file size, not a
+    hard bound — set it with ~2x headroom below what an executor can
+    render."""
     if fmt not in _RENDERERS:
         raise ValueError(f"fmt must be one of {sorted(_RENDERERS)}, got {fmt!r}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if max_rows_per_shard is not None and max_rows_per_shard < 1:
+        raise ValueError(
+            f"max_rows_per_shard must be >= 1, got {max_rows_per_shard}"
+        )
     _register_by_value()
 
     empty_map = F.create_map().cast("map<string,string>")
@@ -607,6 +625,41 @@ def write_graph_distributed(
         .unionByName(e.withColumn("__shard", shard_of(F.col("src"))))
     )
 
+    cache = None
+    if max_rows_per_shard is not None:
+        # One bounded aggregation decides the sub-shard fan-out per hash
+        # shard; cache so the (possibly expensive) element derivation
+        # runs once for the count AND the write.  The fan-out table is
+        # <= n_shards rows — broadcast it back.
+        cache = elems.persist()
+        sizes = cache.groupBy("__shard").agg(F.count("*").alias("__n")).collect()
+        n_sub = {
+            int(r["__shard"]): -(-int(r["__n"]) // max_rows_per_shard)
+            for r in sizes
+        }
+        max_sub = max(n_sub.values(), default=1)
+        if max_sub > 1:
+            spark = vertices.sparkSession
+            fan = F.broadcast(
+                spark.createDataFrame(
+                    [(s, k) for s, k in n_sub.items()], "__shard bigint, __nsub int"
+                )
+            )
+            # final shard ids stay distinct: sub < max_sub per shard
+            elems = (
+                cache.join(fan, "__shard")
+                .withColumn(
+                    "__sub",
+                    F.pmod(F.xxhash64(F.lit("sub:"), F.col("orig_id")), F.col("__nsub")),
+                )
+                .withColumn(
+                    "__shard", F.col("__shard") * F.lit(max_sub) + F.col("__sub")
+                )
+                .drop("__nsub", "__sub")
+            )
+        else:
+            elems = cache
+
     render = _RENDERERS[fmt]
     import pandas as pd
 
@@ -625,3 +678,5 @@ def write_graph_distributed(
         .mode("overwrite")
         .text(out_dir)
     )
+    if cache is not None:
+        cache.unpersist()

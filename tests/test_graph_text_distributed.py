@@ -383,3 +383,63 @@ def test_renderers_reject_null_prop_values():
     for fn in (render_graphml_doc, render_graphson_doc, render_gml_doc):
         with pytest.raises(ValueError, match="null value"):
             fn(vrows, [])
+
+
+def test_writer_max_rows_per_shard_splits_oversized_shards(spark, tmp_path):
+    """max_rows_per_shard (r9): a hash shard whose element count exceeds
+    the cap splits into hash sub-shards — more output documents, every
+    vertex still written exactly once, cross-(sub-)shard edges resolve,
+    and the round trip is exact.  Splitting is semantics-free, so the
+    capped export reads back identical to the uncapped one."""
+    import glob as _glob
+
+    from pyspark.sql import functions as FX
+
+    from fluxgraph_spark.sources.graph_text import write_graph_distributed
+
+    n = 120
+    v = spark.range(n).select(
+        FX.col("id"),
+        FX.create_map(
+            FX.lit("name"), FX.concat(FX.lit("v"), FX.col("id").cast("string"))
+        ).alias("props"),
+        FX.create_map(FX.lit("name"), FX.lit("string")).alias("prop_types"),
+    )
+    e = spark.range(n).select(
+        FX.col("id").alias("src"),
+        ((FX.col("id") + 1) % n).alias("dst"),
+        FX.lit("next").alias("label"),
+    )
+    # n_shards=2 with 240 elements: both hash shards far exceed cap=25
+    out = str(tmp_path / "capped")
+    write_graph_distributed(
+        v, e, out, fmt="graphml", n_shards=2, max_rows_per_shard=25
+    )
+    files = _glob.glob(out + "/__shard=*/part-*")
+    assert len(files) > 2                 # oversized shards actually split
+    v2, e2 = read_graph_distributed(
+        spark, out + "/__shard=*/part-*", fmt="graphml", global_ids=True
+    )
+    assert v2.count() == n                # every vertex exactly once
+    assert e2.count() == n
+    missing = (
+        e2.select(FX.col("src").alias("id"))
+        .union(e2.select(FX.col("dst").alias("id")))
+        .join(v2.select("id"), "id", "left_anti")
+        .count()
+    )
+    assert missing == 0                   # sub-shard edges all resolve
+    orig_of = {r["id"]: int(r["original_id"]) for r in v2.collect()}
+    got = {(orig_of[r["src"]], orig_of[r["dst"]]) for r in e2.collect()}
+    assert got == {(i, (i + 1) % n) for i in range(n)}
+    # a cap that never binds is a no-op: same 2 files as uncapped
+    out2 = str(tmp_path / "uncapped")
+    write_graph_distributed(
+        v, e, out2, fmt="graphml", n_shards=2, max_rows_per_shard=10_000
+    )
+    assert len(_glob.glob(out2 + "/__shard=*/part-*")) == 2
+    with pytest.raises(ValueError, match="max_rows_per_shard"):
+        write_graph_distributed(
+            v, e, str(tmp_path / "bad"), fmt="graphml", n_shards=2,
+            max_rows_per_shard=0,
+        )
