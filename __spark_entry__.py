@@ -360,6 +360,12 @@ _G_CC_ROUNDS = 8
 # (VERDICT r8 item 1: the last tautological fixed-round oracle).
 _D_SEM_CC_ROUNDS = 8
 
+# The IVF-blocked variant's pair graph is DEEPER: centroid buckets cut
+# across labels, so chains form (scalar probe: fixpoint at 9 rounds at
+# sf0.001 / 8 at sf0.01, max component 12).  12 oversized rounds +
+# the assert; converged rounds are no-ops in both engines.
+_D_SEM_IVF_CC_ROUNDS = 12
+
 
 def q_g_components(spark, sf_dir):
     """Min-label propagation over the symmetrized graph, fixed
@@ -3228,6 +3234,30 @@ def q_d_semantic_dedupe(spark, sf_dir):
     )
 
 
+def q_d_semantic_ivf_dedupe(spark, sf_dir):
+    """Label-FREE semantic dedup (r9 — the production shape: a real
+    corpus has no blocking column): the block is a deterministic IVF
+    centroid assignment — 16 md5-sampled centroids, every vector
+    assigned to its 2 nearest by cosine (multi-probe: near-dups split
+    by a centroid boundary still meet through either side's second
+    probe) — then the same cosine>=0.35 pair scoring, fixed-superstep
+    components (convergence-asserted, _D_SEM_IVF_CC_ROUNDS shared with
+    the oracle) and min-id representative as d_semantic_dedupe.  The
+    centroid pick, probe argmax, candidate set and threshold are all
+    deterministic math, so the oracle replays the survivor set
+    bit-for-bit (centroid-assignment CTE + pair + components replay —
+    the s_ivf_kmeans_topk pattern)."""
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    return dedup.semantic_ivf_dedupe(
+        emb,
+        n_centroids=16,
+        n_probe=2,
+        threshold=0.35,
+        max_iters=_D_SEM_IVF_CC_ROUNDS,
+        assert_converged=True,
+    )
+
+
 def q_d_corpus_dedupe(spark, sf_dir):
     """Full near-dup corpus dedup on the md5 hash family: verified LSH
     pairs -> transitive star-clusters -> min-id representative kept.
@@ -4775,6 +4805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_lsh_fast_pairs": q_d_lsh_fast_pairs,
         "d_corpus_dedupe": q_d_corpus_dedupe,
         "d_semantic_dedupe": q_d_semantic_dedupe,
+        "d_semantic_ivf_dedupe": q_d_semantic_ivf_dedupe,
         "d_lsh_verified_pairs": q_d_lsh_verified_pairs,
         "d_simhash": q_d_simhash,
         "d_winnow_pairs": q_d_winnow_pairs,
@@ -5386,6 +5417,60 @@ pr AS MATERIALIZED (
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35),
+sym AS MATERIALIZED (SELECT src, dst FROM pr UNION SELECT dst AS src, src AS dst FROM pr),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+c0 AS (SELECT id, id AS component FROM verts)"""
+    for k in range(iters):
+        ctes += f""",
+m{k} AS MATERIALIZED (SELECT s.dst AS id, min(c.component) AS mn
+         FROM sym s JOIN c{k} c ON c.id = s.src GROUP BY s.dst),
+c{k + 1} AS MATERIALIZED (SELECT c.id, least(c.component, COALESCE(m.mn, c.component)) AS component
+             FROM c{k} c LEFT JOIN m{k} m ON m.id = c.id)"""
+    return (
+        "WITH "
+        + ctes.lstrip()
+        + f"""
+SELECT e.vec_id AS id,
+       COALESCE(c.component, e.vec_id) AS rep_id,
+       CASE WHEN COALESCE(c.component, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS kept
+FROM embeddings e LEFT JOIN c{iters} c ON c.id = e.vec_id
+"""
+    )
+
+
+def _semantic_ivf_dedupe_sql(
+    iters: int = 12, n_centroids: int = 16, n_probe: int = 2
+) -> str:
+    """Chained-CTE replay of semantic_ivf_dedupe: md5-sampled centroids
+    -> per-vector n_probe nearest-centroid assignment (the s_ivf_topk
+    argmax CTE) -> bucket-sharing cosine pairs -> fixed min-label
+    supersteps -> min-id representative.  Registered with
+    iters=_D_SEM_IVF_CC_ROUNDS, the constant the query passes as
+    max_iters."""
+    ctes = f"""
+base AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+cents AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS centroid_id,
+         vec AS cvec
+  FROM base ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_centroids}),
+scored AS MATERIALIZED (
+  SELECT b.id, c.centroid_id,
+         list_dot_product(b.vec, c.cvec)
+           / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+  FROM base b CROSS JOIN cents c),
+assign AS MATERIALIZED (
+  SELECT id, centroid_id FROM (
+    SELECT id, centroid_id,
+           row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id) AS rn
+    FROM scored) WHERE rn <= {n_probe}),
+pr AS MATERIALIZED (
+  SELECT DISTINCT aa.id AS src, ab.id AS dst
+  FROM assign aa
+  JOIN assign ab ON ab.centroid_id = aa.centroid_id AND aa.id < ab.id
+  JOIN base a ON a.id = aa.id
+  JOIN base b ON b.id = ab.id
+  WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35),
 sym AS MATERIALIZED (SELECT src, dst FROM pr UNION SELECT dst AS src, src AS dst FROM pr),
 verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
 c0 AS (SELECT id, id AS component FROM verts)"""
@@ -7078,6 +7163,9 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 10
         """,
         "d_semantic_dedupe": _semantic_dedupe_sql(_D_SEM_CC_ROUNDS),
+        "d_semantic_ivf_dedupe": _semantic_ivf_dedupe_sql(
+            _D_SEM_IVF_CC_ROUNDS, 16, 2
+        ),
         "d_lsh_verified_pairs": _lsh_verified_sql(8, 4),
         "d_minhash_lsh_pairs": _lsh_verified_sql(8, 2),
         "d_corpus_dedupe": _corpus_dedupe_sql(8, 4),

@@ -999,10 +999,27 @@ def semantic_dedupe(
     rounds' label sums must match — labels are monotone, so
     sum-stability is equivalent to a true fixpoint) and oversize
     ``max_iters``.  For adversarially long chains use
-    ``connected_components_star`` (O(log n) rounds) instead."""
+    ``connected_components_star`` (O(log n) rounds) instead.
+
+    Production corpora rarely ship a usable ``block_col`` — see
+    :func:`semantic_ivf_dedupe` for the label-free form that derives
+    the block from a deterministic IVF centroid assignment."""
+    pairs = embedding_near_dup_pairs(emb, id_col, vec_col, block_col, threshold)
+    return _keep_min_reps(emb, id_col, pairs, max_iters, assert_converged)
+
+
+def _keep_min_reps(
+    emb: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iters: int,
+    assert_converged: bool,
+) -> DataFrame:
+    """Shared tail of the semantic-dedup family: near-dup pairs ->
+    weakly-connected components (fixed min-label supersteps) ->
+    (id, rep_id, kept) with singletons keeping themselves."""
     from ..operators import analytics as AN
 
-    pairs = embedding_near_dup_pairs(emb, id_col, vec_col, block_col, threshold)
     comp = AN.connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         max_iters=max_iters,
@@ -1015,6 +1032,54 @@ def semantic_dedupe(
         .select("id", F.coalesce("component", F.col("id")).alias("rep_id"))
     )
     return out.withColumn("kept", (F.col("id") == F.col("rep_id")).cast("int"))
+
+
+def semantic_ivf_dedupe(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    threshold: float = 0.95,
+    max_iters: int = 6,
+    assert_converged: bool = False,
+) -> DataFrame:
+    """:func:`semantic_dedupe` for corpora WITHOUT a blocking column —
+    the block is a deterministic IVF centroid assignment instead of a
+    label: md5-sampled centroids (similarity.ivf_centroids), each vector
+    assigned to its ``n_probe`` nearest centroids by cosine
+    (similarity.ivf_assign — a narrow unrolled map, zero shuffle), and
+    only bucket-sharing pairs are scored.  Multi-probe matters here:
+    with ``n_probe >= 2`` two near-duplicates split by a centroid
+    boundary still meet through either one's second-nearest list, the
+    standard IVF recall lever.  Everything downstream (pair scoring,
+    fixed-superstep components, min-id representative) is
+    :func:`semantic_dedupe`'s shared tail, including the
+    ``assert_converged`` contract.
+
+    The whole decision — centroid sample, probe argmax, candidate set,
+    cosine threshold, components — is deterministic integer/double math,
+    so an external SQL engine replays the survivor set bit-for-bit.
+
+    Scale shape: assignment is a narrow map over the corpus; candidate
+    pairs are one self-join per inverted list (list sizes ~corpus /
+    n_centroids — size n_centroids ~sqrt(corpus) at scale); components
+    shuffle only the pair graph."""
+    from .similarity import _as_double_vec, ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double_vec(F.col(vec_col)).alias("vec")
+    )
+    assign = ivf_assign(base, cents, n_probe=n_probe, id_col="id", vec_col="vec")
+    blocked = base.join(assign, "id")
+    pairs = embedding_near_dup_pairs(
+        blocked, "id", "vec", block_col="centroid_id", threshold=threshold
+    )
+    if n_probe > 1:
+        # multi-probe scores a pair once per shared probed centroid
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return _keep_min_reps(emb, id_col, pairs, max_iters, assert_converged)
 
 
 def contamination_hits(

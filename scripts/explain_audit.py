@@ -94,6 +94,7 @@ NO_PUSHDOWN_EXPECTED = {
     "t_retention",          # full-events cohort rollup
     "x_weighted_sample",    # score predicate is derived, not scan-level
     "d_semantic_dedupe",    # full-embeddings pair join + components
+    "d_semantic_ivf_dedupe",  # same, IVF-blocked (label-free)
     "d_lsh_verified_pairs", # full-corpus shingling
     "x_pack",               # full-corpus token count + window
     "x_pack_greedy",        # full-corpus token count + grouped pandas pack
@@ -261,6 +262,7 @@ NO_BROADCAST_EXPECTED = {
     "s_lsh_topk",           # bucket equi-join: broadcast chosen by hint/AQE
     "s_ivf_topk",           # probe joins: AQE decides
     "d_semantic_dedupe",    # corpus-scale embedding self-join: must NOT broadcast at scale
+    "d_semantic_ivf_dedupe",  # bucket self-join: must NOT broadcast at scale
     "g_gremlin_pipe",       # hop equi-joins: AQE decides at runtime
     "g_gremlin_heavy",      # endpoint join: AQE decides
     "d_indexed_dedupe",     # batch-vs-index joins: AQE decides

@@ -1159,3 +1159,29 @@ def test_containment_pairs_keeps_caller_cache(spark):
     sh2 = dedup.shingle_table(df, "id", "text", n=2)
     dedup.containment_pairs(sh2).collect()
     assert not sh2.is_cached              # call-created cache released
+
+
+def test_semantic_ivf_dedupe_label_free(tables, spark):
+    """semantic_ivf_dedupe (r9): label-free semantic dedup — the block
+    is the deterministic IVF centroid assignment, not a data column.
+    Pins: full cover (one row per vector), representative consistency
+    (every rep keeps itself, non-reps don't), the min-id contract, and
+    the convergence assert firing on an undersized round budget (the
+    fixture pair graph's fixpoint is 9 supersteps)."""
+    emb = tables["embeddings"]
+    out = dedup.semantic_ivf_dedupe(
+        emb, n_centroids=16, n_probe=2, threshold=0.35,
+        max_iters=12, assert_converged=True,
+    )
+    rows = {r["id"]: (r["rep_id"], r["kept"]) for r in out.collect()}
+    assert len(rows) == emb.count()
+    for vid, (rep, kept) in rows.items():
+        assert rep <= vid                       # min-id representative
+        assert kept == (1 if rep == vid else 0)
+        assert rows[rep][0] == rep              # reps represent themselves
+    assert any(rep != vid for vid, (rep, _) in rows.items())  # merges exist
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.semantic_ivf_dedupe(
+            emb, n_centroids=16, n_probe=2, threshold=0.35,
+            max_iters=4, assert_converged=True,
+        )
