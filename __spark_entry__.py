@@ -2661,6 +2661,55 @@ def q_st_windowed_counts(spark, sf_dir):
     )
 
 
+_TXLOG_DIRS: dict = {}
+
+
+def _stage_txlog(spark, sf_dir):
+    """Append-only tx_log batches staged once per (process, sf_dir):
+    the events table rendered as the tx_log schema (tx_id=event_id,
+    element_id=user_id, kind=event_type) in 4 parquet files, so the
+    file-stream source sees multiple batch files.  Deriving the feed
+    from events keeps the oracle SQL-replayable; the schema and stream
+    path are the product's (streaming/changefeed.py)."""
+    d = _TXLOG_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = _scratch_dir("txlog_stream_")
+        tx = tpch.read_tables(spark, sf_dir)["events"].select(
+            F.col("event_id").alias("tx_id"),
+            F.col("ts").alias("tx_time"),
+            F.col("user_id").alias("element_id"),
+            F.lit(0).cast("long").alias("prev_tx_id"),
+            F.col("event_type").alias("kind"),
+        )
+        tx.repartition(4).write.mode("overwrite").parquet(d)
+        _TXLOG_DIRS[sf_dir] = d
+    return d
+
+
+def q_st_changefeed(spark, sf_dir):
+    """Change-data-feed rollup end to end (r9 — gates streaming/
+    changefeed.py, the tx_log analog of the reference's
+    :add-transaction-info log, FluxGraph.java:443-476): tx batches
+    appended as parquet files -> read back as a stream
+    (tx_log_stream) -> exact per-(hour, kind, element) touch counts
+    (element_touch_counts, ONE stateful aggregation) drained with
+    availableNow -> batch rollup to (window, kind) mutation counts
+    with an EXACT distinct-elements count (one settled row per live
+    key, so n_elements is a plain count).  Append-only source + exact
+    integer counts => the settled result equals the batch rollup and
+    the oracle hash-gates the whole feed."""
+    from fluxgraph_spark.streaming import element_touch_counts, tx_log_stream
+
+    log = tx_log_stream(spark, _stage_txlog(spark, sf_dir))
+    res = _drain_stream(element_touch_counts(log, "1 hour"), "complete")
+    return res.groupBy(
+        F.unix_micros(F.col("win_start")).alias("win_us"), "kind"
+    ).agg(
+        F.sum("n_changes").cast("long").alias("n_changes"),
+        F.count(F.lit(1)).cast("long").alias("n_elements"),
+    )
+
+
 def q_st_scd2_ingest(spark, sf_dir):
     """End-to-end DURABLE streaming ingest: the events stream flows
     through foreachBatch into an Scd2ParquetTable (bucket-level
@@ -4761,6 +4810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_phrase_indexed": q_x_phrase_indexed,
         # streaming surface (real Structured Streaming runs, availableNow)
         "st_windowed_counts": q_st_windowed_counts,
+        "st_changefeed": q_st_changefeed,
         "st_sessionize": q_st_sessionize,
         "st_stream_join": q_st_stream_join,
         "st_running_stats": q_st_running_stats,
@@ -6523,6 +6573,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
                count(*) AS n_events,
                sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1, 2
+        """,
+        "st_changefeed": """
+        SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
+               event_type AS kind,
+               count(*) AS n_changes,
+               count(DISTINCT user_id) AS n_elements
         FROM events GROUP BY 1, 2
         """,
         "st_sessionize": """

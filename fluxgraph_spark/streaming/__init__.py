@@ -11,7 +11,11 @@ from Spark, not custom code.
 """
 
 from .ann_ingest import ann_streaming_sink
-from .changefeed import tx_log_stream, element_change_counts
+from .changefeed import (
+    element_change_counts,
+    element_touch_counts,
+    tx_log_stream,
+)
 from .dedup_ingest import dedup_streaming_sink, seed_corpus
 from .events import (
     read_event_stream,
@@ -33,6 +37,7 @@ __all__ = [
     "scd2_streaming_sink",
     "tx_log_stream",
     "element_change_counts",
+    "element_touch_counts",
     "read_event_stream",
     "windowed_event_counts",
     "sessionize_stream",

@@ -31,14 +31,45 @@ TX_LOG_SCHEMA = T.StructType(
 )
 
 
-def tx_log_stream(spark: SparkSession, path: str) -> DataFrame:
+def tx_log_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
     """``readStream`` over a tx_log parquet directory (e.g. written by
     ``save_graph_parquet``): each new file is a batch of committed
-    transactions — a change-data feed for the graph."""
+    transactions — a change-data feed for the graph.
+    ``max_files_per_trigger`` bounds each microbatch's file intake
+    (back-pressure for catch-up reads after downtime)."""
     return (
         spark.readStream.schema(TX_LOG_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
+    )
+
+
+def element_touch_counts(
+    log: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact per-(window, kind, element) mutation counts — the
+    hash-gateable changefeed rollup.  :func:`element_change_counts`'s
+    ``n_elements`` uses ``approx_count_distinct`` (exact distinct
+    aggregation is unsupported in streaming), which no external engine
+    replays; this keyed one-level aggregation is exact instead, and an
+    exact distinct-elements count falls out of a trivial batch rollup
+    over the settled result (one row per live key).  Scale: ONE
+    stateful aggregation whose state is bounded by live (window, kind,
+    element) keys — with the watermark, expired windows evict in
+    append/update modes; complete mode is for finite drains."""
+    return (
+        log.withWatermark(M.TX_TIME, watermark)
+        .groupBy(F.window(M.TX_TIME, window).alias("win"), M.KIND, M.ELEMENT_ID)
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            M.KIND,
+            M.ELEMENT_ID,
+            "n_changes",
+        )
     )
 
 

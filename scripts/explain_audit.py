@@ -83,6 +83,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_tfidf_top_terms",    # full-corpus explode
     "x_vocab",              # full-corpus explode
     "x_decontaminate",      # doc_id % 50 is a derived predicate, not scan-level
+    "st_changefeed",        # memory-sink read-back; scans ran in the drain
     "x_decontaminate_bloom",  # same derived predicate; bloom prune is map-side
     "t_asof_tolerance",     # keep symmetric with t_asof_join
     "d_span_dup",           # full-corpus span fingerprinting
@@ -260,6 +261,7 @@ NO_BROADCAST_EXPECTED = {
     "t_asof_nearest",       # union + window, no joins
     "t_resample",           # grid/hourly join: AQE decides
     "s_lsh_topk",           # bucket equi-join: broadcast chosen by hint/AQE
+    "st_changefeed",        # memory-sink rollup, no joins
     "s_ivf_topk",           # probe joins: AQE decides
     "d_semantic_dedupe",    # corpus-scale embedding self-join: must NOT broadcast at scale
     "d_semantic_ivf_dedupe",  # bucket self-join: must NOT broadcast at scale
@@ -357,6 +359,7 @@ NO_SCAN_EXPECTED = {
     "st_sessionize",
     "st_stream_join",
     "st_windowed_counts",
+    "st_changefeed",
     "x_bpe_merges",
     # cache-lifetime fixes (ADVICE r7): the pair/overlap tables
     # localCheckpoint inside the operator so the shingle/gram caches can

@@ -436,3 +436,78 @@ def test_dedup_ingest_rejects_reserved_batch_id_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="batch_id"):
         seed_corpus(bad, str(tmp_path / "corpus"))
+
+
+def test_changefeed_touch_counts_crash_replay(spark, tmp_path):
+    """element_touch_counts (r9): the exact changefeed rollup survives a
+    stop/restart — leg 1 drains the first two tx batch files and stops
+    (the crash analog), a third file lands while the query is down, and
+    leg 2 resumes from the SAME checkpoint processing ONLY the new file;
+    the settled complete-mode state still equals the batch rollup over
+    every file (state carried across the restart, no reprocessing)."""
+    import glob
+
+    from fluxgraph_spark.sources.tpch import read_events
+    from fluxgraph_spark.streaming import element_touch_counts, tx_log_stream
+
+    ev = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+    tx = ev.select(
+        F.col("event_id").alias("tx_id"),
+        F.col("ts").alias("tx_time"),
+        F.col("user_id").alias("element_id"),
+        F.lit(0).cast("long").alias("prev_tx_id"),
+        F.col("event_type").alias("kind"),
+    ).persist()
+    src = str(tmp_path / "txlog")
+    staging = str(tmp_path / "staging")
+    tx.where(F.col("tx_id") % 3 < 2).repartition(2).write.parquet(src)
+    tx.where(F.col("tx_id") % 3 == 2).coalesce(1).write.parquet(staging)
+    ckpt = str(tmp_path / "ckpt")
+    name = f"cf_{uuid.uuid4().hex[:8]}"
+
+    def start():
+        sdf = element_touch_counts(
+            tx_log_stream(spark, src, max_files_per_trigger=1), "1 hour"
+        )
+        return (
+            sdf.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # leg 1: drain the first two files, then "crash"
+    q1 = start()
+    q1.awaitTermination()
+    n_leg1 = spark.table(name).count()
+    assert n_leg1 > 0
+    # a new tx batch lands while the consumer is down
+    new_file = glob.glob(staging + "/part-*.parquet")[0]
+    shutil.copy(new_file, os.path.join(src, "part-late.parquet"))
+    # leg 2: resume from the checkpoint — only the new file is read,
+    # but complete mode re-emits the FULL carried-over state
+    q2 = start()
+    q2.awaitTermination()
+    assert len(q2.recentProgress) >= 1   # the resume actually ran a batch
+    got = spark.table(name)
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.window("tx_time", "1 hour").alias("win"), "kind", "element_id"
+        )
+        .agg(F.count("*").alias("n_changes"))
+    )
+    tx.unpersist()
+    assert got.count() == batch.count()
+    assert got.count() > n_leg1          # leg 2 added the late file's keys
+    j = got.join(
+        batch.select(
+            F.col("win.start").alias("win_start"), "kind", "element_id",
+            F.col("n_changes").alias("n_b"),
+        ),
+        ["win_start", "kind", "element_id"],
+    )
+    assert j.count() == got.count()
+    assert j.where(F.col("n_changes") != F.col("n_b")).count() == 0
