@@ -131,6 +131,19 @@ shing AS (
 
 STABLE_HASH_SQL = "('0x' || substring(md5({x}), 1, 15))::UBIGINT"
 
+# word-BIGRAM variant of SHINGLES_SQL (n=2): the d_lsh_budget substrate —
+# shorter shingles + the same banding give a denser candidate graph, the
+# regime a per-doc verify budget exists for
+SHINGLES2_SQL = r"""
+shing AS (
+  SELECT DISTINCT doc_id AS id,
+         array_to_string(list_slice(t, i, i + 1), ' ') AS shingle
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+       UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS g(i)
+  WHERE array_to_string(list_slice(t, i, i + 1), ' ') <> ''
+)
+"""
+
 
 # ---------------------------------------------------------------------------
 # entry — flagship query (smoke check at sf0.001)
@@ -3283,6 +3296,33 @@ def q_d_semantic_dedupe(spark, sf_dir):
     )
 
 
+# Per-doc verify budget shared by q_d_lsh_budget and _lsh_budget_sql.
+# Binds HARD at every gate SF: bigram shingles + 8 single-component
+# bands give ~24k candidate pairs (per-side maxima ~180); the budget
+# keeps ~2.4k survivors — a 10x verify cut with the decision hash-gated.
+_LSH_BUDGET = 3
+
+
+def q_d_lsh_budget(spark, sf_dir):
+    """MinHash+LSH verified pairs under a PER-DOC CANDIDATE BUDGET
+    (r9 — the d_containment_budget pattern on the banded stream):
+    bigram shingles + 8 single-component bands give a dense candidate
+    graph (~24k pairs at the gate SFs), then
+    candidates rank per side by shared-band evidence DESC / partner id
+    ASC and survive within budget=_LSH_BUDGET on EITHER side before the
+    exact-Jaccard verify.  THRESHOLD-FREE: the full budgeted survivor
+    list is the decision surface, so the oracle hash-gates the budget
+    decision itself (both row_number windows replay in SQL).  At 100 TB
+    this bounds verify work to O(corpus x budget) pairs regardless of
+    near-dup cluster density — the knob d_lsh_verified_pairs (the
+    unbudgeted detector) lacks."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return dedup.minhash_lsh_dedup_reproducible(
+        docs, "doc_id", "text", n=2, num_hashes=8, bands=8,
+        threshold=0.0, max_candidates_per_doc=_LSH_BUDGET,
+    )
+
+
 def q_d_semantic_ivf_dedupe(spark, sf_dir):
     """Label-FREE semantic dedup (r9 — the production shape: a real
     corpus has no blocking column): the block is a deterministic IVF
@@ -4857,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_semantic_dedupe": q_d_semantic_dedupe,
         "d_semantic_ivf_dedupe": q_d_semantic_ivf_dedupe,
         "d_lsh_verified_pairs": q_d_lsh_verified_pairs,
+        "d_lsh_budget": q_d_lsh_budget,
         "d_simhash": q_d_simhash,
         "d_winnow_pairs": q_d_winnow_pairs,
         "d_edit_near_dups": q_d_edit_near_dups,
@@ -5048,6 +5089,58 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+"""
+
+
+def _lsh_budget_sql(
+    num_hashes: int = 8, bands: int = 4, budget: int = 3
+) -> str:
+    """Replay of q_d_lsh_budget: bigram shingles, md5 minhash, banded
+    buckets, shared-band evidence counts, BOTH per-side budget windows,
+    exact Jaccard over the budgeted survivors (threshold-free; the
+    inner shingle join drops zero-overlap candidates, matching the
+    blocked verify path).  ``budget`` is registered as _LSH_BUDGET —
+    the same constant the query passes."""
+    comps = ",\n    ".join(
+        "min(" + STABLE_HASH_SQL.format(x=f"'s{i}:' || shingle") + f") AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {SHINGLES2_SQL.strip()},
+sig AS MATERIALIZED (SELECT id, {comps} FROM shing GROUP BY id),
+banded AS MATERIALIZED ({band_selects}),
+ev AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_ev
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  GROUP BY a.id, b.id),
+cand AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           row_number() OVER (PARTITION BY id_a ORDER BY n_ev DESC, id_b) AS ra,
+           row_number() OVER (PARTITION BY id_b ORDER BY n_ev DESC, id_a) AS rb
+    FROM ev) WHERE ra <= {budget} OR rb <= {budget}),
+sizes AS MATERIALIZED (SELECT id, count(*) AS n_sh FROM shing GROUP BY id),
+inter AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shing a ON a.id = c.id_a
+  JOIN shing b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
 """
 
 
@@ -7224,6 +7317,7 @@ def oracle_sql() -> dict[str, str]:
             _D_SEM_IVF_CC_ROUNDS, 16, 2
         ),
         "d_lsh_verified_pairs": _lsh_verified_sql(8, 4),
+        "d_lsh_budget": _lsh_budget_sql(8, 8, _LSH_BUDGET),
         "d_minhash_lsh_pairs": _lsh_verified_sql(8, 2),
         "d_corpus_dedupe": _corpus_dedupe_sql(8, 4),
         "d_incr_dedupe": _incr_dedupe_sql(8, 4),

@@ -905,11 +905,26 @@ def minhash_lsh_dedup_reproducible(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_candidates_per_doc: "int | None" = None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pairs with the md5-derived hash
     family: bit-for-bit replayable by an external SQL engine, unlike the
     xxhash64 fast path of :func:`minhash_lsh_dedup`.  Use this flavor
     when the pipeline result must be auditable across engines.
+
+    ``max_candidates_per_doc`` caps the verify work per document — the
+    :func:`containment_pairs` budget pattern applied to the banded
+    candidate stream: candidates rank per side by shared-band count
+    DESC then partner id ASC, and a pair survives if it is within
+    budget on EITHER side (the union keeps recall: a boilerplate hub's
+    partners each rank the hub highly even when the hub's own list
+    overflows).  Deterministic, decision-identical whenever no document
+    exceeds the budget; at 100 TB this bounds the exact-Jaccard verify
+    to O(corpus x budget) pairs no matter how dense the near-dup
+    clusters are.  Combine with a permissive banding (more bands) when
+    the budget is the intended recall control — and gate it
+    THRESHOLD-FREE: a high Jaccard threshold already selects only
+    top-evidence pairs, leaving the budget nothing to bind on.
 
     The shingle table feeds four consumers (signatures, both sides of
     the intersection join, sizes) and the candidate pairs feed two —
@@ -921,7 +936,31 @@ def minhash_lsh_dedup_reproducible(
     let AQE re-plan the banding join run-to-run)."""
     sh = shingle_table(df, id_col, text_col, n=n).persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes)
-    cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands).persist()
+    if max_candidates_per_doc is None:
+        cand = lsh_candidate_pairs(
+            sig, num_hashes=num_hashes, bands=bands
+        ).persist()
+    else:
+        banded = band_table(sig, num_hashes=num_hashes, bands=bands)
+        a, b = banded.alias("a"), banded.alias("b")
+        ev = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("__n_ev"))
+        )
+        w_a = W.partitionBy("id_a").orderBy(F.desc("__n_ev"), F.asc("id_b"))
+        w_b = W.partitionBy("id_b").orderBy(F.desc("__n_ev"), F.asc("id_a"))
+        cand = (
+            ev.withColumn("__ra", F.row_number().over(w_a))
+            .withColumn("__rb", F.row_number().over(w_b))
+            .where(
+                (F.col("__ra") <= max_candidates_per_doc)
+                | (F.col("__rb") <= max_candidates_per_doc)
+            )
+            .select("id_a", "id_b")
+            .persist()
+        )
     n_cand = cand.count()
     out = jaccard_pairs(
         sh, block=cand, threshold=threshold,

@@ -106,6 +106,13 @@ QUERIES = [
     # stays proportional to Σ walk-degrees, no hub blowup)
     "d_containment_budget",
     "g_node2vec_walks",
+    # round 9: the budgeted LSH verify (the same knob on the banded
+    # candidate stream — its curve should flatten where the unbudgeted
+    # d_lsh_verified_pairs tracks near-dup density) and the label-free
+    # IVF-blocked semantic dedup (assignment is a narrow map; the pair
+    # join is per inverted list)
+    "d_lsh_budget",
+    "d_semantic_ivf_dedupe",
 ]
 
 # the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data
@@ -119,6 +126,13 @@ SF10_QUERIES = [
     # r8: the budget knob's whole point is the 100x regime — measure it
     # beside the unbudgeted detector at the same tier
     "d_containment_budget",
+    # r9: the walk family's 10x curves were the steepest survivors
+    # (node2vec 2.57, random_walks 2.05) with no 100x datapoint, and
+    # the LSH budget knob measured beside its unbudgeted pair
+    "g_node2vec_walks",
+    "g_random_walks",
+    "d_lsh_budget",
+    "d_lsh_verified_pairs",
 ]
 
 

@@ -97,6 +97,7 @@ NO_PUSHDOWN_EXPECTED = {
     "d_semantic_dedupe",    # full-embeddings pair join + components
     "d_semantic_ivf_dedupe",  # same, IVF-blocked (label-free)
     "d_lsh_verified_pairs", # full-corpus shingling
+    "d_lsh_budget",         # same, budgeted candidate stream
     "x_pack",               # full-corpus token count + window
     "x_pack_greedy",        # full-corpus token count + grouped pandas pack
     "x_unpivot",            # full-lineitem melt
@@ -328,6 +329,7 @@ NO_BROADCAST_EXPECTED = {
     "g_walk_skipgrams",     # narrow pair map + agg over the checkpoint
     "d_minhash_lsh_pairs",  # final plan is the checkpointed pair table
     "d_lsh_verified_pairs", # same
+    "d_lsh_budget",         # same
     "d_lsh_fast_pairs",     # recall audit over two checkpointed pair sets
     "x_graphml_ingest",     # degree join over checkpointed splits: AQE decides
     "x_graphml_export",     # same
@@ -372,6 +374,7 @@ NO_SCAN_EXPECTED = {
     "g_walk_skipgrams",
     "d_minhash_lsh_pairs",
     "d_lsh_verified_pairs",
+    "d_lsh_budget",
     "d_lsh_fast_pairs",
     # graph-text loads checkpoint both splits and release the parse
     # cache; the binaryFile scan ran in the checkpointed job

@@ -1185,3 +1185,38 @@ def test_semantic_ivf_dedupe_label_free(tables, spark):
             emb, n_centroids=16, n_probe=2, threshold=0.35,
             max_iters=4, assert_converged=True,
         )
+
+
+def test_lsh_candidate_budget_identity_and_binding(tables, spark):
+    """minhash_lsh_dedup_reproducible's max_candidates_per_doc (r9):
+    decision-identical to the unbudgeted detector when the budget never
+    binds, a strict subset (with unchanged jaccard values) when it does
+    — the containment_pairs budget pattern on the banded stream."""
+    docs = tables["documents"]
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup_reproducible(
+            docs, "doc_id", "text", n=2, num_hashes=8, bands=8,
+            threshold=0.0,
+        ).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup_reproducible(
+            docs, "doc_id", "text", n=2, num_hashes=8, bands=8,
+            threshold=0.0, max_candidates_per_doc=100_000,
+        ).collect()
+    }
+    assert wide == full                  # unbound budget: identity
+    tight = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup_reproducible(
+            docs, "doc_id", "text", n=2, num_hashes=8, bands=8,
+            threshold=0.0, max_candidates_per_doc=3,
+        ).collect()
+    }
+    assert set(tight) < set(full)        # the budget actually binds
+    assert all(full[k] == v for k, v in tight.items())  # values unchanged
+    # either-side union keeps recall: every pair kept ranks within
+    # budget on at least one side by construction; spot the cut size
+    assert len(tight) < len(full) // 2
