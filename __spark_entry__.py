@@ -4679,65 +4679,69 @@ assert len(_R7_PRIORITY) == 50
 # x_rouge: operator-internal localCheckpoint cache-lifetime fix;
 # t_scd2_travel / st_scd2_ingest: reads now conform to the
 # manifest-recorded schema) + the new r8 queries + r5-cohort top-ups.
-_R8_PRIORITY = [
-    "k_quantile_sample",   # never driver-checked (landed post-freeze r7)
-    "d_containment_budget",  # new in r8: gated candidate budget
-    "g_node2vec_walks",      # new in r8: p/q-biased second-order walks
-    "x_graphml_export",      # new in r8: distributed sharded export
-    "g_walk_skipgrams",      # new in r8: walk -> training-pair corpus
-    "d_edit_near_dups",      # new in r8: Levenshtein fuzzy verify
-    "g_components",        # changed in r8: assert_converged, 8 rounds
-    "d_containment",       # operator changed in r8 (checkpointed pairs)
-    "x_rouge",             # operator changed in r8 (checkpointed overlap)
-    "t_scd2_travel",       # scd2 reads now schema-conformed
-    "st_scd2_ingest",      # same
-    # the 30 r4-stale entries (latest driver check == r4)
-    "d_corpus_dedupe",
-    "d_incr_dedupe",
-    "d_indexed_dedupe",
+_R9_PRIORITY = [
+    # the 3 new r9 queries (never driver-checked)
+    "d_lsh_budget",
+    "d_semantic_ivf_dedupe",
+    "st_changefeed",
+    # the 36-entry r5-stale cohort (rotation_check at the r9 horizon)
+    "d_prefix_dedupe",
+    "d_text_hashes",
+    "events_type_stats",
+    "g_customers_in_nation",
+    "g_edges_by_label",
+    "g_out_degree_top20",
+    "g_vertices_by_kind",
+    "k_sketches",
+    "m_frame_samples",
+    "m_media_features",
+    "m_media_meta",
+    "pipeline_corpus",
+    "pricing_summary",
+    "r_big_orders",
+    "r_inactive_customers",
+    "r_order_priority",
+    "r_promo_share",
+    "region_revenue",
+    "revenue_filter",
+    "s_label_centroids",
+    "st_running_stats",
+    "st_sessionize",
+    "st_stream_join",
+    "st_windowed_counts",
+    "t_asof_user_state",
+    "t_scd2_versions",
+    "t_validity_intervals",
+    "t_version_counts",
+    "top_orders_building",
+    "top_parts_by_quantity",
+    "x_corpus_stats",
+    "x_decontaminate_bloom",
+    "x_frames_mjpeg",
+    "x_tfidf_top_terms",
+    "x_weighted_sample",
+    "x_window_suite",
+    # everything whose code changed in r9 (convergence assert, blocked
+    # jaccard zero-overlap filter, cache ownership, skipgram id guard,
+    # de-scaffolded export window)
+    "d_semantic_dedupe",
     "d_lsh_verified_pairs",
     "d_minhash_lsh_pairs",
-    "d_semantic_dedupe",
-    "g_gremlin_groupcount",
-    "g_gremlin_heavy",
-    "g_gremlin_pipe",
-    "g_kcore",
-    "g_link_predict",
-    "g_triangles",
-    "r_cube_stats",
-    "r_custdist",
-    "r_excess_suppliers",
-    "r_pivot_status",
-    "r_priority_lines",
-    "r_supplier_cnt",
-    "r_topk_per_group",
-    "s_ivf_kmeans_topk",
+    "d_corpus_dedupe",
+    "d_incr_dedupe",
     "st_dedup_ingest",
-    "t_gap_stats",
-    "t_resample",
-    "x_fingerprint",
-    "x_frames",
-    "x_langid",
-    "x_quality",
-    "x_repetition",
-    "x_scrub",
-    "x_split",
-    # r5-cohort top-ups (oldest remaining; family-diverse)
-    "d_exact_dups",
-    "d_minhash_sigs",
-    "d_lsh_fast_pairs",
-    "g_gremlin_path",
-    "g_gremlin_loop",
-    "g_gremlin_except",
-    "s_lsh_topk",
-    "s_cosine_topk",
-    "s_embedding_near_dups",
+    "d_indexed_dedupe",
+    "g_walk_skipgrams",
+    "x_graphml_export",
+    "d_containment",
+    "d_containment_budget",
 ]
-assert len(_R8_PRIORITY) == 50
+assert len(_R9_PRIORITY) == 50
+assert len(set(_R9_PRIORITY)) == 50
 
 # the list the driver's ~50-entry hash prefix follows this round; also
 # what scripts/rotation_check.py treats as "will be checked this round"
-DRIVER_PRIORITY = _R8_PRIORITY
+DRIVER_PRIORITY = _R9_PRIORITY
 
 _NON_GATED_TAIL: list[str] = []
 
