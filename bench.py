@@ -65,6 +65,12 @@ HEADLINE = [
     "g_node2vec_walks",         # second-order biased walks (r8 — per-hop
                                 # candidate windows, a different execution
                                 # shape than the one-row-per-walk pick)
+    "d_semantic_ivf_dedupe",    # label-free IVF-blocked semantic dedup (r9
+                                # — narrow centroid assignment + per-list
+                                # pair join + asserted components)
+    "d_lsh_budget",             # budgeted LSH verify (r9 — dense 8-band
+                                # candidate stream cut 10x by the per-doc
+                                # evidence-rank budget before the verify)
 ]
 
 
