@@ -727,3 +727,50 @@ def sq_topk(
         )
     )
     return _topk_per_query(scored, k, score_col="score_micro")
+
+
+def topk_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against exact ground
+    truth: per query, ``n_hits`` = |truth ∩ approx| and
+    ``recall_micro`` = n_hits * 1e6 // k (exact integer — hash-gates).
+
+    The index-quality measurement every ANN deployment runs before
+    trusting an approximate index at scale (FAISS's own benchmark
+    protocol): build the exact top-k for a bounded probe-query sample
+    (brute force over Q×N is fine when |Q| is bounded), run the same
+    queries through the candidate index, and report recall@k.  Queries
+    the approximate side missed entirely still get a row (n_hits=0) —
+    a silent empty result is the failure mode this measurement exists
+    to catch.
+
+    Scale shape: both inputs are ≤ k rows per query, so the equi-join
+    and the per-query count shuffle k·|Q| rows total — the measurement
+    costs nothing next to the searches that produced its inputs.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    t = truth.select(
+        F.col(query_col).alias("query_id"), F.col(id_col).alias("vec_id")
+    )
+    a = approx.select(
+        F.col(query_col).alias("query_id"), F.col(id_col).alias("vec_id")
+    )
+    hits = (
+        t.join(a, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qs = t.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.expr(f"coalesce(n_hits, 0) * 1000000 div {k}")
+        .cast("long")
+        .alias("recall_micro"),
+    )

@@ -422,3 +422,120 @@ def sample_bottomk(
         .where(F.col("__rank") <= k)
         .drop("__h")
     )
+
+
+def kmv_theta_ops(
+    a: DataFrame, b: DataFrame, k: int = 129, group_cols: tuple = ()
+) -> DataFrame:
+    """Theta-sketch set operations over two KMV sketches (the
+    Datasketches theta framework — Dasgupta et al., "Theta Sketch
+    Framework", 2016): estimate |A ∪ B|, |A ∩ B| and |A \\ B| from two
+    :func:`kmv_build` sketches WITHOUT touching the base data again.
+
+    θ_X = 2^60 when the sketch kept fewer than k hashes (it IS the
+    exact distinct set), else its k-th smallest hash; θ = min(θ_A,
+    θ_B).  Each sketch's retained sample below θ is a uniform hash
+    sample of its set at rate θ/2^60, so for any set expression the
+    estimate is |sample expression| * 2^60 / θ — and because both
+    samples share ONE hash family, intersection/difference are plain
+    set ops on the kept hashes (the property independent samples lack).
+
+    Output per group: ``theta_h``, exact sample counts (``n_union``,
+    ``n_inter``, ``n_a_only``) and the three estimates, all integers:
+    the numerator ``n * 2^60`` is an exact double for any n ≤ k (an
+    integer times a power of two), the long→double θ conversion and
+    the division are correctly rounded, so every column hash-gates —
+    the same determinism contract as :func:`kmv_state`'s ``est``.
+    When θ = 2^60 (both sketches unsaturated) the estimates ARE the
+    exact counts.
+
+    Scale shape: inputs are ≤ k rows per group, so everything here —
+    the per-side θ aggregate, the hash equi-join, the final rollup —
+    moves O(k) rows per group.  The sketches mergeable upstream
+    (kmv_merge) + set ops downstream is the standard two-level
+    pipeline for overlap audits across 100 TB partitions.
+    """
+    _kmv_check_k(k)
+    g = list(group_cols)
+    full = 1 << KMV_HASH_BITS
+
+    def _theta(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(*g)
+            .agg(F.count(F.lit(1)).alias("__n"), F.max("h").alias("__hk"))
+            .select(
+                *g,
+                F.when(F.col("__n") < k, F.lit(full))
+                .otherwise(F.col("__hk"))
+                .alias("th"),
+            )
+        )
+
+    if g:
+        th = (
+            _theta(a).withColumnRenamed("th", "tha")
+            .join(_theta(b).withColumnRenamed("th", "thb"), g, "outer")
+        )
+    else:
+        th = _theta(a).withColumnRenamed("th", "tha").crossJoin(
+            _theta(b).withColumnRenamed("th", "thb")
+        )
+    # a side absent from a group contributes an empty sample: θ = 2^60
+    th = th.select(
+        *g,
+        F.least(
+            F.coalesce("tha", F.lit(full)), F.coalesce("thb", F.lit(full))
+        ).alias("theta_h"),
+    )
+
+    def _sample(df: DataFrame) -> DataFrame:
+        join_on = g if g else []
+        s = df.select(*g, "h")
+        s = s.join(F.broadcast(th), join_on) if join_on else s.crossJoin(
+            F.broadcast(th)
+        )
+        return s.where(F.col("h") < F.col("theta_h")).select(*g, "h")
+
+    sa = _sample(a)
+    sb = _sample(b)
+    inter = sa.join(sb, g + ["h"]).select(*g, "h")
+
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(*g).agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    def _j(left: DataFrame, right: DataFrame) -> DataFrame:
+        return left.join(right, g, "outer") if g else left.crossJoin(right)
+
+    stats = _j(_j(_cnt(sa, "n_a"), _cnt(sb, "n_b")), _cnt(inter, "n_inter"))
+    stats = _j(th, stats).select(
+        *g,
+        "theta_h",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+    )
+
+    def _est(n: Column) -> Column:
+        return (
+            F.when(F.col("theta_h") >= full, n)
+            .otherwise(
+                F.floor(
+                    n.cast("double") * F.lit(float(full))
+                    / F.col("theta_h").cast("double")
+                )
+            )
+            .cast("long")
+        )
+
+    n_union = (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long")
+    n_a_only = (F.col("n_a") - F.col("n_inter")).cast("long")
+    return stats.select(
+        *g,
+        "theta_h",
+        n_union.alias("n_union"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        n_a_only.alias("n_a_only"),
+        _est(n_union).alias("union_est"),
+        _est(F.col("n_inter")).alias("inter_est"),
+        _est(n_a_only).alias("diff_est"),
+    )

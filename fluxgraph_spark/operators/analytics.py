@@ -345,6 +345,111 @@ def sssp(
     )
 
 
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iters: int = 4,
+    assert_converged: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Sampled-source closeness centrality: per-SOURCE BFS distances
+    (the frontier carries a ``source`` label, so one superstep loop
+    serves all sources simultaneously — k sources cost k× the frontier
+    rows, never k separate jobs), then per source
+
+    * ``n_reached``  — vertices at finite distance (incl. the source),
+    * ``sum_levels`` — sum of hop distances,
+    * ``closeness_micro`` — floor((n_reached - 1) * 1e6 / sum_levels),
+      the classic closeness c(s) = (|R(s)|-1) / Σ_v d(s,v) in exact
+      integer micros (hash-gateable; 0 when nothing else is reached).
+
+    Exact closeness needs all-pairs distances — O(V·E), not a 100 TB
+    operation.  The standard scale recipe (Eppstein & Wang, SODA'01)
+    is BFS from a bounded SAMPLE of sources, which is exactly this
+    operator: pass the md5-bottom-k of the vertex table (or a fixed
+    pivot set) as ``sources``; cost is max_iters shuffles over a
+    frontier of at most |sources|·|V| (id, source, level) rows, with
+    the edge list hash-partitioned by src once and reused every
+    superstep (the :func:`bfs_levels` shape).
+
+    Fixed ``max_iters`` supersteps so a chained-CTE SQL oracle replays
+    the recurrence exactly.  ``assert_converged=True`` closes the
+    fixed-round hole (the :func:`connected_components` pattern): levels
+    are monotone non-increasing per (source, id) and newly-reached
+    pairs only add rows, so the (row count, level sum) pair is stable
+    between the last two supersteps IFF the final round was a no-op;
+    otherwise raises ValueError telling the caller to raise max_iters
+    (converged extra rounds are no-ops, so oversizing is always safe).
+    Costs two 1-row aggregations, nothing per-vertex.
+
+    Reference parity: closeness over Blueprints graphs is a standard
+    Gremlin-side derivation (per-source ``store``/``path`` walks); this
+    is the bulk analog.
+    """
+    if assert_converged and max_iters < 2:
+        raise ValueError(
+            "assert_converged requires max_iters >= 2 (the probe "
+            "compares the last two fixed rounds' frontier stats)"
+        )
+    e = edges.select(M.SRC, M.DST).distinct().repartition(M.SRC).persist()
+    e.count()  # eager — see connected_components
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias(M.ID))
+        .withColumn("level", F.lit(0).cast("long"))
+    )
+    tail_stats: list = []
+    last_ck = False
+    for i in range(max_iters):
+        msgs = (
+            e.join(dist.withColumnRenamed(M.ID, M.SRC), M.SRC)
+            .select(
+                "source",
+                F.col(M.DST).alias(M.ID),
+                (F.col("level") + 1).alias("level"),
+            )
+        )
+        dist = (
+            msgs.unionByName(dist)
+            .groupBy("source", M.ID)
+            .agg(F.min("level").alias("level"))
+        )
+        last_ck = (i + 1) % checkpoint_every == 0
+        if last_ck:
+            dist = dist.localCheckpoint()
+        if assert_converged and i >= max_iters - 2:
+            row = dist.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("level").alias("s")
+            ).collect()[0]
+            tail_stats.append((row["n"], row["s"]))
+    if assert_converged and len(tail_stats) == 2 and tail_stats[0] != tail_stats[1]:
+        raise ValueError(
+            f"closeness_centrality did not converge within "
+            f"max_iters={max_iters} fixed supersteps (frontier still "
+            f"growing or levels still shrinking in the final round) — "
+            f"distances are incomplete; raise max_iters (and the "
+            f"matching oracle's round count: converged rounds are "
+            f"no-ops, so oversizing is always safe)"
+        )
+    out = dist.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("level").alias("sum_levels"),
+    ).select(
+        "source",
+        "n_reached",
+        "sum_levels",
+        F.when(
+            F.col("sum_levels") > 0,
+            F.expr("(n_reached - 1) * 1000000 div sum_levels"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("closeness_micro"),
+    )
+    return _finish(out, [e], checkpointed=False)
+
+
 def label_propagation(
     edges: DataFrame,
     num_iters: int = 4,

@@ -159,6 +159,7 @@ NO_PUSHDOWN_EXPECTED = {
     "d_text_hashes",        # full-corpus narrow hash map
     "events_type_stats",    # full-events aggregation
     "g_bfs_levels",         # iterative: final plan reads round checkpoints
+    "g_closeness",          # same (per-source BFS frontier)
     "g_components",         # same
     "g_components_star",    # same
     "g_hits",               # same
@@ -291,6 +292,7 @@ NO_BROADCAST_EXPECTED = {
     "d_text_hashes",        # narrow map, no joins
     "events_type_stats",    # one agg, no joins
     "g_bfs_levels",         # vertex-id-scale frontier joins: AQE decides
+    "g_closeness",          # same
     "g_components",         # same
     "g_components_star",    # same
     "g_kcore",              # same
@@ -352,6 +354,7 @@ NO_SCAN_EXPECTED = {
     # merge table (LocalTableScan).  The upstream parquet scans ran (and
     # were pruned) in earlier jobs.
     "g_bfs_levels",
+    "g_closeness",
     "g_components",
     "g_kcore",
     "g_lpa_communities",

@@ -663,3 +663,65 @@ def test_walk_skipgram_pairs_reject_non_numeric_ids(spark):
     )
     with pytest.raises(Exception, match="non-numeric vertex id"):
         walk_skipgram_pairs(walks, window=1).collect()
+
+
+def test_closeness_centrality_matches_scalar_reference(spark):
+    """Per-source BFS closeness on a small directed graph vs a scalar
+    BFS reference, including an unreachable branch and a sink source."""
+    from collections import deque
+
+    from fluxgraph_spark.operators.analytics import closeness_centrality
+
+    #      1 -> 2 -> 3 -> 4       7 -> 8   (disconnected from 1's side)
+    #      1 -> 5,  5 -> 4,  6 isolated-as-source (only out: none)
+    edges = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (7, 8)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    sources = spark.createDataFrame([(1,), (4,), (7,)], ["id"])
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+
+    def bfs(src):
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            v = dq.popleft()
+            for n in adj.get(v, []):
+                if n not in dist:
+                    dist[n] = dist[v] + 1
+                    dq.append(n)
+        return dist
+
+    got = {
+        r["source"]: (r["n_reached"], r["sum_levels"], r["closeness_micro"])
+        for r in closeness_centrality(
+            e, sources, max_iters=4, assert_converged=True
+        ).collect()
+    }
+    for src in (1, 4, 7):
+        d = bfs(src)
+        n, s = len(d), sum(d.values())
+        want_c = (n - 1) * 1_000_000 // s if s > 0 else 0
+        assert got[src] == (n, s, want_c), (src, got[src], (n, s, want_c))
+    # source 4 reaches nothing -> closeness 0, n_reached 1
+    assert got[4] == (1, 0, 0)
+
+
+def test_closeness_centrality_convergence_assert(spark):
+    """A 5-chain needs 4 productive supersteps plus the asserted no-op
+    round: max_iters<=4 must raise with assert_converged, and the
+    converged run is stable under oversizing."""
+    import pytest as _pytest
+
+    from fluxgraph_spark.operators.analytics import closeness_centrality
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(1,)], ["id"])
+    with _pytest.raises(ValueError, match="did not converge"):
+        closeness_centrality(e, src, max_iters=4, assert_converged=True)
+    a = closeness_centrality(e, src, max_iters=5, assert_converged=True)
+    b = closeness_centrality(e, src, max_iters=7, assert_converged=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

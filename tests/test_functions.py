@@ -1220,3 +1220,53 @@ def test_lsh_candidate_budget_identity_and_binding(tables, spark):
     # either-side union keeps recall: every pair kept ranks within
     # budget on at least one side by construction; spot the cut size
     assert len(tight) < len(full) // 2
+
+
+def test_topk_recall_counts_hits_and_keeps_empty_queries(spark):
+    """recall@k join: per-query hit counts, exact integer micros, and a
+    row (n_hits=0) for a query the approximate side missed entirely."""
+    import pytest as _pytest
+
+    from fluxgraph_spark.functions.similarity import topk_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        ["query_id", "vec_id"],
+    )
+    approx = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99)], ["query_id", "vec_id"]
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_micro"])
+        for r in topk_recall(truth, approx, k=3).collect()
+    }
+    assert got == {1: (2, 666666), 2: (0, 0)}
+    with _pytest.raises(ValueError, match="k must be"):
+        topk_recall(truth, approx, k=0)
+
+
+def test_topk_recall_brute_vs_ivf_self_consistent(spark):
+    """Recall of the exact search against itself is 1.0 for every
+    query; the IVF path with few probes stays <= 1.0 and joins on the
+    same ids the searches emitted."""
+    from fluxgraph_spark.functions import similarity
+
+    import pyspark.sql.functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+         for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    self_rec = similarity.topk_recall(truth, truth, k=5).collect()
+    assert all(r["recall_micro"] == 1_000_000 for r in self_rec)
+    approx = similarity.cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=8, n_probe=1
+    )
+    rec = similarity.topk_recall(truth, approx, k=5).collect()
+    assert len(rec) == 3
+    assert all(0 <= r["recall_micro"] <= 1_000_000 for r in rec)

@@ -282,3 +282,58 @@ def test_sample_bottomk_deterministic_uniform_mergeable(spark):
     assert allrows.count() == 200
     with pytest.raises(ValueError, match="k must be"):
         SK.sample_bottomk(df, ["rid"], k=0)
+
+
+def test_kmv_theta_ops_exact_when_unsaturated(spark):
+    """Both sketches keep < k hashes -> theta = 2^60 and every estimate
+    IS the exact set-op count."""
+    from fluxgraph_spark.functions.sketches import kmv_build, kmv_theta_ops
+
+    a = spark.createDataFrame([(i,) for i in range(40)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(25, 60)], ["k"])
+    out = kmv_theta_ops(
+        kmv_build(a, "k", k=129), kmv_build(b, "k", k=129), k=129
+    ).collect()[0]
+    assert out["theta_h"] == 1 << 60
+    assert out["n_union"] == out["union_est"] == 60
+    assert out["n_inter"] == out["inter_est"] == 15
+    assert out["n_a_only"] == out["diff_est"] == 25
+
+
+def test_kmv_theta_ops_saturated_matches_scalar_reference(spark):
+    """Saturated sketches: replay theta / samples / estimates with
+    hashlib and compare every column."""
+    import hashlib
+
+    from fluxgraph_spark.functions.sketches import kmv_build, kmv_theta_ops
+
+    def h(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    k = 129
+    A = list(range(1000))
+    B = list(range(500, 2200))
+    a = spark.createDataFrame([(i,) for i in A], ["k"])
+    b = spark.createDataFrame([(i,) for i in B], ["k"])
+    ka = sorted(h(x) for x in set(A))[:k]
+    kb = sorted(h(x) for x in set(B))[:k]
+    theta = min(ka[-1], kb[-1])
+    sa = {x for x in ka if x < theta}
+    sb = {x for x in kb if x < theta}
+    full = 1 << 60
+
+    def est(n):
+        return int(float(n) * float(full) / float(theta))
+
+    out = kmv_theta_ops(
+        kmv_build(a, "k", k=k), kmv_build(b, "k", k=k), k=k
+    ).collect()[0]
+    assert out["theta_h"] == theta
+    assert out["n_union"] == len(sa | sb)
+    assert out["n_inter"] == len(sa & sb)
+    assert out["n_a_only"] == len(sa - sb)
+    assert out["union_est"] == est(len(sa | sb))
+    assert out["inter_est"] == est(len(sa & sb))
+    assert out["diff_est"] == est(len(sa - sb))
+    # sanity: the union estimate lands near the true 2200
+    assert abs(out["union_est"] - 2200) < 2200 * 0.3
