@@ -373,11 +373,15 @@ _G_CC_ROUNDS = 8
 # (VERDICT r8 item 1: the last tautological fixed-round oracle).
 _D_SEM_CC_ROUNDS = 8
 
-# The IVF-blocked variant's pair graph is DEEPER: centroid buckets cut
-# across labels, so chains form (scalar probe: fixpoint at 9 rounds at
-# sf0.001 / 8 at sf0.01, max component 12).  12 oversized rounds +
-# the assert; converged rounds are no-ops in both engines.
-_D_SEM_IVF_CC_ROUNDS = 12
+# The IVF-blocked variant's pair graph is DEEPER than the label-blocked
+# one (centroid buckets cut across labels, chains form), and with a
+# FIXED centroid count its depth is UNBOUNDED in SF: label propagation
+# hit fixpoint at 9 rounds at sf0.001 but tripped a 12-round assert at
+# sf0.1.  So this variant runs STAR components (O(log diameter) rounds;
+# 25 covers < 2^25-deep chains) with the assert, and its oracle is the
+# recursive min-reachable-id closure — valid at every scale, no round
+# constant to share.
+_D_SEM_IVF_STAR_ROUNDS = 25
 
 
 def q_g_components(spark, sf_dir):
@@ -3358,20 +3362,26 @@ def q_d_semantic_ivf_dedupe(spark, sf_dir):
     centroid assignment — 16 md5-sampled centroids, every vector
     assigned to its 2 nearest by cosine (multi-probe: near-dups split
     by a centroid boundary still meet through either side's second
-    probe) — then the same cosine>=0.35 pair scoring, fixed-superstep
-    components (convergence-asserted, _D_SEM_IVF_CC_ROUNDS shared with
-    the oracle) and min-id representative as d_semantic_dedupe.  The
-    centroid pick, probe argmax, candidate set and threshold are all
-    deterministic math, so the oracle replays the survivor set
-    bit-for-bit (centroid-assignment CTE + pair + components replay —
-    the s_ivf_kmeans_topk pattern)."""
+    probe) — then the same cosine>=0.35 pair scoring, STAR components
+    (convergence-asserted) and min-id representative as
+    d_semantic_dedupe.  Star, not fixed min-label rounds: with 16 fixed
+    centroids the inverted lists grow with the corpus, so the pair
+    graph's component depth is UNBOUNDED in SF (label propagation
+    converged in 9 rounds at sf0.001 and tripped the 12-round assert at
+    sf0.1) — star converges in O(log diameter) rounds at every scale,
+    and its converged labels equal min-reachable-id, which the oracle
+    recomputes with a RECURSIVE reachability closure (the
+    d_corpus_dedupe pattern) instead of a fixed-round replay, so the
+    oracle is scale-independent too.  The centroid pick, probe argmax,
+    candidate set and threshold are all deterministic math, so the
+    survivor set replays bit-for-bit."""
     emb = tpch.read_tables(spark, sf_dir)["embeddings"]
     return dedup.semantic_ivf_dedupe(
         emb,
         n_centroids=16,
         n_probe=2,
         threshold=0.35,
-        max_iters=_D_SEM_IVF_CC_ROUNDS,
+        max_iters=_D_SEM_IVF_STAR_ROUNDS,
         assert_converged=True,
     )
 
@@ -3502,6 +3512,24 @@ def q_x_split(spark, sf_dir):
         docs.withColumn("split", text.split_assign(F.col("doc_id")))
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+def q_x_chunks(spark, sf_dir):
+    """Document chunking for embedding/RAG prep (functions/text.py
+    chunk_documents): 32-token windows at stride 24 (8-token overlap),
+    every token covered, short tail chunks kept, empty docs dropped.
+    The gated result carries the chunk md5 instead of the raw text —
+    every token of every chunk still decides the hash.  ONE narrow map
+    (tokenize -> integer sequence -> explode -> slice), zero shuffles
+    at any corpus size; the chunk-count recurrence is pure integer
+    arithmetic so DuckDB replays it with generate_series +
+    list_slice."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    ch = text.chunk_documents(docs, budget=32, stride=24)
+    return ch.select(
+        "doc_id", "chunk_id", "chunk_start", "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
     )
 
 
@@ -4830,20 +4858,23 @@ _R9_PRIORITY = [
     # below: the blocked-jaccard change is decision-identical at
     # threshold>0 (it only drops jaccard=0 rows) and stays driver-gated
     # through d_lsh_verified_pairs + d_corpus_dedupe + st_dedup_ingest
-    # + d_lsh_budget; the three ceded entries are r8-green (age 1) and
-    # re-verified by scripts/check_oracle.py this round.
+    # + d_lsh_budget; d_containment likewise ceded — d_containment_budget
+    # exercises the same containment_pairs path (incl. the r9
+    # cache-ownership change) plus both budget windows.  All four ceded
+    # entries are r8-green (age 1) and re-verified by
+    # scripts/check_oracle.py at sf0.01 this round.
     "d_semantic_dedupe",
     "d_lsh_verified_pairs",
     "d_corpus_dedupe",
     "st_dedup_ingest",
     "g_walk_skipgrams",
     "x_graphml_export",
-    "d_containment",
     "d_containment_budget",
     # late-r9 additions (never driver-checked -> must be in the prefix)
     "g_closeness",
     "s_ann_recall",
     "k_theta_setops",
+    "x_chunks",
 ]
 assert len(_R9_PRIORITY) == 50
 assert len(set(_R9_PRIORITY)) == 50
@@ -5023,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_scrub": q_x_scrub,
         "x_repetition": q_x_repetition,
         "x_split": q_x_split,
+        "x_chunks": q_x_chunks,
         "x_fingerprint": q_x_fingerprint,
         "x_frames": q_x_frames,
         "x_frames_mjpeg": q_x_frames_mjpeg,
@@ -5698,14 +5730,17 @@ FROM embeddings e LEFT JOIN c{iters} c ON c.id = e.vec_id
 
 
 def _semantic_ivf_dedupe_sql(
-    iters: int = 12, n_centroids: int = 16, n_probe: int = 2
+    n_centroids: int = 16, n_probe: int = 2
 ) -> str:
-    """Chained-CTE replay of semantic_ivf_dedupe: md5-sampled centroids
-    -> per-vector n_probe nearest-centroid assignment (the s_ivf_topk
-    argmax CTE) -> bucket-sharing cosine pairs -> fixed min-label
-    supersteps -> min-id representative.  Registered with
-    iters=_D_SEM_IVF_CC_ROUNDS, the constant the query passes as
-    max_iters."""
+    """Replay of semantic_ivf_dedupe: md5-sampled centroids ->
+    per-vector n_probe nearest-centroid assignment (the s_ivf_topk
+    argmax CTE) -> bucket-sharing cosine pairs -> min-reachable-id
+    components via a RECURSIVE closure (the d_corpus_dedupe pattern) ->
+    min-id representative.  The closure is scale-independent: the query
+    path's star components converge to exactly min-reachable-id (the
+    assert guarantees convergence), so no round constant is shared —
+    unlike a fixed-round replay, this oracle cannot go stale when the
+    pair graph deepens at a bigger SF."""
     ctes = f"""
 base AS MATERIALIZED (
   SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -5731,22 +5766,19 @@ pr AS MATERIALIZED (
   JOIN base b ON b.id = ab.id
   WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35),
 sym AS MATERIALIZED (SELECT src, dst FROM pr UNION SELECT dst AS src, src AS dst FROM pr),
-verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
-c0 AS (SELECT id, id AS component FROM verts)"""
-    for k in range(iters):
-        ctes += f""",
-m{k} AS MATERIALIZED (SELECT s.dst AS id, min(c.component) AS mn
-         FROM sym s JOIN c{k} c ON c.id = s.src GROUP BY s.dst),
-c{k + 1} AS MATERIALIZED (SELECT c.id, least(c.component, COALESCE(m.mn, c.component)) AS component
-             FROM c{k} c LEFT JOIN m{k} m ON m.id = c.id)"""
+reach(id, r) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT s.src, rc.r FROM sym s JOIN reach rc ON rc.id = s.dst),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)"""
     return (
-        "WITH "
+        "WITH RECURSIVE "
         + ctes.lstrip()
-        + f"""
+        + """
 SELECT e.vec_id AS id,
        COALESCE(c.component, e.vec_id) AS rep_id,
        CASE WHEN COALESCE(c.component, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS kept
-FROM embeddings e LEFT JOIN c{iters} c ON c.id = e.vec_id
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
 """
     )
 
@@ -7313,6 +7345,26 @@ def oracle_sql() -> dict[str, str]:
                round((len(gs) - len(list_distinct(gs))) / greatest(len(gs), 1), 6) AS dup_gram_ratio
         FROM grams
         """,
+        "x_chunks": r"""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+          FROM documents),
+        nz AS MATERIALIZED (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        c AS MATERIALIZED (
+          SELECT doc_id, toks, n,
+                 CASE WHEN n <= 32 THEN 1
+                      ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+          FROM nz),
+        e AS MATERIALIZED (
+          SELECT doc_id, toks, CAST(g.i AS BIGINT) AS chunk_id
+          FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS g(i))
+        SELECT doc_id, chunk_id,
+               CAST(chunk_id * 24 AS BIGINT) AS chunk_start,
+               CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_md5
+        FROM e
+        """,
         "x_split": f"""
         SELECT CASE
                  WHEN {STABLE_HASH_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 5 THEN 'val'
@@ -7520,9 +7572,7 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 10
         """,
         "d_semantic_dedupe": _semantic_dedupe_sql(_D_SEM_CC_ROUNDS),
-        "d_semantic_ivf_dedupe": _semantic_ivf_dedupe_sql(
-            _D_SEM_IVF_CC_ROUNDS, 16, 2
-        ),
+        "d_semantic_ivf_dedupe": _semantic_ivf_dedupe_sql(16, 2),
         "d_lsh_verified_pairs": _lsh_verified_sql(8, 4),
         "d_lsh_budget": _lsh_budget_sql(8, 8, _LSH_BUDGET),
         "d_minhash_lsh_pairs": _lsh_verified_sql(8, 2),

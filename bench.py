@@ -71,6 +71,15 @@ HEADLINE = [
     "d_lsh_budget",             # budgeted LSH verify (r9 — dense 8-band
                                 # candidate stream cut 10x by the per-doc
                                 # evidence-rank budget before the verify)
+    "g_closeness",              # sampled-source closeness (r9 late —
+                                # labelled multi-source BFS frontier,
+                                # convergence-asserted fixed rounds)
+    "s_ann_recall",             # ANN recall@k measurement (r9 late —
+                                # brute truth vs IVF at half probe width)
+    "k_theta_setops",           # theta-sketch set ops (r9 late — O(k)
+                                # overlap audit from two KMV sketches)
+    "x_chunks",                 # RAG chunking (r9 late — zero-shuffle
+                                # token-window explode)
 ]
 
 

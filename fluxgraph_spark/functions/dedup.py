@@ -824,6 +824,78 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _pairs_block_pandas(base: DataFrame, threshold: float) -> DataFrame:
+    """Within-block pairwise cosine via one Arrow-batched applyInPandas
+    per block — the FAISS-style inverted-list scan.  The Catalyst
+    self-join form materializes |block|^2 rows through an interpreted
+    higher-order-function cosine; this path moves the quadratic work
+    into numpy at C speed while emitting ONLY the near-threshold pairs.
+
+    Bit-compatibility contract: the dot product accumulates
+    DIMENSION-BY-DIMENSION in order (``acc = acc + x_d * y_d`` per
+    element), which is IEEE-identical to the Catalyst
+    ``aggregate(zip_with(...))`` left fold — so the raw cosine double
+    equals the join path's bit for bit, and the caller's engine-side
+    ``round(cosine, 6) >= threshold`` decision (and any SQL oracle
+    replaying it) is unchanged.  The numpy side prefilters with a
+    strictly-looser raw bound (threshold - 1e-6) and leaves the exact
+    rounded comparison to the engine, so no numpy rounding semantics
+    ever decide a pair.
+
+    Memory: the per-block cosine matrix is processed in row chunks
+    capped at ~16 MB, so a block of ANY size fits executor memory;
+    work per block is |block|^2 * dim flops — the caller bounds block
+    sizes (n_centroids ~ sqrt(corpus) keeps them flat at scale).
+    """
+    import pandas as pd
+
+    looser = threshold - 1e-6
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
+        norms = pdf["norm"].to_numpy()[order].astype(np.float64)
+        dim = V.shape[1]
+        chunk = max(1, 2_000_000 // n)
+        a_out, b_out, c_out = [], [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            acc = np.zeros((e - s, n), dtype=np.float64)
+            for d in range(dim):
+                # in-order accumulation: acc = acc + x_d*y_d, the exact
+                # IEEE sequence of the Catalyst fold
+                acc += V[s:e, d : d + 1] * V[None, :, d]
+            cos = acc / (norms[s:e, None] * norms[None, :])
+            upper = np.arange(n)[None, :] > np.arange(s, e)[:, None]
+            keep = upper & (cos >= looser)
+            li, j = np.nonzero(keep)
+            a_out.append(ids[li + s])
+            b_out.append(ids[j])
+            c_out.append(cos[li, j])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(a_out).astype("int64"),
+             "id_b": np.concatenate(b_out).astype("int64"),
+             "cosine": np.concatenate(c_out)}
+        )
+
+    pairs = base.groupBy("blk").applyInPandas(fn, out_schema)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -832,6 +904,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     planes: int = 8,
     exact: bool = False,
+    impl: str = "join",
 ) -> DataFrame:
     """Pairs with cosine >= threshold.  ``block_col`` is an explicit
     blocking key (an IVF bucket, a language/label column...).
@@ -845,7 +918,16 @@ def embedding_near_dup_pairs(
     survives 100 TB; the O(n²) all-pairs self-join must be requested
     explicitly with ``exact=True`` (small verification runs and SQL
     oracles only).  The hyperplanes are md5-derived (deterministic,
-    engine-replayable) — see similarity.hyperplane_bucket."""
+    engine-replayable) — see similarity.hyperplane_bucket.
+
+    ``impl`` picks the within-block scorer: ``"join"`` is the Catalyst
+    self-join (right for small blocks — label blocking, tight LSH
+    buckets); ``"block_pandas"`` scores each block's pairs in one
+    vectorized Arrow batch (:func:`_pairs_block_pandas`) — BIT-IDENTICAL
+    output (in-order dimension accumulation = the Catalyst fold), ~10×
+    faster when blocks grow to thousands of vectors (a fixed-centroid
+    IVF blocking at growing corpus), and it never materializes the
+    |block|² join rows."""
     from .similarity import hyperplane_bucket
 
     dot = F.aggregate(
@@ -880,17 +962,28 @@ def embedding_near_dup_pairs(
             .drop("__b")
         )
         blocked = True
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if blocked:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    joined = a.join(b, cond)
-    out = joined.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
+    if impl == "block_pandas":
+        if not blocked:
+            raise ValueError(
+                "impl='block_pandas' needs a blocked input (a block_col "
+                "or the default LSH bucketing) — the exact all-pairs "
+                "form has no block to group on"
+            )
+        out = _pairs_block_pandas(base, threshold)
+    elif impl == "join":
+        a = base.alias("a")
+        b = base.alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+        if blocked:
+            cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        joined = a.join(b, cond)
+        out = joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+        ).where(F.col("cosine") >= threshold)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     if block_col is None and not exact:
         # multi-probe scores a pair once per shared bucket
         out = out.dropDuplicates(["id_a", "id_b"])
@@ -1053,18 +1146,36 @@ def _keep_min_reps(
     pairs: DataFrame,
     max_iters: int,
     assert_converged: bool,
+    method: str = "label",
 ) -> DataFrame:
     """Shared tail of the semantic-dedup family: near-dup pairs ->
-    weakly-connected components (fixed min-label supersteps) ->
-    (id, rep_id, kept) with singletons keeping themselves."""
+    weakly-connected components -> (id, rep_id, kept) with singletons
+    keeping themselves.
+
+    ``method="label"`` runs fixed min-label supersteps (O(diameter)
+    rounds — right when the substrate's component depth is bounded and
+    a fixed-round SQL oracle must replay the exact recurrence);
+    ``method="star"`` runs large-star/small-star alternation
+    (O(log diameter) rounds — right when component depth grows with the
+    corpus; the converged labels equal min-reachable-id, which an SQL
+    oracle recomputes with a recursive closure instead of a round
+    replay).  Both honor ``assert_converged``."""
     from ..operators import analytics as AN
 
-    comp = AN.connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        max_iters=max_iters,
-        early_stop=False,
-        assert_converged=assert_converged,
-    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if method == "star":
+        comp = AN.connected_components_star(
+            edges, max_iters=max_iters, assert_converged=assert_converged
+        )
+    elif method == "label":
+        comp = AN.connected_components(
+            edges,
+            max_iters=max_iters,
+            early_stop=False,
+            assert_converged=assert_converged,
+        )
+    else:
+        raise ValueError(f"unknown components method {method!r}")
     out = (
         emb.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")
@@ -1080,7 +1191,7 @@ def semantic_ivf_dedupe(
     n_centroids: int = 16,
     n_probe: int = 2,
     threshold: float = 0.95,
-    max_iters: int = 6,
+    max_iters: int = 25,
     assert_converged: bool = False,
 ) -> DataFrame:
     """:func:`semantic_dedupe` for corpora WITHOUT a blocking column —
@@ -1091,10 +1202,20 @@ def semantic_ivf_dedupe(
     only bucket-sharing pairs are scored.  Multi-probe matters here:
     with ``n_probe >= 2`` two near-duplicates split by a centroid
     boundary still meet through either one's second-nearest list, the
-    standard IVF recall lever.  Everything downstream (pair scoring,
-    fixed-superstep components, min-id representative) is
-    :func:`semantic_dedupe`'s shared tail, including the
-    ``assert_converged`` contract.
+    standard IVF recall lever.  Pair scoring and the min-id
+    representative are :func:`semantic_dedupe`'s shared tail — but the
+    components run STAR alternation (O(log diameter) rounds), not fixed
+    min-label supersteps: with a FIXED centroid count the inverted
+    lists grow with the corpus, so the within-list pair graph's
+    component depth is unbounded in the scale factor (measured: label
+    propagation converged in 9 rounds at sf0.001 and still hadn't at 12
+    rounds at sf0.1 — any fixed round constant eventually under-merges,
+    and the assert fires instead of silently truncating).  Star's
+    converged labels equal min-reachable-id, which an external SQL
+    engine recomputes with a recursive reachability closure — no round
+    replay, so the oracle is valid at EVERY scale.  ``max_iters`` is
+    the star round budget (25 covers < 2^25-deep chains); pass
+    ``assert_converged=True`` to trip on exhaustion.
 
     The whole decision — centroid sample, probe argmax, candidate set,
     cosine threshold, components — is deterministic integer/double math,
@@ -1113,12 +1234,15 @@ def semantic_ivf_dedupe(
     assign = ivf_assign(base, cents, n_probe=n_probe, id_col="id", vec_col="vec")
     blocked = base.join(assign, "id")
     pairs = embedding_near_dup_pairs(
-        blocked, "id", "vec", block_col="centroid_id", threshold=threshold
+        blocked, "id", "vec", block_col="centroid_id", threshold=threshold,
+        impl="block_pandas",
     )
     if n_probe > 1:
         # multi-probe scores a pair once per shared probed centroid
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    return _keep_min_reps(emb, id_col, pairs, max_iters, assert_converged)
+    return _keep_min_reps(
+        emb, id_col, pairs, max_iters, assert_converged, method="star"
+    )
 
 
 def contamination_hits(

@@ -476,3 +476,67 @@ def ngram_overlap(
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-budget token-window chunking with overlap — the
+    RAG / embedding-prep primitive that turns long documents into
+    model-window-sized pieces (overlap = budget - stride keeps context
+    across boundaries; stride = budget is disjoint tiling).
+
+    Chunk c of a doc covers tokens [c*stride, c*stride + budget);
+    n_chunks = 1 + ceil((n - budget) / stride) for n > budget else 1,
+    so every token is covered and the last chunk may run short.  Docs
+    with no tokens emit no chunks.  Output: (id, chunk_id,
+    chunk_start, n_chunk_tokens, chunk_text).
+
+    Scale shape: one narrow map — tokenize, per-row integer sequence,
+    explode, slice — ZERO shuffles at any corpus size; chunk counts
+    are pure integer arithmetic, so the expansion replays exactly in
+    SQL (generate_series + list_slice).  The downstream embed step is
+    where the FLOPs live; this stage should never be the bottleneck,
+    and as a stateless per-row map it cannot be.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if stride < 1 or stride > budget:
+        raise ValueError(
+            f"stride must be in 1..budget ({budget}), got {stride} "
+            f"(stride > budget would skip tokens between chunks)"
+        )
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    base = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    n_chunks = (
+        F.when(F.size("__toks") <= budget, F.lit(1).cast("long"))
+        .otherwise(
+            F.expr(
+                f"(size(__toks) - {budget} + {stride - 1}) div {stride}"
+            )
+            + F.lit(1)
+        )
+        .cast("long")
+    )
+    exploded = base.select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    chunk = F.slice(F.col("__toks"), (start + 1).cast("int"), budget)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -501,7 +501,9 @@ def label_propagation(
     )
 
 
-def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+def connected_components_star(
+    edges: DataFrame, max_iters: int = 25, assert_converged: bool = False
+) -> DataFrame:
     """Weakly-connected components by large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14 — a published MapReduce algorithm, re-expressed as DataFrame
@@ -522,6 +524,13 @@ def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFram
     minima; detected with a cheap (count, double-sum) signature instead
     of a full except-join.  Returns (id, component), identical to
     :func:`connected_components` output.
+
+    ``assert_converged=True`` raises ValueError if the round budget is
+    exhausted before the signature stabilizes (labels would be
+    under-merged) — the same correctness-at-scale contract as
+    :func:`connected_components`; at O(log n) rounds the default budget
+    of 25 covers any graph with < 2^25-deep chains, so the assert is a
+    tripwire, not a tuning knob.
     """
     e = (
         edges.select(
@@ -542,6 +551,7 @@ def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFram
         .persist()
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
         # --- large-star: operate on both orientations -----------------
         b = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -580,8 +590,17 @@ def connected_components_star(edges: DataFrame, max_iters: int = 25) -> DataFram
             ).collect()[0]
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if assert_converged and not converged:
+        raise ValueError(
+            f"connected_components_star did not reach its star fixpoint "
+            f"within max_iters={max_iters} rounds — component labels "
+            f"would be under-merged; raise max_iters (star rounds are "
+            f"O(log diameter), so a small increase covers a vastly "
+            f"deeper graph)"
+        )
     # at fixpoint e is (member, root) stars; roots self-label
     labels = e.groupBy(F.col("u").alias(M.ID)).agg(F.min("v").alias("component"))
     out = verts.join(labels, M.ID, "left").select(

@@ -157,6 +157,8 @@ NO_PUSHDOWN_EXPECTED = {
     "d_lsh_fast_pairs",     # full-corpus shingling (both hash families)
     "d_minhash_sigs",       # full-corpus shingling
     "d_text_hashes",        # full-corpus narrow hash map
+    "x_chunks",             # full-corpus narrow chunk map (filter is on
+                            # the computed token array — nothing pushable)
     "events_type_stats",    # full-events aggregation
     "g_bfs_levels",         # iterative: final plan reads round checkpoints
     "g_closeness",          # same (per-source BFS frontier)
@@ -290,6 +292,7 @@ NO_BROADCAST_EXPECTED = {
     "d_exact_dups",         # hash groupBy, no joins
     "d_minhash_sigs",       # shingle explode + min-agg, no joins
     "d_text_hashes",        # narrow map, no joins
+    "x_chunks",             # narrow map, no joins
     "events_type_stats",    # one agg, no joins
     "g_bfs_levels",         # vertex-id-scale frontier joins: AQE decides
     "g_closeness",          # same

@@ -725,3 +725,23 @@ def test_closeness_centrality_convergence_assert(spark):
     a = closeness_centrality(e, src, max_iters=5, assert_converged=True)
     b = closeness_centrality(e, src, max_iters=7, assert_converged=True)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_components_star_convergence_assert(spark):
+    """assert_converged trips when the round budget is exhausted before
+    the star fixpoint, and an oversized budget is a no-op."""
+    import pytest as _pytest
+
+    from fluxgraph_spark.operators.analytics import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["src", "dst"]
+    )
+    with _pytest.raises(ValueError, match="did not reach its star fixpoint"):
+        connected_components_star(chain, max_iters=1, assert_converged=True)
+    got = connected_components_star(chain, max_iters=25, assert_converged=True)
+    want = connected_components(chain, max_iters=45, early_stop=False)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

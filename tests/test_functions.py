@@ -1270,3 +1270,83 @@ def test_topk_recall_brute_vs_ivf_self_consistent(spark):
     rec = similarity.topk_recall(truth, approx, k=5).collect()
     assert len(rec) == 3
     assert all(0 <= r["recall_micro"] <= 1_000_000 for r in rec)
+
+
+def test_chunk_documents_matches_scalar_reference(spark):
+    """Window/stride chunking vs a python reference: coverage, overlap,
+    short tails, empty-doc drop, and the error contract."""
+    import pytest as _pytest
+
+    from fluxgraph_spark.functions.text import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 2 chunks
+        (2, "a b c"),                                  # <= budget: 1 chunk
+        (3, ""),                                       # empty: no chunks
+        (4, " ".join(f"w{i}" for i in range(17))),   # 17 toks, tail chunk
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    budget, stride = 8, 6
+
+    def ref(doc_id, text):
+        toks = text.split()
+        if not toks:
+            return []
+        n = len(toks)
+        n_chunks = 1 if n <= budget else -(-(n - budget) // stride) + 1
+        out = []
+        for c in range(n_chunks):
+            piece = toks[c * stride : c * stride + budget]
+            out.append(
+                (doc_id, c, c * stride, len(piece), " ".join(piece))
+            )
+        return out
+
+    want = sorted(r for d, t in docs for r in ref(d, t))
+    got = sorted(
+        map(tuple, chunk_documents(df, budget=budget, stride=stride).collect())
+    )
+    assert got == want
+    # every token appears in some chunk; consecutive chunks overlap by
+    # budget - stride tokens
+    by_doc = {}
+    for d, c, s, n, t in got:
+        by_doc.setdefault(d, []).append((c, t.split()))
+    for d, chunks in by_doc.items():
+        toks = dict(docs)[d].split()
+        covered = {w for _, ws in chunks for w in ws}
+        assert covered == set(toks)
+        for (c1, w1), (c2, w2) in zip(chunks, chunks[1:]):
+            if len(w1) == budget:
+                assert w1[stride:] == w2[: budget - stride]
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, budget=4, stride=5)
+    with _pytest.raises(ValueError, match="budget"):
+        chunk_documents(df, budget=0, stride=1)
+
+
+def test_embedding_pairs_block_pandas_bit_identical_to_join(spark):
+    """The vectorized per-block scorer must return the exact pair set
+    AND the exact rounded cosines of the Catalyst self-join (in-order
+    dimension accumulation is IEEE-identical to the fold)."""
+    import pytest as _pytest
+
+    from fluxgraph_spark.functions.dedup import embedding_near_dup_pairs
+
+    import pyspark.sql.functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 13 + j * 7) % 23) - 11) / 7.0 for j in range(16)],
+          i % 3)
+         for i in range(120)],
+        ["vec_id", "embedding", "blk"],
+    )
+    a = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, block_col="blk", threshold=0.2, impl="join").collect()))
+    b = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, block_col="blk", threshold=0.2, impl="block_pandas").collect()))
+    assert a == b and len(a) > 0
+    with _pytest.raises(ValueError, match="block_pandas"):
+        embedding_near_dup_pairs(emb, exact=True, impl="block_pandas")
+    with _pytest.raises(ValueError, match="unknown impl"):
+        embedding_near_dup_pairs(emb, block_col="blk", impl="nope")
