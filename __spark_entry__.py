@@ -2135,11 +2135,14 @@ def _n2v_hash_sql(t: int, alias: str) -> str:
     )
 
 
-def _n2v_hops(walk_len: int) -> str:
+def _n2v_hops(walk_len: int, adj_cte: str = "n2sym") -> str:
     """Chained-CTE replay of the node2vec biased hops: hop 0 uniform
     (no previous vertex), hops 1..walk_len-1 pick the neighbor whose
     cumulative integer-weight interval contains the draw.  Weights
-    shared with the Spark query via _N2V_W so they can't drift."""
+    shared with the Spark query via _N2V_W so they can't drift.
+    ``adj_cte`` names the adjacency used for the distance-1 test — the
+    degree-budgeted variant passes its CAPPED table (the Spark side
+    derives the d1 membership from the same capped neighbor list)."""
     w_ret, w_d1, w_d2 = _N2V_W
     ctes = f""",
 v1 AS MATERIALIZED (
@@ -2158,7 +2161,7 @@ c{t} AS MATERIALIZED (
               ELSE CAST({w_d2} AS BIGINT) END AS wt
   FROM v{t} w
   JOIN n2nbr n ON n.src = w.v
-  LEFT JOIN n2sym a ON a.src = w.prev AND a.dst = n.dst),
+  LEFT JOIN {adj_cte} a ON a.src = w.prev AND a.dst = n.dst),
 v{t + 1} AS MATERIALIZED (
   SELECT walk_id, v AS prev, dst AS v,
          path || '->' || CAST(dst AS VARCHAR) AS path
@@ -2320,6 +2323,34 @@ def q_g_node2vec_walks(spark, sf_dir):
         sym.select("src").distinct().where(F.col("src") % 7 == 0)
     )
     return AN.node2vec_walks(sym, seeds, walk_len=4, p=_N2V_P, q=_N2V_Q)
+
+
+_N2V_MAX_DEG = 16  # degree budget for the capped variant (binds at every
+# gate SF: the co-purchase hubs exceed 16 already at sf0.001)
+
+
+def q_g_node2vec_budget(spark, sf_dir):
+    """The degree-BUDGETED node2vec sampler (r9 late — the walk
+    family's 100x knob): same substrate/seeds/bias as g_node2vec_walks,
+    but every adjacency list is pre-capped to its _N2V_MAX_DEG
+    md5-smallest neighbors (deterministic hash-rank neighbor sampling —
+    the GraphSAGE recipe).  Per-hop candidate rows are bounded by
+    walks x budget REGARDLESS of hub growth — the uncapped walk's
+    per-hop cost is Σ deg(rest vertex), which turns super-linear at
+    100x data exactly because co-purchase hub degrees grow with the
+    corpus (measured: sf10 ratio 29x uncapped).  The capped walk is a
+    different, documented distribution; every pick is still integer
+    md5 arithmetic over the capped ranked list, so trajectories replay
+    bit-for-bit (the oracle re-ranks after an identical hash-rank cap
+    CTE and runs the same hop replay against the capped adjacency)."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = sym.select("src").distinct().where(F.col("src") % 7 == 0)
+    return AN.node2vec_walks(
+        sym, seeds, walk_len=4, p=_N2V_P, q=_N2V_Q, max_degree=_N2V_MAX_DEG
+    )
 
 
 def q_g_walk_skipgrams(spark, sf_dir):
@@ -4862,10 +4893,11 @@ _R9_PRIORITY = [
     # exercises the same containment_pairs path (incl. the r9
     # cache-ownership change) plus both budget windows.  All four ceded
     # entries are r8-green (age 1) and re-verified by
-    # scripts/check_oracle.py at sf0.01 this round.
+    # scripts/check_oracle.py at sf0.01 this round.  d_corpus_dedupe
+    # (same blocked-jaccard cohort, same reasoning, same re-verify)
+    # ceded its slot to g_node2vec_budget.
     "d_semantic_dedupe",
     "d_lsh_verified_pairs",
-    "d_corpus_dedupe",
     "st_dedup_ingest",
     "g_walk_skipgrams",
     "x_graphml_export",
@@ -4875,6 +4907,7 @@ _R9_PRIORITY = [
     "s_ann_recall",
     "k_theta_setops",
     "x_chunks",
+    "g_node2vec_budget",
 ]
 assert len(_R9_PRIORITY) == 50
 assert len(set(_R9_PRIORITY)) == 50
@@ -4972,6 +5005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_ktruss": q_g_ktruss,
         "g_random_walks": q_g_random_walks,
         "g_node2vec_walks": q_g_node2vec_walks,
+        "g_node2vec_budget": q_g_node2vec_budget,
         "g_walk_skipgrams": q_g_walk_skipgrams,
         "g_mis": q_g_mis,
         "g_clustering": q_g_clustering,
@@ -8283,6 +8317,35 @@ n2nbr AS MATERIALIZED (
 v0 AS MATERIALIZED (
   SELECT src AS walk_id, src AS v, CAST(src AS VARCHAR) AS path
   FROM n2deg WHERE src % 7 = 0){_n2v_hops(4)}
+SELECT walk_id, path, v AS final_v FROM v4
+"""
+    # degree-budgeted twin: identical replay over the hash-rank-capped
+    # adjacency (cap rank + re-rank + capped d1 membership all in SQL)
+    sqls["g_node2vec_budget"] = f"""
+WITH con AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT x.p AS a, y.p AS b
+  FROM con x JOIN con y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+n2sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+n2cap AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY
+             CAST(('0x' || substring(md5('nbrcap:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT),
+             dst) AS cr
+    FROM n2sym) WHERE cr <= {_N2V_MAX_DEG}),
+n2deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM n2cap GROUP BY src),
+n2nbr AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
+  FROM n2cap),
+v0 AS MATERIALIZED (
+  SELECT src AS walk_id, src AS v, CAST(src AS VARCHAR) AS path
+  FROM n2deg WHERE src % 7 = 0){_n2v_hops(4, adj_cte="n2cap")}
 SELECT walk_id, path, v AS final_v FROM v4
 """
     # Luby-permutation MIS: 8 fixed rounds (observed convergence 3-4;

@@ -80,6 +80,9 @@ HEADLINE = [
                                 # overlap audit from two KMV sketches)
     "x_chunks",                 # RAG chunking (r9 late — zero-shuffle
                                 # token-window explode)
+    "g_node2vec_budget",        # degree-budgeted walks (r9 late — the
+                                # GraphSAGE neighbor-sampling cap that
+                                # bounds per-hop cost at hub growth)
 ]
 
 

@@ -1149,6 +1149,7 @@ def node2vec_walks(
     walk_len: int = 4,
     p: "str | int | float" = "1",
     q: "str | int | float" = "1",
+    max_degree: "int | None" = None,
 ) -> DataFrame:
     """Second-order biased walks — the node2vec sampler (Grover &
     Leskovec KDD'16): the step-``t`` transition from ``v`` with previous
@@ -1184,6 +1185,19 @@ def node2vec_walks(
     against the edge set, the pick two windows per walk — never a
     driver loop; a fixed ``walk_len`` unrolls into one Catalyst tree.
 
+    ``max_degree`` is the scale knob for that floor: per-vertex
+    adjacency lists are pre-capped to the ``max_degree`` md5-smallest
+    neighbors (deterministic hash-rank — an unbiased, reproducible
+    neighbor SAMPLE, the GraphSAGE/PinSAGE recipe, Hamilton et al.
+    NeurIPS'17) BEFORE ranking, so per-hop candidate rows are bounded
+    by walks × max_degree no matter how hub degrees grow with the
+    corpus.  Walks then sample the capped neighborhood (a different —
+    documented — distribution than the unbounded walk; picks stay
+    md5-deterministic and SQL-replayable over the capped ranked list,
+    and the distance-1 test uses the same capped adjacency).  Unbounded
+    hubs are exactly what turns the per-hop cost super-linear at 100×
+    data; with the cap the curve is linear in walk count.
+
     Design ref: reference query surface (SURVEY §2 traversals) +
     Grover & Leskovec, node2vec (KDD'16)."""
     if walk_len < 1:
@@ -1202,6 +1216,23 @@ def node2vec_walks(
     from pyspark.sql import Window as W
 
     e = edges.select(M.SRC, M.DST).distinct()
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+        cap_h = stable_hash64(
+            F.concat(
+                F.lit("nbrcap:"),
+                F.col(M.SRC).cast("string"),
+                F.lit(":"),
+                F.col(M.DST).cast("string"),
+            )
+        )
+        capwin = W.partitionBy(M.SRC).orderBy(cap_h, M.DST)
+        e = (
+            e.withColumn("__cr", F.row_number().over(capwin))
+            .where(F.col("__cr") <= max_degree)
+            .drop("__cr")
+        )
     win = W.partitionBy(M.SRC).orderBy(M.DST)
     nbr = (
         e.withColumn("__idx", F.row_number().over(win) - 1)

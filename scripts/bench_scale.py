@@ -98,6 +98,10 @@ QUERIES = [
     "g_random_walks",
     "g_mis",
     "x_rouge",
+    # round 9 late: the degree-budgeted node2vec twin (GraphSAGE-style
+    # neighbor sampling) — measured beside the uncapped walk at every
+    # tier; the uncapped sf10 curve is the one the budget exists to cut
+    "g_node2vec_budget",
     # round 8: the budgeted containment detector (the production-scale
     # knob — its curve should cut below the unbudgeted d_containment's
     # linear-in-total-input floor because the verify set is capped per
@@ -130,6 +134,7 @@ SF10_QUERIES = [
     # (node2vec 2.57, random_walks 2.05) with no 100x datapoint, and
     # the LSH budget knob measured beside its unbudgeted pair
     "g_node2vec_walks",
+    "g_node2vec_budget",
     "g_random_walks",
     "d_lsh_budget",
     "d_lsh_verified_pairs",

@@ -198,6 +198,7 @@ NO_PUSHDOWN_EXPECTED = {
     "x_tokens",             # full-corpus narrow token count
     "d_containment_budget",  # same checkpointed-pair-table shape as
                              # d_containment
+    "g_node2vec_budget",     # same (hash-rank-capped twin)
     "g_node2vec_walks",      # co-purchase projection; %7 seed filter is
                              # derived (g_random_walks' shape)
     "x_rouge",              # ngram_overlap materializes via localCheckpoint
@@ -330,6 +331,7 @@ NO_BROADCAST_EXPECTED = {
     "g_hits",               # top-10 window over the checkpointed scores
     "g_clustering",         # one-row checkpointed result
     "g_random_walks",       # final plan is the checkpointed walk table
+    "g_node2vec_budget",    # same
     "g_node2vec_walks",     # same
     "g_walk_skipgrams",     # narrow pair map + agg over the checkpoint
     "d_minhash_lsh_pairs",  # final plan is the checkpointed pair table
@@ -376,6 +378,7 @@ NO_SCAN_EXPECTED = {
     "d_containment_budget",
     "x_rouge",
     "g_random_walks",
+    "g_node2vec_budget",
     "g_node2vec_walks",
     "g_walk_skipgrams",
     "d_minhash_lsh_pairs",

@@ -745,3 +745,67 @@ def test_components_star_convergence_assert(spark):
     got = connected_components_star(chain, max_iters=25, assert_converged=True)
     want = connected_components(chain, max_iters=45, early_stop=False)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_node2vec_max_degree_caps_and_matches_reference(spark):
+    """Degree budget: an oversized cap is identical to the uncapped
+    walk; a binding cap samples only hash-rank-kept neighbors, matching
+    a scalar replay of the capped adjacency."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from fluxgraph_spark.operators.analytics import node2vec_walks
+
+    # a hub (0) with 12 leaves, plus a chain so walks can keep moving
+    edges = [(0, i) for i in range(1, 13)] + [(i, 0) for i in range(1, 13)]
+    edges += [(1, 2), (2, 1)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (1,)], ["id"])
+
+    uncapped = sorted(map(tuple, node2vec_walks(
+        e, seeds, walk_len=3, p="2", q="1/2").collect()))
+    oversize = sorted(map(tuple, node2vec_walks(
+        e, seeds, walk_len=3, p="2", q="1/2", max_degree=100).collect()))
+    assert uncapped == oversize
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # capped adjacency: per src, the max_degree smallest by
+    # (md5('nbrcap:src:dst'), dst)
+    cap = 4
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, []).append(d)
+    capped = {
+        s: sorted(sorted(ds, key=lambda d: (h(f"nbrcap:{s}:{d}"), d))[:cap])
+        for s, ds in adj.items()
+    }
+    got = {r["walk_id"]: r["path"] for r in node2vec_walks(
+        e, seeds, walk_len=3, p="2", q="1/2", max_degree=cap).collect()}
+    # replay: hop 0 uniform over capped ranked list; hops 1+ weighted
+    w_ret, w_d1, w_d2 = 1 * 1, 2 * 1, 2 * 2  # p=2, q=1/2 scaled by p*q
+    for seed in (0, 1):
+        path = [seed]
+        v = seed
+        nbrs = capped[v]
+        v2 = nbrs[h(f"{seed}:0:{v}") % len(nbrs)]
+        path.append(v2)
+        prev, v = v, v2
+        for t in (1, 2):
+            nbrs = capped[v]
+            ws = [w_ret if x == prev else (w_d1 if x in capped[prev] else w_d2)
+                  for x in nbrs]
+            r = h(f"{seed}:{t}:{v}") % sum(ws)
+            cum = 0
+            for x, w in zip(nbrs, ws):
+                cum += w
+                if r < cum:
+                    nxt = x
+                    break
+            path.append(nxt)
+            prev, v = v, nxt
+        assert got[seed] == "->".join(map(str, path)), (seed, got[seed], path)
+    with _pytest.raises(ValueError, match="max_degree"):
+        node2vec_walks(e, seeds, max_degree=0)
