@@ -944,9 +944,12 @@ _G_CLOSENESS_ROUNDS = 4  # reversed kind-layered graph: nation ->(1) customer/
 def q_g_closeness(spark, sf_dir):
     """Sampled-source closeness centrality (operators/analytics.py
     closeness_centrality — the Eppstein & Wang SODA'01 sampled-pivot
-    recipe): per-source BFS from the 25 nation vertices over the
-    reversed graph, one labelled frontier serving all sources at once,
-    then closeness(s) = (n_reached-1)/sum_dist in exact integer micros.
+    recipe): per-source BFS from the 5 md5-smallest nation vertices
+    (the deterministic pivot SAMPLE — the whole point of the recipe is
+    that the source set is a bounded sample, so the frontier is
+    |sample|x|V|, not |sources-universe|x|V|) over the reversed graph,
+    one labelled frontier serving all sources at once, then
+    closeness(s) = (n_reached-1)/sum_dist in exact integer micros.
     Fixed _G_CLOSENESS_ROUNDS supersteps with assert_converged=True
     (the _G_CC_ROUNDS pattern — the oracle replays the same rounds, and
     the two-scalar probe guarantees the fixed count covered the graph's
@@ -957,7 +960,12 @@ def q_g_closeness(spark, sf_dir):
     Gremlin store/path walks (GremlinPipeline), bulk-analog form."""
     _, v, e = _graph(spark, sf_dir)
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    sources = v.where(F.col("kind") == "nation").select("id")
+    sources = (
+        v.where(F.col("kind") == "nation")
+        .select("id")
+        .orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(5)
+    )
     return AN.closeness_centrality(
         rev,
         sources,
@@ -5966,7 +5974,8 @@ def _closeness_sql(iters: int = 4) -> str:
     ctes = """
 rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM ge),
 d0 AS (SELECT id AS source, id, CAST(0 AS BIGINT) AS level
-       FROM gv WHERE kind = 'nation')"""
+       FROM (SELECT id FROM gv WHERE kind = 'nation'
+             ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 5))"""
     for k in range(iters):
         ctes += f""",
 m{k} AS MATERIALIZED (SELECT d.source, r.dst AS id, min(d.level) + 1 AS level

@@ -1166,8 +1166,10 @@ def test_semantic_ivf_dedupe_label_free(tables, spark):
     is the deterministic IVF centroid assignment, not a data column.
     Pins: full cover (one row per vector), representative consistency
     (every rep keeps itself, non-reps don't), the min-id contract, and
-    the convergence assert firing on an undersized round budget (the
-    fixture pair graph's fixpoint is 9 supersteps)."""
+    the convergence assert firing on an undersized STAR round budget
+    (components run star alternation since the pair graph's depth is
+    unbounded in SF; the fixture converges within a few star rounds,
+    so only a 1-round budget can trip the assert)."""
     emb = tables["embeddings"]
     out = dedup.semantic_ivf_dedupe(
         emb, n_centroids=16, n_probe=2, threshold=0.35,
@@ -1180,10 +1182,10 @@ def test_semantic_ivf_dedupe_label_free(tables, spark):
         assert kept == (1 if rep == vid else 0)
         assert rows[rep][0] == rep              # reps represent themselves
     assert any(rep != vid for vid, (rep, _) in rows.items())  # merges exist
-    with pytest.raises(ValueError, match="did not converge"):
+    with pytest.raises(ValueError, match="star fixpoint"):
         dedup.semantic_ivf_dedupe(
             emb, n_centroids=16, n_probe=2, threshold=0.35,
-            max_iters=4, assert_converged=True,
+            max_iters=1, assert_converged=True,
         )
 
 
