@@ -3398,26 +3398,31 @@ def q_d_lsh_budget(spark, sf_dir):
 def q_d_semantic_ivf_dedupe(spark, sf_dir):
     """Label-FREE semantic dedup (r9 — the production shape: a real
     corpus has no blocking column): the block is a deterministic IVF
-    centroid assignment — 16 md5-sampled centroids, every vector
-    assigned to its 2 nearest by cosine (multi-probe: near-dups split
-    by a centroid boundary still meet through either side's second
-    probe) — then the same cosine>=0.35 pair scoring, STAR components
-    (convergence-asserted) and min-id representative as
-    d_semantic_dedupe.  Star, not fixed min-label rounds: with 16 fixed
-    centroids the inverted lists grow with the corpus, so the pair
-    graph's component depth is UNBOUNDED in SF (label propagation
-    converged in 9 rounds at sf0.001 and tripped the 12-round assert at
-    sf0.1) — star converges in O(log diameter) rounds at every scale,
-    and its converged labels equal min-reachable-id, which the oracle
+    centroid assignment — the centroid count is DERIVED from the
+    corpus, max(16, ceil(sqrt(n_rows))) (r10: the r9 fixed 16 made the
+    inverted lists grow linearly with the corpus — the sqrt rule keeps
+    them ~sqrt(corpus) flat, the operator's own docstring contract) —
+    md5-sampled centroids, every vector assigned to its 2 nearest by
+    cosine (multi-probe: near-dups split by a centroid boundary still
+    meet through either side's second probe) — then the same
+    cosine>=0.35 pair scoring, STAR components (convergence-asserted)
+    and min-id representative as d_semantic_dedupe.  Star, not fixed
+    min-label rounds: component depth still isn't bounded a priori —
+    star converges in O(log diameter) rounds at every scale, and its
+    converged labels equal min-reachable-id, which the oracle
     recomputes with a RECURSIVE reachability closure (the
     d_corpus_dedupe pattern) instead of a fixed-round replay, so the
-    oracle is scale-independent too.  The centroid pick, probe argmax,
-    candidate set and threshold are all deterministic math, so the
-    survivor set replays bit-for-bit."""
+    oracle is scale-independent too.  The derivation is one bounded
+    count whose ceil(sqrt()) is IEEE-exact cross-engine below 2^52
+    rows, so the oracle recomputes k from its own count(*) CTE — the
+    derivation itself hash-gates (k=23 at the gate SFs, not the old
+    16).  The centroid pick, probe argmax, candidate set and threshold
+    are all deterministic math, so the survivor set replays
+    bit-for-bit."""
     emb = tpch.read_tables(spark, sf_dir)["embeddings"]
     return dedup.semantic_ivf_dedupe(
         emb,
-        n_centroids=16,
+        n_centroids=None,
         n_probe=2,
         threshold=0.35,
         max_iters=_D_SEM_IVF_STAR_ROUNDS,
@@ -5771,14 +5776,16 @@ FROM embeddings e LEFT JOIN c{iters} c ON c.id = e.vec_id
     )
 
 
-def _semantic_ivf_dedupe_sql(
-    n_centroids: int = 16, n_probe: int = 2
-) -> str:
-    """Replay of semantic_ivf_dedupe: md5-sampled centroids ->
-    per-vector n_probe nearest-centroid assignment (the s_ivf_topk
-    argmax CTE) -> bucket-sharing cosine pairs -> min-reachable-id
-    components via a RECURSIVE closure (the d_corpus_dedupe pattern) ->
-    min-id representative.  The closure is scale-independent: the query
+def _semantic_ivf_dedupe_sql(n_probe: int = 2) -> str:
+    """Replay of semantic_ivf_dedupe: DERIVED centroid count
+    (greatest(16, ceil(sqrt(count(*)))) — recomputed from the oracle's
+    own count, exactly dedup.derived_centroid_count; IEEE sqrt is
+    correctly rounded so the two engines' k agree for any corpus below
+    2^52 rows) -> md5-sampled centroids -> per-vector n_probe
+    nearest-centroid assignment (the s_ivf_topk argmax CTE) ->
+    bucket-sharing cosine pairs -> min-reachable-id components via a
+    RECURSIVE closure (the d_corpus_dedupe pattern) -> min-id
+    representative.  The closure is scale-independent: the query
     path's star components converge to exactly min-reachable-id (the
     assert guarantees convergence), so no round constant is shared —
     unlike a fixed-round replay, this oracle cannot go stale when the
@@ -5786,10 +5793,13 @@ def _semantic_ivf_dedupe_sql(
     ctes = f"""
 base AS MATERIALIZED (
   SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+nc AS MATERIALIZED (
+  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM base),
 cents AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS centroid_id,
-         vec AS cvec
-  FROM base ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_centroids}),
+  SELECT centroid_id, cvec FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS centroid_id,
+           vec AS cvec
+    FROM base) c CROSS JOIN nc WHERE c.centroid_id <= nc.k),
 scored AS MATERIALIZED (
   SELECT b.id, c.centroid_id,
          list_dot_product(b.vec, c.cvec)
@@ -7520,7 +7530,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT q.query_id,
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_micro
-        FROM (SELECT DISTINCT query_id FROM truth) q
+        FROM (SELECT query_id FROM truth UNION SELECT query_id FROM approx) q
         LEFT JOIN hits h USING (query_id)
         """,
         "s_ivf_topk": """
@@ -7615,7 +7625,7 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 10
         """,
         "d_semantic_dedupe": _semantic_dedupe_sql(_D_SEM_CC_ROUNDS),
-        "d_semantic_ivf_dedupe": _semantic_ivf_dedupe_sql(16, 2),
+        "d_semantic_ivf_dedupe": _semantic_ivf_dedupe_sql(2),
         "d_lsh_verified_pairs": _lsh_verified_sql(8, 4),
         "d_lsh_budget": _lsh_budget_sql(8, 8, _LSH_BUDGET),
         "d_minhash_lsh_pairs": _lsh_verified_sql(8, 2),

@@ -824,7 +824,9 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def _pairs_block_pandas(base: DataFrame, threshold: float) -> DataFrame:
+def _pairs_block_pandas(
+    base: DataFrame, threshold: float, max_block_rows: int = 1_000_000
+) -> DataFrame:
     """Within-block pairwise cosine via one Arrow-batched applyInPandas
     per block — the FAISS-style inverted-list scan.  The Catalyst
     self-join form materializes |block|^2 rows through an interpreted
@@ -840,16 +842,27 @@ def _pairs_block_pandas(base: DataFrame, threshold: float) -> DataFrame:
     replaying it) is unchanged.  The numpy side prefilters with a
     strictly-looser raw bound (threshold - 1e-6) and leaves the exact
     rounded comparison to the engine, so no numpy rounding semantics
-    ever decide a pair.
+    ever decide a pair.  Zero-norm vectors must be excluded UPSTREAM
+    (``embedding_near_dup_pairs`` drops them before either impl): a
+    zero norm makes the cosine NaN, and Spark comparison semantics
+    (NaN greater than any double) would keep the pair in the join path
+    while the numpy prefilter drops it — the one input class where the
+    two impls could diverge.
 
-    Memory: the per-block cosine matrix is processed in row chunks
-    capped at ~16 MB, so a block of ANY size fits executor memory;
-    work per block is |block|^2 * dim flops — the caller bounds block
-    sizes (n_centroids ~ sqrt(corpus) keeps them flat at scale).
+    Memory: the cosine MATRIX is processed in row chunks capped at
+    ~16 MB, but applyInPandas materializes each block's rows as ONE
+    pandas group — the |block| x dim double stack must fit a single
+    Python worker (rows x dim x 8 bytes; 1M rows at dim 64 = 512 MB).
+    ``max_block_rows`` is the guard: a block past it raises with the
+    fix spelled out instead of OOMing an executor mid-job.  The real
+    control is the CALLER's blocking granularity — n_centroids ~
+    sqrt(corpus) keeps blocks ~sqrt(corpus) flat-per-centroid at scale
+    (see semantic_ivf_dedupe, which derives exactly that).
     """
     import pandas as pd
 
     looser = threshold - 1e-6
+    cap = int(max_block_rows)
     out_schema = "id_a long, id_b long, cosine double"
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -857,6 +870,16 @@ def _pairs_block_pandas(base: DataFrame, threshold: float) -> DataFrame:
         import pandas as pd
 
         n = len(pdf)
+        if n > cap:
+            blk = pdf["blk"].iloc[0] if "blk" in pdf.columns else "?"
+            raise ValueError(
+                f"_pairs_block_pandas: block {blk!r} has {n} rows "
+                f"(> max_block_rows={cap}) — the vector stack would not "
+                f"fit one worker. Use a finer blocking (more centroids: "
+                f"n_centroids ~ sqrt(corpus), the semantic_ivf_dedupe "
+                f"default) or raise max_block_rows if the executor has "
+                f"the memory (rows x dim x 8 bytes)."
+            )
         if n < 2:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"),
@@ -905,6 +928,7 @@ def embedding_near_dup_pairs(
     planes: int = 8,
     exact: bool = False,
     impl: str = "join",
+    max_block_rows: int = 1_000_000,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.  ``block_col`` is an explicit
     blocking key (an IVF bucket, a language/label column...).
@@ -927,7 +951,16 @@ def embedding_near_dup_pairs(
     output (in-order dimension accumulation = the Catalyst fold), ~10×
     faster when blocks grow to thousands of vectors (a fixed-centroid
     IVF blocking at growing corpus), and it never materializes the
-    |block|² join rows."""
+    |block|² join rows.  ``max_block_rows`` guards the block_pandas
+    path (a block's rows land in ONE Python worker — see
+    :func:`_pairs_block_pandas`).
+
+    Zero-norm vectors are dropped from pairing in EVERY impl: cosine
+    is undefined (NaN) there, and Spark's NaN-greater-than-everything
+    comparison would keep NaN pairs in the join path while the numpy
+    path drops them — filtering them once upstream keeps the two impls
+    bit-identical on all inputs.  A zero vector is nobody's near-dup;
+    semantic_dedupe still returns it as its own singleton cluster."""
     from .similarity import hyperplane_bucket
 
     dot = F.aggregate(
@@ -948,7 +981,7 @@ def embedding_near_dup_pairs(
                 lambda acc, v: acc + v,
             )
         ),
-    )
+    ).where(F.col("norm") > 0)
     blocked = block_col is not None
     if block_col is None and not exact:
         bucket = hyperplane_bucket(F.col("vec"), F.size(F.col("vec")), planes)
@@ -969,7 +1002,7 @@ def embedding_near_dup_pairs(
                 "or the default LSH bucketing) — the exact all-pairs "
                 "form has no block to group on"
             )
-        out = _pairs_block_pandas(base, threshold)
+        out = _pairs_block_pandas(base, threshold, max_block_rows=max_block_rows)
     elif impl == "join":
         a = base.alias("a")
         b = base.alias("b")
@@ -1184,15 +1217,36 @@ def _keep_min_reps(
     return out.withColumn("kept", (F.col("id") == F.col("rep_id")).cast("int"))
 
 
+def derived_centroid_count(n_rows: int, floor: int = 16) -> int:
+    """The IVF centroid count that keeps inverted lists FLAT in the
+    corpus: ``max(floor, ceil(sqrt(n_rows)))``.  With k ~ sqrt(n) each
+    list holds ~sqrt(n) vectors, so per-list pair work is O(n) total
+    instead of the O(n²/k) a FIXED k degrades to as the corpus grows.
+
+    Engine-replayable by construction: ``ceil(sqrt(n))`` over an
+    integer count is deterministic across engines because IEEE-754
+    sqrt is correctly rounded — for n < 2^52 the double sqrt of a
+    non-square n can never round up to the next integer (the gap
+    1/(2*sqrt(n)) exceeds half an ulp), and a perfect square returns
+    its root exactly.  A DuckDB/SQL oracle recomputes the same k with
+    ``greatest(floor, CAST(ceil(sqrt(count(*))) AS BIGINT))``."""
+    import math
+
+    if n_rows < 0:
+        raise ValueError(f"n_rows must be >= 0, got {n_rows}")
+    return max(int(floor), math.ceil(math.sqrt(n_rows)))
+
+
 def semantic_ivf_dedupe(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 2,
     threshold: float = 0.95,
     max_iters: int = 25,
     assert_converged: bool = False,
+    max_block_rows: int = 1_000_000,
 ) -> DataFrame:
     """:func:`semantic_dedupe` for corpora WITHOUT a blocking column —
     the block is a deterministic IVF centroid assignment instead of a
@@ -1222,11 +1276,22 @@ def semantic_ivf_dedupe(
     so an external SQL engine replays the survivor set bit-for-bit.
 
     Scale shape: assignment is a narrow map over the corpus; candidate
-    pairs are one self-join per inverted list (list sizes ~corpus /
-    n_centroids — size n_centroids ~sqrt(corpus) at scale); components
-    shuffle only the pair graph."""
+    pairs are one self-join per inverted list.  ``n_centroids=None``
+    (the default) DERIVES the count from the corpus via
+    :func:`derived_centroid_count` — ``max(16, ceil(sqrt(n_rows)))``,
+    one bounded driver count — so inverted lists stay ~sqrt(corpus)
+    and per-list pair work stays O(corpus) total at every scale; a
+    fixed explicit count is for fixture pinning and small corpora only
+    (its lists grow linearly with the corpus and the within-list pair
+    work quadratically — ``max_block_rows`` raises before that OOMs a
+    worker).  The derivation is a deterministic function of the row
+    count, so an SQL oracle replays it from the same ``count(*)``
+    (see derived_centroid_count's cross-engine rounding note);
+    components shuffle only the pair graph."""
     from .similarity import _as_double_vec, ivf_assign, ivf_centroids
 
+    if n_centroids is None:
+        n_centroids = derived_centroid_count(emb.count())
     cents = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
     base = emb.select(
         F.col(id_col).alias("id"), _as_double_vec(F.col(vec_col)).alias("vec")
@@ -1235,7 +1300,7 @@ def semantic_ivf_dedupe(
     blocked = base.join(assign, "id")
     pairs = embedding_near_dup_pairs(
         blocked, "id", "vec", block_col="centroid_id", threshold=threshold,
-        impl="block_pandas",
+        impl="block_pandas", max_block_rows=max_block_rows,
     )
     if n_probe > 1:
         # multi-probe scores a pair once per shared probed centroid

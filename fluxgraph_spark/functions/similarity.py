@@ -744,10 +744,14 @@ def topk_recall(
     trusting an approximate index at scale (FAISS's own benchmark
     protocol): build the exact top-k for a bounded probe-query sample
     (brute force over Q×N is fine when |Q| is bounded), run the same
-    queries through the candidate index, and report recall@k.  Queries
-    the approximate side missed entirely still get a row (n_hits=0) —
-    a silent empty result is the failure mode this measurement exists
-    to catch.
+    queries through the candidate index, and report recall@k.  The
+    query universe is the UNION of both sides' query ids: queries the
+    approximate side missed entirely still get a row (n_hits=0 — a
+    silent empty result is the failure mode this measurement exists to
+    catch), and a query id present in approx but absent from truth
+    ALSO surfaces as n_hits=0 rather than silently dropping — that row
+    means the truth build skipped a query the index answered, i.e. the
+    measurement inputs disagree, which the report must show, not hide.
 
     Scale shape: both inputs are ≤ k rows per query, so the equi-join
     and the per-query count shuffle k·|Q| rows total — the measurement
@@ -766,7 +770,11 @@ def topk_recall(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
-    qs = t.select("query_id").distinct()
+    qs = (
+        t.select("query_id")
+        .unionByName(a.select("query_id"))
+        .distinct()
+    )
     return qs.join(hits, "query_id", "left").select(
         "query_id",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),

@@ -501,6 +501,15 @@ def label_propagation(
     )
 
 
+def _edge_sets_equal(e: DataFrame, prev_e: DataFrame) -> bool:
+    """Exact set equality for two (u, v) DISTINCT edge frames whose
+    counts are already known equal (the star fixpoint confirmation):
+    equal-count distinct sets are equal iff no row of one is missing
+    from the other — ONE bounded anti-join probe, not a full
+    two-sided except."""
+    return e.join(prev_e, ["u", "v"], "left_anti").isEmpty()
+
+
 def connected_components_star(
     edges: DataFrame, max_iters: int = 25, assert_converged: bool = False
 ) -> DataFrame:
@@ -521,8 +530,15 @@ def connected_components_star(
       min of u's smaller neighborhood.
 
     Fixpoint = the edge multiset is a set of stars rooted at component
-    minima; detected with a cheap (count, double-sum) signature instead
-    of a full except-join.  Returns (id, component), identical to
+    minima; a cheap (count, double-sum) signature screens each round,
+    and a signature MATCH is then confirmed with one exact anti-join
+    (both sides are distinct checkpointed sets with equal counts, so
+    set equality == "no row of this round missing from the last") —
+    a signature collision between two different edge sets can slow
+    convergence detection by a round but can never falsely declare a
+    fixpoint, which matters because callers' correctness
+    (assert_converged=True) rides on the labels being truly converged.
+    Returns (id, component), identical to
     :func:`connected_components` output.
 
     ``assert_converged=True`` raises ValueError if the round budget is
@@ -551,6 +567,7 @@ def connected_components_star(
         .persist()
     )
     prev_sig = None
+    prev_e = None
     converged = False
     for _ in range(max_iters):
         # --- large-star: operate on both orientations -----------------
@@ -590,9 +607,15 @@ def connected_components_star(
             ).collect()[0]
         )
         if sig == prev_sig:
-            converged = True
-            break
+            # the signature only SCREENS: confirm the fixpoint exactly
+            # before declaring convergence (a collision between two
+            # different edge sets must not pass as converged — the
+            # labels would be silently under-merged behind the assert).
+            if prev_e is not None and _edge_sets_equal(e, prev_e):
+                converged = True
+                break
         prev_sig = sig
+        prev_e = e
     if assert_converged and not converged:
         raise ValueError(
             f"connected_components_star did not reach its star fixpoint "

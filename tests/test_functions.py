@@ -1352,3 +1352,139 @@ def test_embedding_pairs_block_pandas_bit_identical_to_join(spark):
         embedding_near_dup_pairs(emb, exact=True, impl="block_pandas")
     with _pytest.raises(ValueError, match="unknown impl"):
         embedding_near_dup_pairs(emb, block_col="blk", impl="nope")
+
+
+def test_derived_centroid_count_rule_and_duckdb_parity():
+    """The sqrt centroid rule (r10): max(16, ceil(sqrt(n))) — exact
+    values at the floor, at perfect squares (IEEE sqrt returns the
+    root exactly), and one below them (sqrt can never round UP across
+    an integer for n < 2^52), and DuckDB recomputes the identical k
+    from the same counts — the cross-engine contract the
+    d_semantic_ivf_dedupe oracle rides on."""
+    from fluxgraph_spark.functions.dedup import derived_centroid_count
+
+    cases = [0, 1, 255, 256, 257, 1024, 1025, 500, 2000,
+             10**6, 10**6 - 1, (10**6) ** 2, (10**6) ** 2 - 1,
+             2**52 - 1]
+    expect = {0: 16, 1: 16, 255: 16, 256: 16, 257: 17, 1024: 32,
+              1025: 33, 500: 23, 2000: 45, 10**6: 1000,
+              10**6 - 1: 1000, (10**6) ** 2: 10**6,
+              (10**6) ** 2 - 1: 10**6}
+    for n in cases:
+        k = derived_centroid_count(n)
+        if n in expect:
+            assert k == expect[n], (n, k)
+        duck = duckdb.sql(
+            f"SELECT greatest(16, CAST(ceil(sqrt({n}::DOUBLE)) AS BIGINT))"
+        ).fetchone()[0]
+        assert k == duck, (n, k, duck)
+    with pytest.raises(ValueError, match="n_rows"):
+        derived_centroid_count(-1)
+
+
+def test_semantic_ivf_dedupe_derives_centroid_count(tables):
+    """n_centroids=None (the r10 default) derives max(16, ceil(sqrt(n)))
+    from the corpus — the result is identical to passing the derived
+    constant explicitly, and differs from the old fixed 16 on this
+    fixture (the derivation binds: 500 rows -> k=23)."""
+    from fluxgraph_spark.functions.dedup import derived_centroid_count
+
+    emb = tables["embeddings"]
+    k = derived_centroid_count(emb.count())
+    assert k == 23
+    auto = sorted(map(tuple, dedup.semantic_ivf_dedupe(
+        emb, threshold=0.35, max_iters=12, assert_converged=True
+    ).collect()))
+    explicit = sorted(map(tuple, dedup.semantic_ivf_dedupe(
+        emb, n_centroids=k, threshold=0.35, max_iters=12,
+        assert_converged=True,
+    ).collect()))
+    assert auto == explicit
+
+
+def test_pairs_block_pandas_block_cap_raises(spark):
+    """A block larger than max_block_rows must raise with the fix named
+    (finer blocking / more centroids), not OOM a worker: applyInPandas
+    materializes the whole block's vector stack in ONE Python worker —
+    only the cosine matrix is chunked."""
+    from pyspark.errors import PythonException
+
+    from fluxgraph_spark.functions.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)], 0) for i in range(10)],
+        ["vec_id", "embedding", "blk"],
+    )
+    with pytest.raises(PythonException, match="max_block_rows"):
+        embedding_near_dup_pairs(
+            emb, block_col="blk", threshold=0.0, impl="block_pandas",
+            max_block_rows=4,
+        ).collect()
+    ok = embedding_near_dup_pairs(
+        emb, block_col="blk", threshold=0.0, impl="block_pandas",
+        max_block_rows=10,
+    )
+    assert ok.count() > 0
+
+
+def test_embedding_near_dup_zero_norm_dropped_identically(spark):
+    """Zero-norm vectors (cosine undefined -> NaN; Spark's NaN-greater-
+    than-everything would KEEP NaN pairs in the join path while numpy
+    drops them) are excluded from pairing identically in BOTH impls —
+    the one input class where the impls could diverge (r10 ADVICE)."""
+    from fluxgraph_spark.functions.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0], 0),
+         (1, [1.0, 2.0, 3.0, 4.0], 0),
+         (2, [1.0, 2.0, 3.0, 4.0], 0),
+         (3, [0.0, 0.0, 0.0, 0.0], 0)],
+        ["vec_id", "embedding", "blk"],
+    )
+    a = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, block_col="blk", threshold=0.5, impl="join").collect()))
+    b = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, block_col="blk", threshold=0.5, impl="block_pandas"
+    ).collect()))
+    assert a == b == [(1, 2, 1.0)]   # zero-norm ids appear in NO pair
+    # and the dedup tail still returns the zero vectors as singletons
+    out = {r["id"]: (r["rep_id"], r["kept"]) for r in dedup.semantic_dedupe(
+        emb, block_col="blk", threshold=0.5).collect()}
+    assert out[0] == (0, 1) and out[3] == (3, 1) and out[2] == (1, 0)
+
+
+def test_star_fixpoint_signature_collision_not_converged(spark):
+    """The star fixpoint's (count, sum(u), sum(v)) signature only
+    SCREENS — a collision between different edge sets must not be
+    declared converged (r10 ADVICE: the assert_converged contract is
+    load-bearing for d_semantic_ivf_dedupe).  {(1,4),(3,2)} and
+    {(1,2),(3,4)} share count=2, sum(u)=4, sum(v)=6 yet differ —
+    the exact anti-join confirm tells them apart; equal sets pass."""
+    from fluxgraph_spark.operators.analytics import _edge_sets_equal
+
+    e1 = spark.createDataFrame([(1, 4), (3, 2)], ["u", "v"])
+    e2 = spark.createDataFrame([(1, 2), (3, 4)], ["u", "v"])
+    assert not _edge_sets_equal(e1, e2)
+    assert not _edge_sets_equal(e2, e1)
+    assert _edge_sets_equal(e1, e1)
+    assert _edge_sets_equal(e2, e2)
+
+
+def test_topk_recall_surfaces_approx_only_queries(spark):
+    """A query id present in approx but absent from truth surfaces as
+    an n_hits=0 row instead of silently dropping (r10 ADVICE): the
+    universe is the UNION of both sides' query ids — the inputs
+    disagreeing is exactly what the measurement must show."""
+    from fluxgraph_spark.functions.similarity import topk_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11)], ["query_id", "vec_id"]
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (3, 30)], ["query_id", "vec_id"]
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_micro"])
+        for r in topk_recall(truth, approx, k=2).collect()
+    }
+    assert got == {1: (1, 500000), 3: (0, 0)}
