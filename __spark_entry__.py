@@ -4925,9 +4925,80 @@ _R9_PRIORITY = [
 assert len(_R9_PRIORITY) == 50
 assert len(set(_R9_PRIORITY)) == 50
 
+_R10_PRIORITY = [
+    # the full 46-entry r6-stale cohort (rotation_check at the r10
+    # horizon: every entry last driver-checked in r6 — age 4 > max_age 3
+    # without a slot this round)
+    "g_bfs_levels",
+    "g_clustering",
+    "g_components_star",
+    "g_copurchase_top",
+    "g_gremlin_loop_emit",
+    "g_gremlin_loop_while",
+    "g_hits",
+    "g_ktruss",
+    "g_lpa_communities",
+    "g_motif_open_paths",
+    "g_orders_per_customer",
+    "g_pagerank_top10",
+    "g_ppr_top10",
+    "g_revenue_by_region",
+    "g_sssp_weighted",
+    "g_touch_count_3hop",
+    "g_triangles_local",
+    "k_cms_heavy",
+    "k_hll_orderkeys",
+    "m_dhash_dups",
+    "pipeline_crawl",
+    "r_profile",
+    "r_rollup_revenue",
+    "r_zorder_box",
+    "s_bm25_indexed_topk",
+    "s_bm25_topk",
+    "s_cluster_sample",
+    "s_ivf_indexed_topk",
+    "s_ivfpq_rerank",
+    "s_ivfpq_residual_topk",
+    "s_ivfpq_topk",
+    "s_sq_topk",
+    "st_ann_drift",
+    "st_ann_ingest",
+    "st_annpq_drift",
+    "st_annpq_ingest",
+    "st_bm25_ingest",
+    "x_audio_adpcm",
+    "x_bpe_encode",
+    "x_bpe_merges",
+    "x_frames_msv1",
+    "x_lm_familiarity",
+    "x_mix_budget",
+    "x_phrase_hits",
+    "x_phrase_indexed",
+    "x_warc_ingest",
+    # everything whose code changed in r10: the derived sqrt-centroid
+    # count + block-size guard + zero-norm filter (d_semantic_ivf_dedupe,
+    # d_semantic_dedupe), the star exact-fixpoint confirm
+    # (d_corpus_dedupe — also one of the four entries the judge asked
+    # rotated back in; g_components_star and g_triangles_local are
+    # already in the stale cohort above), and the topk_recall query
+    # universe union (s_ann_recall).  The three remaining ceded-in-r9
+    # entries (d_minhash_lsh_pairs, d_incr_dedupe, d_indexed_dedupe —
+    # r8-green, age 2, untouched by this round's changes) cede again to
+    # the changed-code queries and are re-verified by
+    # scripts/check_oracle.py at sf0.01 this round; s_embedding_near_dups
+    # (r8-green, zero-norm filter is a no-op on its non-zero fixture) is
+    # re-verified the same way.
+    "d_corpus_dedupe",
+    "d_semantic_ivf_dedupe",
+    "d_semantic_dedupe",
+    "s_ann_recall",
+]
+assert len(_R10_PRIORITY) == 50
+assert len(set(_R10_PRIORITY)) == 50
+
 # the list the driver's ~50-entry hash prefix follows this round; also
 # what scripts/rotation_check.py treats as "will be checked this round"
-DRIVER_PRIORITY = _R9_PRIORITY
+DRIVER_PRIORITY = _R10_PRIORITY
 
 _NON_GATED_TAIL: list[str] = []
 
