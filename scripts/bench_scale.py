@@ -20,6 +20,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
@@ -114,9 +115,20 @@ QUERIES = [
     # candidate stream — its curve should flatten where the unbudgeted
     # d_lsh_verified_pairs tracks near-dup density) and the label-free
     # IVF-blocked semantic dedup (assignment is a narrow map; the pair
-    # join is per inverted list)
+    # join is per inverted list; r10 — the centroid count now derives
+    # as sqrt(corpus), so the inverted lists stay flat across tiers)
     "d_lsh_budget",
     "d_semantic_ivf_dedupe",
+    # round 10: the TRUE unbudgeted twin of d_lsh_budget — the IDENTICAL
+    # dense substrate (bigram shingles, 8 single-component bands,
+    # threshold=0.0) with only the budget off, so the knob is measured
+    # like the containment pair was (same detector, knob on/off).  The
+    # r9 comparison against d_lsh_verified_pairs compared different
+    # workloads (default n=3/4-band vs dense n=2/8-band) and read as a
+    # knob loss.  Bench-only: not a registry query (same operator and
+    # oracle family as d_lsh_verified_pairs — this entry exists to make
+    # the A/B clean, not to gate new semantics).
+    "d_lsh_dense_unbudgeted",
 ]
 
 # the 3 steepest sf0.1->sf1.0 curves get a THIRD point at 100x data
@@ -138,11 +150,73 @@ SF10_QUERIES = [
     "g_random_walks",
     "d_lsh_budget",
     "d_lsh_verified_pairs",
+    # r10: the clean knob A/B at 100x (same dense substrate, budget
+    # on/off) and the derived-centroid IVF dedup — the sqrt rule's
+    # whole claim is this tier
+    "d_lsh_dense_unbudgeted",
+    "d_semantic_ivf_dedupe",
 ]
 
 
+def _q_lsh_dense_unbudgeted(spark, sf_dir):
+    """d_lsh_budget's exact substrate with the budget OFF — the clean
+    A/B twin (bench-only; see the QUERIES comment)."""
+    from fluxgraph_spark.functions import dedup
+    from fluxgraph_spark.sources import tpch
+
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return dedup.minhash_lsh_dedup_reproducible(
+        docs, "doc_id", "text", n=2, num_hashes=8, bands=8, threshold=0.0,
+    )
+
+
+EXTRA_QUERIES = {"d_lsh_dense_unbudgeted": _q_lsh_dense_unbudgeted}
+
+
+def walk_stage_isolated(spark, sf_dir, runs):
+    """Time ONLY the walk stage of the node2vec knob A/B: the shared
+    co-purchase substrate (per-order self-join + symmetrize — the cost
+    that dominates both variants at sf10 and masks the knob) is built
+    ONCE and materialized via localCheckpoint, then the capped and
+    uncapped samplers run against the SAME checkpointed edge table.
+    This is the measurement that can actually show the degree budget's
+    value: per-hop cost is Σ deg(rest vertex) uncapped vs walks x
+    budget capped — a difference the substrate derivation hides."""
+    from fluxgraph_spark.operators import analytics as AN
+
+    edges = entrymod._copurchase_edges(spark, sf_dir, min_support=2)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    t0 = time.time()
+    sym = sym.localCheckpoint(eager=True)
+    seeds = (
+        sym.select("src").distinct().where(F.col("src") % 7 == 0)
+        .localCheckpoint(eager=True)
+    )
+    substrate_sec = round(time.time() - t0, 3)
+    print(f"  walk substrate materialized: {substrate_sec}s", file=sys.stderr)
+    out = {"substrate_sec": substrate_sec}
+    variants = {
+        "uncapped": dict(),
+        "budget16": dict(max_degree=16),
+    }
+    for label, kw in variants.items():
+        per_run = []
+        for _ in range(runs):
+            t0 = time.time()
+            AN.node2vec_walks(
+                sym, seeds, walk_len=4, p="4", q="1/4", **kw
+            ).write.format("noop").mode("overwrite").save()
+            per_run.append(time.time() - t0)
+        out[label] = round(min(per_run), 3)
+        print(f"  walk stage {label}: {out[label]}s", file=sys.stderr)
+    return out
+
+
 def run_suite(spark, sf_dir, runs, names=None):
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(EXTRA_QUERIES)
     timings, errors = {}, {}
     for name in names or QUERIES:
         per_run = []
@@ -187,10 +261,21 @@ def main():
     big_t, big_e = run_suite(spark, BIG, runs)
 
     huge_t, huge_e = {}, {}
+    walk_stage = None
     if os.path.isdir(HUGE):
         spark.read.parquet(os.path.join(HUGE, "lineitem.parquet")).count()
         print(f"== sf10 ({HUGE})", file=sys.stderr)
-        huge_t, huge_e = run_suite(spark, HUGE, 1, names=SF10_QUERIES)
+        # r10: min-of-`runs` at sf10 like the other tiers — the single-run
+        # numbers carried ~2x page-cache variance, which is larger than
+        # the knob effects this tier exists to measure
+        huge_t, huge_e = run_suite(spark, HUGE, runs, names=SF10_QUERIES)
+        print(f"== sf10 walk-stage-isolated A/B", file=sys.stderr)
+        try:
+            walk_stage = walk_stage_isolated(spark, HUGE, runs)
+        except Exception as ex:  # noqa: BLE001
+            print(f"WALK STAGE ERROR: {ex}", file=sys.stderr)
+            huge_e["walk_stage_isolated"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        spark.catalog.clearCache()
     else:
         print(f"== sf10 skipped ({HUGE} missing)", file=sys.stderr)
 
@@ -222,6 +307,8 @@ def main():
         out["super_linear_sf10"] = {
             q: r for q, r in ratios_100x.items() if r > 2 * DATA_RATIO
         }
+        if walk_stage is not None:
+            out["walk_stage_sf10"] = walk_stage
     if small_e or big_e or huge_e:
         out["errors"] = {"sf0.1": small_e, "sf1.0": big_e, "sf10": huge_e}
     with open(os.path.join(ROOT, "SCALE_BENCH.json"), "w") as f:
