@@ -14,6 +14,8 @@ from .ann_ingest import ann_streaming_sink
 from .changefeed import (
     element_change_counts,
     element_touch_counts,
+    element_touch_feed,
+    touch_rollup,
     tx_log_stream,
 )
 from .dedup_ingest import dedup_streaming_sink, seed_corpus
@@ -38,6 +40,8 @@ __all__ = [
     "tx_log_stream",
     "element_change_counts",
     "element_touch_counts",
+    "element_touch_feed",
+    "touch_rollup",
     "read_event_stream",
     "windowed_event_counts",
     "sessionize_stream",

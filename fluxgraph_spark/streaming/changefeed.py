@@ -55,10 +55,30 @@ def element_touch_counts(
     aggregation is unsupported in streaming), which no external engine
     replays; this keyed one-level aggregation is exact instead, and an
     exact distinct-elements count falls out of a trivial batch rollup
-    over the settled result (one row per live key).  Scale: ONE
-    stateful aggregation whose state is bounded by live (window, kind,
-    element) keys — with the watermark, expired windows evict in
-    append/update modes; complete mode is for finite drains."""
+    over the settled result (one row per live key).
+
+    State-size bound (the watermark eviction math): state holds one
+    fixed-width row per LIVE (window, kind, element) key, and a window
+    is live only until the watermark passes its end — so live windows
+    per key number at most ceil(watermark/window) + 1 (= 3 at the
+    1h/2h defaults), and total state is
+
+        rows <= (ceil(watermark/window) + 1)
+                x |distinct (kind, element) touched within the horizon|
+
+    — proportional to the HOT element set per watermark horizon, not
+    to history and not to the corpus.  The rows hash-partition by key
+    across ``spark.sql.shuffle.partitions`` state stores, so per-store
+    state is that total divided by the partition count — raise the
+    partition count to scale out, exactly like any keyed shuffle.
+    Eviction only happens in append/update output modes; COMPLETE mode
+    additionally re-emits the entire accumulated result table every
+    trigger, which is fine for finite drains (the gated query) but is
+    the piece that grows without bound on an infinite feed — for that,
+    run this feed two-level: append-mode finalized rows to files via
+    ``writeStream`` (each key emitted exactly once when the watermark
+    passes its window), then :func:`touch_rollup` as the batch merge.
+    """
     return (
         log.withWatermark(M.TX_TIME, watermark)
         .groupBy(F.window(M.TX_TIME, window).alias("win"), M.KIND, M.ELEMENT_ID)
@@ -70,6 +90,50 @@ def element_touch_counts(
             M.ELEMENT_ID,
             "n_changes",
         )
+    )
+
+
+def element_touch_feed(
+    touches: DataFrame, path: str, checkpoint: str, available_now: bool = True
+):
+    """Level 1 of the two-level changefeed rollup at scale: write
+    :func:`element_touch_counts` rows to ``path`` in APPEND mode — a
+    (window, kind, element) row is emitted EXACTLY ONCE, when the
+    watermark passes its window end, and its state row evicts in the
+    same move.  Nothing accumulates: state is the live-window bound
+    documented on element_touch_counts, the sink is an append-only
+    file feed, and the driver never materializes the result table
+    (the complete-mode drain does — right for finite gates, wrong for
+    an infinite 100 TB feed).  Returns the StreamingQuery; callers
+    await it (availableNow) or manage it (continuous).
+
+    Exactly-once per key comes from append semantics (finalized keys
+    never update again) + the checkpointed file-sink manifest (a
+    replayed batch overwrites the same files), so the level-2 merge
+    can count rows as distinct elements with no dedup pass."""
+    w = (
+        touches.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def touch_rollup(settled: DataFrame) -> DataFrame:
+    """Level 2 of the two-level changefeed rollup: the batch merge over
+    the append-mode feed (:func:`element_touch_feed`'s files, or a
+    complete-mode drain's settled table) — per (window, kind) total
+    mutation counts with an EXACT distinct-elements count.  Exactness
+    is structural: the feed holds exactly one row per finalized
+    (window, kind, element) key, so ``count(*)`` IS the distinct count
+    — no state, no sketch, one ordinary shuffle whose input is already
+    the aggregated feed (tiny next to the tx volume it summarizes)."""
+    return settled.groupBy("win_start", "win_end", M.KIND).agg(
+        F.sum("n_changes").cast("long").alias("n_changes"),
+        F.count(F.lit(1)).cast("long").alias("n_elements"),
     )
 
 

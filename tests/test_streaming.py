@@ -511,3 +511,98 @@ def test_changefeed_touch_counts_crash_replay(spark, tmp_path):
     )
     assert j.count() == got.count()
     assert j.where(F.col("n_changes") != F.col("n_b")).count() == 0
+
+
+def test_changefeed_two_level_append_feed(spark, tmp_path):
+    """The scale shape of the changefeed rollup (r10): level 1 streams
+    element_touch_counts in APPEND mode to files — a (window, kind,
+    element) key is emitted EXACTLY ONCE when the watermark passes its
+    window end, and its state row evicts (complete mode re-emits the
+    whole history every trigger — the unbounded piece on an infinite
+    feed); level 2 (touch_rollup) batch-merges the feed with an exact
+    distinct-elements count.  Leg 1 drains the real tx batch: nothing
+    finalizes (the watermark never passes the last window while data
+    is still arriving inside it).  A far-future sentinel then advances
+    the watermark; leg 2 resumes from the same checkpoint and the feed
+    must contain EVERY leg-1 key exactly once with batch-exact counts,
+    and the rollup must equal the batch ground truth."""
+    from fluxgraph_spark.sources.tpch import read_events
+    from fluxgraph_spark.streaming import (
+        element_touch_counts,
+        element_touch_feed,
+        touch_rollup,
+        tx_log_stream,
+    )
+
+    ev = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+    tx = ev.select(
+        F.col("event_id").alias("tx_id"),
+        F.col("ts").alias("tx_time"),
+        F.col("user_id").alias("element_id"),
+        F.lit(0).cast("long").alias("prev_tx_id"),
+        F.col("event_type").alias("kind"),
+    ).persist()
+    src = str(tmp_path / "txlog")
+    tx.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def leg():
+        touches = element_touch_counts(
+            tx_log_stream(spark, src), "1 hour", watermark="2 hours"
+        )
+        q = element_touch_feed(touches, out, ckpt)
+        q.awaitTermination()
+
+    leg()
+    emitted_leg1 = spark.read.parquet(out).count()
+    # a sentinel far past every real event advances the watermark
+    max_ts = tx.agg(F.max("tx_time")).collect()[0][0]
+    spark.createDataFrame(
+        [(10**9, max_ts, 0, 0, "sentinel")],
+        "tx_id long, tx_time timestamp, element_id long, "
+        "prev_tx_id long, kind string",
+    ).withColumn(
+        "tx_time", F.col("tx_time") + F.expr("INTERVAL 10 DAYS")
+    ).coalesce(1).write.mode("append").parquet(src)
+    leg()
+
+    got = spark.read.parquet(out)
+    truth = (
+        tx.groupBy(
+            F.window("tx_time", "1 hour").alias("win"), "kind", "element_id"
+        )
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "kind", "element_id", "n_changes",
+        )
+    )
+    n_truth = truth.count()
+    # every real key finalized exactly once (the sentinel's own window
+    # is still live — watermark never passed it — so it is NOT emitted)
+    assert got.count() == n_truth > emitted_leg1
+    assert got.groupBy("win_start", "kind", "element_id").count().where(
+        F.col("count") > 1
+    ).count() == 0
+    j = got.join(
+        truth.withColumnRenamed("n_changes", "n_b"),
+        ["win_start", "win_end", "kind", "element_id"],
+    )
+    assert j.count() == n_truth
+    assert j.where(F.col("n_changes") != F.col("n_b")).count() == 0
+    # level 2: the batch merge — exact distinct elements by construction
+    roll = {
+        (r["win_start"], r["kind"]): (r["n_changes"], r["n_elements"])
+        for r in touch_rollup(got).collect()
+    }
+    batch = {
+        (r["win_start"], r["kind"]): (r["n_changes"], r["n_elements"])
+        for r in truth.groupBy("win_start", "win_end", "kind").agg(
+            F.sum("n_changes").cast("long").alias("n_changes"),
+            F.countDistinct("element_id").cast("long").alias("n_elements"),
+        ).collect()
+    }
+    tx.unpersist()
+    assert roll == batch
