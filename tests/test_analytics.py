@@ -809,3 +809,28 @@ def test_node2vec_max_degree_caps_and_matches_reference(spark):
         assert got[seed] == "->".join(map(str, path)), (seed, got[seed], path)
     with _pytest.raises(ValueError, match="max_degree"):
         node2vec_walks(e, seeds, max_degree=0)
+
+
+def test_star_converges_with_huge_ids_exact_signature(spark):
+    """The star fixpoint signature must be EXACT at any id magnitude
+    (r10 find, measured at 100x data): the old double-cast sums lost
+    integer precision above 2^53, making the signature partition-order-
+    dependent — a CONVERGED edge set never matched its own signature
+    twice and assert_converged fired on a correct result.  The xor-of-
+    row-hashes signature is exact at every magnitude: a 40-vertex chain
+    with ids near 2^61 (where double addition of two ids already
+    rounds) must converge, pass the assert, and label every vertex with
+    the chain minimum."""
+    from fluxgraph_spark.operators.analytics import connected_components_star
+
+    base = 1 << 61
+    ids = [base + 7 * i for i in range(40)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(39)], ["src", "dst"]
+    )
+    out = connected_components_star(
+        edges, max_iters=25, assert_converged=True
+    )
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r["component"] == ids[0] for r in rows)
