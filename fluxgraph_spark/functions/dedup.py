@@ -853,11 +853,16 @@ def _pairs_block_pandas(
     ~16 MB, but applyInPandas materializes each block's rows as ONE
     pandas group — the |block| x dim double stack must fit a single
     Python worker (rows x dim x 8 bytes; 1M rows at dim 64 = 512 MB).
-    ``max_block_rows`` is the guard: a block past it raises with the
-    fix spelled out instead of OOMing an executor mid-job.  The real
-    control is the CALLER's blocking granularity — n_centroids ~
-    sqrt(corpus) keeps blocks ~sqrt(corpus) flat-per-centroid at scale
-    (see semantic_ivf_dedupe, which derives exactly that).
+    ``max_block_rows`` is the guard, with a precise scope: it fires
+    inside the worker AFTER Arrow->pandas group materialization, so it
+    reliably stops the |block|^2 scoring work (hours of flops, the
+    chunked matrix) and moderately-oversized stacks, but a block so
+    enormous that materializing the group itself OOMs dies before the
+    check can run — for that regime run a driver-side pre-check
+    (``base.groupBy("blk").count()`` against the cap) or, better, fix
+    the blocking granularity: n_centroids ~ sqrt(corpus) keeps blocks
+    ~sqrt(corpus) flat at scale (see semantic_ivf_dedupe, which
+    derives exactly that).
     """
     import pandas as pd
 

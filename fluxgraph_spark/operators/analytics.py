@@ -230,8 +230,15 @@ def connected_components(
         if early_stop:
             # labels are monotonically non-increasing, so the sum of all
             # labels strictly decreases until fixpoint — one scalar agg
-            # replaces the old join-and-count convergence probe
-            cur_sum = new_comp.agg(F.sum("component")).collect()[0][0]
+            # replaces the old join-and-count convergence probe.  The
+            # sum runs in decimal(38,0): long sums overflow (and under
+            # ANSI mode RAISE) once ids reach hash magnitudes (~2^61
+            # ids x 10^6 vertices > Long.MAX — the star signature bug's
+            # sibling, found in the r10 review); decimal is exact to
+            # 10^38 so the monotone-sum argument holds at any id scale
+            cur_sum = new_comp.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).collect()[0][0]
             comp = new_comp
             if cur_sum == prev_sum:
                 break
@@ -242,7 +249,13 @@ def connected_components(
                 # the last two rounds' label sums; equality means the
                 # final round changed nothing (monotone labels), i.e.
                 # the fixed round count covered the graph's diameter
-                tail_sums.append(comp.agg(F.sum("component")).collect()[0][0])
+                # (decimal(38,0): exact + overflow-free at hash-scale
+                # ids, same reasoning as the early_stop probe above)
+                tail_sums.append(
+                    comp.agg(
+                        F.sum(F.col("component").cast("decimal(38,0)"))
+                    ).collect()[0][0]
+                )
     if not early_stop and assert_converged and len(tail_sums) == 2:
         if tail_sums[0] != tail_sums[1]:
             raise ValueError(

@@ -108,9 +108,15 @@ def element_touch_feed(
     await it (availableNow) or manage it (continuous).
 
     Exactly-once per key comes from append semantics (finalized keys
-    never update again) + the checkpointed file-sink manifest (a
-    replayed batch overwrites the same files), so the level-2 merge
-    can count rows as distinct elements with no dedup pass."""
+    never update again) + the file sink's checkpointed _spark_metadata
+    manifest — which is a SPARK-READER contract: a batch replayed
+    after a crash writes a second set of uniquely-named part files and
+    only the manifest records which set is committed.  Read the feed
+    back with ``spark.read.parquet(path)`` (manifest-aware: sees each
+    key exactly once, so :func:`touch_rollup`'s count(*)-is-distinct
+    premise holds); a non-Spark reader globbing the raw directory
+    (e.g. a DuckDB oracle over ``path/*.parquet``) may see replayed
+    duplicates and must dedup on the key first."""
     w = (
         touches.writeStream.format("parquet")
         .option("path", path)

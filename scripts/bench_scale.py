@@ -184,6 +184,10 @@ def walk_stage_isolated(spark, sf_dir, runs):
     budget capped — a difference the substrate derivation hides."""
     from fluxgraph_spark.operators import analytics as AN
 
+    # substrate/seeds/bias come from the REGISTRY's shared constants and
+    # recipe (q_g_node2vec_walks/q_g_node2vec_budget) — if a future
+    # round retunes the knob or bias there, this A/B follows instead of
+    # silently measuring stale parameters
     edges = entrymod._copurchase_edges(spark, sf_dir, min_support=2)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -199,14 +203,15 @@ def walk_stage_isolated(spark, sf_dir, runs):
     out = {"substrate_sec": substrate_sec}
     variants = {
         "uncapped": dict(),
-        "budget16": dict(max_degree=16),
+        f"budget{entrymod._N2V_MAX_DEG}": dict(max_degree=entrymod._N2V_MAX_DEG),
     }
     for label, kw in variants.items():
         per_run = []
         for _ in range(runs):
             t0 = time.time()
             AN.node2vec_walks(
-                sym, seeds, walk_len=4, p="4", q="1/4", **kw
+                sym, seeds, walk_len=4,
+                p=entrymod._N2V_P, q=entrymod._N2V_Q, **kw
             ).write.format("noop").mode("overwrite").save()
             per_run.append(time.time() - t0)
         out[label] = round(min(per_run), 3)

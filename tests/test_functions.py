@@ -1454,12 +1454,17 @@ def test_embedding_near_dup_zero_norm_dropped_identically(spark):
 
 
 def test_star_fixpoint_signature_collision_not_converged(spark):
-    """The star fixpoint's (count, sum(u), sum(v)) signature only
-    SCREENS — a collision between different edge sets must not be
-    declared converged (r10 ADVICE: the assert_converged contract is
-    load-bearing for d_semantic_ivf_dedupe).  {(1,4),(3,2)} and
-    {(1,2),(3,4)} share count=2, sum(u)=4, sum(v)=6 yet differ —
-    the exact anti-join confirm tells them apart; equal sets pass."""
+    """The star fixpoint's cheap per-round signature only SCREENS — a
+    collision between different edge sets must not be declared
+    converged (r10 ADVICE: the assert_converged contract is
+    load-bearing for d_semantic_ivf_dedupe).  This pins the exact
+    anti-join confirm (_edge_sets_equal) that backs the screen:
+    {(1,4),(3,2)} and {(1,2),(3,4)} collide the sum-style signature
+    this round replaced (count=2, sum(u)=4, sum(v)=6) and would also
+    have to be told apart under any future signature — the confirm
+    distinguishes them; equal sets pass.  The loop-side behavior
+    (confirm failure keeps iterating instead of breaking) is pinned by
+    test_star_confirm_failure_keeps_iterating."""
     from fluxgraph_spark.operators.analytics import _edge_sets_equal
 
     e1 = spark.createDataFrame([(1, 4), (3, 2)], ["u", "v"])
@@ -1488,3 +1493,57 @@ def test_topk_recall_surfaces_approx_only_queries(spark):
         for r in topk_recall(truth, approx, k=2).collect()
     }
     assert got == {1: (1, 500000), 3: (0, 0)}
+
+
+def test_star_confirm_failure_keeps_iterating(spark, monkeypatch):
+    """The 'signature matched but the exact confirm failed' branch of
+    connected_components_star must keep ITERATING (a collision is a
+    delayed detection, never a declared fixpoint) — and exhausting the
+    budget with the confirm never passing must trip assert_converged.
+    The branch is unreachable with real collisions on small fixtures,
+    so the confirm is faked: first rejecting once (convergence then
+    succeeds one round later), then rejecting always (raise)."""
+    from fluxgraph_spark.operators import analytics
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    real = analytics._edge_sets_equal
+    calls = {"n": 0}
+
+    def reject_first(e, prev_e):
+        calls["n"] += 1
+        return False if calls["n"] == 1 else real(e, prev_e)
+
+    monkeypatch.setattr(analytics, "_edge_sets_equal", reject_first)
+    out = analytics.connected_components_star(
+        edges, max_iters=10, assert_converged=True
+    ).collect()
+    assert calls["n"] >= 2                       # kept going after the reject
+    assert {r["component"] for r in out} == {1}  # and still fully converged
+
+    monkeypatch.setattr(analytics, "_edge_sets_equal", lambda e, p: False)
+    with pytest.raises(ValueError, match="star fixpoint"):
+        analytics.connected_components_star(
+            edges, max_iters=4, assert_converged=True
+        )
+
+
+def test_components_label_sum_probe_exact_at_hash_scale_ids(spark):
+    """connected_components' convergence probes must be exact at hash-
+    magnitude ids (r10 review find — the star signature bug's sibling):
+    long sums of ~2^61 labels overflow (ANSI mode raises) and wrapped
+    sums could falsely compare equal.  Decimal(38,0) sums are exact, so
+    both the early_stop probe and the assert_converged tail probe work
+    on a 40-vertex chain of 2^61-scale ids."""
+    from fluxgraph_spark.operators.analytics import connected_components
+
+    base = 1 << 61
+    ids = [base + 7 * i for i in range(40)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(39)], ["src", "dst"]
+    )
+    out = connected_components(edges, max_iters=45, early_stop=True).collect()
+    assert {r["component"] for r in out} == {ids[0]}
+    out2 = connected_components(
+        edges, max_iters=45, early_stop=False, assert_converged=True
+    ).collect()
+    assert {r["component"] for r in out2} == {ids[0]}
