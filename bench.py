@@ -193,6 +193,35 @@ def main():
         "overwrite"
     ).save()
     spark.catalog.clearCache()
+
+    # Load calibration (VERDICT r10 item 4): BENCH_r10 read 2.5x over r9
+    # purely from tenant load during the driver's window — detectable
+    # only by judge re-measurement.  This probe makes a load-poisoned
+    # round machine-readable from the artifact alone: a PINNED trivial
+    # query (revenue_filter — one pushed-filter scan + one agg, code
+    # untouched since r1, historical solo band 0.17-0.27s at sf0.1)
+    # timed 3x at the start AND end of the bench, plus /proc/loadavg at
+    # both points.  Interpretation: probe mins far above the historical
+    # band, or a large start-vs-end drift, or loadavg >> this session's
+    # core count => the per-query numbers carry external load; compare
+    # round-over-round only after discounting it (STATE.md documents
+    # the band per round).
+    def _calibrate():
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            qs["revenue_filter"](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        with open("/proc/loadavg") as f:
+            load = f.read().split()[:3]
+        return {"probe_runs": runs, "probe_min": min(runs),
+                "loadavg": [float(x) for x in load]}
+
+    calibration = {"probe": "revenue_filter", "cpus": int(cpus),
+                   "start": _calibrate()}
     # three timed runs per query, report the min: the first run on this
     # box pays JVM codegen compilation, and individual runs occasionally
     # spike 2-4x under thread contention (documented in STATE.md) — the
@@ -222,6 +251,7 @@ def main():
             spark.catalog.clearCache()
             continue
         timings[name] = round(min(per_run), 3)
+    calibration["end"] = _calibrate()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -231,6 +261,7 @@ def main():
         "sf": sf,
         "runs_per_query": 3,
         "aggregation": "min",
+        "calibration": calibration,
     }
     if errors:
         out["errors"] = errors

@@ -853,15 +853,17 @@ def _pairs_block_pandas(
     ~16 MB, but applyInPandas materializes each block's rows as ONE
     pandas group — the |block| x dim double stack must fit a single
     Python worker (rows x dim x 8 bytes; 1M rows at dim 64 = 512 MB).
-    ``max_block_rows`` is the guard, with a precise scope: it fires
-    inside the worker AFTER Arrow->pandas group materialization, so it
-    reliably stops the |block|^2 scoring work (hours of flops, the
-    chunked matrix) and moderately-oversized stacks, but a block so
-    enormous that materializing the group itself OOMs dies before the
-    check can run — for that regime run a driver-side pre-check
-    (``base.groupBy("blk").count()`` against the cap) or, better, fix
-    the blocking granularity: n_centroids ~ sqrt(corpus) keeps blocks
-    ~sqrt(corpus) flat at scale (see semantic_ivf_dedupe, which
+    ``max_block_rows`` is the in-worker guard, with a precise scope: it
+    fires AFTER Arrow->pandas group materialization, so it reliably
+    stops the |block|^2 scoring work (hours of flops, the chunked
+    matrix) and moderately-oversized stacks, but a block so enormous
+    that materializing the group itself OOMs dies before the check can
+    run — that regime is covered by the DRIVER-SIDE pre-check
+    ``embedding_near_dup_pairs`` runs upstream (``block_precheck``,
+    default on: one ``groupBy("blk").count()`` against the same cap,
+    same message, fails before any worker materializes).  The durable
+    fix is blocking granularity: n_centroids ~ sqrt(corpus) keeps
+    blocks ~sqrt(corpus) flat at scale (see semantic_ivf_dedupe, which
     derives exactly that).
     """
     import pandas as pd
@@ -934,6 +936,7 @@ def embedding_near_dup_pairs(
     exact: bool = False,
     impl: str = "join",
     max_block_rows: int = 1_000_000,
+    block_precheck: bool = True,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.  ``block_col`` is an explicit
     blocking key (an IVF bucket, a language/label column...).
@@ -958,7 +961,17 @@ def embedding_near_dup_pairs(
     IVF blocking at growing corpus), and it never materializes the
     |block|² join rows.  ``max_block_rows`` guards the block_pandas
     path (a block's rows land in ONE Python worker — see
-    :func:`_pairs_block_pandas`).
+    :func:`_pairs_block_pandas`).  ``block_precheck`` (default True)
+    additionally runs the DRIVER-SIDE pre-check the in-worker guard
+    can't cover: the worker raise fires only AFTER Arrow->pandas has
+    materialized the whole group, so a block whose vector stack alone
+    exceeds worker memory would OOM before the ValueError — the
+    pre-check (one column-pruned ``groupBy("blk").count()`` over the
+    blocked ids, cheap next to the quadratic scoring it protects)
+    fails fast on the driver with the same actionable message.  Set
+    ``block_precheck=False`` to skip that extra pass when the blocking
+    is already known-bounded (e.g. a freshly derived sqrt-centroid
+    assignment).
 
     Zero-norm vectors are dropped from pairing in EVERY impl: cosine
     is undefined (NaN) there, and Spark's NaN-greater-than-everything
@@ -1007,6 +1020,25 @@ def embedding_near_dup_pairs(
                 "or the default LSH bucketing) — the exact all-pairs "
                 "form has no block to group on"
             )
+        if block_precheck:
+            over = (
+                base.groupBy("blk")
+                .count()
+                .where(F.col("count") > int(max_block_rows))
+                .orderBy(F.col("count").desc())
+                .limit(1)
+                .collect()
+            )
+            if over:
+                raise ValueError(
+                    f"embedding_near_dup_pairs: block {over[0]['blk']!r} has "
+                    f"{over[0]['count']} rows (> max_block_rows="
+                    f"{int(max_block_rows)}) — the vector stack would not "
+                    f"fit one worker. Use a finer blocking (more centroids: "
+                    f"n_centroids ~ sqrt(corpus), the semantic_ivf_dedupe "
+                    f"default) or raise max_block_rows if the executor has "
+                    f"the memory (rows x dim x 8 bytes)."
+                )
         out = _pairs_block_pandas(base, threshold, max_block_rows=max_block_rows)
     elif impl == "join":
         a = base.alias("a")
@@ -1228,13 +1260,20 @@ def derived_centroid_count(n_rows: int, floor: int = 16) -> int:
     list holds ~sqrt(n) vectors, so per-list pair work is O(n) total
     instead of the O(n²/k) a FIXED k degrades to as the corpus grows.
 
-    Engine-replayable by construction: ``ceil(sqrt(n))`` over an
-    integer count is deterministic across engines because IEEE-754
-    sqrt is correctly rounded — for n < 2^52 the double sqrt of a
-    non-square n can never round up to the next integer (the gap
-    1/(2*sqrt(n)) exceeds half an ulp), and a perfect square returns
-    its root exactly.  A DuckDB/SQL oracle recomputes the same k with
-    ``greatest(floor, CAST(ceil(sqrt(count(*))) AS BIGINT))``."""
+    Engine-replayable by construction — and the contract that matters
+    is CROSS-ENGINE AGREEMENT, not mathematical exactness of ceil near
+    the representable edge: IEEE-754 sqrt is correctly rounded, so any
+    two engines computing ``sqrt(double(n))`` over the same integer
+    count produce the IDENTICAL double, and ``ceil`` of the identical
+    double is the identical integer — k always agrees between this
+    function and a DuckDB/SQL oracle's ``greatest(floor,
+    CAST(ceil(sqrt(count(*))) AS BIGINT))`` whatever the rounding did.
+    (Whether that shared k equals the true mathematical ceil(√n) is a
+    separate question that only gets delicate as n approaches 2^52,
+    where the 1/(2·sqrt(n)) gap nears half an ulp; a one-off k there
+    would change the blocking granularity, never correctness, and both
+    engines would change it together.)  Pinned by the DuckDB-parity
+    test, which asserts exactly the agreement contract."""
     import math
 
     if n_rows < 0:
@@ -1292,13 +1331,35 @@ def semantic_ivf_dedupe(
     worker).  The derivation is a deterministic function of the row
     count, so an SQL oracle replays it from the same ``count(*)``
     (see derived_centroid_count's cross-engine rounding note);
-    components shuffle only the pair graph."""
-    from .similarity import _as_double_vec, ivf_assign, ivf_centroids
+    components shuffle only the pair graph.
 
+    Zero-norm embeddings are returned as singleton clusters: cosine is
+    undefined there, so they are filtered before centroid sampling and
+    assignment (ivf_assign raises on them — ANSI division) and come
+    back through the left-join tail as their own representative.  The
+    derived centroid count and the oracle's count(*) CTE both count
+    the FILTERED (norm > 0) corpus."""
+    from .similarity import _as_double_vec, _norm, ivf_assign, ivf_centroids
+
+    # Zero-norm vectors are singletons BY DEFINITION (cosine undefined)
+    # and out of ivf_assign's contract (ANSI DIVIDE_BY_ZERO in the
+    # unrolled map) — drop them before sampling/assignment; the
+    # left-join tail below returns them as their own cluster.  The SQL
+    # oracle applies the same norm filter in its base CTE, so engine
+    # and oracle agree on ALL inputs, not just zero-free gate data.
+    nonzero = emb.where(
+        _norm(_as_double_vec(F.col(vec_col))) > 0
+    )
+    # with a DERIVED (sqrt) centroid count blocks are bounded by
+    # construction, so the pair stage's driver-side block pre-check
+    # (which would recompute the assignment lineage once) is skipped;
+    # an EXPLICIT fixed k is exactly the grows-with-the-corpus regime
+    # the pre-check exists for, so it stays on there
+    precheck = n_centroids is not None
     if n_centroids is None:
-        n_centroids = derived_centroid_count(emb.count())
-    cents = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
-    base = emb.select(
+        n_centroids = derived_centroid_count(nonzero.count())
+    cents = ivf_centroids(nonzero, n_centroids, id_col=id_col, vec_col=vec_col)
+    base = nonzero.select(
         F.col(id_col).alias("id"), _as_double_vec(F.col(vec_col)).alias("vec")
     )
     assign = ivf_assign(base, cents, n_probe=n_probe, id_col="id", vec_col="vec")
@@ -1306,6 +1367,7 @@ def semantic_ivf_dedupe(
     pairs = embedding_near_dup_pairs(
         blocked, "id", "vec", block_col="centroid_id", threshold=threshold,
         impl="block_pandas", max_block_rows=max_block_rows,
+        block_precheck=precheck,
     )
     if n_probe > 1:
         # multi-probe scores a pair once per shared probed centroid

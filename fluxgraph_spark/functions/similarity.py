@@ -172,25 +172,73 @@ def cosine_topk_lsh(
 # IVF (inverted-file) ANN
 # ---------------------------------------------------------------------------
 
+# Past this centroid count the unrolled-literal assignment plan stops
+# being the right physical strategy (the expression tree and codegen
+# grow O(k·dim), and every row pays an interpreted O(k·dim) fold) and
+# ivf_assign switches to the Arrow-batched pruned scan below.  Env
+# override FLUX_IVF_UNROLL_MAX exists so out-of-process gates
+# (scripts/check_oracle.py) can force either path.
+IVF_ASSIGN_UNROLL_MAX = int(__import__("os").environ.get("FLUX_IVF_UNROLL_MAX", "1024"))
+
+# Safety slack on the coarse pruning bound (see _ivf_assign_arrow): the
+# bound math runs through BLAS matmul + arccos/cos, whose rounding near
+# sim = ±1 can err by ~1e-6 (arccos'(x) = -1/sqrt(1-x²) amplifies a
+# 1e-13 dot error to ~1e-6 rad at x = 1-1e-12).  Widening the bound by
+# 1e-5 (twice, radius and ub) only ever scans EXTRA groups — the final
+# decision sims are computed with the exact in-order fold, so slack can
+# never change a result, only forfeit a prune.
+_IVF_PRUNE_SLACK = 1e-5
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
     n_probe: int = 1,
     id_col: str = "id",
     vec_col: str = "vec",
+    max_unrolled_centroids: "int | None" = None,
 ) -> DataFrame:
     """(id, centroid_id) for each vector's ``n_probe`` nearest centroids
-    by cosine.  Centroids are few BY CONSTRUCTION (an IVF list count is
-    ~sqrt(corpus), and this module's builder caps it), so they collect
-    to the driver and unroll into one array expression: per-centroid
-    cosine, comparator-sorted, sliced to ``n_probe``, exploded.  The
-    whole assignment is a NARROW map over the corpus — zero shuffle,
-    zero window — where the previous crossJoin + row_number form
-    shuffled corpus×centroids rows."""
+    by cosine (ties broken by smaller centroid_id — Spark NaN-largest
+    comparison semantics, matching the SQL oracles' ``ORDER BY sim
+    DESC, centroid_id``).
+
+    Two decision-identical physical strategies, auto-selected on the
+    centroid count k (``max_unrolled_centroids``, default
+    :data:`IVF_ASSIGN_UNROLL_MAX` = 1024):
+
+    * **k ≤ cap — unrolled literal map**: centroids unroll into one
+      array expression (per-centroid cosine, comparator-sorted, sliced
+      to ``n_probe``, exploded) — a NARROW map, zero shuffle, zero
+      window, zero Python.  Right while the expression tree is small.
+    * **k > cap — Arrow-batched pruned scan**: with a DERIVED list
+      count (k ~ sqrt(corpus), see dedup.derived_centroid_count /
+      ann_index.auto_n_centroids) k grows with the data, and the
+      unrolled plan grows with it — O(k·dim) literals to construct and
+      an O(k·dim) interpreted fold per row.  The scan path broadcasts
+      the centroid matrix once and assigns inside ``mapInPandas``
+      (still a narrow map, zero shuffle), pruning with a coarse
+      ceil(sqrt(k))-seed triangle-inequality bound so the EXPECTED
+      per-row work is O(sqrt(k)·dim) flops at numpy speed (worst case
+      O(k·dim), still expression-tree-free).  Decisions are
+      bit-identical to the unrolled map: the per-centroid cosine is
+      accumulated dimension-in-order (the exact IEEE sequence of the
+      Catalyst fold), and the pruning bound is only ever used to SKIP
+      provably-losing centroid groups (see :func:`_ivf_assign_arrow`).
+
+    Remaining documented ceiling: both paths collect the centroid
+    table once (the scan path re-broadcasts it as one numpy matrix),
+    so k·dim·8 bytes must fit driver/executor memory — k = 10^6 at
+    dim 128 is ~1 GB.  Past that, shard the centroid set and union
+    the per-shard assignments (not implemented; at sqrt-derived k
+    that ceiling is a 10^12-row corpus per shard)."""
     cents = [
         (r["centroid_id"], [float(x) for x in r["cvec"]])
         for r in centroids.select("centroid_id", "cvec").collect()
     ]
+    cap = IVF_ASSIGN_UNROLL_MAX if max_unrolled_centroids is None else max_unrolled_centroids
+    if len(cents) > cap:
+        return _ivf_assign_arrow(vectors, centroids, cents, n_probe, id_col, vec_col)
     import math
 
     v = vectors.select(
@@ -213,6 +261,189 @@ def ivf_assign(
     return v.select(
         "id", F.explode(F.slice(ranked, 1, n_probe)).alias("pick")
     ).select("id", F.col("pick.centroid_id").alias("centroid_id"))
+
+
+def _ivf_assign_arrow(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    cents: list,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The k-scalable ivf_assign strategy: one broadcast centroid
+    matrix + an Arrow-batched ``mapInPandas`` top-``n_probe`` scan with
+    exact coarse pruning.  Still a NARROW map over the corpus — zero
+    shuffle, zero window, O(1) plan size in k.
+
+    **Decision identity** with the unrolled path (so every oracle that
+    replays the argmax holds through either):
+
+    * the per-centroid cosine accumulates DIMENSION-IN-ORDER
+      (``acc = acc + v_d·c_d``) from 0.0 — the exact IEEE sequence of
+      the Catalyst ``aggregate(zip_with(...))`` fold — then one
+      ``sqrt``-norm product and one division, each correctly rounded,
+      in the same expression order; vectors are assumed double (every
+      in-repo caller casts upstream via ``_as_double_vec``);
+    * ordering replays Spark comparison semantics (ties break by
+      ascending centroid_id); a ZERO-NORM VECTOR is out of contract in
+      both paths — the unrolled map raises Spark's ANSI
+      DIVIDE_BY_ZERO on it, and this path raises a ValueError naming
+      the fix (filter ``norm > 0`` upstream; semantic_ivf_dedupe
+      does).  A zero-norm CENTROID is in contract (the ``or 1.0``
+      norm guard makes every sim against it exactly 0.0);
+    * pruning is sound, never decisive: fine centroids group under
+      ceil(sqrt(k)) coarse seeds (evenly spaced over the id-ordered
+      list — grouping quality affects speed only); for unit vectors
+      the sphere's triangle inequality gives angle(v,f) ≥
+      angle(v,seed) − radius(group), so cos(max(0, θ − r)) bounds any
+      member's cosine from above.  Groups are scanned in descending
+      bound order and a row stops when its bound (plus
+      :data:`_IVF_PRUNE_SLACK`, twice — see there) falls below its
+      current ``n_probe``-th best EXACT sim; a zero-norm centroid's
+      true sim is exactly 0.0 and its arccos(0) = π/2 contribution to
+      the group radius makes the bound cover it automatically.
+
+    Cited parity: the reference's index surface is point-lookup only
+    (FluxIndex.java); the IVF family is the 100 TB-scale extension the
+    LLM-pipeline operators (semantic_ivf_dedupe, the ann_index
+    builders) stand on — this strategy is the FAISS coarse-quantizer
+    shape (Jégou et al., TPAMI'11) recast as a Spark narrow map."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import StructField, StructType
+
+    k = len(cents)
+    cid = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.array([c[1] for c in cents], dtype=np.float64)
+    dim = C.shape[1]
+    cn = np.zeros(k, dtype=np.float64)
+    for d in range(dim):
+        cn = cn + C[:, d] * C[:, d]
+    cn = np.sqrt(cn)
+    cn[cn == 0.0] = 1.0  # the unrolled path's `or 1.0` guard
+    # --- coarse structure (driver-side, numpy; bit-accuracy NOT needed
+    # here — it can only change which groups get scanned, never a sim)
+    Ch = C / cn[:, None]
+    n_seeds = max(1, math.isqrt(max(k - 1, 0)) + 1)  # ceil(sqrt(k))
+    order = np.argsort(cid, kind="stable")
+    seed_pos = np.unique((np.arange(n_seeds) * k) // n_seeds)
+    seeds = order[seed_pos]
+    Sh = Ch[seeds]
+    sims_cs = Ch @ Sh.T
+    grp = np.argmax(sims_cs, axis=1)
+    n_grp = Sh.shape[0]
+    members = [np.nonzero(grp == g)[0] for g in range(n_grp)]
+    radius = np.zeros(n_grp, dtype=np.float64)
+    for g in range(n_grp):
+        if members[g].size:
+            radius[g] = float(
+                np.max(np.arccos(np.clip(sims_cs[members[g], g], -1.0, 1.0)))
+            )
+    radius = radius + _IVF_PRUNE_SLACK
+    bc = vectors.sparkSession.sparkContext.broadcast(
+        (C, cn, cid, Sh, members, radius)
+    )
+    n_probe_ = int(n_probe)
+    slack = _IVF_PRUNE_SLACK
+    id_type = vectors.schema[id_col].dataType
+    cid_type = centroids.schema["centroid_id"].dataType
+    cid_np = "int32" if cid_type.simpleString() in ("int", "smallint", "tinyint") else "int64"
+    out_schema = StructType(
+        [StructField("id", id_type, True), StructField("centroid_id", cid_type, True)]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C, cn, cid, Sh, members, radius = bc.value
+        k = C.shape[0]
+        dim = C.shape[1]
+        P = min(n_probe_, k)
+        INT_MAX = np.iinfo(np.int64).max
+        for pdf in batches:
+            for s0 in range(0, len(pdf), 1024):
+                chunk = pdf.iloc[s0 : s0 + 1024]
+                m = len(chunk)
+                if m == 0:
+                    continue
+                V = np.stack(chunk.iloc[:, 1].to_numpy()).astype(np.float64)
+                vn = np.zeros(m, dtype=np.float64)
+                for d in range(dim):
+                    vn = vn + V[:, d] * V[:, d]
+                vn = np.sqrt(vn)
+                if not np.all(vn > 0.0):
+                    bad = chunk.iloc[:, 0].to_numpy()[vn == 0.0][:3]
+                    raise ValueError(
+                        f"ivf_assign: zero-norm vector(s) (ids {list(bad)}"
+                        f"...) — cosine assignment is undefined there (the "
+                        f"unrolled path raises ANSI DIVIDE_BY_ZERO on the "
+                        f"same input).  Filter norm > 0 upstream; "
+                        f"semantic_ivf_dedupe keeps them as singletons."
+                    )
+                Vh = V / vn[:, None]
+                theta = np.arccos(np.clip(Vh @ Sh.T, -1.0, 1.0))
+                ub = np.cos(np.maximum(0.0, theta - radius[None, :])) + slack
+                scan_order = np.argsort(-ub, axis=1, kind="stable")
+                top_key = np.full((m, P), -np.inf)
+                top_cid = np.full((m, P), INT_MAX, dtype=np.int64)
+                alive = np.arange(m)
+                for t in range(scan_order.shape[1]):
+                    if alive.size == 0:
+                        break
+                    g_t = scan_order[alive, t]
+                    cont = ub[alive, g_t] >= top_key[alive, P - 1]
+                    alive = alive[cont]
+                    g_t = g_t[cont]
+                    if alive.size == 0:
+                        break
+                    for g in np.unique(g_t):
+                        mem = members[g]
+                        if mem.size == 0:
+                            continue
+                        rows = alive[g_t == g]
+                        # exact decision sims: the in-order IEEE fold
+                        acc = np.zeros((rows.size, mem.size))
+                        for d in range(dim):
+                            acc = acc + V[rows, d][:, None] * C[mem, d][None, :]
+                        sim = acc / (vn[rows][:, None] * cn[mem][None, :])
+                        key = np.where(np.isnan(sim), np.inf, sim)
+                        comb_key = np.concatenate([top_key[rows], key], axis=1)
+                        comb_cid = np.concatenate(
+                            [top_cid[rows],
+                             np.broadcast_to(cid[mem], (rows.size, mem.size))],
+                            axis=1,
+                        )
+                        # key desc then cid asc: stable sort by cid asc,
+                        # then stable sort by -key
+                        o1 = np.argsort(comb_cid, axis=1, kind="stable")
+                        k1 = np.take_along_axis(comb_key, o1, axis=1)
+                        o2 = np.argsort(-k1, axis=1, kind="stable")
+                        sel = np.take_along_axis(o1, o2, axis=1)[:, :P]
+                        top_key[rows] = np.take_along_axis(comb_key, sel, axis=1)
+                        top_cid[rows] = np.take_along_axis(comb_cid, sel, axis=1)
+                ids = chunk.iloc[:, 0].to_numpy()
+                out_id, out_cid = [], []
+                filled = top_key > -np.inf
+                for r in range(m):
+                    picks = top_cid[r][filled[r]]
+                    out_id.extend([ids[r]] * len(picks))
+                    out_cid.append(picks)
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series(out_id),
+                        "centroid_id": (
+                            np.concatenate(out_cid).astype(cid_np)
+                            if out_cid
+                            else np.array([], dtype=cid_np)
+                        ),
+                    }
+                )
+
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return v.mapInPandas(fn, out_schema)
 
 
 def ivf_centroids(

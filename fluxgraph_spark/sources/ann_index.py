@@ -69,13 +69,25 @@ def auto_n_centroids(n_rows: int) -> int:
     scanned per probed list) against centroid-assignment cost
     (``sqrt(n)`` comparisons per vector).
 
+    ONE derivation across the repo (r11): this is exactly
+    ``dedup.derived_centroid_count`` — ``max(16, ceil(sqrt(n)))``,
+    cross-engine replayable via the correctly-rounded-IEEE-sqrt
+    agreement contract documented there, so a SQL oracle recomputes an
+    index's derived layout from its own ``count(*)`` (the
+    s_ivf_derived_topk gate does) — capped at 65,536 lists.
+
     Sizing guide: 10^6 rows → 1,000 lists (~1k vectors each),
     10^9 → 31,623 (~31k each), 10^12 → 65,536 (cap; ~15M per list —
     at that scale raise the cap and shard the centroid table, or add a
     coarse second level).  Floor 16 keeps toy corpora from degenerating
-    to a handful of lists.  Pass ``n_centroids`` explicitly to pin the
-    layout (the oracle-gated queries do)."""
-    return int(min(max(16, int(n_rows) ** 0.5), 65_536))
+    to a handful of lists.  Past IVF_ASSIGN_UNROLL_MAX (1024) lists,
+    ``ivf_assign`` automatically switches to its Arrow-batched pruned
+    scan, so the derived count never feeds an unrolled-literal plan
+    that grows with the data.  Pass ``n_centroids`` explicitly to pin
+    a layout (most oracle-gated queries do)."""
+    from ..functions.dedup import derived_centroid_count
+
+    return min(derived_centroid_count(int(n_rows)), 65_536)
 
 
 def _compact_partitioned(spark: SparkSession, path: str) -> None:

@@ -27,6 +27,12 @@ import __spark_entry__ as entrymod
 SMALL = "/root/testdata/sf0.1"
 BIG = os.path.join(ROOT, ".scale_data", "sf1.0")
 HUGE = os.path.join(ROOT, ".scale_data", "sf10")  # 100x sf0.1 (2nd tier)
+# skew-preserving replicas (VERDICT r10 item 3): duplicate density and
+# hub degree GROW with SF (gen_scale_data.py skew mode), so the two
+# budget knobs that measured parity on the shape-preserving replicas
+# can show their curves locally
+SKEW_BIG = os.path.join(ROOT, ".scale_data", "sf1.0_skew")
+SKEW_HUGE = os.path.join(ROOT, ".scale_data", "sf10_skew")
 DATA_RATIO = 10.0
 
 # the families the sf0.1 bench cannot scale-prove: LSH/dedup shuffles,
@@ -172,6 +178,17 @@ def _q_lsh_dense_unbudgeted(spark, sf_dir):
 
 EXTRA_QUERIES = {"d_lsh_dense_unbudgeted": _q_lsh_dense_unbudgeted}
 
+# the two knob A/Bs that read as parity on shape-preserving replicas
+# (r9/r10 finding: key-shifting keeps candidate degree and hub degree
+# scale-invariant) — re-measured on the skewed replicas where the
+# regime they exist for actually occurs
+SKEW_QUERIES = [
+    "d_containment",
+    "d_containment_budget",
+    "g_node2vec_walks",
+    "g_node2vec_budget",
+]
+
 
 def walk_stage_isolated(spark, sf_dir, runs):
     """Time ONLY the walk stage of the node2vec knob A/B: the shared
@@ -219,6 +236,37 @@ def walk_stage_isolated(spark, sf_dir, runs):
     return out
 
 
+def _error_record(ex) -> str:
+    """Failure evidence, not a truncated prefix (VERDICT r10 stretch 7):
+    the r10 record of d_lsh_dense_unbudgeted's sf10 death cut off at
+    'Lost task 10.' — OOM vs shuffle-fetch vs disk had to be inferred.
+    Keep the head line PLUS every root-cause-bearing line from the java
+    stack ('Caused by', OOM/fetch/spill/task-loss markers), bounded."""
+    import re as _re
+
+    text = str(ex)
+    head = text.splitlines()[0][:300] if text else ""
+    markers = _re.findall(
+        r"^.*(?:Caused by|OutOfMemory|FetchFailed|Lost task|ExecutorLost"
+        r"|No space left|Java heap space|GC overhead|TaskKilled"
+        r"|SparkOutOfMemory|buffer|exceeds).*$",
+        text,
+        _re.M | _re.I,
+    )
+    seen, keep = set(), []
+    for m in markers:
+        m = m.strip()[:300]
+        if m not in seen:
+            seen.add(m)
+            keep.append(m)
+        if len(keep) >= 8:
+            break
+    out = f"{type(ex).__name__}: {head}"
+    if keep:
+        out += " || " + " | ".join(keep)
+    return out[:2000]
+
+
 def run_suite(spark, sf_dir, runs, names=None):
     qs = dict(entrymod.queries())
     qs.update(EXTRA_QUERIES)
@@ -232,7 +280,7 @@ def run_suite(spark, sf_dir, runs, names=None):
                 per_run.append(time.time() - t0)
                 spark.catalog.clearCache()
         except Exception as ex:  # noqa: BLE001
-            errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            errors[name] = _error_record(ex)
             print(f"SCALE BENCH ERROR {name}@{sf_dir}: {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
             continue
@@ -284,6 +332,46 @@ def main():
     else:
         print(f"== sf10 skipped ({HUGE} missing)", file=sys.stderr)
 
+    # skew tiers (VERDICT r10 item 3): the knob A/Bs on replicas whose
+    # duplicate density / hub degree grow with SF.  sf0.1 baselines for
+    # the same four queries come from small_t above (same session).
+    skew = None
+    if os.path.isdir(SKEW_BIG):
+        spark.read.parquet(os.path.join(SKEW_BIG, "lineitem.parquet")).count()
+        print(f"== sf1.0_skew ({SKEW_BIG})", file=sys.stderr)
+        sb_t, sb_e = run_suite(spark, SKEW_BIG, runs, names=SKEW_QUERIES)
+        skew = {"sf1.0_skew": sb_t}
+        if sb_e:
+            skew["errors_sf1.0_skew"] = sb_e
+        if os.path.isdir(SKEW_HUGE):
+            spark.read.parquet(os.path.join(SKEW_HUGE, "lineitem.parquet")).count()
+            print(f"== sf10_skew ({SKEW_HUGE})", file=sys.stderr)
+            sh_t, sh_e = run_suite(spark, SKEW_HUGE, runs, names=SKEW_QUERIES)
+            skew["sf10_skew"] = sh_t
+            if sh_e:
+                skew["errors_sf10_skew"] = sh_e
+            print("== sf10_skew walk-stage-isolated A/B", file=sys.stderr)
+            try:
+                skew["walk_stage_sf10_skew"] = walk_stage_isolated(
+                    spark, SKEW_HUGE, runs
+                )
+            except Exception as ex:  # noqa: BLE001
+                print(f"SKEW WALK STAGE ERROR: {ex}", file=sys.stderr)
+                skew["errors_walk_stage"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            skew["ratio_sf1_to_sf10_skew"] = {
+                q: round(sh_t[q] / sb_t[q], 2)
+                for q in SKEW_QUERIES
+                if q in sb_t and q in sh_t and sb_t[q] > 0
+            }
+        skew["ratio_sf0.1_to_sf1.0_skew"] = {
+            q: round(sb_t[q] / small_t[q], 2)
+            for q in SKEW_QUERIES
+            if q in small_t and q in sb_t and small_t[q] > 0
+        }
+        spark.catalog.clearCache()
+    else:
+        print(f"== skew tiers skipped ({SKEW_BIG} missing)", file=sys.stderr)
+
     ratios = {
         q: round(big_t[q] / small_t[q], 2)
         for q in QUERIES
@@ -314,6 +402,8 @@ def main():
         }
         if walk_stage is not None:
             out["walk_stage_sf10"] = walk_stage
+    if skew is not None:
+        out["skew"] = skew
     if small_e or big_e or huge_e:
         out["errors"] = {"sf0.1": small_e, "sf1.0": big_e, "sf10": huge_e}
     with open(os.path.join(ROOT, "SCALE_BENCH.json"), "w") as f:

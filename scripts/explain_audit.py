@@ -400,6 +400,23 @@ NO_SCAN_EXPECTED = {
 }
 
 
+# Plan-size gate (VERDICT r10 item 6): a healthy Catalyst plan is a few
+# KB to a few tens of KB of formatted text, INDEPENDENT of the data.  A
+# plan whose size scales with a data-derived constant — the r10 finding:
+# ivf_assign unrolling k = ceil(sqrt(corpus)) centroids × dim literal
+# arrays into one expression (~1.5 KB per centroid at dim 64, so the
+# derived k=45 at sf0.1 was ~70 KB and a 100 TB corpus' k≈10^6 would be
+# gigabytes of expression tree, unbuildable) — blows through this cap
+# long before it kills the driver, so the audit catches the CLASS at
+# gate scale: the cap (256 KB) sits ~3× above today's largest
+# legitimate plan, while one data-derived 10× step in an unrolled knob
+# crosses it.  A query over the cap fails the audit (non-zero exit)
+# until its operator gets a size-independent strategy (the way
+# ivf_assign now switches to the broadcast+Arrow scan past
+# IVF_ASSIGN_UNROLL_MAX).
+PLAN_SIZE_CAP_BYTES = 256 * 1024
+
+
 def plan_of(df) -> str:
     qe = df._jdf.queryExecution()
     return qe.explainString(
@@ -420,6 +437,7 @@ def audit(name: str, plan: str) -> dict:
         "python_row_eval": "BatchEvalPython" in plan,
         "arrow_eval": "ArrowEvalPython" in plan or "MapInPandas" in plan,
         "exchanges": len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
+        "plan_bytes": len(plan),
     }
 
 
@@ -447,10 +465,13 @@ def main():
         "scan's ReadSchema is pruned to referenced columns, bounded dims use",
         "broadcast joins, expression work runs inside WholeStageCodegen, and",
         "no row-at-a-time Python eval appears in any plan (Arrow-batched",
-        "`mapInPandas` is allowed only in the multimodal stage).",
+        "`mapInPandas` is allowed only in the multimodal stage).  `plan`",
+        "is the formatted-plan size — capped (r11) at "
+        f"{PLAN_SIZE_CAP_BYTES // 1024} KB to catch expression trees that",
+        "grow with a data-derived constant (the r10 ivf_assign finding).",
         "",
-        "| query | pushdown | pruned scan | broadcast | codegen | py-row-eval | shuffles |",
-        "|---|---|---|---|---|---|---|",
+        "| query | pushdown | pruned scan | broadcast | codegen | py-row-eval | shuffles | plan |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     failures = []
     excerpts = []
@@ -470,11 +491,20 @@ def main():
             failures.append(f"{name}: no WholeStageCodegen span")
         if a["python_row_eval"]:
             failures.append(f"{name}: BatchEvalPython in plan (row-at-a-time Python)")
+        if a["plan_bytes"] > PLAN_SIZE_CAP_BYTES:
+            failures.append(
+                f"{name}: formatted plan is {a['plan_bytes']} bytes "
+                f"(> {PLAN_SIZE_CAP_BYTES}) — a plan this large almost "
+                f"always means a data-derived constant was unrolled into "
+                f"the expression tree (the r10 ivf_assign class); give the "
+                f"operator a size-independent strategy"
+            )
         mark = lambda b: "✓" if b else "—"
         lines.append(
             f"| {name} | {mark(a['pushed_filters'])} | {mark(a['read_schema_pruned'])} "
             f"| {mark(a['broadcast'])} | {mark(a['codegen'])} "
-            f"| {'✗ FAIL' if a['python_row_eval'] else '—'} | {a['exchanges']} |"
+            f"| {'✗ FAIL' if a['python_row_eval'] else '—'} | {a['exchanges']} "
+            f"| {a['plan_bytes'] // 1024}K |"
         )
         # keep one representative excerpt: the scan lines + join strategy lines
         keep = [

@@ -18,7 +18,32 @@ bench ratio is meaningful:
   same reason: blocks scale in COUNT, not size.
 
 Usage: python scripts/gen_scale_data.py [factor] [src_dir] [out_dir]
-                                        [key_shift] [label_mult]
+                                        [key_shift] [label_mult] [skew]
+
+SKEW MODE (6th arg literally ``skew`` — VERDICT r10 item 3): the
+key-shifted replicas above keep per-doc candidate degree and hub degree
+scale-INVARIANT by construction, so the two skew knobs (containment
+budget, walk degree budget) measure parity at every local tier.  Skew
+mode grows both with SF, the way a real corpus does:
+
+* **duplicate density**: documents whose BASE doc_id % 50 == 0 (2%)
+  SKIP the per-replica token suffix, so each gains FACTOR-1 exact
+  twins per tier — near-dup cluster sizes (and the banded candidate
+  degree the containment budget caps) grow ×FACTOR per tier while the
+  other 98% keep the shape-preserving suffix;
+* **hub degree**: lineitem rows whose BASE l_partkey % 100 < 5 (5%)
+  keep their partkey UNSHIFTED — those GLOBAL hub parts collect
+  co-purchase edges from every replica's orders, so hub out-degree
+  (what the walk budget caps) grows ×FACTOR per tier.
+
+Both masks are modulo the base key and every tier shift is a multiple
+of 100, so tier-2 replication composes: the same global docs/parts
+keep growing (cluster 10 → 100, hub degree 10× → 100×).
+
+    python scripts/gen_scale_data.py 10 /root/testdata/sf0.1 \
+        .scale_data/sf1.0_skew 1000000000 1000 skew
+    python scripts/gen_scale_data.py 10 .scale_data/sf1.0_skew \
+        .scale_data/sf10_skew 10000000000 10000 skew
 
 A SECOND tier (100x: replicate the sf1.0 replica 10x again) needs a
 key shift ABOVE the first tier's range and a label multiplier above its
@@ -50,6 +75,11 @@ SHIFT = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000_000
 # embedding-label offset per replica (tier 2 passes a value above tier
 # 1's whole label range)
 LABEL_MULT = int(sys.argv[5]) if len(sys.argv) > 5 else 1_000
+# skew mode: grow duplicate density and hub degree with SF (see module
+# docstring) — the masks divide the tier shifts, so tiers compose
+SKEW = len(sys.argv) > 6 and sys.argv[6] == "skew"
+SKEW_DOC_MOD = 50   # 2% of docs become global (unsuffixed) duplicates
+SKEW_PART_MOD, SKEW_PART_HUBS = 100, 5  # 5% of lineitem keeps global partkeys
 
 # table -> columns to shift by replica * SHIFT
 SHIFT_COLS = {
@@ -88,26 +118,50 @@ def main():
         rep = df.crossJoin(
             spark.range(FACTOR).select(F.col("id").alias("__r"))
         )
+        # skew masks evaluate on the PRE-shift key (and survive tiers:
+        # every SHIFT is a multiple of the mask moduli)
+        skew_doc = SKEW and tbl == "documents"
+        if skew_doc:
+            rep = rep.withColumn(
+                "__global_dup", (F.col("doc_id") % SKEW_DOC_MOD) == 0
+            )
         for k in keys:
-            rep = rep.withColumn(k, F.col(k) + F.col("__r") * F.lit(SHIFT))
+            if SKEW and tbl == "lineitem" and k == "l_partkey":
+                rep = rep.withColumn(
+                    k,
+                    F.when(
+                        F.col(k) % SKEW_PART_MOD < SKEW_PART_HUBS, F.col(k)
+                    ).otherwise(F.col(k) + F.col("__r") * F.lit(SHIFT)),
+                )
+            else:
+                rep = rep.withColumn(k, F.col(k) + F.col("__r") * F.lit(SHIFT))
         if tbl == "documents":
             # per-replica token suffix: replicas mutually distinct,
             # within-replica shingle structure unchanged
             # split on runs of whitespace and drop empties so irregular
             # spacing never fabricates extra "~r" tokens (token counts and
             # shingle sets must keep the base corpus's shape)
-            rep = rep.withColumn(
-                "text",
-                F.array_join(
-                    F.transform(
-                        F.filter(
-                            F.split(F.col("text"), r"\s+"), lambda x: x != ""
-                        ),
-                        lambda x: F.concat(x, F.lit("~"), F.col("__r").cast("string")),
+            suffixed = F.array_join(
+                F.transform(
+                    F.filter(
+                        F.split(F.col("text"), r"\s+"), lambda x: x != ""
                     ),
-                    " ",
+                    lambda x: F.concat(x, F.lit("~"), F.col("__r").cast("string")),
                 ),
-            ).withColumn("n_chars", F.length("text"))
+                " ",
+            )
+            if skew_doc:
+                # global duplicates keep the RAW text — FACTOR-sized
+                # near-dup clusters per tier (the skew the budget knobs
+                # exist for); everyone else keeps the shape-preserving
+                # per-replica suffix
+                rep = rep.withColumn(
+                    "text",
+                    F.when(F.col("__global_dup"), F.col("text")).otherwise(suffixed),
+                ).drop("__global_dup")
+            else:
+                rep = rep.withColumn("text", suffixed)
+            rep = rep.withColumn("n_chars", F.length("text"))
         if tbl == "embeddings":
             rep = rep.withColumn(
                 "label", F.col("label") + (F.col("__r") * LABEL_MULT).cast("int")

@@ -9,10 +9,17 @@ latest-driver-check round per registry entry from the committed
 ``CORRECTNESS_r*.json`` records and FAILS (non-zero exit) unless every
 entry either
 
-* was hash-green within the last ``--max-age`` driver rounds (relative
+* was hash-green within the last ``max_age`` driver rounds (relative
   to the UPCOMING round = newest record + 1), or
 * is listed in the current ``DRIVER_PRIORITY`` prefix (it will be
   checked this round).
+
+``max_age`` defaults to the ROTATION PERIOD ceil(registry / prefix)
+(floor 3) — see :func:`rotation_period`: with 188 entries and 50 driver
+slots a full re-check takes 4 rounds, so demanding age ≤ 3 of every
+entry is structurally impossible the moment the prefix also has to
+carry changed-code re-gates; the gate instead flags exactly the
+entries that MISSED their rotation window.  ``--max-age N`` overrides.
 
 It also fails on prefix entries that name no registry query (typos or
 dead entries silently waste prefix slots: the driver hashes exactly the
@@ -90,8 +97,24 @@ def find_violations(
     return violations
 
 
+def rotation_period(n_registry: int, n_prefix: int) -> int:
+    """The structural bound on entry age: the driver hashes exactly
+    ``n_prefix`` entries per round, so a registry of ``n_registry``
+    entries takes ceil(n_registry / n_prefix) rounds to fully re-check
+    even under perfect round-robin — in steady state every entry's age
+    reaches exactly that period before its slot comes up again.  The
+    gate's default max_age is therefore max(3, period): tighter would
+    demand the arithmetic-impossible once the registry outgrows
+    3×prefix (188 entries / 50 slots → period 4, the r11 state); an
+    entry older than the period MISSED its rotation window and still
+    fails.  ``--max-age`` overrides for ad-hoc audits."""
+    import math
+
+    return max(3, math.ceil(n_registry / max(1, n_prefix)))
+
+
 def main() -> int:
-    max_age = 3
+    max_age = None
     for i, a in enumerate(sys.argv):
         if a == "--max-age":
             max_age = int(sys.argv[i + 1])
@@ -100,6 +123,8 @@ def main() -> int:
 
     registry = list(entrymod.queries().keys())
     priority = list(entrymod.DRIVER_PRIORITY)
+    if max_age is None:
+        max_age = rotation_period(len(registry), len(priority))
     rounds = load_rounds(REPO)
     if not rounds:
         print("no CORRECTNESS_r*.json records found")

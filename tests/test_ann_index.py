@@ -157,13 +157,19 @@ def test_ivf_kmeans_refinement_improves_objective(spark, emb):
 def test_auto_centroid_sizing(spark, emb, tmp_path):
     """n_centroids=None derives sqrt(n) inverted lists (VERDICT r4
     item 6): formula at the sizing-guide scales, and a real build picks
-    it up (one list per centroid id in the written layout)."""
+    it up (one list per centroid id in the written layout).  r11: the
+    derivation IS dedup.derived_centroid_count (ceil rule) capped at
+    65,536 — one rule across the dedup operator and the index
+    builders, so one oracle CTE replays both."""
+    from fluxgraph_spark.functions.dedup import derived_centroid_count
     from fluxgraph_spark.sources.ann_index import auto_n_centroids
 
     assert auto_n_centroids(10**6) == 1000
-    assert auto_n_centroids(10**9) == 31622
+    assert auto_n_centroids(10**9) == 31623  # ceil, not floor (r11)
     assert auto_n_centroids(10**12) == 65_536
     assert auto_n_centroids(10) == 16  # floor
+    for n in (0, 10, 500, 2000, 10**6, 10**9, 2**52 - 1):
+        assert auto_n_centroids(n) == min(derived_centroid_count(n), 65_536)
 
     n = emb.count()
     idx = IvfIndex.build(emb, str(tmp_path / "auto_idx"))
@@ -919,3 +925,89 @@ def test_annpq_auto_merge_ratio_self_folds(spark, emb, tmp_path):
     assert idx3.maybe_merge(ratio=1000.0) is False
     assert idx3.maybe_merge(ratio=0.001) is True
     assert idx3._delta_rows() == 0
+
+
+# ---------------------------------------------------------------------------
+# k-scalable centroid assignment (r11): Arrow-batched pruned scan
+# ---------------------------------------------------------------------------
+
+def test_ivf_assign_arrow_path_equals_unrolled(spark, emb):
+    """The k > IVF_ASSIGN_UNROLL_MAX strategy (_ivf_assign_arrow:
+    broadcast centroid matrix + pruned mapInPandas scan) must be
+    DECISION-IDENTICAL to the unrolled literal map — the in-order IEEE
+    fold + Spark tie semantics argument, pinned on real vectors."""
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        similarity._as_double_vec(F.col("embedding")).alias("vec"),
+    )
+    cents = similarity.ivf_centroids(emb, 30)
+    for n_probe in (1, 2, 5):
+        flat = _rows(
+            similarity.ivf_assign(
+                v, cents, n_probe, "id", "vec", max_unrolled_centroids=10**9
+            )
+        )
+        arrow = _rows(
+            similarity.ivf_assign(
+                v, cents, n_probe, "id", "vec", max_unrolled_centroids=1
+            )
+        )
+        assert flat == arrow and len(flat) == 500 * n_probe
+
+
+def test_ivf_assign_arrow_ties_and_zero_centroid(spark):
+    """Tie breaking (duplicate vectors AND duplicate centroids) and the
+    zero-norm-CENTROID guard (`or 1.0` => sim exactly 0.0) replay
+    identically through the arrow path; n_probe > k emits k picks."""
+    df = spark.createDataFrame(
+        [(2, [1.0, 0.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0, 0.0]),
+         (4, [0.5, 0.5, 0.0, 0.0]), (5, [-1.0, 0.0, 0.0, 0.0])],
+        "id long, vec array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [1.0, 0.0, 0.0, 0.0]), (4, [0.0, 0.0, 0.0, 0.0])],
+        "centroid_id int, cvec array<double>",
+    )
+    for n_probe in (1, 2, 3, 6):
+        flat = _rows(similarity.ivf_assign(
+            df, cdf, n_probe, "id", "vec", max_unrolled_centroids=10**9))
+        arrow = _rows(similarity.ivf_assign(
+            df, cdf, n_probe, "id", "vec", max_unrolled_centroids=1))
+        assert flat == arrow
+        assert len(arrow) == 4 * min(n_probe, 4)
+
+
+def test_ivf_assign_arrow_zero_norm_vector_raises(spark):
+    """Zero-norm VECTORS are out of contract in both paths (the
+    unrolled map hits ANSI DIVIDE_BY_ZERO); the arrow path raises the
+    actionable ValueError naming the upstream filter."""
+    cdf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "centroid_id int, cvec array<double>"
+    )
+    zdf = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id long, vec array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        similarity.ivf_assign(
+            zdf, cdf, 1, "id", "vec", max_unrolled_centroids=1
+        ).collect()
+
+
+def test_semantic_ivf_dedupe_arrow_path_and_zero_singleton(spark, monkeypatch):
+    """semantic_ivf_dedupe through the arrow assignment (threshold
+    forced to 1 so the derived k takes the scan path) equals the
+    unrolled run, and a zero-norm embedding comes back as its own
+    singleton cluster instead of ANSI-crashing the assignment."""
+    from fluxgraph_spark.functions import dedup as dedup_mod
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), 1.0, 0.0, 0.0]) for i in range(1, 40)]
+        + [(99, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    flat = _rows(dedup_mod.semantic_ivf_dedupe(emb, n_centroids=20, threshold=0.9))
+    monkeypatch.setattr(similarity, "IVF_ASSIGN_UNROLL_MAX", 1)
+    arrow = _rows(dedup_mod.semantic_ivf_dedupe(emb, n_centroids=20, threshold=0.9))
+    assert flat == arrow and len(flat) == 40
+    assert (99, 99, 1) in flat  # the zero vector is a kept singleton

@@ -1355,12 +1355,14 @@ def test_embedding_pairs_block_pandas_bit_identical_to_join(spark):
 
 
 def test_derived_centroid_count_rule_and_duckdb_parity():
-    """The sqrt centroid rule (r10): max(16, ceil(sqrt(n))) — exact
-    values at the floor, at perfect squares (IEEE sqrt returns the
-    root exactly), and one below them (sqrt can never round UP across
-    an integer for n < 2^52), and DuckDB recomputes the identical k
-    from the same counts — the cross-engine contract the
-    d_semantic_ivf_dedupe oracle rides on."""
+    """The sqrt centroid rule (r10): max(16, ceil(sqrt(n))).  What this
+    pins is the contract the d_semantic_ivf_dedupe oracle rides on —
+    CROSS-ENGINE AGREEMENT: both engines take ceil of the identical
+    correctly-rounded IEEE double, so k always matches (asserted
+    against DuckDB for every case, including the 2^52-1 edge where
+    mathematical exactness of ceil(√n) gets delicate).  The spot
+    expectations additionally document the rule's values at the floor,
+    at perfect squares, and one off them."""
     from fluxgraph_spark.functions.dedup import derived_centroid_count
 
     cases = [0, 1, 255, 256, 257, 1024, 1025, 500, 2000,
@@ -1403,10 +1405,13 @@ def test_semantic_ivf_dedupe_derives_centroid_count(tables):
 
 
 def test_pairs_block_pandas_block_cap_raises(spark):
-    """A block larger than max_block_rows must raise with the fix named
-    (finer blocking / more centroids), not OOM a worker: applyInPandas
-    materializes the whole block's vector stack in ONE Python worker —
-    only the cosine matrix is chunked."""
+    """A block larger than max_block_rows must fail fast with the fix
+    named (finer blocking / more centroids), not OOM a worker.  Two
+    guard tiers (ADVICE r10): the DRIVER-SIDE pre-check (default on)
+    raises at call time, BEFORE any worker materializes the stack —
+    the only tier that can stop a stack too big to Arrow-materialize;
+    with the pre-check off, the in-worker guard still stops the
+    quadratic scoring after group materialization."""
     from pyspark.errors import PythonException
 
     from fluxgraph_spark.functions.dedup import embedding_near_dup_pairs
@@ -1415,10 +1420,17 @@ def test_pairs_block_pandas_block_cap_raises(spark):
         [(i, [float(i + j) for j in range(4)], 0) for i in range(10)],
         ["vec_id", "embedding", "blk"],
     )
-    with pytest.raises(PythonException, match="max_block_rows"):
+    # tier 1: driver-side pre-check raises eagerly at call time
+    with pytest.raises(ValueError, match="max_block_rows"):
         embedding_near_dup_pairs(
             emb, block_col="blk", threshold=0.0, impl="block_pandas",
             max_block_rows=4,
+        )
+    # tier 2: pre-check off => the in-worker guard still fires
+    with pytest.raises(PythonException, match="max_block_rows"):
+        embedding_near_dup_pairs(
+            emb, block_col="blk", threshold=0.0, impl="block_pandas",
+            max_block_rows=4, block_precheck=False,
         ).collect()
     ok = embedding_near_dup_pairs(
         emb, block_col="blk", threshold=0.0, impl="block_pandas",

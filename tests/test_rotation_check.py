@@ -53,3 +53,18 @@ def test_dead_prefix_name_is_caught():
     latest = latest_green(ROUNDS)
     v = find_violations(["a", "b", "c"], latest, ["typo_q"], 8, 3)
     assert len(v) == 1 and "no registry query" in v[0]
+
+
+def test_rotation_period_derivation():
+    """The default max_age is the structural rotation period
+    ceil(registry / prefix), floored at 3 (r11): 188/50 -> 4; small
+    registries keep the historical 3; a degenerate prefix can't divide
+    by zero."""
+    from rotation_check import rotation_period
+
+    assert rotation_period(150, 50) == 3
+    assert rotation_period(151, 50) == 4
+    assert rotation_period(188, 50) == 4
+    assert rotation_period(189, 50) == 4
+    assert rotation_period(10, 50) == 3   # floor
+    assert rotation_period(10, 0) == 10   # no prefix: every entry stale-checked
