@@ -267,6 +267,42 @@ def _error_record(ex) -> str:
     return out[:2000]
 
 
+def ivf_assign_stage(spark, sf_dir, runs):
+    """Time ONLY the centroid-assignment stage at the sf10 derived k
+    (VERDICT r10 item 1's datapoint): the same corpus and derived
+    centroid set assigned through the UNROLLED literal map vs the
+    Arrow-batched pruned scan (cap forced past/below k).  The two are
+    decision-identical (pinned in pytest); this measures the cost of
+    the strategy swap at the k the sqrt rule actually produces here —
+    at 100 TB k only the scan path can even build a plan, so the bar
+    is flat-or-better at the k where both still run."""
+    from fluxgraph_spark.functions import dedup as DD
+    from fluxgraph_spark.functions import similarity as SIM
+    from fluxgraph_spark.sources import tpch
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        SIM._as_double_vec(F.col("embedding")).alias("vec"),
+    ).localCheckpoint(eager=True)  # isolate assignment from the scan
+    k = DD.derived_centroid_count(base.count())
+    cents = SIM.ivf_centroids(base, k, id_col="id", vec_col="vec")
+    cents = cents.localCheckpoint(eager=True)
+    out = {"k": k}
+    for label, cap in (("unrolled", 10**9), ("arrow_scan", 1)):
+        per_run = []
+        for _ in range(runs):
+            t0 = time.time()
+            SIM.ivf_assign(
+                base, cents, n_probe=2, id_col="id", vec_col="vec",
+                max_unrolled_centroids=cap,
+            ).write.format("noop").mode("overwrite").save()
+            per_run.append(time.time() - t0)
+        out[label] = round(min(per_run), 3)
+        print(f"  ivf_assign[{label}] k={k}: {out[label]}s", file=sys.stderr)
+    return out
+
+
 def run_suite(spark, sf_dir, runs, names=None):
     qs = dict(entrymod.queries())
     qs.update(EXTRA_QUERIES)
@@ -315,6 +351,7 @@ def main():
 
     huge_t, huge_e = {}, {}
     walk_stage = None
+    assign_stage = None
     if os.path.isdir(HUGE):
         spark.read.parquet(os.path.join(HUGE, "lineitem.parquet")).count()
         print(f"== sf10 ({HUGE})", file=sys.stderr)
@@ -327,7 +364,14 @@ def main():
             walk_stage = walk_stage_isolated(spark, HUGE, runs)
         except Exception as ex:  # noqa: BLE001
             print(f"WALK STAGE ERROR: {ex}", file=sys.stderr)
-            huge_e["walk_stage_isolated"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            huge_e["walk_stage_isolated"] = _error_record(ex)
+        print(f"== sf10 ivf-assign-stage A/B (r11 item 1)", file=sys.stderr)
+        try:
+            assign_stage = ivf_assign_stage(spark, HUGE, runs)
+        except Exception as ex:  # noqa: BLE001
+            print(f"IVF ASSIGN STAGE ERROR: {ex}", file=sys.stderr)
+            huge_e["ivf_assign_stage"] = _error_record(ex)
+            assign_stage = None
         spark.catalog.clearCache()
     else:
         print(f"== sf10 skipped ({HUGE} missing)", file=sys.stderr)
@@ -402,6 +446,8 @@ def main():
         }
         if walk_stage is not None:
             out["walk_stage_sf10"] = walk_stage
+        if assign_stage is not None:
+            out["ivf_assign_stage_sf10"] = assign_stage
     if skew is not None:
         out["skew"] = skew
     if small_e or big_e or huge_e:

@@ -1011,3 +1011,21 @@ def test_semantic_ivf_dedupe_arrow_path_and_zero_singleton(spark, monkeypatch):
     arrow = _rows(dedup_mod.semantic_ivf_dedupe(emb, n_centroids=20, threshold=0.9))
     assert flat == arrow and len(flat) == 40
     assert (99, 99, 1) in flat  # the zero vector is a kept singleton
+
+
+def test_registry_semantic_ivf_dedupe_gate_data_through_arrow_path(
+    spark, monkeypatch
+):
+    """The driver-gated query itself (q_d_semantic_ivf_dedupe) at the
+    sf0.001 gate data, forced through the Arrow assignment path, equals
+    the default unrolled run — so the oracle that hash-gates the
+    unrolled path gates the scan path transitively.  (check_oracle with
+    FLUX_IVF_UNROLL_MAX=1 pins the same thing against DuckDB directly
+    at both gate SFs — this pytest keeps the equality from regressing
+    between rounds.)"""
+    import __spark_entry__ as em
+
+    flat = _rows(em.queries()["d_semantic_ivf_dedupe"](spark, SF_DIR))
+    monkeypatch.setattr(similarity, "IVF_ASSIGN_UNROLL_MAX", 1)
+    arrow = _rows(em.queries()["d_semantic_ivf_dedupe"](spark, SF_DIR))
+    assert flat == arrow and len(flat) == 500
