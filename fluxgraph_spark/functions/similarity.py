@@ -12,6 +12,7 @@ not ``rand()`` — resumable runs and cross-engine tests depend on it.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -178,7 +179,7 @@ def cosine_topk_lsh(
 # ivf_assign switches to the Arrow-batched pruned scan below.  Env
 # override FLUX_IVF_UNROLL_MAX exists so out-of-process gates
 # (scripts/check_oracle.py) can force either path.
-IVF_ASSIGN_UNROLL_MAX = int(__import__("os").environ.get("FLUX_IVF_UNROLL_MAX", "1024"))
+IVF_ASSIGN_UNROLL_MAX = int(os.environ.get("FLUX_IVF_UNROLL_MAX", "1024"))
 
 # Safety slack on the coarse pruning bound (see _ivf_assign_arrow): the
 # bound math runs through BLAS matmul + arccos/cos, whose rounding near
