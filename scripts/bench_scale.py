@@ -178,6 +178,14 @@ def _q_lsh_dense_unbudgeted(spark, sf_dir):
 
 EXTRA_QUERIES = {"d_lsh_dense_unbudgeted": _q_lsh_dense_unbudgeted}
 
+# bench-only twins that exist to DEMONSTRATE a super-linear failure mode
+# with the protecting knob off: their blowing the 2x-linear bar is the
+# measurement succeeding, not an alarm — they classify under
+# `expected_super_linear` so `super_linear` stays the pure alarm list
+# (r11; r10's committed file happened to have the twin under the bar at
+# 15.97 only because the bar is 20)
+EXPECTED_SUPER_LINEAR = {"d_lsh_dense_unbudgeted"}
+
 # the two knob A/Bs that read as parity on shape-preserving replicas
 # (r9/r10 finding: key-shifting keeps candidate degree and hub degree
 # scale-invariant) — re-measured on the skewed replicas where the
@@ -434,7 +442,12 @@ def main():
         "sf1.0": big_t,
         "time_ratio": ratios,
         "super_linear": {
-            q: r for q, r in ratios.items() if r > 2 * DATA_RATIO
+            q: r for q, r in ratios.items()
+            if r > 2 * DATA_RATIO and q not in EXPECTED_SUPER_LINEAR
+        },
+        "expected_super_linear": {
+            q: r for q, r in ratios.items()
+            if r > 2 * DATA_RATIO and q in EXPECTED_SUPER_LINEAR
         },
     }
     if huge_t:
@@ -442,7 +455,12 @@ def main():
         # sf1.0 -> sf10 is itself a 10x step; same sub-linear bar
         out["time_ratio_sf1_to_sf10"] = ratios_100x
         out["super_linear_sf10"] = {
-            q: r for q, r in ratios_100x.items() if r > 2 * DATA_RATIO
+            q: r for q, r in ratios_100x.items()
+            if r > 2 * DATA_RATIO and q not in EXPECTED_SUPER_LINEAR
+        }
+        out["expected_super_linear_sf10"] = {
+            q: r for q, r in ratios_100x.items()
+            if r > 2 * DATA_RATIO and q in EXPECTED_SUPER_LINEAR
         }
         if walk_stage is not None:
             out["walk_stage_sf10"] = walk_stage
