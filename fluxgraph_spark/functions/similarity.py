@@ -181,6 +181,15 @@ def cosine_topk_lsh(
 # (scripts/check_oracle.py) can force either path.
 IVF_ASSIGN_UNROLL_MAX = int(os.environ.get("FLUX_IVF_UNROLL_MAX", "1024"))
 
+# Past this centroid count the centroid matrix stops fitting one
+# driver collect / executor broadcast (k·dim·8 bytes: 2^18 centroids at
+# dim 64 is 128 MB; at dim 768, 1.5 GB — near the practical broadcast
+# ceiling) and ivf_assign switches to the SHARDED scan: per-shard
+# Arrow top-n_probe carrying the exact sort key, merged by one global
+# per-id window — decision-identical, at the price of one corpus scan
+# per shard.  Env override FLUX_IVF_BROADCAST_MAX for tests/gates.
+IVF_ASSIGN_BROADCAST_MAX = int(os.environ.get("FLUX_IVF_BROADCAST_MAX", str(1 << 18)))
+
 # Safety slack on the coarse pruning bound (see _ivf_assign_arrow): the
 # bound math runs through BLAS matmul + arccos/cos, whose rounding near
 # sim = ±1 can err by ~1e-6 (arccos'(x) = -1/sqrt(1-x²) amplifies a
@@ -198,6 +207,7 @@ def ivf_assign(
     id_col: str = "id",
     vec_col: str = "vec",
     max_unrolled_centroids: "int | None" = None,
+    max_broadcast_centroids: "int | None" = None,
 ) -> DataFrame:
     """(id, centroid_id) for each vector's ``n_probe`` nearest centroids
     by cosine (ties broken by smaller centroid_id — Spark NaN-largest
@@ -227,17 +237,35 @@ def ivf_assign(
       Catalyst fold), and the pruning bound is only ever used to SKIP
       provably-losing centroid groups (see :func:`_ivf_assign_arrow`).
 
-    Remaining documented ceiling: both paths collect the centroid
-    table once (the scan path re-broadcasts it as one numpy matrix),
-    so k·dim·8 bytes must fit driver/executor memory — k = 10^6 at
-    dim 128 is ~1 GB.  Past that, shard the centroid set and union
-    the per-shard assignments (not implemented; at sqrt-derived k
-    that ceiling is a 10^12-row corpus per shard)."""
+    Third tier — **k > ``max_broadcast_centroids`` (default
+    :data:`IVF_ASSIGN_BROADCAST_MAX` = 2^18): sharded scan.**  Once
+    the centroid matrix itself outgrows one broadcast (k·dim·8 bytes),
+    the centroid set splits into id-ordered shards of the broadcast
+    cap; each shard runs the Arrow scan emitting its top-``n_probe``
+    WITH the exact sort key, and one per-id window over the
+    shard-union (≤ n_probe·n_shards rows per id) takes the global
+    top-``n_probe`` — decision-identical (a global winner is its own
+    shard's winner, and the merge replays the same (key DESC, id ASC)
+    rule on the identical doubles).  Cost: one corpus scan per shard
+    plus one bounded shuffle — the honest price of a centroid set
+    bigger than memory; at sqrt-derived k this tier starts around a
+    10^11-row corpus."""
+    cap = IVF_ASSIGN_UNROLL_MAX if max_unrolled_centroids is None else max_unrolled_centroids
+    bcap = (
+        IVF_ASSIGN_BROADCAST_MAX
+        if max_broadcast_centroids is None
+        else max_broadcast_centroids
+    )
+    # count before collecting: past the broadcast ceiling the full
+    # driver collect is exactly what the sharded tier exists to avoid
+    if centroids.count() > bcap:
+        return _ivf_assign_sharded(
+            vectors, centroids, n_probe, id_col, vec_col, max(1, bcap)
+        )
     cents = [
         (r["centroid_id"], [float(x) for x in r["cvec"]])
         for r in centroids.select("centroid_id", "cvec").collect()
     ]
-    cap = IVF_ASSIGN_UNROLL_MAX if max_unrolled_centroids is None else max_unrolled_centroids
     if len(cents) > cap:
         return _ivf_assign_arrow(vectors, centroids, cents, n_probe, id_col, vec_col)
     import math
@@ -271,6 +299,7 @@ def _ivf_assign_arrow(
     n_probe: int,
     id_col: str,
     vec_col: str,
+    emit_key: bool = False,
 ) -> DataFrame:
     """The k-scalable ivf_assign strategy: one broadcast centroid
     matrix + an Arrow-batched ``mapInPandas`` top-``n_probe`` scan with
@@ -351,9 +380,15 @@ def _ivf_assign_arrow(
     id_type = vectors.schema[id_col].dataType
     cid_type = centroids.schema["centroid_id"].dataType
     cid_np = "int32" if cid_type.simpleString() in ("int", "smallint", "tinyint") else "int64"
-    out_schema = StructType(
-        [StructField("id", id_type, True), StructField("centroid_id", cid_type, True)]
-    )
+    fields = [StructField("id", id_type, True), StructField("centroid_id", cid_type, True)]
+    if emit_key:
+        # the exact ordering key (sim, NaN mapped to +inf — Spark's
+        # NaN-largest order) so a sharded merge can replay the same
+        # (key DESC, centroid_id ASC) decision on identical doubles
+        from pyspark.sql.types import DoubleType
+
+        fields.append(StructField("__key", DoubleType(), True))
+    out_schema = StructType(fields)
 
     def fn(batches):
         import numpy as np
@@ -426,25 +461,92 @@ def _ivf_assign_arrow(
                         top_key[rows] = np.take_along_axis(comb_key, sel, axis=1)
                         top_cid[rows] = np.take_along_axis(comb_cid, sel, axis=1)
                 ids = chunk.iloc[:, 0].to_numpy()
-                out_id, out_cid = [], []
+                out_id, out_cid, out_key = [], [], []
                 filled = top_key > -np.inf
                 for r in range(m):
                     picks = top_cid[r][filled[r]]
                     out_id.extend([ids[r]] * len(picks))
                     out_cid.append(picks)
-                yield pd.DataFrame(
-                    {
-                        "id": pd.Series(out_id),
-                        "centroid_id": (
-                            np.concatenate(out_cid).astype(cid_np)
-                            if out_cid
-                            else np.array([], dtype=cid_np)
-                        ),
-                    }
-                )
+                    if emit_key:
+                        out_key.append(top_key[r][filled[r]])
+                cols = {
+                    "id": pd.Series(out_id),
+                    "centroid_id": (
+                        np.concatenate(out_cid).astype(cid_np)
+                        if out_cid
+                        else np.array([], dtype=cid_np)
+                    ),
+                }
+                if emit_key:
+                    cols["__key"] = (
+                        np.concatenate(out_key)
+                        if out_key
+                        else np.array([], dtype=np.float64)
+                    )
+                yield pd.DataFrame(cols)
 
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return v.mapInPandas(fn, out_schema)
+
+
+def _ivf_assign_sharded(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    shard_size: int,
+) -> DataFrame:
+    """ivf_assign past the collect/broadcast ceiling: the centroid set
+    splits into id-ordered shards of ``shard_size`` (only the id
+    column is ever collected whole — 8 bytes per centroid — each
+    shard's vectors collect separately), each shard runs
+    :func:`_ivf_assign_arrow` emitting its top-``n_probe`` WITH the
+    exact sort key, and one per-id window over the union takes the
+    global top-``n_probe``.
+
+    Decision identity: a global top-``n_probe`` centroid is by
+    definition inside its own shard's top-``n_probe``, each shard
+    computes the IDENTICAL key doubles the single-broadcast scan
+    would (same in-order fold; NaN→+inf mapping replays Spark's
+    NaN-largest order), and the merge window replays the same
+    (key DESC, centroid_id ASC) rule — so the union provably contains
+    the global winners and ranks them identically.  Cost: one corpus
+    scan per shard + one shuffle of ≤ n_probe·n_shards rows per
+    vector (the window partitions by id over many ids — no single
+    reducer).  At sqrt-derived k this tier starts around a 10^11-row
+    corpus; below that the single-broadcast scan path handles it."""
+    import math
+
+    cids = sorted(
+        r["centroid_id"] for r in centroids.select("centroid_id").collect()
+    )
+    k = len(cids)
+    n_shards = max(1, math.ceil(k / shard_size))
+    parts = []
+    for s in range(n_shards):
+        lo = cids[s * shard_size]
+        hi = cids[min((s + 1) * shard_size, k) - 1]
+        sub = centroids.where(F.col("centroid_id").between(lo, hi))
+        sub_cents = [
+            (r["centroid_id"], [float(x) for x in r["cvec"]])
+            for r in sub.select("centroid_id", "cvec").collect()
+        ]
+        parts.append(
+            _ivf_assign_arrow(
+                vectors, centroids, sub_cents, n_probe, id_col, vec_col,
+                emit_key=True,
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    w = W.partitionBy("id").orderBy(F.col("__key").desc(), F.col("centroid_id"))
+    return (
+        union.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_probe)
+        .select("id", "centroid_id")
+    )
 
 
 def ivf_centroids(

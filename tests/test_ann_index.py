@@ -1029,3 +1029,35 @@ def test_registry_semantic_ivf_dedupe_gate_data_through_arrow_path(
     monkeypatch.setattr(similarity, "IVF_ASSIGN_UNROLL_MAX", 1)
     arrow = _rows(em.queries()["d_semantic_ivf_dedupe"](spark, SF_DIR))
     assert flat == arrow and len(flat) == 500
+
+
+def test_ivf_assign_sharded_equals_unrolled(spark, emb):
+    """Third assignment tier (r11): past the collect/broadcast ceiling
+    the centroid set shards, each shard emits its top-n_probe WITH the
+    exact sort key, and a per-id window merges — decision-identical to
+    the single-map path, including ties split ACROSS shards."""
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        similarity._as_double_vec(F.col("embedding")).alias("vec"),
+    )
+    cents = similarity.ivf_centroids(emb, 30)
+    for n_probe in (1, 2, 5):
+        flat = _rows(similarity.ivf_assign(
+            v, cents, n_probe, "id", "vec", max_unrolled_centroids=10**9))
+        shard = _rows(similarity.ivf_assign(
+            v, cents, n_probe, "id", "vec", max_broadcast_centroids=7))
+        assert flat == shard and len(shard) == 500 * n_probe
+    # duplicate centroids split across shard boundaries (shard size 2)
+    # tie only at the MERGE window — the cross-shard stress case
+    df = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (3, [0.6, 0.4])], "id long, vec array<double>")
+    cdf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0]),
+         (4, [0.0, 0.0]), (5, [0.9, 0.1])],
+        "centroid_id int, cvec array<double>")
+    for n_probe in (1, 3, 6):
+        flat = _rows(similarity.ivf_assign(
+            df, cdf, n_probe, "id", "vec", max_unrolled_centroids=10**9))
+        shard = _rows(similarity.ivf_assign(
+            df, cdf, n_probe, "id", "vec", max_broadcast_centroids=2))
+        assert flat == shard
