@@ -173,13 +173,21 @@ def cosine_topk_lsh(
 # IVF (inverted-file) ANN
 # ---------------------------------------------------------------------------
 
-# Past this centroid count the unrolled-literal assignment plan stops
-# being the right physical strategy (the expression tree and codegen
-# grow O(k·dim), and every row pays an interpreted O(k·dim) fold) and
-# ivf_assign switches to the Arrow-batched pruned scan below.  Env
-# override FLUX_IVF_UNROLL_MAX exists so out-of-process gates
-# (scripts/check_oracle.py) can force either path.
-IVF_ASSIGN_UNROLL_MAX = int(os.environ.get("FLUX_IVF_UNROLL_MAX", "1024"))
+# Past this centroid count ivf_assign switches from the unrolled
+# literal map to the Arrow-batched pruned scan below.  The driver here
+# is MEASURED, not asymptotic: Catalyst evaluates the higher-order
+# aggregate/zip_with fold interpreted (HOFs don't codegen), so the
+# scan wins at every k tried on this box — 4.3x at k=16, 4.8x at
+# k=23, 11x at k=45, 23x at k=448 (SCALE_BENCH ivf_assign_stage_sf10
+# + the r11 sweep in STATE.md) — while the expression tree and
+# per-row cost of the unrolled plan also grow O(k·dim).  The default
+# keeps k ≤ 32 unrolled anyway: the gate-pinned layouts (k=16) and
+# the sf0.001/sf0.01 derived counts (k=23) then ride the
+# longest-verified JVM-only path at driver-gate scale, and tiny
+# fixtures stay Python-worker-free.  Env override FLUX_IVF_UNROLL_MAX
+# lets out-of-process gates (scripts/check_oracle.py) force either
+# path.
+IVF_ASSIGN_UNROLL_MAX = int(os.environ.get("FLUX_IVF_UNROLL_MAX", "32"))
 
 # Past this centroid count the centroid matrix stops fitting one
 # driver collect / executor broadcast (k·dim·8 bytes: 2^18 centroids at
@@ -216,7 +224,8 @@ def ivf_assign(
 
     Two decision-identical physical strategies, auto-selected on the
     centroid count k (``max_unrolled_centroids``, default
-    :data:`IVF_ASSIGN_UNROLL_MAX` = 1024):
+    :data:`IVF_ASSIGN_UNROLL_MAX` = 32 — the measured
+    crossover note there):
 
     * **k ≤ cap — unrolled literal map**: centroids unroll into one
       array expression (per-centroid cosine, comparator-sorted, sliced
