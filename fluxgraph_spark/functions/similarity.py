@@ -265,16 +265,22 @@ def ivf_assign(
         if max_broadcast_centroids is None
         else max_broadcast_centroids
     )
-    # count before collecting: past the broadcast ceiling the full
-    # driver collect is exactly what the sharded tier exists to avoid
-    if centroids.count() > bcap:
+    # ONE bounded action decides the tier AND feeds the broadcast: a
+    # limit(bcap+1) collect can return at most one row past the ceiling
+    # (so it is safe by the cap's own definition of "fits the driver"),
+    # and when the set is within the ceiling these rows ARE the data —
+    # no second execution of the centroid lineage (which is typically a
+    # corpus-wide md5 top-n sort; an unconditional count() ran it twice
+    # on every call, including per Lloyd iteration).  Past the ceiling
+    # the rows are discarded and the sharded tier re-reads per shard —
+    # the rare tier pays, not the common path.
+    rows = centroids.select("centroid_id", "cvec").limit(bcap + 1).collect()
+    if len(rows) > bcap:
+        del rows
         return _ivf_assign_sharded(
             vectors, centroids, n_probe, id_col, vec_col, max(1, bcap)
         )
-    cents = [
-        (r["centroid_id"], [float(x) for x in r["cvec"]])
-        for r in centroids.select("centroid_id", "cvec").collect()
-    ]
+    cents = [(r["centroid_id"], [float(x) for x in r["cvec"]]) for r in rows]
     if len(cents) > cap:
         return _ivf_assign_arrow(vectors, centroids, cents, n_probe, id_col, vec_col)
     import math
@@ -330,7 +336,12 @@ def _ivf_assign_arrow(
       DIVIDE_BY_ZERO on it, and this path raises a ValueError naming
       the fix (filter ``norm > 0`` upstream; semantic_ivf_dedupe
       does).  A zero-norm CENTROID is in contract (the ``or 1.0``
-      norm guard makes every sim against it exactly 0.0);
+      norm guard makes every sim against it exactly 0.0).  A vector
+      with a NaN/Inf COMPONENT is in contract too (r12): its pruning
+      bounds are poisoned (NaN), so the row is treated as UNPRUNABLE —
+      every group scans exactly, the fold produces the identical
+      NaN/0.0 sims the unrolled map would, and the NaN→+inf key
+      replays Spark's NaN-largest order (pytest-pinned path equality);
     * pruning is sound, never decisive: fine centroids group under
       ceil(sqrt(k)) coarse seeds (evenly spaced over the id-ordered
       list — grouping quality affects speed only); for unit vectors
@@ -415,22 +426,35 @@ def _ivf_assign_arrow(
                 if m == 0:
                     continue
                 V = np.stack(chunk.iloc[:, 1].to_numpy()).astype(np.float64)
-                vn = np.zeros(m, dtype=np.float64)
-                for d in range(dim):
-                    vn = vn + V[:, d] * V[:, d]
-                vn = np.sqrt(vn)
-                if not np.all(vn > 0.0):
-                    bad = chunk.iloc[:, 0].to_numpy()[vn == 0.0][:3]
-                    raise ValueError(
-                        f"ivf_assign: zero-norm vector(s) (ids {list(bad)}"
-                        f"...) — cosine assignment is undefined there (the "
-                        f"unrolled path raises ANSI DIVIDE_BY_ZERO on the "
-                        f"same input).  Filter norm > 0 upstream; "
-                        f"semantic_ivf_dedupe keeps them as singletons."
-                    )
-                Vh = V / vn[:, None]
-                theta = np.arccos(np.clip(Vh @ Sh.T, -1.0, 1.0))
-                ub = np.cos(np.maximum(0.0, theta - radius[None, :])) + slack
+                with np.errstate(invalid="ignore", over="ignore"):
+                    vn = np.zeros(m, dtype=np.float64)
+                    for d in range(dim):
+                        vn = vn + V[:, d] * V[:, d]
+                    vn = np.sqrt(vn)
+                    if np.any(vn == 0.0):
+                        bad = chunk.iloc[:, 0].to_numpy()[vn == 0.0][:3]
+                        raise ValueError(
+                            f"ivf_assign: zero-norm vector(s) (ids {list(bad)}"
+                            f"...) — cosine assignment is undefined there (the "
+                            f"unrolled path raises ANSI DIVIDE_BY_ZERO on the "
+                            f"same input).  Filter norm > 0 upstream; "
+                            f"semantic_ivf_dedupe keeps them as singletons."
+                        )
+                    Vh = V / vn[:, None]
+                    theta = np.arccos(np.clip(Vh @ Sh.T, -1.0, 1.0))
+                    ub = np.cos(np.maximum(0.0, theta - radius[None, :])) + slack
+                # a NaN/Inf component poisons the pruning bounds (NaN norm
+                # or inf/inf=NaN in Vh), which would silently skip every
+                # group (NaN >= x is False) — instead such rows are simply
+                # UNPRUNABLE: scan all groups exactly.  The exact fold then
+                # computes the identical NaN/Inf sims the unrolled map
+                # would, and the NaN→+inf key below replays Spark's
+                # NaN-largest ordering — the two paths stay
+                # decision-identical on non-finite inputs too (zero-norm
+                # stays the one out-of-contract case: both paths raise).
+                bad_ub = ~np.isfinite(ub)
+                if bad_ub.any():
+                    ub[bad_ub] = np.inf
                 scan_order = np.argsort(-ub, axis=1, kind="stable")
                 top_key = np.full((m, P), -np.inf)
                 top_cid = np.full((m, P), INT_MAX, dtype=np.int64)
@@ -450,10 +474,11 @@ def _ivf_assign_arrow(
                             continue
                         rows = alive[g_t == g]
                         # exact decision sims: the in-order IEEE fold
-                        acc = np.zeros((rows.size, mem.size))
-                        for d in range(dim):
-                            acc = acc + V[rows, d][:, None] * C[mem, d][None, :]
-                        sim = acc / (vn[rows][:, None] * cn[mem][None, :])
+                        with np.errstate(invalid="ignore", over="ignore"):
+                            acc = np.zeros((rows.size, mem.size))
+                            for d in range(dim):
+                                acc = acc + V[rows, d][:, None] * C[mem, d][None, :]
+                            sim = acc / (vn[rows][:, None] * cn[mem][None, :])
                         key = np.where(np.isnan(sim), np.inf, sim)
                         comb_key = np.concatenate([top_key[rows], key], axis=1)
                         comb_cid = np.concatenate(

@@ -994,6 +994,39 @@ def test_ivf_assign_arrow_zero_norm_vector_raises(spark):
         ).collect()
 
 
+def test_ivf_assign_arrow_nonfinite_vectors_equal_unrolled(spark):
+    """A NaN/Inf COMPONENT is in contract in both paths (r12, ADVICE):
+    the unrolled map assigns such vectors through Spark's NaN-largest
+    ordering (no division by zero — the norm is NaN/Inf, not 0); the
+    arrow path used to silently emit zero picks (NaN pruning bounds
+    fail every >= test) or raise a MISLEADING zero-norm error.  Now
+    non-finite bounds mark the row unprunable — every group scans
+    exactly and the decisions match the unrolled map."""
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, [nan, 1.0, 0.0, 0.0]),      # NaN component -> NaN norm
+         (2, [inf, 0.0, 0.0, 0.0]),      # Inf component -> Inf norm
+         (3, [1.0, 0.0, 0.0, 0.0]),      # finite control
+         (4, [0.0, nan, nan, 0.0])],
+        "id long, vec array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.5, 0.5, 0.0, 0.0]), (4, [0.0, 0.0, 1.0, 0.0]),
+         (5, [0.0, 0.0, 0.0, 1.0])],
+        "centroid_id int, cvec array<double>",
+    )
+    for n_probe in (1, 2, 5):
+        flat = _rows(similarity.ivf_assign(
+            df, cdf, n_probe, "id", "vec", max_unrolled_centroids=10**9))
+        arrow = _rows(similarity.ivf_assign(
+            df, cdf, n_probe, "id", "vec", max_unrolled_centroids=1))
+        assert flat == arrow and len(arrow) == 4 * n_probe
+        shard = _rows(similarity.ivf_assign(
+            df, cdf, n_probe, "id", "vec", max_broadcast_centroids=2))
+        assert flat == shard
+
+
 def test_semantic_ivf_dedupe_arrow_path_and_zero_singleton(spark, monkeypatch):
     """semantic_ivf_dedupe through the arrow assignment (threshold
     forced to 1 so the derived k takes the scan path) equals the

@@ -1404,6 +1404,44 @@ def test_semantic_ivf_dedupe_derives_centroid_count(tables):
     assert auto == explicit
 
 
+def test_spread_split_estimate_no_rdd(spark, tmp_path):
+    """spread's under-partitioned probe runs on Spark's own file-split
+    math over inputFiles() — no df.rdd lineage translation (r11 VERDICT
+    nit).  A small single-file parquet scan spreads to
+    defaultParallelism; a non-file local relation is left alone (at
+    scale every caller reads files; a tiny fixture gains nothing from
+    a 32-way exchange)."""
+    p = spark.sparkContext.defaultParallelism
+    src = str(tmp_path / "one.parquet")
+    spark.range(100).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    est = dedup._scan_split_estimate(df)
+    assert est is not None and est < p
+    assert dedup.spread(df).rdd.getNumPartitions() == p
+    local = spark.createDataFrame([(1,)], "a long")
+    assert dedup._scan_split_estimate(local) is None
+    assert dedup.spread(local) is local
+    # a scan already past parallelism stays shuffle-free: estimate
+    # with the split knobs forced tiny so even this small file chops
+    # into > p splits
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1b")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0b")
+    try:
+        big_est = dedup._scan_split_estimate(df)
+        assert big_est is not None and big_est > p
+        assert dedup.spread(df) is df
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+    # size-conf parsing: canonical '<n>b', unit suffixes, plain ints
+    assert dedup._bytes_conf(spark, "spark.graft.nonexistent", 7) == 7
+    for raw, want in (("134217728b", 128 << 20), ("128MB", 128 << 20),
+                      ("4m", 4 << 20), ("1024", 1024), ("1g", 1 << 30)):
+        spark.conf.set("spark.graft.test_size", raw)
+        assert dedup._bytes_conf(spark, "spark.graft.test_size", 0) == want
+    spark.conf.unset("spark.graft.test_size")
+
+
 def test_pairs_block_pandas_block_cap_raises(spark):
     """A block larger than max_block_rows must fail fast with the fix
     named (finer blocking / more centroids), not OOM a worker.  Two
