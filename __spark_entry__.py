@@ -3765,6 +3765,36 @@ def q_s_ivf_derived_topk(spark, sf_dir):
     return idx.topk(queries, k=10, n_probe=4)
 
 
+def q_s_ivfpq_derived_topk(spark, sf_dir):
+    """IvfPqIndex built with a DERIVED PQ geometry (m=None, ksub=None →
+    similarity.auto_pq_geometry — the FAISS convention: ksub =
+    least(256, n) one-byte codes, m = dim/4 subquantizers with
+    documented floors; r12, VERDICT r11 item 3).  The derivation
+    itself hash-gates: the oracle recomputes (m, dsub, ksub) from its
+    own len(vec)/count(*) CTEs — m=16/ksub=256 at the gate SFs, NOT
+    the pinned m=4/ksub=16 of s_ivfpq_topk, so a drifted rule flips
+    codes and the hash.  At this geometry (4096 codebook entries) the
+    encode rides the Arrow scan (similarity._pq_encode_arrow — O(1)
+    plan size where the unrolled literal map would carry ~4096
+    interpreted HOF folds), decision-identical by the in-order-fold +
+    first-argmin argument (pytest-pinned both paths).  n_centroids
+    stays pinned at 16 to isolate the PQ half of the derivation (the
+    IVF half gates via s_ivf_derived_topk).  Session-managed
+    build-once root."""
+    from fluxgraph_spark.sources.ann_index import IvfPqIndex
+
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = _session_index(
+        "ivfpq_derived", sf_dir,
+        lambda root: IvfPqIndex.build(emb, root, n_centroids=16),
+        lambda root: IvfPqIndex(spark, root),
+    )
+    return idx.topk(queries, k=10, n_probe=4)
+
+
 def q_s_ivf_kmeans_topk(spark, sf_dir):
     """IVF with Lloyd-refined centroids (2 k-means iterations, integer-
     micro cluster means) — the ANN quality path, still fully
@@ -5294,6 +5324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_recall": q_s_ann_recall,
         "s_ivf_indexed_topk": q_s_ivf_indexed_topk,
         "s_ivf_derived_topk": q_s_ivf_derived_topk,
+        "s_ivfpq_derived_topk": q_s_ivfpq_derived_topk,
         "s_ivfpq_topk": q_s_ivfpq_topk,
         "s_ivfpq_rerank": q_s_ivfpq_rerank,
         "s_ivfpq_residual_topk": q_s_ivfpq_residual_topk,
@@ -5646,6 +5677,90 @@ def _ivfpq_sql(tail: str, residual: bool = False) -> str:
                  CAST(row_number() OVER (
                    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
           FROM exact) WHERE rank <= 10
+        """
+
+
+def _ivfpq_derived_sql() -> str:
+    """Replay of q_s_ivfpq_derived_topk: _ivfpq_sql's non-residual topk
+    with the PQ geometry RECOMPUTED from the oracle's own CTEs instead
+    of hardcoded — ``geo`` derives (dim, dsub, m, ksub) from len(vec) /
+    count(*) exactly as similarity.auto_pq_geometry does (dsub = 4 with
+    the 2/1 floors; m = dim // dsub; ksub = least(256, n)), ``subsp``
+    unrolls the m subspaces from range(m), ``samp``'s row_number filter
+    is the least(256, n) codebook LIMIT, and every subvector slice is
+    ``s*dsub+1 : s*dsub+dsub`` against the derived dsub.  A drifted
+    engine rule produces different codes/LUTs and flips the hash — the
+    geometry derivation itself is what this query gates (the IVF half
+    is pinned at 16 lists, gated separately by s_ivf_derived_topk)."""
+    return """
+        WITH base AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        geo AS MATERIALIZED (
+          SELECT dim,
+                 CASE WHEN dim % 4 = 0 THEN 4
+                      WHEN dim % 2 = 0 THEN 2 ELSE 1 END AS dsub,
+                 CAST(dim // (CASE WHEN dim % 4 = 0 THEN 4
+                                   WHEN dim % 2 = 0 THEN 2 ELSE 1 END) AS INT) AS m,
+                 CAST(least(256, n) AS INT) AS ksub
+          FROM (SELECT max(len(vec)) AS dim, count(*) AS n FROM base)),
+        cents AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id,
+                 vec AS cvec
+          FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        ivf_scored AS MATERIALIZED (
+          SELECT b.vec_id, c.centroid_id,
+                 list_dot_product(b.vec, c.cvec)
+                   / (sqrt(list_dot_product(b.vec, b.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+          FROM base b CROSS JOIN cents c),
+        assign1 AS MATERIALIZED (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM ivf_scored) WHERE rn = 1),
+        qassign AS MATERIALIZED (
+          SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+            FROM ivf_scored WHERE vec_id < 5) WHERE rn <= 4),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT q.query_id, a.vec_id
+          FROM qassign q JOIN assign1 a ON a.centroid_id = q.centroid_id),
+        subsp AS MATERIALIZED (
+          SELECT CAST(unnest(range((SELECT m FROM geo))) AS INT) AS s),
+        samp AS MATERIALIZED (
+          SELECT code, vec FROM (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code,
+                   vec
+            FROM base) WHERE code <= (SELECT ksub FROM geo)),
+        cb AS MATERIALIZED (
+          SELECT subsp.s, samp.code,
+                 (samp.vec)[subsp.s*g.dsub+1 : subsp.s*g.dsub+g.dsub] AS csub
+          FROM samp, subsp, geo g),
+        enc AS MATERIALIZED (
+          SELECT vec_id, s, code FROM (
+            SELECT b.vec_id, cb.s, cb.code,
+                   row_number() OVER (PARTITION BY b.vec_id, cb.s ORDER BY
+                     list_sum(list_transform(
+                       list_zip((b.vec)[cb.s*g.dsub+1 : cb.s*g.dsub+g.dsub], cb.csub),
+                       x -> (x[1]-x[2])*(x[1]-x[2]))) ASC, cb.code) AS rn
+            FROM base b CROSS JOIN cb CROSS JOIN geo g) WHERE rn = 1),
+        lut AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, cb.s, cb.code,
+                 CAST(floor(list_sum(list_transform(
+                   list_zip((q.vec)[cb.s*g.dsub+1 : cb.s*g.dsub+g.dsub], cb.csub),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000 + 0.5) AS BIGINT) AS dmicro
+          FROM base q CROSS JOIN cb CROSS JOIN geo g WHERE q.vec_id < 5),
+        scored AS MATERIALIZED (
+          SELECT cd.query_id, cd.vec_id, CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
+          FROM cand cd
+          JOIN enc e ON e.vec_id = cd.vec_id
+          JOIN lut l ON l.query_id = cd.query_id AND l.s = e.s AND l.code = e.code
+          GROUP BY cd.query_id, cd.vec_id)
+        SELECT query_id, vec_id, adc_micro, rank FROM (
+          SELECT query_id, vec_id, adc_micro,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_micro, vec_id) AS INT) AS rank
+          FROM scored) WHERE rank <= 10
         """
 
 
@@ -7788,6 +7903,7 @@ def oracle_sql() -> dict[str, str]:
         # each corpus vector's single list; the PQ CTEs encode + LUT;
         # scoring sums integer micro distances over the probed candidates
         "s_ivfpq_topk": _ivfpq_sql("topk"),
+        "s_ivfpq_derived_topk": _ivfpq_derived_sql(),
         "s_ivfpq_rerank": _ivfpq_sql("rerank"),
         "s_ivfpq_residual_topk": _ivfpq_sql("topk", residual=True),
         "s_cosine_topk": """

@@ -835,10 +835,46 @@ def cluster_sample(
 # Product quantization (PQ) — compressed-domain ANN
 # ---------------------------------------------------------------------------
 
+# FAISS convention: 256 codebook entries per subspace = one-byte codes
+PQ_AUTO_KSUB = 256
+
+
+def auto_pq_geometry(dim: int, n_rows: "int | None" = None) -> "tuple[int, int]":
+    """Default PQ geometry when the caller doesn't size it — the FAISS
+    production convention (Jégou et al. TPAMI'11; FAISS guidelines):
+
+    * ``ksub = 256`` codebook entries per subspace (one-byte codes —
+      the quantization/LUT-size sweet spot), naturally shrunk to the
+      corpus size when the corpus is smaller (``least(256, n)`` — the
+      md5-sample LIMIT does that on the engine side, the oracle's
+      row_number filter on the SQL side);
+    * subvector width ``dsub = 4`` dims (FAISS recommends 4-8, i.e.
+      ``m`` in dim/4..dim/2 subquantizers; we take the dim/4 end —
+      finer subspaces resolve more distance structure for the same
+      one-byte budget), with documented FLOORS ``dsub = 2`` when dim
+      is even but not divisible by 4 and ``dsub = 1`` otherwise, so
+      the rule is total on any dimension; ``m = dim // dsub``.
+
+    Both halves BIND on the gate embeddings (dim 64, 500 rows):
+    m = 16, ksub = 256 — nothing like the pinned m=4/ksub=16 layouts,
+    so a drifted derivation flips codes and the oracle hash.  The rule
+    is one integer CASE + one least() — an external SQL engine
+    recomputes it exactly from its own ``len(vec)`` / ``count(*)``
+    CTEs (the s_ivfpq_derived_topk oracle does)."""
+    if dim <= 0:
+        raise ValueError(f"auto_pq_geometry: dim must be positive, got {dim}")
+    dsub = 4 if dim % 4 == 0 else (2 if dim % 2 == 0 else 1)
+    m = dim // dsub
+    ksub = (
+        PQ_AUTO_KSUB if n_rows is None else max(1, min(PQ_AUTO_KSUB, int(n_rows)))
+    )
+    return m, ksub
+
+
 def pq_codebooks(
     corpus: DataFrame,
-    m: int = 4,
-    ksub: int = 16,
+    m: "int | None" = 4,
+    ksub: "int | None" = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list:
@@ -849,7 +885,13 @@ def pq_codebooks(
     k-means refinement is deliberately omitted for the same reason as in
     IVF: determinism enables cross-engine verification, and the sample
     is adequate for bucketing/compression.  The sample is tiny
-    (ksub rows) — collecting it is a bounded driver probe."""
+    (ksub rows) — collecting it is a bounded driver probe.
+
+    ``m=None`` / ``ksub=None`` derive from the corpus via
+    :func:`auto_pq_geometry` (FAISS convention: one-byte codes,
+    dim/4 subquantizers)."""
+    if ksub is None:
+        ksub = PQ_AUTO_KSUB  # the LIMIT shrinks naturally on small corpora
     h = F.md5(F.col(id_col).cast("string"))
     rows = (
         corpus.select(
@@ -860,6 +902,8 @@ def pq_codebooks(
         .collect()
     )
     dim = len(rows[0]["vec"])
+    if m is None:
+        m = auto_pq_geometry(dim)[0]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -869,24 +913,50 @@ def pq_codebooks(
     ]
 
 
+# Past this many codebook entries (m x ksub) pq_encode switches from
+# the unrolled literal map to the Arrow-batched scan below.  Same
+# driver as IVF_ASSIGN_UNROLL_MAX: the per-entry aggregate/zip_with
+# fold is an interpreted HOF and the expression tree grows O(m·ksub·
+# dsub) — at the FAISS-convention derived geometry (m=dim/4, ksub=256:
+# 4096 entries at dim 64) the literal plan is both slow to build and
+# past any sane plan-size budget, while 64-entry pinned layouts stay
+# on the long-verified JVM-only path.  Env override FLUX_PQ_UNROLL_MAX
+# lets out-of-process gates force either path.
+PQ_ENCODE_UNROLL_MAX = int(os.environ.get("FLUX_PQ_UNROLL_MAX", "512"))
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_unrolled_entries: "int | None" = None,
 ) -> DataFrame:
     """(id, codes array<int>) — per subspace, the 1-based code of the
     nearest codebook entry by squared L2.  The codebooks unroll into
     literal array expressions, so encoding is a NARROW map over the
     corpus (zero shuffle): at 100 TB this is the canonical compression
     pass, embarrassingly parallel over input splits, emitting m small
-    ints per vector (a 64-dim float vector compresses 64x)."""
+    ints per vector (a 64-dim float vector compresses 64x).
+
+    Past ``max_unrolled_entries`` total codebook entries (default
+    :data:`PQ_ENCODE_UNROLL_MAX`) the encode switches to an
+    Arrow-batched ``mapInPandas`` scan (:func:`_pq_encode_arrow`) —
+    still a narrow map, O(1) plan size in the geometry, and
+    DECISION-IDENTICAL: the squared-L2 accumulates dimension-in-order
+    (the exact IEEE sequence of the Catalyst fold) and argmin's
+    first-minimum tie break IS the (distance ASC, code ASC)
+    comparator.  The derived FAISS geometry (m=dim/4, ksub=256) rides
+    this path; the pinned m=4/ksub=16 gate layouts stay unrolled."""
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
+    cap = PQ_ENCODE_UNROLL_MAX if max_unrolled_entries is None else max_unrolled_entries
     v = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double_vec(F.col(vec_col)).alias("vec")
     )
+    if m * ksub > cap:
+        return _pq_encode_arrow(v, codebooks)
     code_cols = []
     for s in range(m):
         sub = F.slice(F.col("vec"), s * dsub + 1, dsub)
@@ -907,6 +977,66 @@ def pq_encode(
         )
         code_cols.append(ranked[0]["code"])
     return v.select("vec_id", F.array(*code_cols).alias("codes"))
+
+
+def _pq_encode_arrow(v: DataFrame, codebooks: list) -> DataFrame:
+    """The geometry-scalable pq_encode strategy: the codebook tensor
+    broadcasts once and each corpus vector's m argmins run vectorized
+    inside ``mapInPandas`` — a NARROW map (zero shuffle) whose plan
+    size is O(1) in (m, ksub) where the unrolled literal map grows
+    O(m·ksub·dsub) interpreted-HOF nodes.
+
+    Decision identity with the unrolled map (so the SQL oracles that
+    replay the encode hold through either path):
+
+    * the squared-L2 to each codebook entry accumulates
+      DIMENSION-IN-ORDER from 0.0 — ``acc = acc + (x_d - y_d)·(x_d -
+      y_d)`` — the exact IEEE sequence of the Catalyst
+      ``aggregate(zip_with(...))`` fold (the `_pairs_block_pandas`
+      trick);
+    * the pick replays the (distance ASC, code ASC) comparator:
+      ``np.argmin`` returns the FIRST minimum and codes ascend with
+      the array index, so exact ties break to the smaller code in
+      both paths."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    CB = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = CB.shape
+    bc = v.sparkSession.sparkContext.broadcast(CB)
+    id_type = v.schema["vec_id"].dataType
+    out_schema = StructType(
+        [StructField("vec_id", id_type, True),
+         StructField("codes", ArrayType(IntegerType()), True)]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        CB = bc.value
+        m, ksub, dsub = CB.shape
+        for pdf in batches:
+            for s0 in range(0, len(pdf), 1024):
+                chunk = pdf.iloc[s0 : s0 + 1024]
+                n = len(chunk)
+                if n == 0:
+                    continue
+                V = np.stack(chunk.iloc[:, 1].to_numpy()).astype(np.float64)
+                codes = np.empty((n, m), dtype=np.int32)
+                for s in range(m):
+                    sub = V[:, s * dsub : (s + 1) * dsub]
+                    acc = np.zeros((n, ksub), dtype=np.float64)
+                    for d in range(dsub):
+                        diff = sub[:, d][:, None] - CB[s, :, d][None, :]
+                        acc = acc + diff * diff
+                    codes[:, s] = np.argmin(acc, axis=1) + 1
+                yield pd.DataFrame(
+                    {"vec_id": chunk.iloc[:, 0].to_numpy(),
+                     "codes": list(codes)}
+                )
+
+    return v.mapInPandas(fn, out_schema)
 
 
 def pq_adc_topk(

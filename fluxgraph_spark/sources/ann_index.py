@@ -808,8 +808,8 @@ class IvfPqIndex(_ManifestedIndex):
         corpus: DataFrame,
         index_dir: str,
         n_centroids: Optional[int] = None,
-        m: int = 4,
-        ksub: int = 16,
+        m: Optional[int] = None,
+        ksub: Optional[int] = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         store_vectors: bool = True,
@@ -817,6 +817,14 @@ class IvfPqIndex(_ManifestedIndex):
     ) -> "IvfPqIndex":
         """``n_centroids=None`` (default) sizes the list count from the
         corpus via :func:`auto_n_centroids` (one count at build time).
+        ``m=None`` / ``ksub=None`` (default) derive the PQ geometry
+        from the corpus via ``similarity.auto_pq_geometry`` — the FAISS
+        convention (one-byte codes: ksub = least(256, n); dim/4
+        subquantizers, floored so the rule is total on any dim); past
+        ``similarity.PQ_ENCODE_UNROLL_MAX`` total entries the encode
+        automatically rides the Arrow scan instead of an unrolled
+        literal plan that would grow with the geometry.  Pass both
+        explicitly to pin a layout (the m=4/ksub=16 gate queries do).
 
         ``store_vectors`` additionally writes the RAW vectors under
         ``vectors/`` with the same centroid partitioning — the exact-

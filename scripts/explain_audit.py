@@ -114,6 +114,7 @@ NO_PUSHDOWN_EXPECTED = {
     "s_ivf_indexed_topk",   # probe prune is PartitionFilters (directory-level,
                             # stronger than a row-group PushedFilters entry)
     "s_ivfpq_topk",         # same: PartitionFilters on the codes scan
+    "s_ivfpq_derived_topk",  # same, derived FAISS geometry (r12)
     "s_ivf_kmeans_topk",    # full-embeddings scan + iterative centroid refine
     "g_gremlin_path",       # kind predicates fold into union-branch pruning
     "g_gremlin_loop",       # kind/date predicates fold into union branches

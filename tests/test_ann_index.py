@@ -177,6 +177,95 @@ def test_auto_centroid_sizing(spark, emb, tmp_path):
     assert got == auto_n_centroids(n)
 
 
+def test_auto_pq_geometry_rule_and_oracle_parity():
+    """The derived PQ geometry (r12, VERDICT item 3) IS the FAISS
+    convention — ksub = least(256, n) one-byte codes, m = dim // dsub
+    with dsub = 4 (floors 2, 1 so the rule is total) — and the SQL
+    CASE the s_ivfpq_derived_topk oracle replays computes the
+    identical integers for every dim/n shape."""
+    import duckdb
+
+    from fluxgraph_spark.functions.similarity import auto_pq_geometry
+
+    assert auto_pq_geometry(64, 500) == (16, 256)   # the gate shape: BINDS
+    assert auto_pq_geometry(64, 100) == (16, 100)   # corpus-shrunk ksub
+    assert auto_pq_geometry(6, 1000) == (3, 256)    # even, not %4 -> dsub 2
+    assert auto_pq_geometry(7, 10) == (7, 10)       # odd -> dsub 1
+    assert auto_pq_geometry(768) == (192, 256)      # production embedding dim
+    with pytest.raises(ValueError, match="positive"):
+        auto_pq_geometry(0)
+    for dim, n in [(64, 500), (6, 3), (7, 10), (128, 2000), (2, 1), (768, 10**9)]:
+        m, ksub = auto_pq_geometry(dim, n)
+        got = duckdb.sql(
+            f"SELECT CAST({dim} // (CASE WHEN {dim} % 4 = 0 THEN 4 "
+            f"WHEN {dim} % 2 = 0 THEN 2 ELSE 1 END) AS INT), "
+            f"CAST(least(256, {n}) AS INT)"
+        ).fetchone()
+        assert (m, ksub) == tuple(got)
+
+
+def test_pq_encode_arrow_path_equals_unrolled(spark, emb):
+    """The geometry-scalable encode (_pq_encode_arrow) must be
+    DECISION-IDENTICAL to the unrolled literal map — in-order IEEE
+    fold + first-argmin tie break — pinned on the real gate
+    embeddings at the pinned m=4/ksub=16 layout."""
+    cbs = similarity.pq_codebooks(emb, m=4, ksub=16)
+    unrolled = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in similarity.pq_encode(emb, cbs, max_unrolled_entries=10**9).collect()
+    )
+    arrow = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in similarity.pq_encode(emb, cbs, max_unrolled_entries=1).collect()
+    )
+    assert unrolled == arrow and len(arrow) == 500
+
+
+def test_ivfpq_derived_geometry_build(spark, emb, tmp_path, monkeypatch):
+    """IvfPqIndex.build with m=None/ksub=None derives the FAISS
+    geometry from the corpus (m=16/ksub=256 on the gate embeddings —
+    nothing like the pinned m=4/ksub=16, so the rule BINDS), rides the
+    Arrow encode at that size, and on a mid-size geometry the derived
+    build produces IDENTICAL codes and topk through both encode
+    paths."""
+    from fluxgraph_spark.sources.ann_index import IvfPqIndex
+
+    idx = IvfPqIndex.build(emb, str(tmp_path / "dg"), n_centroids=16)
+    books = idx.codebooks()
+    assert len(books) == 16 and len(books[0]) == 256 and len(books[0][0]) == 4
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = idx.topk(queries, k=10, n_probe=4)
+    assert got.count() == 50
+
+    # both encode paths through a DERIVED build, at a geometry where
+    # the unrolled plan is still cheap: dim 8, 40 rows -> m=2, ksub=40
+    small = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) + 1.0 for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    sq = small.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def build_rows(root, cap):
+        monkeypatch.setattr(similarity, "PQ_ENCODE_UNROLL_MAX", cap)
+        i = IvfPqIndex.build(small, str(tmp_path / root), n_centroids=4)
+        codes = sorted(
+            (r["vec_id"], tuple(r["codes"]))
+            for r in i.codes().select("vec_id", "codes").collect()
+        )
+        top = sorted(map(tuple, i.topk(sq, k=5, n_probe=2).collect()))
+        return len(i.codebooks()), len(i.codebooks()[0]), codes, top
+
+    m_u, k_u, codes_u, top_u = build_rows("dg_unrolled", 10**9)
+    m_a, k_a, codes_a, top_a = build_rows("dg_arrow", 1)
+    assert (m_u, k_u) == (m_a, k_a) == (2, 40)
+    assert codes_u == codes_a and top_u == top_a
+
+
 def test_ivfpq_rerank_recall_beats_plain_adc(spark, emb, tmp_path):
     """Exact-rerank tier (VERDICT r4 item 7): per query, the reranked
     top-k must overlap the brute-force cosine top-k at least as well as
