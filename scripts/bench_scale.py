@@ -283,7 +283,19 @@ def ivf_assign_stage(spark, sf_dir, runs):
     decision-identical (pinned in pytest); this measures the cost of
     the strategy swap at the k the sqrt rule actually produces here —
     at 100 TB k only the scan path can even build a plan, so the bar
-    is flat-or-better at the k where both still run."""
+    is flat-or-better at the k where both still run.
+
+    r12 (VERDICT item 4): a THIRD variant forces the broadcast ceiling
+    down to ceil(k/4) so tier 3 (the SHARDED scan — one corpus scan
+    per shard, per-shard Arrow top-n_probe with the exact key, one
+    per-id merge window) is measured on the same substrate.  Locally
+    the tier only ever engages via this forced ceiling (it starts near
+    10^11-row corpora at sqrt-derived k), so this is the one way to
+    put its per-shard-scan + merge-window price on record —
+    the expected shape is ~n_shards x the single-broadcast scan plus
+    one bounded shuffle."""
+    import math
+
     from fluxgraph_spark.functions import dedup as DD
     from fluxgraph_spark.functions import similarity as SIM
     from fluxgraph_spark.sources import tpch
@@ -296,18 +308,27 @@ def ivf_assign_stage(spark, sf_dir, runs):
     k = DD.derived_centroid_count(base.count())
     cents = SIM.ivf_centroids(base, k, id_col="id", vec_col="vec")
     cents = cents.localCheckpoint(eager=True)
-    out = {"k": k}
-    for label, cap in (("unrolled", 10**9), ("arrow_scan", 1)):
+    n_shards = 4
+    out = {"k": k, "n_shards_forced": n_shards}
+    variants = (
+        ("unrolled", dict(max_unrolled_centroids=10**9)),
+        ("arrow_scan", dict(max_unrolled_centroids=1)),
+        ("arrow_sharded", dict(max_broadcast_centroids=math.ceil(k / n_shards))),
+    )
+    for label, kw in variants:
         per_run = []
         for _ in range(runs):
             t0 = time.time()
             SIM.ivf_assign(
-                base, cents, n_probe=2, id_col="id", vec_col="vec",
-                max_unrolled_centroids=cap,
+                base, cents, n_probe=2, id_col="id", vec_col="vec", **kw
             ).write.format("noop").mode("overwrite").save()
             per_run.append(time.time() - t0)
         out[label] = round(min(per_run), 3)
         print(f"  ivf_assign[{label}] k={k}: {out[label]}s", file=sys.stderr)
+    if out.get("arrow_scan"):
+        out["sharded_vs_broadcast_ratio"] = round(
+            out["arrow_sharded"] / out["arrow_scan"], 2
+        )
     return out
 
 
@@ -466,6 +487,13 @@ def main():
             out["walk_stage_sf10"] = walk_stage
         if assign_stage is not None:
             out["ivf_assign_stage_sf10"] = assign_stage
+            # the tier-3 datapoint under its own key (VERDICT r11 item 4)
+            out["ivf_assign_sharded_stage_sf10"] = {
+                k: assign_stage[k]
+                for k in ("k", "n_shards_forced", "arrow_sharded",
+                          "arrow_scan", "sharded_vs_broadcast_ratio")
+                if k in assign_stage
+            }
     if skew is not None:
         out["skew"] = skew
     if small_e or big_e or huge_e:
