@@ -1043,8 +1043,8 @@ def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    m: int = 4,
-    ksub: int = 16,
+    m: "int | None" = 4,
+    ksub: "int | None" = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -1064,6 +1064,8 @@ def pq_adc_topk(
     codebooks = pq_codebooks(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
     # a corpus smaller than ksub yields a shorter codebook: the LUT
     # stride MUST be the actual entry count or lookups cross subspaces
+    # (and m=None derives inside pq_codebooks — read both back)
+    m = len(codebooks)
     ksub = len(codebooks[0])
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     lut_df = pq_query_lut(queries, codebooks, query_id_col, vec_col)

@@ -513,6 +513,41 @@ def test_changefeed_touch_counts_crash_replay(spark, tmp_path):
     assert j.where(F.col("n_changes") != F.col("n_b")).count() == 0
 
 
+def test_registry_changefeed_two_level_equals_complete_drain(spark):
+    """The gated query q_st_changefeed re-pointed through the two-level
+    append feed (r12) must return EXACTLY what the r9-r11 complete-mode
+    drain returned on the same staged tx_log — the oracle is unchanged,
+    so this pins that the re-point changed the execution shape, not the
+    decision.  (The staged sentinel advances the watermark past every
+    real window; its own window never finalizes and its kind is
+    filtered, so it reaches no output.)"""
+    import __spark_entry__ as em
+    from fluxgraph_spark.streaming import element_touch_counts, tx_log_stream
+
+    two_level = sorted(
+        map(tuple, em.queries()["st_changefeed"](spark, SF_DIR).collect())
+    )
+    # the pre-r12 shape: complete-mode drain + batch rollup
+    log = tx_log_stream(spark, em._stage_txlog(spark, SF_DIR)).where(
+        F.col("kind") != em._TXLOG_SENTINEL_KIND
+    )
+    res = em._drain_stream(element_touch_counts(log, "1 hour"), "complete")
+    complete = sorted(
+        map(
+            tuple,
+            res.groupBy(
+                F.unix_micros(F.col("win_start")).alias("win_us"), "kind"
+            )
+            .agg(
+                F.sum("n_changes").cast("long").alias("n_changes"),
+                F.count(F.lit(1)).cast("long").alias("n_elements"),
+            )
+            .collect(),
+        )
+    )
+    assert two_level == complete and len(two_level) > 0
+
+
 def test_changefeed_two_level_append_feed(spark, tmp_path):
     """The scale shape of the changefeed rollup (r10): level 1 streams
     element_touch_counts in APPEND mode to files — a (window, kind,
