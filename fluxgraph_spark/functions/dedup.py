@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .text import TOKEN_RE, stable_hash64
+from .text import TOKEN_RE, let_, stable_hash64
 
 
 # ---------------------------------------------------------------------------
@@ -137,10 +137,18 @@ def shingle_table(
     """(id, shingle) rows — distinct word n-grams of the lowercased text.
     Documents shorter than n tokens contribute their full token string as
     one shingle (so they still participate)."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    def grams_of(toks: Column) -> Column:
+        # toks is a let_-bound variable (see text.let_): the per-gram
+        # slice reads it O(1) instead of re-running the tokenizer per
+        # gram (which costs O(tokens x doc_len) per row — this function
+        # feeds every MinHash/LSH path, so that term dominated them all)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    grams = let_(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)),
+        grams_of,
+    )
     # a small parquet lands in ONE input split — spread the regex/explode
     # work across cores before the expensive expressions run (at scale the
     # many-file input makes this a near-no-op hash exchange)

@@ -332,6 +332,188 @@ def ivf_assign_stage(spark, sf_dir, runs):
     return out
 
 
+def changefeed_stage(spark, sf_dir, runs):
+    """Time the r12 changefeed re-point's two drain shapes on ONE staged
+    tx_log (same rows, same stateful aggregation, same downstream
+    rollup), so the re-point's scale claim is measured, not argued:
+
+    * ``complete_drain`` — the shape q_st_changefeed used through r11:
+      COMPLETE output mode re-emits the ENTIRE accumulated result table
+      every trigger and its state never evicts, so each trigger's
+      consumer (here: touch_rollup -> noop, what any complete-mode
+      subscriber must redo) costs O(accumulated keys) — total
+      O(n_triggers x finalized_keys), unbounded on an infinite feed;
+    * ``append_feed`` — the r12 two-level shape: each finalized
+      (window, kind, element) key is written to the file feed EXACTLY
+      ONCE as the watermark passes its window (state evicting in the
+      same move), then ONE batch touch_rollup over the feed —
+      O(finalized_keys) regardless of trigger count.
+
+    The tx_log is staged as 32 files + the far-future watermark
+    sentinel and read with maxFilesPerTrigger=4, so availableNow takes
+    ~9 triggers — a bounded stand-in for the infinite feed where
+    n_triggers is the unbounded term (the measured gap scales with
+    trigger count, so divide by 9 for the per-trigger slope).  Before
+    any timing is recorded the append feed's rollup is asserted
+    row-identical to the batch ground truth computed directly from the
+    staged log — drain-shape A/B, not semantics A/B."""
+    import shutil
+    import tempfile
+
+    from fluxgraph_spark.sources import tpch
+    from fluxgraph_spark.streaming import (
+        element_touch_counts,
+        element_touch_feed,
+        touch_rollup,
+        tx_log_stream,
+    )
+
+    sentinel_kind = "__watermark__"
+    stage = tempfile.mkdtemp(prefix="flux_cfeed_stage_")
+    log_dir = os.path.join(stage, "txlog")
+    tx = tpch.read_tables(spark, sf_dir)["events"].select(
+        F.col("event_id").alias("tx_id"),
+        F.col("ts").alias("tx_time"),
+        F.col("user_id").alias("element_id"),
+        F.lit(0).cast("long").alias("prev_tx_id"),
+        F.col("event_type").alias("kind"),
+    )
+    # TIME-ORDERED feed files (the production tx_log shape — each batch
+    # covers a time slice): range-partition by tx_time so part-0000i is
+    # the i-th slice, then stamp mod times in name order below (mod time
+    # is the file source's ordering key).  A round-robin staging makes
+    # every file span the whole range, so after trigger 1 the watermark
+    # sits at max-2h and append mode rightly DROPS all later files as
+    # late — that's a mis-staged feed, not a drain-shape difference
+    # (the equality gate below caught exactly that).
+    tx.repartitionByRange(32, "tx_time").write.mode("overwrite").parquet(log_dir)
+    real_files = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    (
+        tx.groupBy()
+        .agg(
+            F.lit(10**9).cast("long").alias("tx_id"),
+            (F.max("tx_time") + F.expr("INTERVAL 10 DAYS")).alias("tx_time"),
+            F.lit(0).cast("long").alias("element_id"),
+            F.lit(0).cast("long").alias("prev_tx_id"),
+            F.lit(sentinel_kind).alias("kind"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(log_dir)
+    )
+    base = time.time()
+    for i, f in enumerate(real_files):
+        os.utime(os.path.join(log_dir, f), (base + i, base + i))
+    for f in os.listdir(log_dir):
+        if f.endswith(".parquet") and f not in real_files:
+            os.utime(os.path.join(log_dir, f), (base + 100, base + 100))
+
+    def counts_stream():
+        log = tx_log_stream(spark, log_dir, max_files_per_trigger=4)
+        return element_touch_counts(log, "1 hour")
+
+    # batch ground truth for the equality gate (and the keys count)
+    truth = (
+        tx.groupBy(
+            F.window("tx_time", "1 hour").alias("win"), "kind", "element_id"
+        )
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "kind",
+            "element_id",
+            "n_changes",
+        )
+    )
+    truth_rollup = touch_rollup(truth).localCheckpoint(eager=True)
+    n_keys = truth.count()
+    out = {"finalized_keys": n_keys, "n_rollup_rows": truth_rollup.count()}
+
+    def _roll_batch(df, _bid):
+        touch_rollup(df.where(F.col("kind") != sentinel_kind)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    per_run, triggers = [], None
+    for _ in range(runs):
+        ck = tempfile.mkdtemp(prefix="flux_cfeed_ck_")
+        t0 = time.time()
+        q = (
+            counts_stream()
+            .writeStream.foreachBatch(_roll_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        per_run.append(time.time() - t0)
+        lp = q.lastProgress
+        triggers = (lp["batchId"] + 1) if lp else None
+        if lp and lp.get("stateOperators"):
+            out["complete_state_rows_final"] = lp["stateOperators"][0][
+                "numRowsTotal"
+            ]
+        shutil.rmtree(ck, ignore_errors=True)
+    out["complete_drain"] = round(min(per_run), 3)
+    out["n_triggers"] = triggers
+    print(
+        f"  changefeed complete_drain: {out['complete_drain']}s"
+        f" ({triggers} triggers, {n_keys} keys)",
+        file=sys.stderr,
+    )
+
+    per_run = []
+    for i in range(runs):
+        feed_root = tempfile.mkdtemp(prefix="flux_cfeed_feed_")
+        t0 = time.time()
+        q = element_touch_feed(
+            counts_stream(),
+            os.path.join(feed_root, "feed"),
+            os.path.join(feed_root, "ckpt"),
+        )
+        q.awaitTermination()
+        lp = q.lastProgress
+        if lp and lp.get("stateOperators"):
+            # the structural difference: append's state EVICTS as the
+            # watermark passes, so what remains is the live-window bound
+            # (here: just the sentinel's unfinalized window), while the
+            # complete drain retains every key ever seen — the term that
+            # grows without bound on an infinite feed
+            out["append_state_rows_final"] = lp["stateOperators"][0][
+                "numRowsTotal"
+            ]
+        settled = spark.read.parquet(os.path.join(feed_root, "feed")).where(
+            F.col("kind") != sentinel_kind
+        )
+        rolled = touch_rollup(settled)
+        rolled.write.format("noop").mode("overwrite").save()
+        per_run.append(time.time() - t0)
+        if i == 0:
+            # equality gate: the append feed's rollup == batch truth
+            diff = rolled.exceptAll(truth_rollup).count() + truth_rollup.exceptAll(
+                rolled
+            ).count()
+            if diff != 0:
+                raise AssertionError(
+                    f"append feed rollup != batch truth ({diff} rows differ)"
+                )
+            out["decision_equal"] = True
+        shutil.rmtree(feed_root, ignore_errors=True)
+    out["append_feed"] = round(min(per_run), 3)
+    out["complete_vs_append_ratio"] = round(
+        out["complete_drain"] / out["append_feed"], 2
+    )
+    print(
+        f"  changefeed append_feed: {out['append_feed']}s"
+        f" (ratio {out['complete_vs_append_ratio']})",
+        file=sys.stderr,
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 def run_suite(spark, sf_dir, runs, names=None):
     qs = dict(entrymod.queries())
     qs.update(EXTRA_QUERIES)
@@ -378,9 +560,18 @@ def main():
     print(f"== sf1.0 ({BIG})", file=sys.stderr)
     big_t, big_e = run_suite(spark, BIG, runs)
 
+    print("== sf1.0 changefeed drain-shape A/B (r12)", file=sys.stderr)
+    cfeed_big = None
+    try:
+        cfeed_big = changefeed_stage(spark, BIG, runs)
+    except Exception as ex:  # noqa: BLE001
+        print(f"CHANGEFEED STAGE ERROR: {ex}", file=sys.stderr)
+        big_e["changefeed_stage"] = _error_record(ex)
+
     huge_t, huge_e = {}, {}
     walk_stage = None
     assign_stage = None
+    cfeed_huge = None
     if os.path.isdir(HUGE):
         spark.read.parquet(os.path.join(HUGE, "lineitem.parquet")).count()
         print(f"== sf10 ({HUGE})", file=sys.stderr)
@@ -401,6 +592,12 @@ def main():
             print(f"IVF ASSIGN STAGE ERROR: {ex}", file=sys.stderr)
             huge_e["ivf_assign_stage"] = _error_record(ex)
             assign_stage = None
+        print("== sf10 changefeed drain-shape A/B (r12)", file=sys.stderr)
+        try:
+            cfeed_huge = changefeed_stage(spark, HUGE, runs)
+        except Exception as ex:  # noqa: BLE001
+            print(f"CHANGEFEED STAGE ERROR: {ex}", file=sys.stderr)
+            huge_e["changefeed_stage"] = _error_record(ex)
         spark.catalog.clearCache()
     else:
         print(f"== sf10 skipped ({HUGE} missing)", file=sys.stderr)
@@ -494,6 +691,10 @@ def main():
                           "arrow_scan", "sharded_vs_broadcast_ratio")
                 if k in assign_stage
             }
+    if cfeed_big is not None:
+        out["changefeed_stage_sf1"] = cfeed_big
+    if cfeed_huge is not None:
+        out["changefeed_stage_sf10"] = cfeed_huge
     if skew is not None:
         out["skew"] = skew
     if small_e or big_e or huge_e:

@@ -204,6 +204,32 @@ def test_auto_pq_geometry_rule_and_oracle_parity():
         assert (m, ksub) == tuple(got)
 
 
+def test_auto_pq_geometry_total_by_property():
+    """The derived rule is TOTAL and well-formed on every (dim, n): the
+    subspaces tile the vector exactly (m * dsub == dim), every subspace
+    is non-empty, and ksub is a valid one-byte codebook size bounded by
+    the corpus — for all dims, not just the hand-picked cases above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fluxgraph_spark.functions.similarity import auto_pq_geometry
+
+    @given(dim=st.integers(1, 10_000), n=st.integers(1, 10**12) | st.none())
+    @settings(max_examples=300, deadline=None)
+    def check(dim, n):
+        m, ksub = auto_pq_geometry(dim, n)
+        dsub = dim // m
+        assert m >= 1 and m * dsub == dim  # exact tiling, no remainder
+        assert dsub in (1, 2, 4)           # the documented floors
+        assert 1 <= ksub <= 256            # one-byte codes
+        if n is not None:
+            assert ksub <= max(1, n)       # corpus-shrunk
+        # the rule prefers the finest documented subspace dim allows
+        assert dsub == (4 if dim % 4 == 0 else 2 if dim % 2 == 0 else 1)
+
+    check()
+
+
 def test_pq_encode_arrow_path_equals_unrolled(spark, emb):
     """The geometry-scalable encode (_pq_encode_arrow) must be
     DECISION-IDENTICAL to the unrolled literal map — in-order IEEE
