@@ -345,6 +345,11 @@ def jaccard_pairs(
         # verify when the candidate set broadcasts
         sh = shingles.join(bcast(ids), "id", "left_semi")
         arrs = sh.groupBy("id").agg(F.collect_set("shingle").alias("__arr"))
+        # arrs feeds BOTH sides of the pair join — materialize it once
+        # or the semi-join + collect_set shuffle runs twice (measured
+        # 3.5s -> 2.1s on the d_lsh_budget verify at sf0.1; the saving
+        # is the whole second pass over the candidate shingles at scale)
+        arrs = arrs.localCheckpoint(eager=True)
         out = (
             bcast(block)
             .join(
@@ -474,6 +479,9 @@ def containment_pairs(
         arrs = shingles.groupBy("id").agg(
             F.collect_set("shingle").alias("__arr")
         )
+        # both sides of the pair join read arrs — one materialization
+        # instead of two collect_set shuffles (see jaccard_pairs)
+        arrs = arrs.localCheckpoint(eager=True)
         out = (
             block.join(
                 arrs.select(F.col("id").alias("id_a"), F.col("__arr").alias("__a")),
