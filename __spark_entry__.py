@@ -1517,6 +1517,120 @@ def q_x_rolling(spark, sf_dir):
     )
 
 
+def q_x_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (finite 8-row window,
+    decay 0.5) of value cents per user — the weighted sibling of
+    x_rolling.  One windowed scan partitioned by the high-cardinality
+    user key; the weighting is row-local array math over the frame.
+
+    Bit-exact across engines BY CONSTRUCTION, no rounding appeals:
+    cents are integers and the decay is a power of two, so every
+    weighted term is a dyadic rational held exactly in float64 —
+    sums are exact in ANY accumulation order, the denominator
+    (2 - 2^-(m-1)) is exact, and the final division is a single
+    correctly-rounded IEEE op both engines perform on identical
+    inputs."""
+    ev = tpch.read_tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, W.currentRow)
+    )
+    lst = F.collect_list(_cents(F.col("value"))).over(w)
+    num = F.expr(
+        "aggregate(transform(__w, (x, i) -> x * pow(0.5, size(__w) - 1 - i)),"
+        " cast(0.0 as double), (a, x) -> a + x)"
+    )
+    den = F.expr(
+        "aggregate(transform(__w, (x, i) -> pow(0.5, size(__w) - 1 - i)),"
+        " cast(0.0 as double), (a, x) -> a + x)"
+    )
+    return (
+        ev.select("event_id", "user_id", lst.alias("__w"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(num / den, 6).alias("ewma8_cents"),
+        )
+    )
+
+
+def q_x_novelty(spark, sf_dir):
+    """Cross-corpus trigram novelty (functions/text.ngram_novelty): the
+    fraction of each document's distinct word trigrams appearing in no
+    OTHER document — the corpus-wide complement of x_repetition and the
+    curation signal for templated/boilerplate text.  Engine grams are
+    xxhash64-folded (8-byte shuffle keys); the oracle replays with
+    string trigrams — identical counts up to 64-bit collisions."""
+    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    return text.ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+def q_s_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-8
+    (functions/similarity.mmr_rerank): brute-force top-20 cosine
+    candidates per query (salted two-stage top-k over the corpus —
+    the distributed part), then the inherently sequential greedy
+    (lam = 7/10, scores exact micro-integers) inside one bounded
+    applyInPandas group per query.  The oracle replays every greedy
+    pick with a recursive CTE carrying the selected list — the full
+    decision sequence is hash-gated, not just the final set."""
+    emb = tpch.read_tables(spark, sf_dir)["embeddings"]
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 4)
+    return similarity.mmr_rerank(
+        corpus, queries_df, n_candidates=20, k=8, lam_num=7, lam_den=10
+    )
+
+
+def q_r_hilbert_box(spark, sf_dir):
+    """Hilbert-curve clustering (plans/layout.hilbert_write): events
+    rewritten range-partitioned + sorted along the 2-D Hilbert curve of
+    (user_id, ts_us) — strictly better locality than the Morton
+    interleave (every curve step is a unit lattice step, so files are
+    tighter boxes and a 2-D box predicate touches fewer of them; the
+    A/B is pinned in tests/test_layout_zorder.py via parquet footer
+    stats).  Results are layout-independent by construction — exactly
+    what the oracle checks (same rows as a plain filter over the
+    source); the box here is a user band x the THIRD time quartile so
+    the two layout queries do not share a literal answer."""
+    import tempfile
+
+    from fluxgraph_spark.plans.layout import hilbert_write
+
+    events = tpch.read_tables(spark, sf_dir)["events"]
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        TU.ts_us(F.col("ts")).alias("ts_us"),
+    )
+    root = _scratch_dir("hilbert_")
+    path = os.path.join(root, "events_h")
+    hilbert_write(ev, path, ["user_id", "ts_us"], n_files=8)
+    h = spark.read.parquet(path)
+    b = ev.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    return (
+        h.join(F.broadcast(b))
+        .where(
+            F.col("user_id").between(2, 6)
+            & (F.col("ts_us") >= F.col("lo") + F.floor(span * 2 / F.lit(4)))
+            & (F.col("ts_us") < F.col("lo") + F.floor(span * 3 / F.lit(4)))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents"),
+        )
+    )
+
+
 def q_r_pivot_status(spark, sf_dir):
     """Pivot: order counts + totalprice cents by priority, one column
     per order status.  Spark's pivot with explicit values compiles to a
@@ -5196,14 +5310,20 @@ assert len(set(_R10_PRIORITY)) == 50
 # oldest registry evidence is r9, within the structural max_age 4 at
 # the r13 horizon.
 _R12_PRIORITY = [
-    # new + changed-plumbing (must-gate this round)
+    # new + changed-plumbing (must-gate this round).  Late-r12 NEW
+    # queries (s_mmr_rerank, x_novelty, x_ewma, r_hilbert_box) take the
+    # flexible slots; the four advice-touched consumer heads they
+    # displace (s_ivf_derived_topk, d_lsh_verified_pairs, d_lsh_budget,
+    # d_corpus_dedupe — all r10/r11 driver-green, age <= 3 at the r13
+    # horizon) were re-verified hash-green at BOTH gate SFs via
+    # check_oracle on the final r12 code instead (STATE.md r12 notes).
     "s_ivfpq_derived_topk",
     "st_changefeed",
     "d_semantic_ivf_dedupe",
-    "s_ivf_derived_topk",
-    "d_lsh_verified_pairs",
-    "d_lsh_budget",
-    "d_corpus_dedupe",
+    "s_mmr_rerank",   # new in r12: MMR diversified rerank (recursive-CTE oracle)
+    "x_novelty",      # new in r12: cross-corpus n-gram novelty
+    "x_ewma",         # new in r12: dyadic-exact weighted moving average
+    "r_hilbert_box",  # new in r12: Hilbert-curve clustered layout
     # the 43-entry r8-stale cohort (rotation_check's r12 listing),
     # family-interleaved for failure locality
     "d_exact_dups",
@@ -5325,6 +5445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_inactive_customers": q_r_inactive_customers,
         "r_promo_share": q_r_promo_share,
         "r_zorder_box": q_r_zorder_box,
+        "r_hilbert_box": q_r_hilbert_box,
         "r_big_orders": q_r_big_orders,
         "r_disjunctive_rev": q_r_disjunctive_rev,
         "r_rollup_revenue": q_r_rollup_revenue,
@@ -5385,6 +5506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_time_buckets": q_t_time_buckets,
         "t_resample": q_t_resample,
         "x_rolling": q_x_rolling,
+        "x_ewma": q_x_ewma,
+        "x_novelty": q_x_novelty,
         "x_json_extract": q_x_json_extract,
         "x_range_frame": q_x_range_frame,
         "r_topk_per_group": q_r_topk_per_group,
@@ -5440,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rouge": q_x_rouge,
         "x_audio_adpcm": q_x_audio_adpcm,
         "s_cosine_topk": q_s_cosine_topk,
+        "s_mmr_rerank": q_s_mmr_rerank,
         "s_label_centroids": q_s_label_centroids,
         "g_motif_open_paths": q_g_motif_open_paths,
         "g_triangles_local": q_g_triangles_local,
@@ -7073,6 +7197,131 @@ def oracle_sql() -> dict[str, str]:
           AND epoch_us(ts) >= lo + (hi - lo) // 4
           AND epoch_us(ts) <  lo + (hi - lo) * 2 // 4
         GROUP BY event_type
+        """,
+        "r_hilbert_box": """
+        -- the Hilbert-clustered copy is layout-independent: the oracle
+        -- is a plain filter over the source table (third time quartile)
+        WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                   FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events, b
+        WHERE user_id BETWEEN 2 AND 6
+          AND epoch_us(ts) >= lo + (hi - lo) * 2 // 4
+          AND epoch_us(ts) <  lo + (hi - lo) * 3 // 4
+        GROUP BY event_type
+        """,
+        "x_ewma": """
+        -- finite-window adjusted EWMA, decay 1/2: cents are integers
+        -- and the weights are powers of two, so every term and sum is
+        -- an exactly-representable dyadic rational — bit-identical in
+        -- any accumulation order; the division is one correctly-rounded
+        -- IEEE op on identical inputs in both engines
+        SELECT event_id, user_id,
+               round(
+                 list_sum(list_transform(w, (x, i) -> x * pow(0.5, len(w) - i))) /
+                 list_sum(list_transform(w, (x, i) -> pow(0.5, len(w) - i))),
+                 6) AS ewma8_cents
+        FROM (
+          SELECT event_id, user_id,
+                 list(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w
+          FROM events
+        )
+        """,
+        "x_novelty": r"""
+        -- engine grams are xxhash64-folded; the oracle replays with
+        -- string trigrams — identical doc-frequency counts up to
+        -- 64-bit collisions (the x_repetition trade)
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+          FROM toks WHERE len(t) >= 3
+        ),
+        dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS novel_ratio
+        FROM grams JOIN dfreq USING (g)
+        GROUP BY doc_id
+        """,
+        "s_mmr_rerank": """
+        -- MMR greedy replayed pick-by-pick: a recursive CTE carries the
+        -- selected list and takes each step's argmax (score DESC,
+        -- vec_id ASC) via a correlated ORDER BY ... LIMIT 1.  Scores
+        -- are EXACT int64: 6dp cosines become micro-integers and
+        -- lam = 7/10 makes the combination 7*rel_u - 3*ms_u — a linear
+        -- combo of two 6-decimal DOUBLES would land on decimal
+        -- half-boundaries where binary round and BigDecimal HALF_UP
+        -- disagree (seen at sf0.01), integers cannot.
+        WITH RECURSIVE cand AS (
+          SELECT query_id, vec_id,
+                 CAST(round(rel * 1000000) AS BIGINT) AS rel_u
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round(list_cosine_similarity(
+                     c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS rel,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                       c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                       c.vec_id) AS rn
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 4) q
+            WHERE c.vec_id >= 4
+          ) WHERE rn <= 20
+        ),
+        sims AS (
+          SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(round(round(list_cosine_similarity(
+                   va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6)
+                   * 1000000) AS BIGINT) AS s_u
+          FROM cand a
+          JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+          JOIN embeddings va ON va.vec_id = a.vec_id
+          JOIN embeddings vb ON vb.vec_id = b.vec_id
+        ),
+        pick(query_id, step, sel, picked, score) AS (
+          SELECT query_id, 1, [vec_id], vec_id, 7 * rel_u
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY rel_u DESC, vec_id) AS rn1
+                FROM cand)
+          WHERE rn1 = 1
+          UNION ALL
+          SELECT p.query_id, p.step + 1, list_append(p.sel, p.nid), p.nid,
+                 (SELECT 7 * c.rel_u - 3 * (
+                          SELECT max(s.s_u) FROM sims s
+                          WHERE s.query_id = p.query_id AND s.ia = c.vec_id
+                            AND list_contains(p.sel, s.ib))
+                  FROM cand c
+                  WHERE c.query_id = p.query_id AND c.vec_id = p.nid)
+          FROM (
+            SELECT p0.*, (
+              SELECT c.vec_id FROM cand c
+              WHERE c.query_id = p0.query_id
+                AND NOT list_contains(p0.sel, c.vec_id)
+              ORDER BY 7 * c.rel_u - 3 * (
+                         SELECT max(s.s_u) FROM sims s
+                         WHERE s.query_id = p0.query_id AND s.ia = c.vec_id
+                           AND list_contains(p0.sel, s.ib)) DESC,
+                       c.vec_id
+              LIMIT 1) AS nid
+            FROM pick p0
+          ) p
+          WHERE p.step < 8 AND p.nid IS NOT NULL
+        )
+        SELECT query_id, CAST(step AS INTEGER) AS rank,
+               picked AS vec_id, score AS mmr_score_scaled
+        FROM pick
         """,
         "r_big_orders": """
         SELECT o_orderkey, c_name, totalprice_cents, sum_qty, rank FROM (

@@ -91,6 +91,140 @@ def _topk_per_query(
     return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 20,
+    k: int = 8,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    greedy diversified top-k.  Step 1 picks the most relevant candidate;
+    every later step picks
+    ``argmax_c  lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)``
+    with ``lam = lam_num / lam_den`` — relevance traded against
+    redundancy with what is already picked.  Output:
+    ``(query_id, rank, vec_id, mmr_score_scaled)``, ``rank`` 1..k;
+    the score is an exact INTEGER in units of ``1e-6 / lam_den``
+    (divide by ``lam_den * 1e6`` for the conventional float).
+
+    Execution: the DISTRIBUTED part is candidate generation —
+    :func:`cosine_topk_bruteforce` (salted two-stage top-k, queries
+    broadcast, no single-reducer funnel).  The inherently SEQUENTIAL
+    greedy runs per query inside one Arrow-batched ``applyInPandas``
+    group bounded at ``n_candidates`` rows (n_candidates x dim doubles
+    + an n^2 sim matrix per group — constants, whatever the corpus
+    size); queries parallelize across tasks.  At 100 TB the corpus is
+    scanned once by the top-k; the greedy never sees more than
+    ``n_candidates`` rows per query.
+
+    Cross-engine decision contract — the BM25/label_centroids integer
+    micro-quantization discipline, chosen over rounding the combined
+    score because a linear combination of two 6-decimal values lands
+    ON decimal half-boundaries structurally (0.7x - 0.3y has exactly 7
+    decimal digits), where binary ``round`` and BigDecimal HALF_UP
+    disagree — measured immediately at sf0.01:
+    * ``rel`` and every pairwise sim are cosines rounded at 6dp (the
+      established safe class: nothing pushes a raw cosine onto a
+      decimal boundary; sims accumulate dimension-in-order, the
+      Catalyst fold's IEEE sequence, rounded with F.round-identical
+      Decimal-HALF_UP-on-shortest-repr semantics);
+    * both then become EXACT micro-integers (x 1e6), and the score is
+      pure int64 arithmetic:
+      ``lam_num * rel_u - (lam_den - lam_num) * max_sim_u``
+      — no float op, no rounding, bit-equal in any engine;
+    * ties break on ``vec_id`` ascending.
+    A SQL oracle replays every pick with a recursive CTE carrying the
+    selected list (see the registry's ``s_mmr_rerank``).
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas path
+
+    if not (0 < lam_num <= lam_den):
+        raise ValueError(
+            f"lam_num/lam_den must be a ratio in (0, 1], got "
+            f"{lam_num}/{lam_den}"
+        )
+    cand = cosine_topk_bruteforce(
+        corpus, queries, k=n_candidates, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col,
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_vec(F.col(vec_col)).alias("vec"),
+    ).withColumn("norm", _norm(F.col("vec")))
+    base = cand.join(vecs, "vec_id").select(
+        "query_id", "vec_id", F.col("cosine").alias("rel"), "vec", "norm"
+    )
+    p, q = int(lam_num), int(lam_den)
+    mu = q - p
+    kk = int(k)
+    out_schema = "query_id long, rank int, vec_id long, mmr_score_scaled long"
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+
+        def r6u(v: float) -> int:
+            # F.round(_, 6) exactly (BigDecimal(Double.toString) HALF_UP
+            # == Decimal(shortest repr) quantized HALF_UP), scaled to an
+            # exact micro-integer
+            return int(
+                (Decimal(repr(float(v))) * 1_000_000).quantize(
+                    Decimal(1), ROUND_HALF_UP
+                )
+            )
+
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        # rel is the engine-rounded 6dp cosine: exact micro-int via rint
+        rel_u = [
+            int(x)
+            for x in np.rint(
+                pdf["rel"].to_numpy()[order].astype(np.float64) * 1e6
+            )
+        ]
+        V = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
+        norms = pdf["norm"].to_numpy()[order].astype(np.float64)
+        n = len(ids)
+        acc = np.zeros((n, n), dtype=np.float64)
+        for d in range(V.shape[1]):
+            # in-order accumulation: the exact IEEE sequence of the
+            # Catalyst aggregate(zip_with(...)) left fold
+            acc += V[:, d : d + 1] * V[None, :, d]
+        cos = acc / (norms[:, None] * norms[None, :])
+        sims_u = np.frompyfunc(r6u, 1, 1)(cos).astype(np.int64)
+        qid = int(pdf["query_id"].iloc[0])
+        selected: list = []
+        avail = list(range(n))  # ids ascending — ties keep the first
+        out_rows = []
+        for step in range(1, min(kk, n) + 1):
+            best_j, best_score = None, None
+            for j in avail:
+                if not selected:
+                    score = p * rel_u[j]
+                else:
+                    ms = max(int(sims_u[j, s]) for s in selected)
+                    score = p * rel_u[j] - mu * ms
+                if best_score is None or score > best_score:
+                    best_j, best_score = j, score
+            out_rows.append((qid, step, int(ids[best_j]), best_score))
+            selected.append(best_j)
+            avail.remove(best_j)
+        return pd.DataFrame(
+            out_rows,
+            columns=["query_id", "rank", "vec_id", "mmr_score_scaled"],
+        )
+
+    return base.groupBy("query_id").applyInPandas(fn, out_schema)
+
+
 def hyperplane_bucket(
     vec: Column, dim: "int | Column", planes: int = 8, seed: str = "lsh"
 ) -> Column:

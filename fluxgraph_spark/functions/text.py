@@ -181,6 +181,95 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Cross-corpus n-gram novelty: for every document, the fraction of
+    its DISTINCT word n-grams that appear in no other document —
+    boilerplate/templated docs score near 0, genuinely fresh text near
+    1.  The corpus-wide complement of :func:`repetition_metrics`
+    (which is within-doc) and the soft sibling of exact span dedup: a
+    training-data curation signal for "is this document adding anything
+    the corpus does not already have".
+
+    Output: ``(doc_id, n_grams, novel_ratio)`` — docs with fewer than
+    ``n`` tokens have no grams and drop out (mirror any SQL oracle with
+    ``len(tokens) >= n``).
+
+    Scale: grams are xxhash64-folded token-hash windows (the
+    ``repetition_metrics`` / dedup.shingle trick) — the gram SHUFFLE
+    carries 8-byte keys, never strings (doc-frequency counts are
+    identical up to 64-bit collisions, the same accepted trade).  Plan:
+    per-doc distinct grams (narrow map) → two map-side-combinable
+    aggregations (per-gram df keeping only the df==1 rows with their
+    single owning doc; per-doc totals) → one DOC-granularity join.  No
+    gram-level join-back and no count window, so a boilerplate gram in
+    billions of docs collapses to slim partials instead of funneling
+    one partition."""
+    def grams_of(th: Column) -> Column:
+        # th is a let_-bound variable: O(1) per reference, so neither
+        # the tokenizer nor the token-hash array re-runs per gram (the
+        # shingle_table/rolling_hashes discipline — without the binding
+        # this projection re-tokenized per gram and was ~400x slower)
+        idx = F.sequence(F.lit(1), F.size(th) - (n - 1))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.aggregate(
+                    F.slice(th, i, n),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, h: F.xxhash64(acc, h),
+                ),
+            )
+        )
+
+    token_hashes = F.transform(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)),
+        lambda t: F.xxhash64(t),
+    )
+    with_grams = (
+        df.select(
+            id_col,
+            let_(
+                token_hashes,
+                lambda th: F.when(F.size(th) >= n, grams_of(th)),
+            ).alias("__g"),
+        )
+        .where(F.col("__g").isNotNull())
+    )
+    exploded = with_grams.select(id_col, F.explode("__g").alias("g"))
+    # a gram with doc-frequency 1 has exactly ONE owning doc, so novelty
+    # needs no gram->doc join-back: aggregate (df, max(doc)) per gram,
+    # keep the df == 1 rows (per-doc-sized), and join at DOC granularity
+    # with the per-doc totals.  Both aggregations partial-combine
+    # map-side, so a boilerplate gram sitting in billions of documents
+    # collapses to one slim partial per task — no count-window funnel,
+    # no skewed join.  The tokenize+fold scan IS evaluated once per
+    # branch (the two shuffles key differently, so no one-pass plan
+    # exists without a corpus-sized persist); two narrow scans is the
+    # 100 TB-safe constant, a skew funnel is not.
+    novel = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"), F.max(id_col).alias(id_col))
+        .where(F.col("df") == 1)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc = totals.join(novel, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("novel_ratio"),
+    )
+
+
 def split_assign(id_col: Column, val_pct: int = 5, test_pct: int = 5) -> Column:
     """Deterministic train/val/test split by stable hash of the id —
     reproducible across engines and runs, no RNG state.  Buckets 0-99:

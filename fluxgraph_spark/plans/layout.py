@@ -98,6 +98,130 @@ def morton_col(scaled: list, bits: int = 16) -> Column:
     return out
 
 
+def _scale_to_lattice(df: DataFrame, cols: list, bits: int):
+    """Linear min-max scaling of numeric columns into ``bits``-bit
+    lattice coordinates (shared by :func:`zorder_write` and
+    :func:`hilbert_write`).  One bounded driver probe (2 x len(cols)
+    scalars); returns None when the table is empty / all-NULL so the
+    caller can fall back to a plain write."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{j}") for j, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"hi_{j}") for j, c in enumerate(cols)],
+    ).collect()[0]  # bounded driver probe: 2 x len(cols) scalars
+    if any(stats[f"lo_{j}"] is None for j in range(len(cols))):
+        return None
+    scaled = []
+    top = (1 << bits) - 1
+    for j, c in enumerate(cols):
+        lo, hi = stats[f"lo_{j}"], stats[f"hi_{j}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo))
+                        * F.lit(top / span)
+                    ).cast("long"),
+                ),
+            )
+        )
+    return scaled
+
+
+def hilbert_key_frame(
+    df: DataFrame, scaled: list, bits: int = 8, out: str = "__h"
+) -> DataFrame:
+    """Append the 2-D Hilbert index of two pre-scaled ``bits``-bit
+    integer coordinates as column ``out``.
+
+    The classic xy2d recurrence (top bit down: emit the quadrant digit,
+    then rotate/reflect the LOWER bits into canonical orientation)
+    rewrites x and y at every step, so a single nested Column expression
+    would double in size per bit.  Instead each step is ONE projection
+    whose x'/y'/d' reference the PREVIOUS step's named columns — the
+    plan stays linear in ``bits`` (and Catalyst's CollapseProject leaves
+    multi-referenced non-trivial projections alone, so it cannot
+    re-inline the chain into an exponential tree).  Pure bitwise/
+    conditional Catalyst expressions, no UDF, whole-stage codegen keeps
+    the key computation JVM-side."""
+    xs, ys = "__hx", "__hy"
+    keep = df.columns
+    df = df.select(
+        "*",
+        scaled[0].cast("long").alias(xs),
+        scaled[1].cast("long").alias(ys),
+        F.lit(0).cast("long").alias(out),
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(F.col(xs), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col(ys), i).bitwiseAND(F.lit(1))
+        d2 = F.col(out) + F.lit(s * s).cast("long") * (
+            (F.lit(3) * rx).bitwiseXOR(ry).cast("long")
+        )
+        # rot(): when ry==0, optionally reflect (rx==1), then swap x/y
+        nx = (
+            F.when(ry == 1, F.col(xs))
+            .when(rx == 1, F.lit(s - 1) - F.col(ys))
+            .otherwise(F.col(ys))
+        )
+        ny = (
+            F.when(ry == 1, F.col(ys))
+            .when(rx == 1, F.lit(s - 1) - F.col(xs))
+            .otherwise(F.col(xs))
+        )
+        df = df.select(
+            *keep, nx.alias(xs), ny.alias(ys), d2.alias(out)
+        )
+    return df.drop(xs, ys)
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    bits: int = 8,
+    n_files: Optional[int] = None,
+) -> None:
+    """2-D clustering on the Hilbert curve: like :func:`zorder_write`
+    but ordering files along the Hilbert space-filling curve instead of
+    the Morton interleave.  Hilbert has strictly better locality — every
+    curve step is a UNIT lattice step (Morton takes long diagonal jumps
+    at power-of-two boundaries), so a contiguous key range decomposes
+    into fewer/tighter boxes and a 2-D box predicate touches fewer files
+    for the same file count; at 100 TB that is the difference measured
+    in whole row-groups skipped.  The trade: the key needs a
+    ``bits``-step rotate/reflect recurrence instead of one interleave
+    expression — still pure Catalyst projections (see
+    :func:`hilbert_key_frame`), paid once at write time.
+
+    Exactly two columns (the curve is 2-D here; Morton covers k-D).
+    Reads need no helper: plain ``spark.read.parquet`` + the box
+    predicate, pushed down as usual."""
+    if len(cols) != 2:
+        raise ValueError(
+            f"hilbert_write clusters exactly 2 columns, got {len(cols)} "
+            "— use zorder_write for other dimensionalities"
+        )
+    spark = df.sparkSession
+    if n_files is None:
+        n_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scaled = _scale_to_lattice(df, cols, bits)
+    if scaled is None:
+        df.write.mode("overwrite").parquet(path)
+        return
+    (
+        hilbert_key_frame(df, scaled, bits, out="__h")
+        .repartitionByRange(n_files, F.col("__h"))
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -127,32 +251,12 @@ def zorder_write(
     spark = df.sparkSession
     if n_files is None:
         n_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"lo_{j}") for j, c in enumerate(cols)],
-        *[F.max(c).cast("double").alias(f"hi_{j}") for j, c in enumerate(cols)],
-    ).collect()[0]  # bounded driver probe: 2 x len(cols) scalars
-    if any(stats[f"lo_{j}"] is None for j in range(len(cols))):
+    scaled = _scale_to_lattice(df, cols, bits)
+    if scaled is None:
         # zero rows (or an all-NULL column): nothing to cluster — write
         # the (empty) table plainly instead of dying in the scaler
         df.write.mode("overwrite").parquet(path)
         return
-    scaled = []
-    top = (1 << bits) - 1
-    for j, c in enumerate(cols):
-        lo, hi = stats[f"lo_{j}"], stats[f"hi_{j}"]
-        span = (hi - lo) or 1.0
-        scaled.append(
-            F.least(
-                F.lit(top),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col(c).cast("double") - F.lit(lo))
-                        * F.lit(top / span)
-                    ).cast("long"),
-                ),
-            )
-        )
     (
         df.withColumn("__z", morton_col(scaled, bits))
         .repartitionByRange(n_files, F.col("__z"))

@@ -1597,3 +1597,175 @@ def test_components_label_sum_probe_exact_at_hash_scale_ids(spark):
         edges, max_iters=45, early_stop=False, assert_converged=True
     ).collect()
     assert {r["component"] for r in out2} == {ids[0]}
+
+
+# ------------------------------------------------------------------ mmr
+
+def _mmr_ref(ids, rels, vecs, k, lam_num, lam_den):
+    """Pure-python MMR with the engine's discipline: cosines rounded to
+    exact micro-integers (6dp HALF_UP on shortest repr), then pure
+    integer scores ``lam_num * rel_u - (lam_den - lam_num) * ms_u``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def r6u(v):
+        return int(
+            (Decimal(repr(float(v))) * 1_000_000).quantize(
+                Decimal(1), ROUND_HALF_UP
+            )
+        )
+
+    V = np.asarray(vecs, dtype=np.float64)
+    norms = np.sqrt((V * V).sum(axis=1))
+    mu = lam_den - lam_num
+    n = len(ids)
+    sims = [
+        [r6u(float(V[i] @ V[j]) / float(norms[i] * norms[j])) for j in range(n)]
+        for i in range(n)
+    ]
+    rels_u = [r6u(r) for r in rels]
+    picked, avail, out = [], list(range(n)), []
+    for step in range(1, min(k, n) + 1):
+        best, best_s = None, None
+        for j in avail:  # ids ascending -> ties keep the smaller id
+            if picked:
+                ms = max(sims[j][s] for s in picked)
+                sc = lam_num * rels_u[j] - mu * ms
+            else:
+                sc = lam_num * rels_u[j]
+            if best_s is None or sc > best_s:
+                best, best_s = j, sc
+        out.append((step, ids[best], best_s))
+        picked.append(best)
+        avail.remove(best)
+    return out
+
+
+def test_mmr_rerank_matches_reference_and_diversifies(spark):
+    """Engine MMR equals the scalar reference pick-by-pick, and the
+    diversification is visible: with two near-identical top candidates,
+    rank 2 skips the clone the plain top-k would keep."""
+    from fluxgraph_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        mmr_rerank,
+    )
+
+    vecs = {
+        # query
+        100: [1.0, 0.0, 0.0, 0.0],
+        # candidates: 1 and 2 are EXACT clones (sim 1.0, so the
+        # redundancy penalty maximally punishes the second); 3 is a
+        # relevant alternative; 4 irrelevant
+        1: [0.9, 0.1, 0.0, 0.0],
+        2: [0.9, 0.1, 0.0, 0.0],
+        3: [0.8, 0.0, 0.6, 0.0],
+        4: [0.0, 0.0, 0.0, 1.0],
+    }
+    rows = [(i, v) for i, v in vecs.items()]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = emb.where("vec_id < 100")
+    queries = emb.where("vec_id = 100").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["mmr_score_scaled"])
+        for r in mmr_rerank(
+            corpus, queries, n_candidates=4, k=3, lam_num=1, lam_den=2
+        ).collect()
+    }
+    # reference needs the engine-rounded rels, in vec_id order
+    cand = {
+        r["vec_id"]: r["cosine"]
+        for r in cosine_topk_bruteforce(corpus, queries, k=4).collect()
+    }
+    ids = sorted(cand)
+    ref = _mmr_ref(
+        ids, [cand[i] for i in ids], [vecs[i] for i in ids],
+        k=3, lam_num=1, lam_den=2,
+    )
+    for step, vid, score in ref:
+        assert got[(100, step)] == (vid, score), (step, got, ref)
+    # diversification: rank1 is a clone (1 or 2), rank2 must NOT be the
+    # other clone
+    first, second = got[(100, 1)][0], got[(100, 2)][0]
+    assert first in (1, 2) and second == 3, (first, second)
+
+
+def test_mmr_rerank_ties_break_on_vec_id(spark):
+    """Exactly duplicated candidates: equal scores at every step, so
+    picks follow vec_id ascending deterministically."""
+    from fluxgraph_spark.functions.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0]),
+            (7, [0.5, 0.5]),
+            (3, [0.5, 0.5]),
+            (5, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.where("vec_id < 100")
+    queries = emb.where("vec_id = 100").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = mmr_rerank(corpus, queries, n_candidates=3, k=3).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [3, 5, 7]
+
+
+def test_mmr_rerank_k_capped_at_candidates(spark):
+    from fluxgraph_spark.functions.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.where("vec_id < 100")
+    queries = emb.where("vec_id = 100").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = mmr_rerank(corpus, queries, n_candidates=5, k=8).collect()
+    assert sorted(r["rank"] for r in out) == [1, 2]
+
+
+# -------------------------------------------------------------- novelty
+
+def test_ngram_novelty_exact_small_fixture(spark):
+    """Known trigram sharing: doc 1 and 2 share one trigram, doc 3 is
+    all-fresh, doc 4 is too short to produce any gram."""
+    from fluxgraph_spark.functions.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c", "b c d"
+            (2, "a b c x y"),      # grams: "a b c", "b c x", "c x y"
+            (3, "p q r s"),        # grams: "p q r", "q r s"
+            (4, "a b"),            # no trigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_ratio"])
+        for r in ngram_novelty(docs, "doc_id", "text", n=3).collect()
+    }
+    assert got == {
+        1: (2, 0.5),
+        2: (3, round(2 / 3, 6)),
+        3: (2, 1.0),
+    }
+
+
+def test_ngram_novelty_dedups_within_doc(spark):
+    """A gram repeated inside ONE doc still counts as novel (distinct
+    per doc before the corpus count)."""
+    from fluxgraph_spark.functions.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c")],
+        "doc_id long, text string",
+    )
+    got = ngram_novelty(docs, "doc_id", "text", n=3).collect()[0]
+    # distinct grams of the cycle: a b c / b c a / c a b
+    assert got["n_grams"] == 3 and got["novel_ratio"] == 1.0

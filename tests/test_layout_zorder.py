@@ -101,3 +101,100 @@ def test_zorder_write_empty_input(spark, tmp_path):
     zorder_write(df, str(tmp_path / "e"), ["a", "b"])
     out = spark.read.parquet(str(tmp_path / "e"))
     assert out.count() == 0 and set(out.columns) == {"a", "b"}
+
+
+# ---------------------------------------------------------------- hilbert
+
+def _xy2d_ref(bits, x, y):
+    """Pure-python reference of the classic xy2d recurrence (emit the
+    quadrant digit top bit down, then rotate/reflect the lower bits)."""
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_key_matches_reference(spark):
+    """The projection-chain key equals the classic xy2d recurrence on a
+    full 16x16 grid (bijectivity + unit-step continuity follow)."""
+    from fluxgraph_spark.plans.layout import hilbert_key_frame
+
+    bits, n = 4, 16
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    out = hilbert_key_frame(df, [F.col("x"), F.col("y")], bits=bits, out="h")
+    got = {(r["x"], r["y"]): r["h"] for r in out.collect()}
+    want = {(x, y): _xy2d_ref(bits, x, y) for x in range(n) for y in range(n)}
+    assert got == want
+    # unit-step continuity (the property Morton lacks): consecutive curve
+    # positions are Manhattan-adjacent lattice points
+    byd = {d: xy for xy, d in got.items()}
+    steps = [
+        abs(byd[d][0] - byd[d + 1][0]) + abs(byd[d][1] - byd[d + 1][1])
+        for d in range(n * n - 1)
+    ]
+    assert set(steps) == {1}
+
+
+def test_hilbert_write_skips_boxes_no_worse_than_morton(spark, tmp_path):
+    """Same 64x64 grid / 16 files as the Z-order test: the Hilbert
+    layout skips 2-D boxes at least as well as Morton (unit-step
+    locality => contiguous key ranges decompose into tighter boxes),
+    and results stay layout-independent."""
+    from fluxgraph_spark.plans.layout import hilbert_write
+
+    rows = [(u, s, u * 64 + s) for u in range(64) for s in range(64)]
+    df = spark.createDataFrame(rows, "u long, s long, v long")
+    hdir, zdir = str(tmp_path / "h"), str(tmp_path / "z")
+    hilbert_write(df, hdir, ["u", "s"], bits=8, n_files=16)
+    zorder_write(df, zdir, ["u", "s"], bits=8, n_files=16)
+
+    boxes = [
+        {"u": (8, 15), "s": (8, 15)},
+        {"u": (0, 7), "s": (48, 63)},
+        {"u": (30, 40), "s": (30, 40)},
+    ]
+    h_total = sum(_files_intersecting(hdir, b)[0] for b in boxes)
+    z_total = sum(_files_intersecting(zdir, b)[0] for b in boxes)
+    assert h_total <= z_total, (h_total, z_total)
+    # every box touches only a corner of the grid: far under all 16 files
+    assert _files_intersecting(hdir, boxes[0])[0] <= 3
+
+    want = sorted(
+        r["v"]
+        for r in df.where(
+            F.col("u").between(8, 15) & F.col("s").between(8, 15)
+        ).collect()
+    )
+    got = sorted(
+        r["v"]
+        for r in spark.read.parquet(hdir).where(
+            F.col("u").between(8, 15) & F.col("s").between(8, 15)
+        ).collect()
+    )
+    assert got == want and len(want) == 64
+
+
+def test_hilbert_write_rejects_non_2d(spark, tmp_path):
+    from fluxgraph_spark.plans.layout import hilbert_write
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    with pytest.raises(ValueError, match="exactly 2"):
+        hilbert_write(df, str(tmp_path / "x"), ["a", "b", "c"])
+
+
+def test_hilbert_write_empty_input(spark, tmp_path):
+    from fluxgraph_spark.plans.layout import hilbert_write
+
+    df = spark.createDataFrame([], "a long, b long")
+    hilbert_write(df, str(tmp_path / "e"), ["a", "b"])
+    out = spark.read.parquet(str(tmp_path / "e"))
+    assert out.count() == 0 and set(out.columns) == {"a", "b"}
