@@ -17,10 +17,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import model as M
 
@@ -47,6 +49,154 @@ def _vertices_of(edges: DataFrame) -> DataFrame:
         .unionByName(edges.select(F.col(M.DST).alias(M.ID)))
         .distinct()
     )
+
+
+# Connected-components driver tier (r12 optimization): when the EDGE
+# LIST itself fits one bounded driver collect, the superstep loop is
+# pure scheduling latency — every round of the distributed form costs
+# two shuffles, a localCheckpoint and a convergence action over a graph
+# that fits in one task.  Below this cap the SAME recurrence (min-label
+# supersteps / large-small-star alternation, identical round and
+# convergence/assert semantics — simulated step for step, so even the
+# non-converged corners raise or under-merge exactly like the
+# distributed form) runs in-process and the result parallelizes back as
+# one small local relation.  Past the cap the distributed path is
+# untouched — the ivf_assign broadcast-tier pattern.  The probe is one
+# limit(cap+1) collect of the edge projection, which is also the only
+# upstream execution the driver tier ever makes (the distributed star
+# path executes the upstream pair lineage twice: once for the edge
+# checkpoint, once for the vertex-universe persist).
+CC_DRIVER_EDGE_MAX = int(os.environ.get("FLUX_CC_DRIVER_MAX", str(1 << 18)))
+
+_CC_INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def _cc_collect_bounded(edges: DataFrame, cap: int):
+    """One bounded action deciding the components tier: the first
+    ``cap + 1`` (src, dst) rows — None means "use the distributed
+    path" (over the cap, or non-integral id types the driver replay
+    does not model)."""
+    if cap <= 0:
+        return None
+    src_t = edges.schema[M.SRC].dataType
+    dst_t = edges.schema[M.DST].dataType
+    if not isinstance(src_t, _CC_INTEGRAL) or dst_t != src_t:
+        return None
+    rows = edges.select(M.SRC, M.DST).limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    pairs = [(r[0], r[1]) for r in rows]
+    if any(u is None or v is None for u, v in pairs):
+        # null endpoints: keep the distributed path's join/do-not-model
+        # semantics rather than guessing them here
+        return None
+    return pairs
+
+
+def _cc_label_driver(pairs, max_iters, early_stop, assert_converged):
+    """Exact in-process replay of :func:`connected_components`'s
+    min-label supersteps (symmetrized distinct adjacency, min over
+    neighbors ∪ self per round, the same early-stop / tail-sum assert
+    arithmetic — python ints are exact like the decimal(38,0) sums).
+    Returns {id: component}."""
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    comp = {v: v for v in adj}
+    prev_sum = None
+    tail_sums = []
+    for i in range(max_iters):
+        new = {}
+        for v, nbrs in adj.items():
+            m = comp[v]
+            for u in nbrs:
+                cu = comp[u]
+                if cu < m:
+                    m = cu
+            new[v] = m
+        comp = new
+        if early_stop:
+            cur_sum = sum(comp.values())
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        elif assert_converged and i >= max_iters - 2:
+            tail_sums.append(sum(comp.values()))
+    if not early_stop and assert_converged and len(tail_sums) == 2:
+        if tail_sums[0] != tail_sums[1]:
+            raise ValueError(
+                f"connected_components did not converge within "
+                f"max_iters={max_iters} fixed rounds (label sum still "
+                f"changing in the final superstep) — the component "
+                f"labels are under-merged; raise max_iters (and the "
+                f"matching oracle's round count: converged rounds are "
+                f"no-ops, so oversizing is always safe)"
+            )
+    return comp
+
+
+def _cc_star_driver(pairs, max_iters, assert_converged):
+    """Exact in-process replay of :func:`connected_components_star`'s
+    large-star/small-star alternation, round for round (set equality
+    replaces the xor-signature screen — the distributed loop only ever
+    breaks on confirmed set equality, so the break round is identical).
+    Returns {id: component} over the full vertex universe."""
+    verts = set()
+    e = set()
+    for u, v in pairs:
+        verts.add(u)
+        verts.add(v)
+        if u != v:
+            e.add((u, v))
+    prev_e = None
+    converged = False
+    for _ in range(max_iters):
+        # large-star over both orientations
+        b = e | {(v, u) for (u, v) in e}
+        # m[u] = min(Γ_b(u) ∪ {u}) — the dict default supplies the ∪ {u}
+        m: dict = {}
+        for u, v in b:
+            if v < m.get(u, u):
+                m[u] = v
+        e1 = set()
+        for u, v in b:
+            if v > u:
+                w = m.get(u, u)
+                if v != w:
+                    e1.add((v, w))
+        # small-star on the canonicalized (larger, smaller) edges
+        c = {(u, v) if u > v else (v, u) for (u, v) in e1}
+        m2: dict = {}
+        for u, v in c:
+            if v < m2.get(u, v + 1):
+                m2[u] = v
+        new_e = set()
+        for u, v in c:
+            w = m2[u]
+            if v != w:
+                new_e.add((v, w))
+        for u, w in m2.items():
+            if u != w:
+                new_e.add((u, w))
+        e = new_e
+        if e == prev_e:
+            converged = True
+            break
+        prev_e = e
+    if assert_converged and not converged:
+        raise ValueError(
+            f"connected_components_star did not reach its star fixpoint "
+            f"within max_iters={max_iters} rounds — component labels "
+            f"would be under-merged; raise max_iters (star rounds are "
+            f"O(log diameter), so a small increase covers a vastly "
+            f"deeper graph)"
+        )
+    labels: dict = {}
+    for u, v in e:
+        if v < labels.get(u, v + 1):
+            labels[u] = v
+    return {v: labels.get(v, v) for v in verts}
 
 
 def pagerank(
@@ -187,6 +337,15 @@ def connected_components(
             "(the probe compares the last two fixed rounds' label sums)"
         )
     edges = edges.select(M.SRC, M.DST)
+    pairs = _cc_collect_bounded(edges, CC_DRIVER_EDGE_MAX)
+    if pairs is not None:
+        comp_map = _cc_label_driver(pairs, max_iters, early_stop, assert_converged)
+        spark = edges.sparkSession
+        id_t = edges.schema[M.SRC].dataType
+        schema = T.StructType(
+            [T.StructField(M.ID, id_t, True), T.StructField("component", id_t, True)]
+        )
+        return spark.createDataFrame(sorted(comp_map.items()), schema)
     # distinct + hash-partition by src once: each superstep's join reuses
     # the cached partitioning, shuffling only the (id, component) table.
     # Materialized eagerly — under AQE a lazy persist re-runs the whole
@@ -561,6 +720,21 @@ def connected_components_star(
     of 25 covers any graph with < 2^25-deep chains, so the assert is a
     tripwire, not a tuning knob.
     """
+    ecast = edges.select(
+        F.col(M.SRC).cast("long").alias(M.SRC),
+        F.col(M.DST).cast("long").alias(M.DST),
+    )
+    pairs = _cc_collect_bounded(ecast, CC_DRIVER_EDGE_MAX)
+    if pairs is not None:
+        comp_map = _cc_star_driver(pairs, max_iters, assert_converged)
+        spark = edges.sparkSession
+        schema = T.StructType(
+            [
+                T.StructField(M.ID, T.LongType(), True),
+                T.StructField("component", T.LongType(), True),
+            ]
+        )
+        return spark.createDataFrame(sorted(comp_map.items()), schema)
     e = (
         edges.select(
             F.col(M.SRC).cast("long").alias("u"),

@@ -834,3 +834,59 @@ def test_star_converges_with_huge_ids_exact_signature(spark):
     rows = out.collect()
     assert len(rows) == 40
     assert all(r["component"] == ids[0] for r in rows)
+
+
+def test_components_driver_tier_matches_distributed(spark, monkeypatch):
+    """The bounded driver tier (CC_DRIVER_EDGE_MAX) is decision-identical
+    to the distributed supersteps for BOTH algorithms, on every corner
+    the recurrences expose: converged graphs, fixed-round under-merge,
+    the convergence asserts, early-stop parity, and huge ids."""
+    import pytest as _pytest
+
+    from fluxgraph_spark.operators import analytics as AN
+
+    graphs = {
+        "triangles+chain": [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12),
+                            (12, 10), (20, 21), (21, 22)],
+        "chain30": [(i, i + 1) for i in range(1, 30)],
+        "self-loops+dups": [(5, 5), (1, 2), (1, 2), (2, 1), (7, 8)],
+        "huge-ids": [(2**62 + 3, 2**62 + 1), (2**62 + 1, 2**62 + 2),
+                     (17, 2**61)],
+    }
+
+    def run_both(fn, edges_rows, **kw):
+        e = spark.createDataFrame(edges_rows, ["src", "dst"])
+        monkeypatch.setattr(AN, "CC_DRIVER_EDGE_MAX", 1 << 18)
+        drv = fn(e, **kw)
+        drv_rows = sorted(map(tuple, drv.collect()))
+        monkeypatch.setattr(AN, "CC_DRIVER_EDGE_MAX", 0)
+        dist = fn(e, **kw)
+        dist_rows = sorted(map(tuple, dist.collect()))
+        assert drv_rows == dist_rows
+        return drv_rows
+
+    for name, rows in graphs.items():
+        run_both(AN.connected_components_star, rows, max_iters=25,
+                 assert_converged=True)
+        run_both(AN.connected_components, rows, max_iters=40,
+                 early_stop=False, assert_converged=True)
+        run_both(AN.connected_components, rows, max_iters=40, early_stop=True)
+
+    # fixed-round under-merge: BOTH tiers return the identically
+    # under-merged labels when the round budget is below the diameter
+    # and the assert is off
+    chain = graphs["chain30"]
+    got = run_both(AN.connected_components, chain, max_iters=3,
+                   early_stop=False)
+    assert any(c != 1 for _, c in got)  # genuinely under-merged
+
+    # ...and BOTH tiers raise when the assert is on
+    e = spark.createDataFrame(chain, ["src", "dst"])
+    for cap in (1 << 18, 0):
+        monkeypatch.setattr(AN, "CC_DRIVER_EDGE_MAX", cap)
+        with _pytest.raises(ValueError, match="did not converge"):
+            AN.connected_components(e, max_iters=3, early_stop=False,
+                                    assert_converged=True)
+        with _pytest.raises(ValueError, match="star fixpoint"):
+            AN.connected_components_star(e, max_iters=1,
+                                         assert_converged=True)
