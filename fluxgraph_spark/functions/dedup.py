@@ -231,6 +231,15 @@ def lsh_candidate_pairs(
     bands or the verify step would re-find.  Default None = exact
     all-pairs behavior (oracle-replayable)."""
     banded = band_table(signatures, num_hashes=num_hashes, bands=bands)
+    # the band self-join consumes banded on BOTH sides; under AQE the two
+    # join children materialize as independent stages that each recompute
+    # the whole shingle -> minhash -> banding lineage upstream (measured:
+    # two concurrent corpus scans per run at sf0.1, the minhash being the
+    # dominant term).  Materialize the small (id, band, bucket) table
+    # ONCE and let both sides (and the hot-bucket stats pass) read it
+    # back — the checkpoint holds bands x corpus triples, the same order
+    # the join must shuffle anyway.
+    banded = banded.localCheckpoint(eager=True)
     return pairs_from_bands(banded, max_bucket_size=max_bucket_size)
 
 
@@ -1204,6 +1213,10 @@ def minhash_lsh_dedup_reproducible(
         ).persist()
     else:
         banded = band_table(sig, num_hashes=num_hashes, bands=bands)
+        # both sides of the evidence self-join: materialize the banding
+        # once (see lsh_candidate_pairs — the lazy form recomputes the
+        # minhash lineage per join child)
+        banded = banded.localCheckpoint(eager=True)
         a, b = banded.alias("a"), banded.alias("b")
         ev = (
             a.join(b, ["band", "bucket"])

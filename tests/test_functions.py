@@ -1555,6 +1555,9 @@ def test_star_confirm_failure_keeps_iterating(spark, monkeypatch):
     succeeds one round later), then rejecting always (raise)."""
     from fluxgraph_spark.operators import analytics
 
+    # this pins the DISTRIBUTED confirm machinery — force past the
+    # bounded driver tier (which needs no signature screen at all)
+    monkeypatch.setattr(analytics, "CC_DRIVER_EDGE_MAX", 0)
     edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     real = analytics._edge_sets_equal
     calls = {"n": 0}
