@@ -82,15 +82,16 @@ def _cc_collect_bounded(edges: DataFrame, cap: int):
     dst_t = edges.schema[M.DST].dataType
     if not isinstance(src_t, _CC_INTEGRAL) or dst_t != src_t:
         return None
-    rows = edges.select(M.SRC, M.DST).limit(cap + 1).collect()
-    if len(rows) > cap:
+    tbl = edges.select(M.SRC, M.DST).limit(cap + 1).toArrow()
+    if tbl.num_rows > cap:
         return None
-    pairs = [(r[0], r[1]) for r in rows]
-    if any(u is None or v is None for u, v in pairs):
+    if tbl.column(0).null_count or tbl.column(1).null_count:
         # null endpoints: keep the distributed path's join/do-not-model
         # semantics rather than guessing them here
         return None
-    return pairs
+    us = tbl.column(0).to_pylist()
+    vs = tbl.column(1).to_pylist()
+    return list(zip(us, vs))
 
 
 def _cc_label_driver(pairs, max_iters, early_stop, assert_converged):
@@ -517,6 +518,110 @@ def sssp(
     )
 
 
+# Sampled-BFS driver tier (r12 optimization, the CC_DRIVER_EDGE_MAX
+# pattern): closeness runs BFS from a BOUNDED pivot sample, so when the
+# edge list also fits one bounded Arrow collect the whole superstep
+# loop — distinct + repartition + persist of the edge table, then a
+# join + min-agg + localCheckpoint per round — is scheduling latency
+# over data one process holds comfortably.  Below the cap the identical
+# recurrence (min-level supersteps for exactly max_iters rounds, the
+# same (count, level-sum) tail-stat assert, the same integer-micro
+# closeness arithmetic) runs on numpy arrays; past it the distributed
+# path is untouched.
+BFS_DRIVER_EDGE_MAX = int(os.environ.get("FLUX_BFS_DRIVER_MAX", str(1 << 21)))
+_BFS_DRIVER_SOURCE_MAX = 4096
+
+
+def _closeness_driver_tier(
+    edges: DataFrame, sources: DataFrame, max_iters: int, assert_converged: bool
+):
+    cap = BFS_DRIVER_EDGE_MAX
+    if cap <= 0:
+        return None
+    src_t = edges.schema[M.SRC].dataType
+    dst_t = edges.schema[M.DST].dataType
+    s_field = sources.schema[sources.columns[0]]
+    if not (
+        isinstance(src_t, _CC_INTEGRAL)
+        and isinstance(dst_t, _CC_INTEGRAL)
+        and isinstance(s_field.dataType, _CC_INTEGRAL)
+    ):
+        return None
+    src_rows = (
+        sources.select(F.col(sources.columns[0]).alias("source"))
+        .distinct()
+        .limit(_BFS_DRIVER_SOURCE_MAX + 1)
+        .collect()
+    )
+    if len(src_rows) > _BFS_DRIVER_SOURCE_MAX or any(
+        r[0] is None for r in src_rows
+    ):
+        return None
+    tbl = edges.select(M.SRC, M.DST).limit(cap + 1).toArrow()
+    if (
+        tbl.num_rows > cap
+        or tbl.column(0).null_count
+        or tbl.column(1).null_count
+    ):
+        return None
+    import numpy as np
+
+    srcs = sorted({r[0] for r in src_rows})
+    eu = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    ev = tbl.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.unique(
+        np.concatenate([eu, ev, np.array(srcs, dtype=np.int64)])
+    )
+    ui = np.searchsorted(ids, eu)
+    vi = np.searchsorted(ids, ev)
+    n = ids.size
+    INF = np.iinfo(np.int64).max
+    levs = []
+    for s in srcs:
+        lev = np.full(n, INF, dtype=np.int64)
+        lev[np.searchsorted(ids, int(s))] = 0
+        levs.append(lev)
+    tail = []
+    for i in range(max_iters):
+        for lev in levs:
+            m = lev[ui]
+            reach = m != INF
+            np.minimum.at(lev, vi[reach], m[reach] + 1)
+        if assert_converged and i >= max_iters - 2:
+            ncnt = 0
+            ssum = 0
+            for lev in levs:
+                fin = lev != INF
+                ncnt += int(fin.sum())
+                ssum += int(lev[fin].sum())
+            tail.append((ncnt, ssum))
+    if assert_converged and len(tail) == 2 and tail[0] != tail[1]:
+        raise ValueError(
+            f"closeness_centrality did not converge within "
+            f"max_iters={max_iters} fixed supersteps (frontier still "
+            f"growing or levels still shrinking in the final round) — "
+            f"distances are incomplete; raise max_iters (and the "
+            f"matching oracle's round count: converged rounds are "
+            f"no-ops, so oversizing is always safe)"
+        )
+    out_rows = []
+    for s, lev in zip(srcs, levs):
+        fin = lev != INF
+        n_reached = int(fin.sum())
+        sum_levels = int(lev[fin].sum())
+        cm = (n_reached - 1) * 1_000_000 // sum_levels if sum_levels > 0 else 0
+        out_rows.append((s, n_reached, sum_levels, cm))
+    schema = T.StructType(
+        [
+            T.StructField("source", s_field.dataType, True),
+            T.StructField("n_reached", T.LongType(), False),
+            T.StructField("sum_levels", T.LongType(), True),
+            T.StructField("closeness_micro", T.LongType(), True),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out_rows, schema)
+
+
 def closeness_centrality(
     edges: DataFrame,
     sources: DataFrame,
@@ -563,6 +668,9 @@ def closeness_centrality(
             "assert_converged requires max_iters >= 2 (the probe "
             "compares the last two fixed rounds' frontier stats)"
         )
+    driver_out = _closeness_driver_tier(edges, sources, max_iters, assert_converged)
+    if driver_out is not None:
+        return driver_out
     e = edges.select(M.SRC, M.DST).distinct().repartition(M.SRC).persist()
     e.count()  # eager — see connected_components
     dist = (

@@ -890,3 +890,40 @@ def test_components_driver_tier_matches_distributed(spark, monkeypatch):
         with _pytest.raises(ValueError, match="star fixpoint"):
             AN.connected_components_star(e, max_iters=1,
                                          assert_converged=True)
+
+
+def test_closeness_driver_tier_matches_distributed(spark, monkeypatch):
+    """The bounded BFS driver tier replays closeness_centrality's
+    superstep recurrence exactly: same levels, same integer-micro
+    arithmetic, same truncated-round behavior, same convergence assert."""
+    import pytest as _pytest
+
+    from fluxgraph_spark.operators import analytics as AN
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (6, 7), (10, 11)],
+        ["src", "dst"],
+    )
+    sources = spark.createDataFrame([(1,), (10,), (99,)], ["id"])
+
+    def run(cap, **kw):
+        monkeypatch.setattr(AN, "BFS_DRIVER_EDGE_MAX", cap)
+        return sorted(
+            map(tuple, AN.closeness_centrality(edges, sources, **kw).collect())
+        )
+
+    # converged rounds, assert on
+    assert run(1 << 21, max_iters=5, assert_converged=True) == run(
+        0, max_iters=5, assert_converged=True
+    )
+    # truncated rounds, assert off: BOTH tiers report the identically
+    # incomplete distances
+    got = run(1 << 21, max_iters=2)
+    assert got == run(0, max_iters=2)
+    # ...and BOTH raise with the assert on
+    for cap in (1 << 21, 0):
+        monkeypatch.setattr(AN, "BFS_DRIVER_EDGE_MAX", cap)
+        with _pytest.raises(ValueError, match="did not converge"):
+            AN.closeness_centrality(
+                edges, sources, max_iters=2, assert_converged=True
+            )
