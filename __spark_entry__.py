@@ -2496,11 +2496,21 @@ def q_g_walk_skipgrams(spark, sf_dir):
 def _copurchase_edges(spark, sf_dir, min_support=2):
     """Co-purchase projection: part pairs sharing >= min_support orders.
     Per-order pair enumeration on the sorted part array (narrow map)
-    then one count shuffle — never a |parts|^2 product."""
+    then one count shuffle — never a |parts|^2 product.
+
+    r12: the pre-aggregation ``distinct()`` is gone — ``collect_set``
+    already dedups within each order, so the distinct was a second full
+    shuffle of the (order, part) projection for an identical result.
+    The resulting edge table (support-filtered pairs — orders of
+    magnitude smaller than lineitem) is checkpointed ONCE: every walk
+    query derives seeds, the symmetrized adjacency AND the ranked
+    neighbor table from it, and without the checkpoint each of those
+    lineages re-ran the whole projection (measured: two full lineitem
+    passes per walk query at sf0.1)."""
     li = tpch.read_tables(spark, sf_dir)["lineitem"]
     con = li.select(
         F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("part_id")
-    ).distinct()
+    )
     per_order = con.groupBy("order_id").agg(
         F.array_sort(F.collect_set("part_id")).alias("ps")
     )
@@ -2518,6 +2528,7 @@ def _copurchase_edges(spark, sf_dir, min_support=2):
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= min_support)
         .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
 
 
