@@ -306,9 +306,21 @@ class DedupIndex:
         base = new_batch.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         )
-        b_hashes, b_bands = self._index_frames(new_batch, id_col, text_col)
-        b_hashes = b_hashes.persist()
-        b_bands = b_bands.persist()
+        # r12: one gram pass over the batch, materialized fingerprints.
+        # The batch shingle table feeds BOTH the minhash signatures and
+        # the verify tier (previously the verify re-ran the whole gram
+        # pipeline over the batch a second time), and the small
+        # fingerprint tables are checkpointed eagerly — their self-joins
+        # (hn×hb, bn×bb) otherwise race a cold cache under AQE and
+        # recompute the md5 lineage once per join child.
+        sh_batch = shingle_table(base, "id", "text", n=self.n).persist()
+        b_hashes = base.select(
+            "id", stable_hash64(F.col("text")).alias("h")
+        ).localCheckpoint(eager=True)
+        sig = minhash_signatures(sh_batch, num_hashes=self.num_hashes)
+        b_bands = band_table(
+            sig, num_hashes=self.num_hashes, bands=self.bands
+        ).localCheckpoint(eager=True)
 
         # exact tier: corpus hash hit, or smaller-id twin within batch.
         # The id inequality makes the probe replay-safe: a crashed-and-
@@ -370,9 +382,12 @@ class DedupIndex:
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         ).join(hit_ids, "id", "left_semi")
         # jaccard_pairs consumes the shingles three times (sizes agg +
-        # both join sides) — persist so the explode/md5 work runs once
-        sh = shingle_table(
-            base.unionByName(corpus_hits), "id", "text", n=self.n
+        # both join sides); the batch half comes from the CACHED batch
+        # shingle table (jaccard_pairs' candidate-id semi-join drops the
+        # non-candidate batch rows exactly as the old
+        # shingle_table(batch ∪ hits) form did)
+        sh = sh_batch.unionByName(
+            shingle_table(corpus_hits, "id", "text", n=self.n)
         ).persist()
         verified = jaccard_pairs(
             sh, block=cand, threshold=threshold,
@@ -386,8 +401,7 @@ class DedupIndex:
             .withColumnRenamed("id", id_col)
         )
         drops = drops.localCheckpoint(eager=True)
-        b_hashes.unpersist()
-        b_bands.unpersist()
         cand.unpersist()
         sh.unpersist()
+        sh_batch.unpersist()
         return new_batch.join(drops, id_col, "left_anti")
