@@ -234,28 +234,64 @@ def bm25_topk(
     query does).  Returns ``(query_id, doc_id, score_micro, rank)``,
     rank ties broken by ``doc_id`` (deterministic).
 
-    Plan shape: the token stream is semi-joined against the BROADCAST
-    distinct query-term set before any aggregation, so only matching
-    tokens ever shuffle; ``df`` falls out of the matched postings
-    themselves (a term's matched-posting count IS its corpus df).
-    """
+    Plan shape (r12): ONE corpus scan computes, per document, the token
+    count AND the query-term-matched tokens (the query-term set is
+    bounded by contract — it already broadcast in the join form — so
+    the match test runs as a literal-array membership INSIDE the scan,
+    map-side, before any shuffle).  ``dl`` rides the matched postings
+    out of the same scan, so the separate document-length pass and its
+    join are gone; ``df`` falls out of the matched postings themselves
+    (a term's matched-posting count IS its corpus df).  The tiny
+    matched-postings table is checkpointed once — it feeds both the df
+    aggregation and the scoring join, which under AQE would otherwise
+    re-run the corpus scan per consumer."""
+    from .text import let_
+
     q = queries.select("query_id", F.col("term").alias("term")).distinct()
-    terms = q.select("term").distinct()
-    n_docs, sum_dl = stats if stats is not None else corpus_stats(docs, id_col, text_col)
+    term_list = sorted({r["term"] for r in q.select("term").distinct().collect()})
+    if term_list:
+        terms_lit = F.array(*[F.lit(t) for t in term_list])
+        match = lambda x: F.array_contains(terms_lit, x)  # noqa: E731
+    else:
+        match = lambda x: F.lit(False)  # noqa: E731
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+    )
+    # the per-document decision rows: token count + matched tokens only
+    # (a few tens of bytes per document — the corpus text never appears
+    # again past this scan).  Checkpointed once; the corpus stats, the
+    # matched postings and the df aggregation all read it back.
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"),
+        let_(
+            toks,
+            lambda t: F.struct(
+                F.size(t).cast("long").alias("dl"),
+                F.filter(t, match).alias("matched"),
+            ),
+        ).alias("s"),
+    ).select(
+        "doc_id", F.col("s.dl").alias("dl"), F.col("s.matched").alias("matched")
+    ).localCheckpoint(eager=True)
+    if stats is not None:
+        n_docs, sum_dl = stats
+    else:
+        # same arithmetic as corpus_stats, off the checkpointed rows:
+        # count ALL documents, sum the (null-skipping) token counts
+        row = pre.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        n_docs, sum_dl = int(row["n"]), int(row["s"])
     tf = (
-        tokens(docs, id_col, text_col)
-        .join(F.broadcast(terms), "term")
+        pre.select("doc_id", "dl", F.explode("matched").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        # dl is constant within a document, so min == the value
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"),
-        token_count(F.lower(F.col(text_col))).cast("long").alias("dl"),
-    )
     scored = (
         tf.join(df_, "term")
-        .join(dl, "doc_id")
         .join(F.broadcast(q), "term")
         .groupBy("query_id", "doc_id")
         .agg(
