@@ -50,7 +50,16 @@ def cosine_topk_bruteforce(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the (small) query set against the
-    corpus, rank per query.  Output: (query_id, vec_id, cosine, rank)."""
+    corpus, rank per query.  Output: (query_id, vec_id, cosine, rank).
+
+    The corpus side runs through :func:`dedup.spread` first: a small
+    single-split parquet scan otherwise folds every (query x vector)
+    dot product in ONE task; at scale the scan already has thousands of
+    splits and spread is a no-op.  Partitioning never changes the
+    result -- the salted two-stage top-k re-ranks globally."""
+    from .dedup import spread
+
+    corpus = spread(corpus)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double_vec(F.col(vec_col)).alias("cvec")
     ).withColumn("cnorm", _norm(F.col("cvec")))
@@ -314,14 +323,18 @@ def cosine_topk_lsh(
 # scan wins at every k tried on this box — 4.3x at k=16, 4.8x at
 # k=23, 11x at k=45, 23x at k=448 (SCALE_BENCH ivf_assign_stage_sf10
 # + the r11 sweep in STATE.md) — while the expression tree and
-# per-row cost of the unrolled plan also grow O(k·dim).  The default
-# keeps k ≤ 32 unrolled anyway: the gate-pinned layouts (k=16) and
-# the sf0.001/sf0.01 derived counts (k=23) then ride the
-# longest-verified JVM-only path at driver-gate scale, and tiny
-# fixtures stay Python-worker-free.  Env override FLUX_IVF_UNROLL_MAX
-# lets out-of-process gates (scripts/check_oracle.py) force either
-# path.
-IVF_ASSIGN_UNROLL_MAX = int(os.environ.get("FLUX_IVF_UNROLL_MAX", "32"))
+# per-row cost of the unrolled plan also grow O(k·dim).  r12 lowered
+# the default 32 → 8: the unrolled plan's cost is not only execution —
+# every run re-ANALYZES the O(k·dim) literal tree on the driver
+# (s_ann_recall carried four ~27 KB expression nodes in a 165-operator
+# plan; quiet-window A/B at sf0.1: s_ivf_topk 4.04 → 1.73 s,
+# s_ann_recall 4.22 → 2.32 s, d_semantic_ivf_dedupe 2.67 → 2.39 s
+# with the scan tier), so the k=16/23 gate layouts now ride the same
+# path that wins at every measured scale.  k ≤ 8 stays unrolled: tiny
+# unit fixtures remain Python-worker-free and their literal trees are
+# too small to matter.  Env override FLUX_IVF_UNROLL_MAX lets
+# out-of-process gates (scripts/check_oracle.py) force either path.
+IVF_ASSIGN_UNROLL_MAX = int(os.environ.get("FLUX_IVF_UNROLL_MAX", "8"))
 
 # Past this centroid count the centroid matrix stops fitting one
 # driver collect / executor broadcast (k·dim·8 bytes: 2^18 centroids at
@@ -653,7 +666,13 @@ def _ivf_assign_arrow(
                     )
                 yield pd.DataFrame(cols)
 
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    from .dedup import spread
+
+    # the O(sqrt(k)*dim)-per-row scan is the heavy tier — a single-split
+    # corpus scan would run it all in ONE Python worker; no-op once the
+    # scan has real splits (the unrolled small-k tier stays unspread:
+    # its per-row fold is too cheap to buy an exchange for)
+    v = spread(vectors).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return v.mapInPandas(fn, out_schema)
 
 
@@ -1201,7 +1220,9 @@ def pq_adc_topk(
     # (and m=None derives inside pq_codebooks — read both back)
     m = len(codebooks)
     ksub = len(codebooks[0])
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    from .dedup import spread
+
+    codes = pq_encode(spread(corpus), codebooks, id_col=id_col, vec_col=vec_col)
     lut_df = pq_query_lut(queries, codebooks, query_id_col, vec_col)
     scored = codes.crossJoin(F.broadcast(lut_df)).select(
         "query_id", "vec_id", pq_adc_column(m, ksub).alias("adc_micro")
@@ -1332,6 +1353,9 @@ def sq_topk(
     (SQ8 keeps ~7 significant bits per component) at an 8th of the
     scan bytes — the middle rung between raw cosine and PQ/ADC.
     Output: (query_id, vec_id, score_micro, rank)."""
+    from .dedup import spread
+
+    corpus = spread(corpus)  # see cosine_topk_bruteforce
     c = sq_encode(corpus, id_col, vec_col)
     q = sq_encode(queries, query_id_col, vec_col).select(
         F.col("vec_id").alias("query_id"),
