@@ -345,7 +345,17 @@ class IvfIndex(_ManifestedIndex):
             .join(v, "vec_id")
         )
         (
+            # cluster each inverted list into ONE task before the
+            # partitioned write: without this every upstream task that
+            # holds rows of a centroid emits its own file into that
+            # list's partition dir (the Arrow assign tier + spread run
+            # the scan 32-way), so a probe reading n_probe lists pays
+            # n_probe x task-count file opens instead of n_probe.  The
+            # lists are ~sqrt(corpus) rows by the derived-k contract,
+            # so one task per list is bounded at every scale (guide:
+            # aim for one right-sized file per partition on write).
             assigned.select("centroid_id", "vec_id", "cvec")
+            .repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode(mode)
             .parquet(self.lists_dir)
@@ -516,6 +526,7 @@ class DeltaIvfIndex(_AutoCompacting, IvfIndex):
         )
         (
             assigned.select("centroid_id", "vec_id", "cvec")
+            .repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(os.path.join(self.delta_dir, f"batch_id={int(batch_id)}"))
@@ -590,6 +601,7 @@ class DeltaIvfIndex(_AutoCompacting, IvfIndex):
         (
             base.select("centroid_id", "vec_id", "cvec")
             .unionByName(delta.select("centroid_id", "vec_id", "cvec"))
+            .repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(staged)
@@ -708,6 +720,7 @@ class DeltaIvfIndex(_AutoCompacting, IvfIndex):
         )
         (
             assigned.select("centroid_id", "vec_id", "cvec")
+            .repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(staged_l)
@@ -872,6 +885,7 @@ class IvfPqIndex(_ManifestedIndex):
         (
             assigned.join(codes, "vec_id")
             .select("centroid_id", "vec_id", "codes")
+            .repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(idx.codes_dir)
@@ -880,6 +894,7 @@ class IvfPqIndex(_ManifestedIndex):
             (
                 assigned.join(v, "vec_id")
                 .select("centroid_id", "vec_id", "cvec")
+                .repartition("centroid_id")
                 .write.partitionBy("centroid_id")
                 .mode("overwrite")
                 .parquet(idx.vectors_dir)
@@ -1137,6 +1152,7 @@ class DeltaIvfPqIndex(_AutoCompacting, IvfPqIndex):
         (
             assigned.join(codes, "vec_id")
             .select("centroid_id", "vec_id", "codes")
+            .repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(os.path.join(self.delta_codes_dir, f"batch_id={int(batch_id)}"))
@@ -1145,6 +1161,7 @@ class DeltaIvfPqIndex(_AutoCompacting, IvfPqIndex):
             (
                 assigned.join(v, "vec_id")
                 .select("centroid_id", "vec_id", "cvec")
+                .repartition("centroid_id")
                 .write.partitionBy("centroid_id")
                 .mode("overwrite")
                 .parquet(
@@ -1266,6 +1283,7 @@ class DeltaIvfPqIndex(_AutoCompacting, IvfPqIndex):
         (
             assigned.join(codes, "vec_id")
             .select("centroid_id", "vec_id", "codes")
+            .repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(staged["codes"])
@@ -1273,6 +1291,7 @@ class DeltaIvfPqIndex(_AutoCompacting, IvfPqIndex):
         (
             assigned.join(rows, "vec_id")
             .select("centroid_id", "vec_id", "cvec")
+            .repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(staged["vectors"])
@@ -1344,6 +1363,7 @@ class DeltaIvfPqIndex(_AutoCompacting, IvfPqIndex):
             (
                 base.select(*cols)
                 .unionByName(delta_df.select(*cols))
+                .repartition("centroid_id")
                 .write.partitionBy("centroid_id")
                 .mode("overwrite")
                 .parquet(staged)
