@@ -1374,6 +1374,97 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     return _finish(out, handles)
 
 
+# Walk driver tier (r12 optimization, the CC/BFS-tier pattern): a
+# fixed-length walk over a bounded substrate costs the distributed form
+# ~3 exchanges per hop (state-by-__v join, distance-1 adjacency join,
+# two per-walk windows) over a state table of one row per walk — pure
+# scheduling latency, not compute.  When one bounded collect holds the
+# whole (src, dst) edge set and the seed set, the SAME integer-md5
+# recurrence (identical neighbor ranking, identical pmod draws,
+# identical sink-drop semantics) replays in-process and the trajectory
+# table returns as a local relation.  Past either cap the distributed
+# path is untouched.  stable_hash64 is replayed exactly:
+# int(md5(s)[:15 hex], 16) — the same 60-bit value Spark's
+# conv(substring(md5(x),1,15),16,10) produces.
+WALK_DRIVER_EDGE_MAX = int(os.environ.get("FLUX_WALK_DRIVER_MAX", str(1 << 18)))
+_WALK_DRIVER_SOURCE_MAX = 1 << 16
+
+
+def _stable_hash64_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _walk_driver_collect(edges: DataFrame, sources: DataFrame):
+    """One bounded action per side deciding the walk tier: the first
+    cap+1 (src, dst) rows and the distinct seed ids.  None means "use
+    the distributed path" (over a cap, nulls, or non-integral id types
+    whose ``cast("string")`` the replay does not model)."""
+    cap = WALK_DRIVER_EDGE_MAX
+    if cap <= 0:
+        return None
+    src_t = edges.schema[M.SRC].dataType
+    dst_t = edges.schema[M.DST].dataType
+    s_field = sources.schema[sources.columns[0]]
+    if not (
+        isinstance(src_t, _CC_INTEGRAL)
+        and dst_t == src_t
+        and isinstance(s_field.dataType, _CC_INTEGRAL)
+    ):
+        return None
+    tbl = edges.select(M.SRC, M.DST).limit(cap + 1).toArrow()
+    if (
+        tbl.num_rows > cap
+        or tbl.column(0).null_count
+        or tbl.column(1).null_count
+    ):
+        return None
+    seed_rows = (
+        sources.select(F.col(sources.columns[0]).alias("walk_id"))
+        .distinct()
+        .limit(_WALK_DRIVER_SOURCE_MAX + 1)
+        .collect()
+    )
+    if len(seed_rows) > _WALK_DRIVER_SOURCE_MAX or any(
+        r[0] is None for r in seed_rows
+    ):
+        return None
+    pairs = set(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+    seeds = sorted({r[0] for r in seed_rows})
+    schema = T.StructType(
+        [
+            T.StructField("walk_id", s_field.dataType, True),
+            T.StructField("path", T.StringType(), True),
+            T.StructField("final_v", dst_t, True),
+        ]
+    )
+    return pairs, seeds, schema
+
+
+def _walk_adjacency(pairs, max_degree=None):
+    """dst-ranked adjacency lists of the DISTINCT edge set — after the
+    optional deterministic hash-rank degree cap, exactly as the
+    distributed form ranks them (cap by (md5("nbrcap:src:dst"), dst),
+    then index by dst ascending)."""
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+    if max_degree is not None:
+        for u, vs in adj.items():
+            if len(vs) > max_degree:
+                vs.sort(
+                    key=lambda d, _u=u: (
+                        _stable_hash64_py(f"nbrcap:{_u}:{d}"),
+                        d,
+                    )
+                )
+                del vs[max_degree:]
+    for vs in adj.values():
+        vs.sort()
+    return adj
+
+
 def random_walks(
     edges: DataFrame, sources: DataFrame, walk_len: int = 4
 ) -> DataFrame:
@@ -1405,6 +1496,25 @@ def random_walks(
     ONE Catalyst join tree, no driver-side iteration."""
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    bounded = _walk_driver_collect(edges, sources)
+    if bounded is not None:
+        pairs, seeds, schema = bounded
+        adj = _walk_adjacency(pairs)
+        out_rows = []
+        for wid in seeds:
+            v = wid
+            path = str(wid)
+            alive = True
+            for t in range(walk_len):
+                nbrs = adj.get(v)
+                if not nbrs:
+                    alive = False
+                    break
+                v = nbrs[_stable_hash64_py(f"{wid}:{t}:{v}") % len(nbrs)]
+                path += f"->{v}"
+            if alive:
+                out_rows.append((wid, path, v))
+        return edges.sparkSession.createDataFrame(out_rows, schema)
     from ..functions.text import stable_hash64
 
     from pyspark.sql import Window as W
@@ -1536,6 +1646,49 @@ def node2vec_walks(
     w_ret = fp.denominator * fq.numerator   # 1/p scaled by p*q
     w_d1 = fp.numerator * fq.numerator      # 1   scaled by p*q
     w_d2 = fp.numerator * fq.denominator    # 1/q scaled by p*q
+
+    if max_degree is not None and max_degree < 1:
+        raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+    bounded = _walk_driver_collect(edges, sources)
+    if bounded is not None:
+        pairs, seeds, schema = bounded
+        adj = _walk_adjacency(pairs, max_degree=max_degree)
+        adj_set = {u: frozenset(vs) for u, vs in adj.items()}
+        out_rows = []
+        for wid in seeds:
+            v = wid
+            nbrs = adj.get(v)
+            if not nbrs:
+                continue
+            # hop 0: no previous vertex — uniform over the ranked list
+            prev, v = v, nbrs[_stable_hash64_py(f"{wid}:0:{v}") % len(nbrs)]
+            path = f"{wid}->{v}"
+            alive = True
+            for t in range(1, walk_len):
+                nbrs = adj.get(v)
+                if not nbrs:
+                    alive = False
+                    break
+                cums = []
+                tot = 0
+                d1 = adj_set.get(prev, frozenset())
+                for x in nbrs:
+                    if x == prev:
+                        tot += w_ret
+                    elif x in d1:
+                        tot += w_d1
+                    else:
+                        tot += w_d2
+                    cums.append(tot)
+                r = _stable_hash64_py(f"{wid}:{t}:{v}") % tot
+                for x, cum in zip(nbrs, cums):
+                    if r < cum:
+                        prev, v = v, x
+                        path += f"->{x}"
+                        break
+            if alive:
+                out_rows.append((wid, path, v))
+        return edges.sparkSession.createDataFrame(out_rows, schema)
 
     from ..functions.text import stable_hash64
 

@@ -811,6 +811,42 @@ def test_node2vec_max_degree_caps_and_matches_reference(spark):
         node2vec_walks(e, seeds, max_degree=0)
 
 
+def test_walk_driver_tier_matches_distributed(spark, monkeypatch):
+    """The bounded walk driver tier (WALK_DRIVER_EDGE_MAX) replays the
+    distributed recurrence exactly for BOTH samplers, on the corners
+    the walk semantics expose: hubs, sinks (walk dropped mid-hop),
+    self-loops, duplicate edges, seeds absent from the graph, biased
+    weights, and a binding degree cap."""
+    from fluxgraph_spark.operators import analytics as AN
+
+    edges = (
+        [(0, i) for i in range(1, 9)]          # hub
+        + [(i, 0) for i in range(1, 7)]        # partial back-edges
+        + [(7, 20), (20, 21)]                  # chain ending in sink 21
+        + [(3, 3), (1, 2), (1, 2), (2, 1)]     # self-loop + dup edges
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (1,), (7,), (21,), (99,)], ["id"])
+
+    def run(fn, cap, **kw):
+        monkeypatch.setattr(AN, "WALK_DRIVER_EDGE_MAX", cap)
+        return sorted(map(tuple, fn(e, seeds, **kw).collect()))
+
+    for kw in (
+        {"walk_len": 4, "p": "4", "q": "1/4"},
+        {"walk_len": 3, "p": "1", "q": "1"},
+        {"walk_len": 4, "p": "1/2", "q": "3", "max_degree": 3},
+    ):
+        drv = run(AN.node2vec_walks, 1 << 18, **kw)
+        dist = run(AN.node2vec_walks, 0, **kw)
+        assert drv == dist and drv  # non-empty: the corners really ran
+    drv = run(AN.random_walks, 1 << 18, walk_len=4)
+    dist = run(AN.random_walks, 0, walk_len=4)
+    assert drv == dist and drv
+    # a sink-terminated walk is dropped identically by both tiers
+    assert all(r[0] != 21 for r in drv)
+
+
 def test_star_converges_with_huge_ids_exact_signature(spark):
     """The star fixpoint signature must be EXACT at any id magnitude
     (r10 find, measured at 100x data): the old double-cast sums lost
