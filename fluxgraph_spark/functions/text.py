@@ -41,6 +41,15 @@ def stable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def stable_hash64_py(s: str) -> int:
+    """Driver-side twin of :func:`stable_hash64`: the identical 60-bit
+    value for a Python string (UTF-8 md5, first 15 hex chars) — lets
+    bounded driver tiers replay hash decisions without a Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (0 for empty/blank)."""
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))

@@ -1391,9 +1391,9 @@ _WALK_DRIVER_SOURCE_MAX = 1 << 16
 
 
 def _stable_hash64_py(s: str) -> int:
-    import hashlib
+    from ..functions.text import stable_hash64_py
 
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    return stable_hash64_py(s)
 
 
 def _walk_driver_collect(edges: DataFrame, sources: DataFrame):

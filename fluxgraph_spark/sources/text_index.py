@@ -51,7 +51,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import retrieval
-from ..functions.text import TOKEN_RE, stable_hash64, token_count
+from ..functions.text import (
+    TOKEN_RE,
+    stable_hash64,
+    stable_hash64_py,
+    token_count,
+)
 from . import ann_index as _ai
 from . import fsutil
 
@@ -185,6 +190,20 @@ class InvertedIndex(_ai._ManifestedIndex):
         )
         return sorted(int(r["b"]) for r in rows)
 
+    def _buckets_of(self, term_list: list) -> list[int]:
+        """Bucket ids for an already-collected term list — the same
+        pmod(stable_hash64, n_buckets) the build used, replayed on the
+        driver (stable_hash64_py is bit-identical to the column form),
+        so a probe pays ONE term collect instead of a second Spark job
+        per query."""
+        return sorted(
+            {
+                stable_hash64_py(t) % self.n_buckets
+                for t in term_list
+                if t is not None
+            }
+        )
+
     def _pruned_postings(self, buckets: list[int], term_list: list[str]) -> DataFrame:
         return (
             self.spark.read.parquet(self.postings_dir)
@@ -244,8 +263,8 @@ class InvertedIndex(_ai._ManifestedIndex):
         )
         n_terms = pt.groupBy("phrase_id").agg(F.count(F.lit(1)).alias("__n"))
         terms = pt.select("term").distinct()
-        buckets = self._probe_buckets(terms)
         term_list = [r["term"] for r in terms.collect()]
+        buckets = self._buckets_of(term_list)
         post = self._matched(buckets, term_list).select("term", "doc_id")
         cand = (
             post.join(F.broadcast(pt), "term")
@@ -277,8 +296,8 @@ class InvertedIndex(_ai._ManifestedIndex):
         (same arithmetic over the same (tf, df, dl) integers)."""
         q = queries.select("query_id", "term").distinct()
         terms = q.select("term").distinct()
-        buckets = self._probe_buckets(terms)
         term_list = [r["term"] for r in terms.collect()]
+        buckets = self._buckets_of(term_list)
         post = self._pruned_postings(buckets, term_list)
         n_docs, sum_dl = self._base_stats()
         return _rank_topk(post, q, n_docs, sum_dl, k, k1, b, idf)
@@ -468,8 +487,8 @@ class DeltaInvertedIndex(InvertedIndex):
         the same committed snapshot)."""
         q = queries.select("query_id", "term").distinct()
         terms = q.select("term").distinct()
-        buckets = self._probe_buckets(terms)
         term_list = [r["term"] for r in terms.collect()]
+        buckets = self._buckets_of(term_list)
         batch_ids, d_docs, d_dl = self._committed()
         matched = self._matched(buckets, term_list, batch_ids=batch_ids)
         dfs = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
