@@ -4333,17 +4333,29 @@ def q_k_theta_setops(spark, sf_dir):
     ska = sketches.kmv_build(a_rows, "o_orderkey", k=129)
     skb = sketches.kmv_build(b_rows, "l_orderkey", k=129)
     st = sketches.kmv_theta_ops(ska, skb, k=129)
-    ea = a_rows.select(F.col("o_orderkey").alias("key")).distinct()
-    eb = b_rows.select(F.col("l_orderkey").alias("key")).distinct()
-    ex = (
-        ea.unionByName(eb)
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
-        .crossJoin(
-            ea.join(eb, "key").agg(
-                F.count(F.lit(1)).cast("long").alias("exact_inter")
+    # exact union/intersection in ONE pass: tag each side, collapse per
+    # key, count membership — the old distinct-union + equi-join form
+    # evaluated both distinct sets twice (four base scans) for the same
+    # two integers
+    keys = (
+        a_rows.select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(1).alias("__a"), F.lit(0).alias("__b"),
+        )
+        .unionByName(
+            b_rows.select(
+                F.col("l_orderkey").alias("key"),
+                F.lit(0).alias("__a"), F.lit(1).alias("__b"),
             )
         )
+        .groupBy("key")
+        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
+    )
+    ex = keys.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(
+            ((F.col("__a") == 1) & (F.col("__b") == 1)).cast("long")
+        ).cast("long").alias("exact_inter"),
     )
     tol = F.ceil(F.col("exact_union") * 0.25).cast("long")
     return st.crossJoin(ex).select(
