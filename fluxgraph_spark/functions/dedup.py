@@ -105,6 +105,26 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind an eager
+    ``localCheckpoint`` whose LAST consumer has already run (ADVICE
+    r12: repeated calls in a long-lived session — the DedupIndex
+    streaming pattern — otherwise accumulate checkpoint blocks until
+    the ContextCleaner happens to GC the Python-side reference).
+
+    The checkpointed frame's analyzed plan is a ``LogicalRDD`` holding
+    the materialized internal RDD; unpersisting THAT rdd frees the
+    blocks immediately.  After this call the frame is unreadable
+    (local checkpoints cannot recompute), so only call it when every
+    action over the frame has completed and the surviving result is
+    itself materialized.  Best-effort: any plan that isn't a bare
+    LogicalRDD is left to the ContextCleaner."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — not a checkpoint root; GC handles it
+        pass
+
+
 def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical documents: (text_hash, n_docs, min_doc_id),
     only groups with n_docs > 1."""
@@ -238,7 +258,12 @@ def lsh_candidate_pairs(
     # dominant term).  Materialize the small (id, band, bucket) table
     # ONCE and let both sides (and the hot-bucket stats pass) read it
     # back — the checkpoint holds bands x corpus triples, the same order
-    # the join must shuffle anyway.
+    # the join must shuffle anyway.  The checkpoint ESCAPES through the
+    # lazily returned pair frame, so its blocks are freed by the
+    # ContextCleaner when the result's lineage is dropped; entry points
+    # that materialize the pairs (minhash_lsh_dedup* / DedupIndex)
+    # free their own non-escaping checkpoints explicitly instead
+    # (:func:`free_local_checkpoint`).
     banded = banded.localCheckpoint(eager=True)
     return pairs_from_bands(banded, max_bucket_size=max_bucket_size)
 
@@ -357,7 +382,9 @@ def jaccard_pairs(
         # arrs feeds BOTH sides of the pair join — materialize it once
         # or the semi-join + collect_set shuffle runs twice (measured
         # 3.5s -> 2.1s on the d_lsh_budget verify at sf0.1; the saving
-        # is the whole second pass over the candidate shingles at scale)
+        # is the whole second pass over the candidate shingles at
+        # scale).  Escapes through the lazy result — blocks freed by
+        # the ContextCleaner with the result's lineage.
         arrs = arrs.localCheckpoint(eager=True)
         out = (
             bcast(block)
@@ -493,6 +520,7 @@ def containment_pairs(
                 )
             )
         block = cand.select("id_a", "id_b")
+    arrs = None
     if block is not None:
         arrs = shingles.groupBy("id").agg(
             F.collect_set("shingle").alias("__arr")
@@ -552,6 +580,8 @@ def containment_pairs(
     # explodes until executor storage evicts them (the corpus_dedupe
     # pattern below).  A cache the caller created is theirs to release.
     out = out.localCheckpoint(eager=True)
+    if arrs is not None:
+        free_local_checkpoint(arrs)  # out is materialized; arrs is dead
     if not caller_cached:
         shingles.unpersist()
     return out
@@ -1223,6 +1253,7 @@ def minhash_lsh_dedup_reproducible(
     let AQE re-plan the banding join run-to-run)."""
     sh = shingle_table(df, id_col, text_col, n=n).persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes)
+    banded = None
     if max_candidates_per_doc is None:
         cand = lsh_candidate_pairs(
             sig, num_hashes=num_hashes, bands=bands
@@ -1267,10 +1298,14 @@ def minhash_lsh_dedup_reproducible(
         broadcast_block=n_cand <= 1_000_000,
     )
     # candidate-bounded pair table: materialize, cut lineage, release
-    # the shingle/candidate caches (the corpus_dedupe pattern)
+    # the shingle/candidate caches (the corpus_dedupe pattern).  The
+    # banding checkpoint is freed only NOW: an evicted cand cache
+    # recomputes through it until out is materialized.
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     cand.unpersist()
+    if banded is not None:
+        free_local_checkpoint(banded)
     return out
 
 

@@ -45,6 +45,7 @@ Scale shape (the 100 TB story):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -54,6 +55,12 @@ from pyspark.sql.window import Window as W
 from .text import TOKEN_RE, token_count
 
 MICRO = 1_000_000.0
+
+# Above this many distinct query terms, bm25_topk stops inlining the
+# term set as a literal array (O(|terms|) per token + a literal tree
+# that bloats planning) and joins the exploded tokens against the
+# broadcast term table instead.
+BM25_LITERAL_TERMS_MAX = int(os.environ.get("FLUX_BM25_LITERAL_TERMS_MAX", "256"))
 
 
 def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -248,12 +255,11 @@ def bm25_topk(
     from .text import let_
 
     q = queries.select("query_id", F.col("term").alias("term")).distinct()
-    term_list = sorted({r["term"] for r in q.select("term").distinct().collect()})
-    if term_list:
-        terms_lit = F.array(*[F.lit(t) for t in term_list])
-        match = lambda x: F.array_contains(terms_lit, x)  # noqa: E731
-    else:
-        match = lambda x: F.lit(False)  # noqa: E731
+    # null terms can never match a token; the pre-r12 broadcast join
+    # dropped them silently, so the literal path must too
+    term_list = sorted(
+        {r["term"] for r in q.select("term").distinct().collect() if r["term"] is not None}
+    )
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
     )
@@ -261,18 +267,51 @@ def bm25_topk(
     # (a few tens of bytes per document — the corpus text never appears
     # again past this scan).  Checkpointed once; the corpus stats, the
     # matched postings and the df aggregation all read it back.
-    pre = docs.select(
-        F.col(id_col).alias("doc_id"),
-        let_(
-            toks,
-            lambda t: F.struct(
-                F.size(t).cast("long").alias("dl"),
-                F.filter(t, match).alias("matched"),
-            ),
-        ).alias("s"),
-    ).select(
-        "doc_id", F.col("s.dl").alias("dl"), F.col("s.matched").alias("matched")
-    ).localCheckpoint(eager=True)
+    if len(term_list) <= BM25_LITERAL_TERMS_MAX:
+        # bounded vocabulary (the registry contract): membership as a
+        # literal array INSIDE the scan — map-side, zero extra shuffle
+        if term_list:
+            terms_lit = F.array(*[F.lit(t) for t in term_list])
+            match = lambda x: F.array_contains(terms_lit, x)  # noqa: E731
+        else:
+            match = lambda x: F.lit(False)  # noqa: E731
+        pre = docs.select(
+            F.col(id_col).alias("doc_id"),
+            let_(
+                toks,
+                lambda t: F.struct(
+                    F.size(t).cast("long").alias("dl"),
+                    F.filter(t, match).alias("matched"),
+                ),
+            ).alias("s"),
+        ).select(
+            "doc_id", F.col("s.dl").alias("dl"), F.col("s.matched").alias("matched")
+        )
+    else:
+        # large query vocabulary: a literal expression tree would bloat
+        # planning and per-token cost grows O(|terms|) — fall back to a
+        # broadcast hash join on the exploded tokens (the pre-r12 plan
+        # shape) and rebuild the same (doc_id, dl, matched) rows.
+        # explode_outer keeps zero-token documents so corpus stats still
+        # count every doc; collect_list drops the unmatched (null) slots
+        # and is order-insensitive downstream (explode + count).
+        qt = q.select("term").distinct().withColumn("__m", F.lit(True))
+        pre = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(toks).cast("long").alias("dl"),
+                F.explode_outer(toks).alias("term"),
+            )
+            .join(F.broadcast(qt), "term", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.min("dl").alias("dl"),
+                F.collect_list(F.when(F.col("__m"), F.col("term"))).alias("matched"),
+            )
+        )
+    # escapes through the lazy result frame — blocks freed by the
+    # ContextCleaner when the caller drops the result's lineage
+    pre = pre.localCheckpoint(eager=True)
     if stats is not None:
         n_docs, sum_dl = stats
     else:

@@ -530,6 +530,14 @@ def sssp(
 # path is untouched.
 BFS_DRIVER_EDGE_MAX = int(os.environ.get("FLUX_BFS_DRIVER_MAX", str(1 << 21)))
 _BFS_DRIVER_SOURCE_MAX = 4096
+# The tier holds one dense int64 level array PER SOURCE, so its real
+# memory is len(sources) x n_vertices cells — the edge and source caps
+# alone admit ~4.2M vertices x 4096 sources ≈ 137 GB.  Gate on the
+# product: 2^26 cells x 8 B = 512 MB worst case, comfortably driver-
+# sized, and anything larger falls back to the distributed supersteps.
+_BFS_DRIVER_CELLS_MAX = int(
+    os.environ.get("FLUX_BFS_DRIVER_CELLS_MAX", str(1 << 26))
+)
 
 
 def _closeness_driver_tier(
@@ -572,6 +580,8 @@ def _closeness_driver_tier(
     ids = np.unique(
         np.concatenate([eu, ev, np.array(srcs, dtype=np.int64)])
     )
+    if len(srcs) * ids.size > _BFS_DRIVER_CELLS_MAX:
+        return None
     ui = np.searchsorted(ids, eu)
     vi = np.searchsorted(ids, ev)
     n = ids.size

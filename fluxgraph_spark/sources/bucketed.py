@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import (
     band_table,
+    free_local_checkpoint,
     jaccard_pairs,
     minhash_signatures,
     pairs_from_bands,
@@ -404,4 +405,12 @@ class DedupIndex:
         cand.unpersist()
         sh.unpersist()
         sh_batch.unpersist()
+        # per-batch fingerprint checkpoints die with the batch — freed
+        # here (after drops materializes: an evicted cand cache would
+        # recompute through them), not left to the ContextCleaner; a
+        # long-lived streaming session calls dedupe_batch per
+        # microbatch and would otherwise accumulate the blocks
+        # (ADVICE r12)
+        free_local_checkpoint(b_hashes)
+        free_local_checkpoint(b_bands)
         return new_batch.join(drops, id_col, "left_anti")

@@ -963,3 +963,30 @@ def test_closeness_driver_tier_matches_distributed(spark, monkeypatch):
             AN.closeness_centrality(
                 edges, sources, max_iters=2, assert_converged=True
             )
+
+
+def test_closeness_driver_tier_cells_gate(spark, monkeypatch):
+    """The tier's real memory is sources x vertices dense int64 cells
+    (ADVICE r12): over the cells budget it must refuse and fall back to
+    the distributed path, with identical results."""
+    from fluxgraph_spark.operators import analytics as AN
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (6, 7), (10, 11)],
+        ["src", "dst"],
+    )
+    sources = spark.createDataFrame([(1,), (10,)], ["id"])
+    monkeypatch.setattr(AN, "BFS_DRIVER_EDGE_MAX", 1 << 21)
+    # 2 sources x 9 vertices = 18 cells > 4: the tier must decline
+    monkeypatch.setattr(AN, "_BFS_DRIVER_CELLS_MAX", 4)
+    assert AN._closeness_driver_tier(edges, sources, 5, False) is None
+    over = sorted(map(tuple, AN.closeness_centrality(
+        edges, sources, max_iters=5, assert_converged=True
+    ).collect()))
+    # ...and under the budget the tier engages with identical output
+    monkeypatch.setattr(AN, "_BFS_DRIVER_CELLS_MAX", 1 << 26)
+    assert AN._closeness_driver_tier(edges, sources, 5, False) is not None
+    under = sorted(map(tuple, AN.closeness_centrality(
+        edges, sources, max_iters=5, assert_converged=True
+    ).collect()))
+    assert over == under

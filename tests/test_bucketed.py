@@ -96,6 +96,46 @@ def test_dedupe_batch_matches_incremental(index):
     assert len(got) < batch.count()
 
 
+def test_dedupe_batch_frees_batch_checkpoints(spark, index):
+    """Per-batch fingerprint checkpoints must be freed when the batch
+    result materializes (ADVICE r12: a long-lived streaming session
+    calling dedupe_batch per microbatch otherwise accumulates
+    block-manager storage until the ContextCleaner runs).  Only the
+    escaping drops checkpoint may survive a call."""
+    import time
+
+    idx, corpus, batch = index
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    out = idx.dedupe_batch(batch, corpus, "doc_id", "text", threshold=0.5)
+    out.count()
+    # unpersist/free are non-blocking: poll briefly
+    deadline = time.time() + 15
+    while n_cached() - before > 1 and time.time() < deadline:
+        time.sleep(0.2)
+    assert n_cached() - before <= 1
+
+
+def test_free_local_checkpoint_releases_blocks(spark):
+    import time
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    ck = spark.range(1000).selectExpr("id", "id * 2 AS v").localCheckpoint(eager=True)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == before + 1
+    dedup.free_local_checkpoint(ck)
+    deadline = time.time() + 15
+    while len(sc._jsc.sc().getRDDStorageInfo()) > before and time.time() < deadline:
+        time.sleep(0.2)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == before
+    # a non-checkpoint frame is a safe no-op
+    dedup.free_local_checkpoint(spark.range(10))
+
+
 def test_append_equals_rebuild(spark, docs, warehouse, index):
     idx, corpus, batch = index
     survivors = idx.dedupe_batch(batch, corpus, "doc_id", "text", threshold=0.5)

@@ -111,6 +111,33 @@ def test_bm25_absent_term_and_no_match(spark, docs_df):
     assert retrieval.bm25_topk(docs_df, q).count() == 0
 
 
+def test_bm25_null_query_term_dropped(spark, docs_df):
+    """A null term can never match a token; the pre-r12 broadcast join
+    dropped it silently and the literal path must too (ADVICE r12 —
+    sorted() over {None, str} raised TypeError)."""
+    q_null = spark.createDataFrame(
+        [(1, "fox"), (1, None)], "query_id INT, term STRING"
+    )
+    q = spark.createDataFrame([(1, "fox")], ["query_id", "term"])
+    a = retrieval.bm25_topk(docs_df, q_null).collect()
+    b = retrieval.bm25_topk(docs_df, q).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # all-null query: no terms, no results, no crash
+    q_all_null = spark.createDataFrame([(1, None)], "query_id INT, term STRING")
+    assert retrieval.bm25_topk(docs_df, q_all_null).count() == 0
+
+
+def test_bm25_large_vocab_fallback_matches_literal(spark, docs_df, queries_df, monkeypatch):
+    """Above BM25_LITERAL_TERMS_MAX the broadcast-join fallback (ADVICE
+    r12) must score identically to the literal-array path."""
+    monkeypatch.setattr(retrieval, "BM25_LITERAL_TERMS_MAX", 0)
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in retrieval.bm25_topk(docs_df, queries_df, k=10).collect()
+    }
+    assert got == _ref_scores(DOCS, QUERIES)
+
+
 def test_bm25_duplicate_query_terms_count_once(spark, docs_df):
     q1 = spark.createDataFrame([(1, "fox")], ["query_id", "term"])
     q2 = spark.createDataFrame([(1, "fox"), (1, "fox")], ["query_id", "term"])
