@@ -479,3 +479,53 @@ def test_order_key_total_tiebreak(toy_graph):
         assert [r[0] for r in page] == [base[1][0]]
     with pytest.raises(GL.GremlinSyntaxError, match="unknown property key"):
         GL.run("g.V.order('nope').id", v_df, e_df)
+
+
+def test_loop_driver_tier_matches_distributed(toy_graph, monkeypatch):
+    """The bounded fixpoint driver tier (r13) is decision-identical to
+    the distributed superstep loop on every closure/section corner:
+    while-only, while+emit, absent-key !=, loops conjunctions, named
+    anchors with multi-step sections, hops in all directions, dedup,
+    and mangled-key filters."""
+    g, vs, _ = toy_graph
+    v_df, e_df = g.vertices_df(), g.edges_df()
+    m = vs["marko"].id
+    scripts = [
+        # while-only: exit on closure failure
+        f"g.v({m}).out.loop(1){{it.object.lang != 'java'}}.values('name')",
+        # emit closure decides emission alone
+        f"g.v({m}).out.loop(1){{it.loops < 3 && true}}{{true}}.values('name')",
+        # absent property key: != is vacuously true (walk to extinction),
+        # emit bounded by the counter
+        f"g.v({m}).out.loop(1){{it.object.nosuchkey != 'x'}}{{it.loops < 3}}"
+        ".values('name')",
+        # const-false while: everything exits at first arrival
+        "g.V.has('lang').loop(1){false}.values('name')",
+        # named anchor, multi-step section (hop + dedup), both-direction
+        f"g.v({m}).as('x').both.dedup.loop('x')"
+        "{it.loops < 4 && it.object.lang != 'java'}.count()",
+        # mangled-key comparison in a prefix filter + groupCount after
+        "g.V.has('age', T.gte, 29).out.loop(1){it.object.lang != 'java'}"
+        ".groupCount('name')",
+        # in-direction section
+        "g.V.has('lang','java').in.loop(1){it.object.age != 32}.values('name')",
+    ]
+    for s in scripts:
+        monkeypatch.setattr(GL, "GREMLIN_DRIVER_EDGE_MAX", 1 << 21)
+        a = sorted(map(tuple, GL.run(s, v_df, e_df).collect()))
+        monkeypatch.setattr(GL, "GREMLIN_DRIVER_EDGE_MAX", 0)
+        b = sorted(map(tuple, GL.run(s, v_df, e_df).collect()))
+        assert a == b, s
+    # max_loops budget raise: identical from both tiers
+    for cap in (1 << 21, 0):
+        monkeypatch.setattr(GL, "GREMLIN_DRIVER_EDGE_MAX", cap)
+        with pytest.raises(RuntimeError, match="max_loops"):
+            GL.run(f"g.v({m}).both.loop(1){{true}}{{true}}.count()",
+                   v_df, e_df, max_loops=4)
+    # sanity: the whole-prefix tier actually engages on this graph
+    monkeypatch.setattr(GL, "GREMLIN_DRIVER_EDGE_MAX", 1 << 21)
+    steps = GL._unroll_loops(GL.parse(
+        f"g.v({m}).out.loop(1){{it.object.lang != 'java'}}.values('name')"
+    ))
+    i = [j for j, s2 in enumerate(steps) if s2.name == "loop_fix"][0]
+    assert GL._pipeline_driver_tier(v_df, e_df, steps[:i], steps[i], 32) is not None
