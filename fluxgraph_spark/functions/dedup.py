@@ -16,6 +16,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -151,12 +153,10 @@ def dedupe_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # shingling
 # ---------------------------------------------------------------------------
 
-def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
-) -> DataFrame:
-    """(id, shingle) rows — distinct word n-grams of the lowercased text.
-    Documents shorter than n tokens contribute their full token string as
-    one shingle (so they still participate)."""
+def _grams_expr(text_col: str, n: int) -> Column:
+    """All word n-grams of the lowercased text as one array column.
+    Documents shorter than n tokens contribute their full token string
+    as one gram (so they still participate)."""
     def grams_of(toks: Column) -> Column:
         # toks is a let_-bound variable (see text.let_): the per-gram
         # slice reads it O(1) instead of re-running the tokenizer per
@@ -165,10 +165,19 @@ def shingle_table(
         idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
         return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
-    grams = let_(
+    return let_(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)),
         grams_of,
     )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams of the lowercased text.
+    Documents shorter than n tokens contribute their full token string as
+    one shingle (so they still participate)."""
+    grams = _grams_expr(text_col, n)
     # a small parquet lands in ONE input split — spread the regex/explode
     # work across cores before the expensive expressions run (at scale the
     # many-file input makes this a near-no-op hash exchange)
@@ -177,6 +186,25 @@ def shingle_table(
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
+
+
+def shingle_array_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles ARRAY<string>) — the per-ROW array twin of
+    :func:`shingle_table`: the same distinct nonempty grams, never
+    exploded.  Per input row, ``explode(shingles)`` here equals that
+    row's :func:`shingle_table` rows exactly; with unique ids the two
+    forms are interchangeable (callers with duplicate ids must group —
+    see :func:`minhash_lsh_dedup_reproducible`'s uniqueness gate).
+    Rows whose gram set is empty are dropped, mirroring the exploded
+    form producing no rows for them."""
+    grams = _grams_expr(text_col, n)
+    df = spread(df)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_remove(F.array_distinct(grams), "").alias("shingles"),
+    ).where(F.size("shingles") > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1243,14 +1271,364 @@ def minhash_lsh_dedup_reproducible(
     THRESHOLD-FREE: a high Jaccard threshold already selects only
     top-evidence pairs, leaving the budget nothing to bind on.
 
-    The shingle table feeds four consumers (signatures, both sides of
-    the intersection join, sizes) and the candidate pairs feed two —
-    both are persisted so the explode/md5 work runs once per action.
-    The candidate frame is materialized EAGERLY (one count) before the
-    verify: the banding join runs exactly once, every downstream join
-    reads the cache, and the broadcast decision is made here explicitly
-    rather than left to a cached-only probe (whose lazy first execution
-    let AQE re-plan the banding join run-to-run)."""
+    Plan shape (r13): ONE corpus scan builds the per-document gram
+    ARRAY table (:func:`shingle_array_table`, checkpointed); the
+    signatures explode FROM the checkpoint (the md5s stay in codegen —
+    inside higher-order-function lambdas they run interpreted, measured
+    2x slower end to end), and the verify intersects the same arrays,
+    so the old collect_set shuffle is gone.  The banded fingerprint
+    table (corpus x bands rows) is checkpointed once; when it fits a
+    bounded driver collect, the candidate selection — bucket
+    self-pairing, evidence counts, the two budget windows — replays in
+    numpy (:func:`_banded_pairs_driver`), and when the gram arrays are
+    also bounded the Jaccard verify runs in-process too
+    (:func:`_jaccard_pairs_driver`) — both decision-identical and
+    parity-pinned in pytest.  Past the caps the distributed forms run
+    unchanged; duplicate/null document ids (whose groupBy union
+    semantics the per-row array form does not model) take the pre-r13
+    exploded implementation."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    arr = shingle_array_table(base, "id", "text", n=n).localCheckpoint(
+        eager=True
+    )
+
+    # the row/gram stats and the banding both read ONLY the checkpoint:
+    # run them as concurrent jobs (guide §2.6 overlap) — actions are
+    # sequential only because driver code calls them sequentially
+    def _stats():
+        row = arr.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.size("shingles")), F.lit(0)).alias("g"),
+        ).collect()[0]
+        return int(row["n"]), int(row["g"])
+
+    def _mk_banded():
+        # signatures via explode of the CHECKPOINTED arrays (the md5s
+        # stay in whole-stage codegen; inside HOF lambdas they run
+        # interpreted — measured 2x slower end to end); one
+        # materialization serves the driver collect OR both sides of
+        # the distributed self-join (the AQE twin-subtree trap)
+        sig = minhash_signatures(
+            arr.select("id", F.explode("shingles").alias("shingle")),
+            num_hashes=num_hashes,
+        )
+        b = band_table(sig, num_hashes=num_hashes, bands=bands)
+        b = b.localCheckpoint(eager=True)
+        return b, b.count()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stats = pool.submit(_stats)
+        f_band = pool.submit(_mk_banded)
+        n_rows, n_grams = f_stats.result()
+        banded, n_band = f_band.result()
+    if n_band != n_rows * bands:
+        # duplicate ids (sig's groupBy merged rows): the per-row array
+        # verify would be wrong — keep the exploded path's semantics
+        free_local_checkpoint(banded)
+        free_local_checkpoint(arr)
+        return _minhash_lsh_reproducible_exploded(
+            df, id_col, text_col, n, num_hashes, bands, threshold,
+            max_candidates_per_doc,
+        )
+    spark = df.sparkSession
+    id_t = arr.schema["id"].dataType
+    # the candidate selection collect and the verify's gram collect are
+    # independent too — overlap them
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pairs = pool.submit(
+            _banded_pairs_driver, banded, max_candidates_per_doc, n_band
+        )
+        f_tbl = (
+            pool.submit(arr.toArrow)
+            if n_grams <= _LSH_DRIVER_GRAMS_MAX
+            else None
+        )
+        pairs_local = f_pairs.result()
+        arr_tbl = f_tbl.result() if f_tbl is not None else None
+    if pairs_local is not None and arr_tbl is not None:
+        # everything after the banding fits the driver: verify the
+        # pairs in-process and return one small local relation
+        out = _jaccard_pairs_driver(
+            arr_tbl, pairs_local, threshold, id_t, spark
+        )
+        free_local_checkpoint(banded)
+        free_local_checkpoint(arr)
+        return out
+    if pairs_local is not None:
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("id_a", id_t, True),
+                T.StructField("id_b", id_t, True),
+            ]
+        )
+        cand = spark.createDataFrame(pairs_local, schema)
+        n_cand = len(pairs_local)
+    else:
+        if max_candidates_per_doc is None:
+            cand = pairs_from_bands(banded).persist()
+        else:
+            cand = _budgeted_pairs_from_bands(
+                banded, max_candidates_per_doc
+            ).persist()
+        n_cand = cand.count()
+    out = _jaccard_pairs_from_arrays(
+        arr, block=cand, threshold=threshold,
+        broadcast_block=n_cand <= 1_000_000,
+    )
+    out = out.localCheckpoint(eager=True)
+    if pairs_local is None:
+        cand.unpersist()
+    free_local_checkpoint(banded)
+    free_local_checkpoint(arr)
+    return out
+
+
+# Bounded driver tier for LSH candidate selection (r13): past the
+# banding, the decision surface is a few integers per candidate pair —
+# shared-bucket evidence counts and two deterministic rank windows.
+# When the banded fingerprint table fits one bounded driver collect,
+# the whole selection replays in numpy instead of a self-join + an
+# exchange + two window sorts (each a full stage at cluster latency).
+LSH_DRIVER_BAND_MAX = int(os.environ.get("FLUX_LSH_DRIVER_MAX", str(1 << 21)))
+# the in-replay pair budget: hot buckets pair quadratically; past this
+# the distributed form (with its skew machinery) runs instead
+_LSH_DRIVER_PAIRS_MAX = int(
+    os.environ.get("FLUX_LSH_DRIVER_PAIRS_MAX", str(1 << 23))
+)
+# total corpus grams under which the Jaccard verify also runs on the
+# driver (the collected arrays are the corpus token stream — ~16M
+# grams of ~12 B is a few hundred MB of python strings)
+_LSH_DRIVER_GRAMS_MAX = int(
+    os.environ.get("FLUX_LSH_DRIVER_GRAMS_MAX", str(1 << 24))
+)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's ``round(double, 6)``: BigDecimal(shortest decimal repr)
+    quantized HALF_UP — python ``repr`` produces the same shortest
+    round-trip decimal as Java's ``Double.toString``, so the quantize
+    matches bit-for-bit (python's builtin ``round`` is banker's and
+    would differ on exact .5 ties)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _jaccard_pairs_driver(tbl, pairs_local, threshold, id_t, spark):
+    """In-process twin of :func:`_jaccard_pairs_from_arrays` for an
+    already-driver-resident candidate list over the COLLECTED gram
+    table: intersect python sets per pair, round exactly as Spark's
+    ``round(_, 6)``.  Returns a small local-relation DataFrame."""
+    import pyspark.sql.types as T
+
+    ids = tbl.column("id").to_pylist()
+    grams = tbl.column("shingles").to_pylist()
+    bydoc = {i: set(g) for i, g in zip(ids, grams)}
+    rows = []
+    for a, b in pairs_local:
+        sa = bydoc.get(a)
+        sb = bydoc.get(b)
+        if sa is None or sb is None:
+            continue  # the pair join drops ids without gram rows
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        jac = _round6_half_up(inter / (len(sa) + len(sb) - inter))
+        if threshold > 0 and jac < threshold:
+            continue
+        rows.append((a, b, jac))
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_t, True),
+            T.StructField("id_b", id_t, True),
+            T.StructField("jaccard", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _banded_pairs_driver(
+    banded: DataFrame, max_candidates_per_doc, n_band: "int | None" = None
+):
+    """In-process replay of the candidate selection over a MATERIALIZED
+    (id, band, bucket) table: bucket self-pairing (a.id < b.id, one row
+    per shared band), evidence counts, and — with a budget — the two
+    row_number windows ((-n_ev, partner) order, survive-on-either-side),
+    or — without one — the distinct-pair set.  Returns a sorted list of
+    (id_a, id_b) tuples, or None for the distributed path (over the
+    caps, or id types the replay does not model).  Decision-identical
+    by construction: every step is integer arithmetic over the same
+    collected rows the joins would shuffle."""
+    import pyspark.sql.types as T
+
+    cap = LSH_DRIVER_BAND_MAX
+    if cap <= 0:
+        return None
+    if not isinstance(
+        banded.schema["id"].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    ):
+        return None
+    # banded is checkpointed by the caller: the count reads block
+    # metadata, the collect scans the blocks once
+    if (banded.count() if n_band is None else n_band) > cap:
+        return None
+    import numpy as np
+
+    tbl = banded.toArrow()
+    if (
+        tbl.column("id").null_count
+        or tbl.column("band").null_count
+        or tbl.column("bucket").null_count
+    ):
+        return None
+    ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    band = tbl.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = tbl.column("bucket").to_numpy(zero_copy_only=False)
+    # factorize the ids so a pair packs into ONE int64 (code_a * n +
+    # code_b): np.unique over a 1D integer key is ~50x faster than the
+    # axis=0 structured sort on the raw (id_a, id_b) pairs (7.3 s ->
+    # 0.1 s on the 2.6M raw pairs at sf0.1)
+    uid = np.unique(ids)
+    code = np.searchsorted(uid, ids)
+    # group by (band, bucket): factorize the bucket strings, combine
+    _, binv = np.unique(bucket, return_inverse=True)
+    gkey = binv * (int(band.max()) + 1 if band.size else 1) + band
+    order = np.lexsort((code, gkey))
+    g, sid = gkey[order], code[order]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    sizes = np.diff(np.r_[starts, g.size])
+    n_pairs = int((sizes * (sizes - 1) // 2).sum())
+    if n_pairs > _LSH_DRIVER_PAIRS_MAX:
+        return None
+    pk_parts = []
+    n_codes = uid.size
+    for s, m in zip(starts.tolist(), sizes.tolist()):
+        if m < 2:
+            continue
+        sub = sid[s:s + m]
+        iu, ju = np.triu_indices(m, 1)
+        # sub is ascending and (band, bucket, id) rows are unique, so
+        # sub[iu] < sub[ju] — exactly the join's a.id < b.id (the id ->
+        # code map is monotone)
+        pk_parts.append(sub[iu] * n_codes + sub[ju])
+    if not pk_parts:
+        return []
+    # evidence counts: one row per shared band collapses per pair
+    upk, n_ev = np.unique(np.concatenate(pk_parts), return_counts=True)
+    ua, ub = uid[upk // n_codes], uid[upk % n_codes]
+    if max_candidates_per_doc is not None:
+        B = int(max_candidates_per_doc)
+
+        def ranks(part_key, order_key):
+            # row_number() over (partition by part_key
+            #                    order by n_ev desc, order_key asc)
+            o = np.lexsort((order_key, -n_ev, part_key))
+            pk_o = part_key[o]
+            st = np.flatnonzero(np.r_[True, pk_o[1:] != pk_o[:-1]])
+            ln = np.diff(np.r_[st, pk_o.size])
+            rn = np.arange(pk_o.size) - np.repeat(st, ln) + 1
+            out = np.empty(pk_o.size, dtype=np.int64)
+            out[o] = rn
+            return out
+
+        keep = (ranks(ua, ub) <= B) | (ranks(ub, ua) <= B)
+        ua, ub = ua[keep], ub[keep]
+    return list(zip(ua.tolist(), ub.tolist()))
+
+
+def _jaccard_pairs_from_arrays(
+    arr: DataFrame,
+    block: DataFrame,
+    threshold: float,
+    broadcast_block: bool,
+) -> DataFrame:
+    """:func:`jaccard_pairs`'s blocked verify over a per-document gram
+    ARRAY table (id, shingles): the arrays are already collected, so
+    the semi-join + collect_set shuffle of the exploded form never
+    happens — candidates join straight to two array rows.  Output is
+    bit-identical (same distinct sets, same counts, same rounding)."""
+    bcast = F.broadcast if broadcast_block else (lambda d: d)
+    out = (
+        bcast(block)
+        .join(
+            arr.select(F.col("id").alias("id_a"), F.col("shingles").alias("__a")),
+            "id_a",
+        )
+        .join(
+            arr.select(F.col("id").alias("id_b"), F.col("shingles").alias("__b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("__a", "__b")).alias("n_inter"),
+            F.size("__a").alias("n_a"),
+            F.size("__b").alias("n_b"),
+        )
+        # the exploded two-join form only ever produced a row when at
+        # least one shingle matched (see jaccard_pairs)
+        .where(F.col("n_inter") > 0)
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def _budgeted_pairs_from_bands(
+    banded: DataFrame, max_candidates_per_doc: int
+) -> DataFrame:
+    """The distributed budget selection over a materialized band table
+    (the pre-r13 shape, now the over-cap fallback of
+    :func:`_banded_pairs_driver`)."""
+    a, b = banded.alias("a"), banded.alias("b")
+    ev = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # Key the aggregation's exchange by id_a ALONE: hash(id_a)
+        # still clusters (id_a, id_b) for the count, and the first
+        # budget window (partitionBy id_a) then reuses the SAME
+        # exchange — the evidence table crosses the wire twice
+        # (id_a, then id_b for the second window) instead of three
+        # times.  Measured 3.47 -> 2.06 s on the sf0.1 candidate
+        # stream, decision-identical survivor set.
+        .repartition("id_a")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n_ev"))
+    )
+    w_a = W.partitionBy("id_a").orderBy(F.desc("__n_ev"), F.asc("id_b"))
+    w_b = W.partitionBy("id_b").orderBy(F.desc("__n_ev"), F.asc("id_a"))
+    return (
+        ev.withColumn("__ra", F.row_number().over(w_a))
+        .withColumn("__rb", F.row_number().over(w_b))
+        .where(
+            (F.col("__ra") <= max_candidates_per_doc)
+            | (F.col("__rb") <= max_candidates_per_doc)
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def _minhash_lsh_reproducible_exploded(
+    df, id_col, text_col, n, num_hashes, bands, threshold,
+    max_candidates_per_doc,
+):
+    """The pre-r13 exploded implementation — serves inputs with
+    duplicate/null document ids, whose per-id gram-set UNION semantics
+    the array form does not model."""
     sh = shingle_table(df, id_col, text_col, n=n).persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     banded = None
@@ -1264,34 +1642,9 @@ def minhash_lsh_dedup_reproducible(
         # once (see lsh_candidate_pairs — the lazy form recomputes the
         # minhash lineage per join child)
         banded = banded.localCheckpoint(eager=True)
-        a, b = banded.alias("a"), banded.alias("b")
-        ev = (
-            a.join(b, ["band", "bucket"])
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            # Key the aggregation's exchange by id_a ALONE: hash(id_a)
-            # still clusters (id_a, id_b) for the count, and the first
-            # budget window (partitionBy id_a) then reuses the SAME
-            # exchange — the evidence table crosses the wire twice
-            # (id_a, then id_b for the second window) instead of three
-            # times.  Measured 3.47 -> 2.06 s on the sf0.1 candidate
-            # stream, decision-identical survivor set.
-            .repartition("id_a")
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("__n_ev"))
-        )
-        w_a = W.partitionBy("id_a").orderBy(F.desc("__n_ev"), F.asc("id_b"))
-        w_b = W.partitionBy("id_b").orderBy(F.desc("__n_ev"), F.asc("id_a"))
-        cand = (
-            ev.withColumn("__ra", F.row_number().over(w_a))
-            .withColumn("__rb", F.row_number().over(w_b))
-            .where(
-                (F.col("__ra") <= max_candidates_per_doc)
-                | (F.col("__rb") <= max_candidates_per_doc)
-            )
-            .select("id_a", "id_b")
-            .persist()
-        )
+        cand = _budgeted_pairs_from_bands(
+            banded, max_candidates_per_doc
+        ).persist()
     n_cand = cand.count()
     out = jaccard_pairs(
         sh, block=cand, threshold=threshold,

@@ -1772,3 +1772,50 @@ def test_ngram_novelty_dedups_within_doc(spark):
     got = ngram_novelty(docs, "doc_id", "text", n=3).collect()[0]
     # distinct grams of the cycle: a b c / b c a / c a b
     assert got["n_grams"] == 3 and got["novel_ratio"] == 1.0
+
+
+def test_lsh_driver_tiers_match_distributed(tables, spark, monkeypatch):
+    """r13: the bounded driver tiers inside minhash_lsh_dedup_reproducible
+    (numpy candidate selection + in-process Jaccard verify) are
+    bit-identical to the distributed joins, with and without the
+    per-doc budget, at every cap combination — and duplicate ids fall
+    back to the exploded implementation with unchanged results."""
+    docs = tables["documents"]
+
+    def run(budget):
+        return sorted(map(tuple, dedup.minhash_lsh_dedup_reproducible(
+            docs, "doc_id", "text", n=2, num_hashes=8, bands=8,
+            threshold=0.0, max_candidates_per_doc=budget,
+        ).collect()))
+
+    for budget in (None, 3):
+        monkeypatch.setattr(dedup, "LSH_DRIVER_BAND_MAX", 1 << 21)
+        monkeypatch.setattr(dedup, "_LSH_DRIVER_GRAMS_MAX", 1 << 24)
+        all_driver = run(budget)
+        # distributed selection + distributed array verify
+        monkeypatch.setattr(dedup, "LSH_DRIVER_BAND_MAX", 0)
+        dist_sel = run(budget)
+        # driver selection + distributed array verify
+        monkeypatch.setattr(dedup, "LSH_DRIVER_BAND_MAX", 1 << 21)
+        monkeypatch.setattr(dedup, "_LSH_DRIVER_GRAMS_MAX", 0)
+        dist_verify = run(budget)
+        assert all_driver == dist_sel == dist_verify, budget
+        # the pre-r13 exploded implementation agrees too
+        exploded = sorted(map(tuple, dedup._minhash_lsh_reproducible_exploded(
+            docs, "doc_id", "text", 2, 8, 8, 0.0, budget,
+        ).collect()))
+        assert all_driver == exploded, budget
+
+    # duplicate ids: union-of-grams semantics via the exploded fallback
+    from pyspark.sql import functions as F
+
+    dup = docs.limit(20).unionByName(
+        docs.limit(5).withColumn("text", F.concat(F.col("text"), F.lit(" zq")))
+    )
+    got = sorted(map(tuple, dedup.minhash_lsh_dedup_reproducible(
+        dup, "doc_id", "text", n=2, num_hashes=8, bands=8, threshold=0.0,
+    ).collect()))
+    want = sorted(map(tuple, dedup._minhash_lsh_reproducible_exploded(
+        dup, "doc_id", "text", 2, 8, 8, 0.0, None,
+    ).collect()))
+    assert got == want
