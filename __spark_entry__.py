@@ -4330,13 +4330,13 @@ def q_k_theta_setops(spark, sf_dir):
     orders, li = t["orders"], t["lineitem"]
     a_rows = orders.where(F.col("o_orderstatus") == "F")
     b_rows = li.where(F.col("l_returnflag") == "R")
-    ska = sketches.kmv_build(a_rows, "o_orderkey", k=129)
-    skb = sketches.kmv_build(b_rows, "l_orderkey", k=129)
-    st = sketches.kmv_theta_ops(ska, skb, k=129)
-    # exact union/intersection in ONE pass: tag each side, collapse per
-    # key, count membership — the old distinct-union + equi-join form
-    # evaluated both distinct sets twice (four base scans) for the same
-    # two integers
+    # ONE tagged-union pass feeds BOTH sketches and the exact audit
+    # (r13; the r12 form still re-scanned each base for its sketch —
+    # 4 base scans for one audit): tag each side, collapse per key,
+    # checkpoint, and everything downstream reads the per-key table.
+    # The sketch sides are the same distinct keys the old kmv_build
+    # hashed (null keys excluded there; the audit keeps them) with the
+    # identical hash family, so every output column is bit-unchanged.
     keys = (
         a_rows.select(
             F.col("o_orderkey").alias("key"),
@@ -4351,6 +4351,17 @@ def q_k_theta_setops(spark, sf_dir):
         .groupBy("key")
         .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
     )
+    keys = keys.withColumn(
+        "h", text.stable_hash64(F.col("key").cast("string"))
+    ).localCheckpoint(eager=True)
+    hashed = keys.where(F.col("key").isNotNull())
+    ska = sketches.kmv_from_hashes(
+        hashed.where(F.col("__a") == 1).select("h").distinct(), k=129
+    )
+    skb = sketches.kmv_from_hashes(
+        hashed.where(F.col("__b") == 1).select("h").distinct(), k=129
+    )
+    st = sketches.kmv_theta_ops(ska, skb, k=129)
     ex = keys.agg(
         F.count(F.lit(1)).cast("long").alias("exact_union"),
         F.sum(

@@ -311,6 +311,19 @@ def kmv_build(
         .select(*g, h.alias("h"))
         .distinct()
     )
+    return kmv_from_hashes(hashes, k=k, group_cols=group_cols)
+
+
+def kmv_from_hashes(
+    hashes: DataFrame, k: int = 129, group_cols: tuple = ()
+) -> DataFrame:
+    """The sketch window of :func:`kmv_build` over an already-hashed,
+    already-distinct ``(*group_cols, h)`` frame — for pipelines that
+    derive several sketches from ONE materialized key table (e.g. the
+    theta set-ops audit, which tags both populations in a single
+    union pass) instead of re-scanning the base data per sketch."""
+    _kmv_check_k(k)
+    g = list(group_cols)
     w1 = W.partitionBy(*g, F.pmod(F.col("h"), F.lit(256))).orderBy("h")
     pruned = (
         hashes.withColumn("__r1", F.row_number().over(w1))

@@ -304,6 +304,8 @@ class DedupIndex:
         Cost per batch: O(new x collisions); the corpus is never
         re-shingled, re-hashed, or self-joined.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         base = new_batch.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         )
@@ -314,14 +316,25 @@ class DedupIndex:
         # fingerprint tables are checkpointed eagerly — their self-joins
         # (hn×hb, bn×bb) otherwise race a cold cache under AQE and
         # recompute the md5 lineage once per join child.
+        # r13: the exact-hash and banding fingerprints are independent
+        # scans of the same small batch — materialize them as
+        # CONCURRENT jobs (guide §2.6: actions are sequential only
+        # because driver code calls them sequentially).
         sh_batch = shingle_table(base, "id", "text", n=self.n).persist()
-        b_hashes = base.select(
-            "id", stable_hash64(F.col("text")).alias("h")
-        ).localCheckpoint(eager=True)
         sig = minhash_signatures(sh_batch, num_hashes=self.num_hashes)
-        b_bands = band_table(
-            sig, num_hashes=self.num_hashes, bands=self.bands
-        ).localCheckpoint(eager=True)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_h = pool.submit(
+                lambda: base.select(
+                    "id", stable_hash64(F.col("text")).alias("h")
+                ).localCheckpoint(eager=True)
+            )
+            f_b = pool.submit(
+                lambda: band_table(
+                    sig, num_hashes=self.num_hashes, bands=self.bands
+                ).localCheckpoint(eager=True)
+            )
+            b_hashes = f_h.result()
+            b_bands = f_b.result()
 
         # exact tier: corpus hash hit, or smaller-id twin within batch.
         # The id inequality makes the probe replay-safe: a crashed-and-
@@ -343,6 +356,13 @@ class DedupIndex:
             )
         ).select(F.col("hn.id").alias("id"))
         exact_drop = exact_corpus.unionByName(exact_batch).distinct()
+        # the exact tier probes only the hash index — independent of
+        # the banding joins below: materialize it concurrently with the
+        # candidate count so its probe hides under the bigger job
+        exact_pool = ThreadPoolExecutor(max_workers=1)
+        f_exact = exact_pool.submit(
+            lambda: exact_drop.localCheckpoint(eager=True)
+        )
 
         # near tier: batch bands vs index bands + smaller-id batch bands
         bn = b_bands.alias("bn")
@@ -396,12 +416,15 @@ class DedupIndex:
         )
         near_drop = verified.select(F.col("id_a").alias("id")).distinct()
 
+        exact_ck = f_exact.result()
+        exact_pool.shutdown()
         drops = (
-            exact_drop.unionByName(near_drop)
+            exact_ck.unionByName(near_drop)
             .distinct()
             .withColumnRenamed("id", id_col)
         )
         drops = drops.localCheckpoint(eager=True)
+        free_local_checkpoint(exact_ck)
         cand.unpersist()
         sh.unpersist()
         sh_batch.unpersist()
