@@ -4631,7 +4631,13 @@ def q_m_dhash_survivors(spark, sf_dir):
     media = multimodal.png_table_from_documents(
         docs.select("doc_id", "text").unionByName(twins), every=19
     )
-    hashes = multimodal.image_dhash(media, decoder="real").persist()
+    # one eager materialization serves the band join (both sides), the
+    # components probe, and the final survivors join — a lazy persist
+    # raced a cold cache per consumer (r13; dhash_near_dups sees the
+    # checkpoint root and skips its own copy)
+    hashes = multimodal.image_dhash(media, decoder="real").localCheckpoint(
+        eager=True
+    )
     pairs = dedup.dhash_near_dups(hashes, max_hamming=7)
     comp = AN.connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),

@@ -83,6 +83,13 @@ HEADLINE = [
     "g_node2vec_budget",        # degree-budgeted walks (r9 late — the
                                 # GraphSAGE neighbor-sampling cap that
                                 # bounds per-hop cost at hub growth)
+    "m_dhash_survivors",        # ADDED r13 (additions-only per the bench
+                                # contract): the multimodal family's
+                                # heaviest member — real PNG encode/decode
+                                # through the Arrow boundary, dHash band
+                                # join, convergence-asserted components,
+                                # survivors.  First round the m_* family
+                                # is represented in the bench at all.
 ]
 
 

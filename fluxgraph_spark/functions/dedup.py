@@ -107,6 +107,19 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def is_checkpoint_root(df: DataFrame) -> bool:
+    """True when the frame IS a materialized localCheckpoint (its
+    analyzed plan is a bare LogicalRDD) — operators that checkpoint
+    their input against AQE twin-subtree recompute skip the copy."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getName()
+            .endswith("LogicalRDD")
+        )
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def free_local_checkpoint(df: DataFrame) -> None:
     """Release the block-manager storage behind an eager
     ``localCheckpoint`` whose LAST consumer has already run (ADVICE
@@ -2271,6 +2284,17 @@ def dhash_near_dups(
             f"max_hamming must be in [0, 7] for the 8-band pigeonhole "
             f"guarantee, got {max_hamming}"
         )
+    # the band self-join consumes the hash table on BOTH sides; without
+    # a materialization each AQE join child re-runs the upstream
+    # lineage — for image hashes that is the WHOLE decode + dhash
+    # Python pipeline, measured as two ~equal mapInPandas subtrees per
+    # run on m_dhash_dups.  One row per image: checkpoint it (escapes
+    # through the lazy result — ContextCleaner frees it, the
+    # lsh_candidate_pairs pattern); callers that already checkpointed
+    # (m_dhash_survivors shares the table with its final join) skip the
+    # copy.
+    if not is_checkpoint_root(hashes):
+        hashes = hashes.localCheckpoint(eager=True)
     bands = hashes.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("h"),

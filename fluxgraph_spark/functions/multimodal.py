@@ -618,11 +618,18 @@ def png_table_from_documents(docs: DataFrame, every: int = 19) -> DataFrame:
     digest-arithmetic trick, applied to the image-dedup tier.  Identical
     document texts (the corpus' planted exact dups) yield bit-identical
     images, i.e. genuine hamming-0 duplicate pairs."""
+    from .dedup import spread
+
     encode_png = codecs.encode_png
 
-    src = docs.where(
-        (F.col("doc_id") % every == 0) & F.col("text").isNotNull()
-    ).select("doc_id", "text")
+    # a small single-file corpus would run the whole encode in one or
+    # two tasks — spread the selected rows across cores before the
+    # Python boundary (a no-op at real file counts)
+    src = spread(
+        docs.where(
+            (F.col("doc_id") % every == 0) & F.col("text").isNotNull()
+        ).select("doc_id", "text")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -631,16 +638,18 @@ def png_table_from_documents(docs: DataFrame, every: int = 19) -> DataFrame:
 
         for pdf in it:
             ids, contents, metas = [], [], []
-            for _, row in pdf.iterrows():
+            # zip over the columns, not iterrows(): building a pandas
+            # Series per row costs more than the row's actual work
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 blocks = np.zeros((8, 9), dtype=np.uint8)
                 for r in range(8):
                     digest = _hashlib.md5(
-                        f"{row['text']}:{r}".encode("utf-8")
+                        f"{txt}:{r}".encode("utf-8")
                     ).digest()
                     blocks[r, :] = np.frombuffer(digest[:9], dtype=np.uint8)
                 # expand each block to 2x2 -> 16x18, one gray channel
                 img = np.repeat(np.repeat(blocks, 2, axis=0), 2, axis=1)
-                ids.append(int(row["doc_id"]))
+                ids.append(int(did))
                 contents.append(encode_png(img[:, :, None]))
                 metas.append(
                     {
@@ -725,8 +734,8 @@ def image_dhash(
 
         for pdf in it:
             ids, hashes = [], []
-            for _, row in pdf.iterrows():
-                content = row["content"] or b""
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = content or b""
                 if decoder == "real":
                     if sniff(content) != "png":
                         raise ValueError(
@@ -749,7 +758,7 @@ def image_dhash(
                     for r in range(th)
                     for c in range(hash_w)
                 ]
-                ids.append(int(row["media_id"]))
+                ids.append(int(mid))
                 hashes.append(_pack(bits))
             yield pd.DataFrame({"media_id": ids, "dhash": hashes})
 

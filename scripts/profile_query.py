@@ -44,6 +44,16 @@ def main():
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--explain-dir", default=None)
+    ap.add_argument(
+        "--no-ckpt-plans",
+        action="store_true",
+        help="capture explain plans with DataFrame.localCheckpoint as a "
+        "no-op, so committed plans show the full lineage instead of "
+        "bottoming out in Scan ExistingRDD (r12 VERDICT item 8: plan "
+        "evidence must be readable without trusting stage-metric "
+        "prose).  Timing runs are NOT affected — the patch applies "
+        "only while the plan is built.",
+    )
     ap.add_argument("--top-stages", type=int, default=12)
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
@@ -78,10 +88,20 @@ def main():
     qs = entrymod.queries()
     qs.update(bench_local(spark, args.sf))
 
+    from pyspark.sql import DataFrame as _DF
+
     for name in args.queries:
         fn = qs[name]
         # explain capture (plan shape, not timing)
-        df0 = fn(args.sf and spark, args.sf)
+        if args.no_ckpt_plans:
+            real_ckpt = _DF.localCheckpoint
+            _DF.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+            try:
+                df0 = fn(args.sf and spark, args.sf)
+            finally:
+                _DF.localCheckpoint = real_ckpt  # type: ignore[method-assign]
+        else:
+            df0 = fn(args.sf and spark, args.sf)
         plan = df0._sc._jvm.PythonSQLUtils.explainString(
             df0._jdf.queryExecution(), "formatted"
         )
