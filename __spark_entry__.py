@@ -3830,8 +3830,12 @@ def q_pipeline_corpus(spark, sf_dir):
     English-only -> fingerprint dedup (min doc_id per fingerprint keeps
     a deterministic representative).  Every stage is a narrow map or a
     single keyed shuffle — the whole pipeline is 2 shuffles regardless
-    of corpus size."""
-    docs = tpch.read_tables(spark, sf_dir)["documents"]
+    of corpus size.  r13: the corpus spreads across cores when the
+    file scan is under-split (the 2-split sf0.1 layout ran the narrow
+    maps nearly serial; measured 1.78 -> 1.45 s solo, and a no-op at
+    real file counts — the sf1.0 A/B in OPTIMIZATION_r13.md records
+    both points: 12 splits, as-is 1.81 vs spread 1.90)."""
+    docs = dedup.spread(tpch.read_tables(spark, sf_dir)["documents"])
     scored = text.quality_score(docs).where(F.col("quality_score") >= 0.5)
     en = scored.withColumn("lang", text.language_id(F.col("text"))).where(
         F.col("lang") == "en"
