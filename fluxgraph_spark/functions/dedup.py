@@ -1413,10 +1413,13 @@ _LSH_DRIVER_PAIRS_MAX = int(
     os.environ.get("FLUX_LSH_DRIVER_PAIRS_MAX", str(1 << 23))
 )
 # total corpus grams under which the Jaccard verify also runs on the
-# driver (the collected arrays are the corpus token stream — ~16M
-# grams of ~12 B is a few hundred MB of python strings)
+# driver.  The binding cost is single-threaded python (arrow->pylist +
+# set building ~1.4 s/M grams measured), NOT memory: at 2.6M grams
+# (sf1.0) the driver verify measured 6.1 s vs 3.7 s distributed, at
+# 0.26M (sf0.1) it wins — the default sits between the two with 2x
+# headroom over the win case.
 _LSH_DRIVER_GRAMS_MAX = int(
-    os.environ.get("FLUX_LSH_DRIVER_GRAMS_MAX", str(1 << 24))
+    os.environ.get("FLUX_LSH_DRIVER_GRAMS_MAX", str(1 << 19))
 )
 
 
